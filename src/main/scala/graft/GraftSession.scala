@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for session config so Verify, Bench and tests agree.
+  *
+  * Settings chosen for the driver's local[N] harness but written for a real
+  * cluster: shuffle partitions track available parallelism (a cluster deploy
+  * would size this to 2-3× total cores or rely on AQE coalescing, which is
+  * enabled), and AQE handles skew-join splitting at scale.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); read as long, convert in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

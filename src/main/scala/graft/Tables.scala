@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every query receives `sfDir` (e.g. /root/testdata/sf0.01) and reads
+  * one parquet per table. Reads are plain `spark.read.parquet` so Catalyst
+  * gets full pushdown (PushedFilters / ReadSchema pruning) — at 100 TB these
+  * would be partitioned/bucketed tables behind the same names, and every
+  * query below would keep working unchanged because nothing here assumes
+  * single-file layout.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
+    * [[GraftSession]]) so `ts` arrives as nanos-since-epoch LongType and is
+    * floored to a µs TimestampType here. Floor-truncation preserves every
+    * comparison against µs-aligned literals, so oracle predicates on `ts`
+    * agree between Spark (µs) and DuckDB (ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

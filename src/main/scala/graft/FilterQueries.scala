@@ -1,8 +1,149 @@
 package graft
 
-/** Catalog entries for the filter layer (SURVEY §2.2-2.3). Populated as
-  * operators land; see graft.filters.FilterCompiler.
+import graft.filters.FilterCompiler
+import graft.model.{EventView, FilterSpec}
+import graft.model.FilterSpec._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog entries for the filter layer (SURVEY §2.2-2.3).
+  *
+  * Each query adapts the driver's `events` table into the CloudEvents frame
+  * (EventView), applies a compiled subscription filter, and projects scalar
+  * columns for the DuckDB hash-compare. The filter predicate is a single
+  * Catalyst Column, so Catalyst pushes the cheap conjuncts into the parquet
+  * scan — verify with .explain: PushedFilters carries the event_type
+  * equalities. At 100 TB the bus table would be partitioned by
+  * (bus, date); these predicates additionally prune partitions.
   */
 object FilterQueries {
-  val all: Seq[Queries.Q] = Seq.empty
+  import Queries.Q
+
+  private def view(s: SparkSession, d: String): DataFrame =
+    EventView.fromEventsTable(Tables.events(s, d))
+
+  private def run(s: SparkSession, d: String, spec: FilterSpec): DataFrame =
+    view(s, d)
+      .filter(FilterCompiler.compile(spec))
+      .select(col("sequence_number").as("event_id"),
+        col("type").as("event_type"), col("data").as("props"))
+      .orderBy(col("event_id"))
+
+  private val exact = Q(
+    "filter_exact",
+    (s, d) => run(s, d, Exact(Seq("type" -> "purchase", "data.k" -> "12"))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') = '12'
+      ORDER BY event_id
+    """))
+
+  /** `data` key compares the raw JSON body bytes (filter/common.go:84-86). */
+  private val prefixRawData = Q(
+    "filter_prefix",
+    (s, d) => run(s, d, Prefix(Seq("type" -> "s", "data" -> "{\"k\": 1"))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE event_type LIKE 's%' AND props LIKE '{"k": 1%'
+      ORDER BY event_id
+    """))
+
+  private val suffix = Q(
+    "filter_suffix",
+    (s, d) => run(s, d, Suffix(Seq("type" -> "up", "data.k" -> "7"))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE event_type LIKE '%up' AND json_extract_string(props, '$.k') LIKE '%7'
+      ORDER BY event_id
+    """))
+
+  private val notF = Q(
+    "filter_not",
+    (s, d) => run(s, d, Not(Exact(Seq("type" -> "error")))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE NOT (event_type = 'error')
+      ORDER BY event_id
+    """))
+
+  private val allAny = Q(
+    "filter_all_any",
+    (s, d) => run(s, d, All(Seq(
+      Any(Seq(Exact(Seq("type" -> "purchase")), Exact(Seq("type" -> "signup")))),
+      Not(Exact(Seq("data.k" -> "0")))))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE (event_type = 'purchase' OR event_type = 'signup')
+        AND NOT COALESCE(json_extract_string(props, '$.k') = '0', FALSE)
+      ORDER BY event_id
+    """))
+
+  /** Missing attribute fails the pair — false, never null (common.go:72-74):
+    * the OR branch over a nonexistent attribute contributes nothing, so only
+    * the `error` rows survive. A null-propagating compare would instead
+    * poison the disjunction.
+    */
+  private val missingAttr = Q(
+    "filter_missing_attr",
+    (s, d) => run(s, d, Any(Seq(
+      Exact(Seq("nonexistentattr" -> "x")), Exact(Seq("type" -> "error"))))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE event_type = 'error'
+      ORDER BY event_id
+    """))
+
+  /** Extension attribute lookup through the attributes map. */
+  private val extensionAttr = Q(
+    "filter_extension_attr",
+    (s, d) => run(s, d, Exact(Seq("xuserid" -> "12"))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE user_id = 12
+      ORDER BY event_id
+    """))
+
+  /** `time` compares in RFC3339 text space (filter/common.go:128-135). */
+  private val timePrefix = Q(
+    "filter_time_prefix",
+    (s, d) => run(s, d, Prefix(Seq("time" -> "2024-01-01T"))),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') LIKE '2024-01-01T%'
+      ORDER BY event_id
+    """))
+
+  private val cesql = Q(
+    "filter_cesql",
+    (s, d) => run(s, d, CeSql(
+      "(type IN ('signup', 'login') AND EXISTS xuserid) OR (INT(id) % 100) < 3")),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE event_type IN ('signup', 'login') OR event_id % 100 < 3
+      ORDER BY event_id
+    """))
+
+  private val cesqlFns = Q(
+    "filter_cesql_functions",
+    (s, d) => run(s, d, CeSql(
+      "UPPER(LEFT(type, 1)) = 'P' AND LENGTH(type) >= 5 AND type LIKE '%chase'")),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE UPPER(LEFT(event_type, 1)) = 'P' AND LENGTH(event_type) >= 5
+        AND event_type LIKE '%chase'
+      ORDER BY event_id
+    """))
+
+  private val cel = Q(
+    "filter_cel",
+    (s, d) => run(s, d, Cel("$k.(int64) > 50 && $k.(int64) % 2 == 0")),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+      ORDER BY event_id
+    """))
+
+  val all: Seq[Q] = Seq(exact, prefixRawData, suffix, notF, allAny, missingAttr,
+    extensionAttr, timePrefix, cesql, cesqlFns, cel)
 }

@@ -1,0 +1,242 @@
+package graft.cel
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CEL-subset filter expression → Catalyst [[Column]].
+  *
+  * The reference embeds Google CEL with inline-typed JSONPath variables
+  * (/root/reference/pkg/cel/cel.go:44-196): `$json.path.(type)` where type ∈
+  * {string, int64, uint64, bool, double}; paths are rooted at `$.` of the
+  * event's *data* body (cel.go:59-106); the expression must type-check to
+  * bool (cel.go:142-144); an evaluation error fails the filter
+  * (cel_filter.go:42-46).
+  *
+  * Supported subset (covers the reference's documented/tested usage):
+  * literals (int/uint/double/string/bool), typed variables, parentheses,
+  * unary !/-, arithmetic + - * / %, comparisons == != < <= > >=, && and ||,
+  * and the ternary `cond ? a : b`. Variable binding reproduces the lenient
+  * coercions of cel.go:198-275: numeric text parses, float→int64 truncates.
+  *
+  * Compiled once per subscription; evaluates as a single codegen'd
+  * expression with `get_json_object` doing the per-row path lookup.
+  */
+object CEL {
+
+  def compile(expression: String): Column =
+    coalesce(toColumn(new Parser(Lexer.tokenize(expression)).parse()), lit(false))
+
+  // ==== AST ====
+  sealed trait Expr
+  final case class VarRef(path: String, tpe: String) extends Expr
+  final case class LInt(v: Long) extends Expr
+  final case class LDouble(v: Double) extends Expr
+  final case class LStr(s: String) extends Expr
+  final case class LBool(b: Boolean) extends Expr
+  final case class Un(op: String, e: Expr) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
+
+  // ==== Lexer ====
+  sealed trait Tok
+  final case class TVar(path: String, tpe: String) extends Tok
+  final case class TInt(v: Long) extends Tok
+  final case class TUInt(v: Long) extends Tok
+  final case class TDouble(v: Double) extends Tok
+  final case class TStr(s: String) extends Tok
+  final case class TIdent(s: String) extends Tok
+  final case class TOp(s: String) extends Tok
+  case object TEOF extends Tok
+
+  object Lexer {
+    private val varTypes = Set("string", "int64", "uint64", "bool", "double")
+
+    def tokenize(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '$') {
+          // $path.to.field.(type) — path chars until ".(", then typed suffix
+          i += 1
+          val j = i
+          while (i < n && !(s(i) == '.' && i + 1 < n && s(i + 1) == '(')) i += 1
+          require(i < n, s"CEL: variable missing .(type) suffix in: $s")
+          val path = s.substring(j, i)
+          i += 2 // skip ".("
+          val k = i
+          while (i < n && s(i) != ')') i += 1
+          require(i < n, s"CEL: unterminated variable type in: $s")
+          val tpe = s.substring(k, i)
+          i += 1
+          require(varTypes(tpe), s"CEL: unsupported variable type '$tpe'")
+          out += TVar(path, tpe)
+        } else if (c.isDigit) {
+          val j = i
+          while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+          val text = s.substring(j, i)
+          if (i < n && (s(i) == 'u' || s(i) == 'U')) { i += 1; out += TUInt(text.toLong) }
+          else if (text.contains('.')) out += TDouble(text.toDouble)
+          else out += TInt(text.toLong)
+        } else if (c == '\'' || c == '"') {
+          val quote = c
+          val sb = new StringBuilder
+          i += 1
+          while (i < n && s(i) != quote) {
+            if (s(i) == '\\' && i + 1 < n) {
+              s(i + 1) match {
+                case 'n' => sb.append('\n')
+                case 't' => sb.append('\t')
+                case other => sb.append(other)
+              }
+              i += 2
+            } else { sb.append(s(i)); i += 1 }
+          }
+          require(i < n, s"CEL: unterminated string in: $s")
+          i += 1
+          out += TStr(sb.toString)
+        } else if (c.isLetter || c == '_') {
+          val j = i
+          while (i < n && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          out += TIdent(s.substring(j, i))
+        } else {
+          val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+          if (Set("==", "!=", "<=", ">=", "&&", "||")(two)) { out += TOp(two); i += 2 }
+          else { out += TOp(c.toString); i += 1 }
+        }
+      }
+      out += TEOF
+      out.result()
+    }
+  }
+
+  // ==== Parser (precedence climbing) ====
+  final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expect(op: String): Unit = next() match {
+      case TOp(`op`) =>
+      case t => throw new IllegalArgumentException(s"CEL: expected '$op', got $t")
+    }
+
+    def parse(): Expr = {
+      val e = parseTernary()
+      require(peek == TEOF, s"CEL: trailing tokens at $peek")
+      e
+    }
+
+    private def parseTernary(): Expr = {
+      val cond = parseBin(0)
+      if (peek == TOp("?")) {
+        next()
+        val t = parseTernary()
+        expect(":")
+        val f = parseTernary()
+        Ternary(cond, t, f)
+      } else cond
+    }
+
+    private def prec(t: Tok): Int = t match {
+      case TOp("*") | TOp("/") | TOp("%") => 60
+      case TOp("+") | TOp("-") => 50
+      case TOp("<") | TOp("<=") | TOp(">") | TOp(">=") => 40
+      case TOp("==") | TOp("!=") => 35
+      case TOp("&&") => 30
+      case TOp("||") => 20
+      case _ => -1
+    }
+
+    private def parseBin(minPrec: Int): Expr = {
+      var left = parseUnary()
+      while (prec(peek) >= minPrec && prec(peek) > 0) {
+        val TOp(op) = next(): @unchecked
+        val right = parseBin(prec(TOp(op)) + 1)
+        left = Bin(op, left, right)
+      }
+      left
+    }
+
+    private def parseUnary(): Expr = peek match {
+      case TOp("!") => next(); Un("!", parseUnary())
+      case TOp("-") => next(); Un("-", parseUnary())
+      case TOp("(") => next(); val e = parseTernary(); expect(")"); e
+      case TVar(p, t) => next(); VarRef(p, t)
+      case TInt(v) => next(); LInt(v)
+      case TUInt(v) => next(); LInt(v)
+      case TDouble(v) => next(); LDouble(v)
+      case TStr(s) => next(); LStr(s)
+      case TIdent("true") => next(); LBool(true)
+      case TIdent("false") => next(); LBool(false)
+      case t => throw new IllegalArgumentException(s"CEL: unexpected token $t")
+    }
+  }
+
+  // ==== Column generation ====
+
+  /** Typed read of a data-body path, with the reference's lenient bind-time
+    * coercions (cel.go:198-275): numeric strings parse; float text truncates
+    * to int64 (double→long cast truncates toward zero, matching Go).
+    */
+  private def varColumn(v: VarRef): Column = {
+    val raw = get_json_object(col("data"), "$." + v.path)
+    // try_cast: a failed coercion is a CEL eval error, which fails the
+    // filter (NULL -> coalesce false) rather than aborting the job as
+    // Spark 4's default ANSI cast would.
+    v.tpe match {
+      case "string" => raw
+      case "int64" | "uint64" => raw.try_cast("double").try_cast("bigint")
+      case "double" => raw.try_cast("double")
+      case "bool" =>
+        when(lower(raw) === "true", lit(true)).when(lower(raw) === "false", lit(false))
+    }
+  }
+
+  private def isNumeric(e: Expr): Boolean = e match {
+    case _: LInt | _: LDouble => true
+    case VarRef(_, t) => t != "string" && t != "bool"
+    case Un(_, x) => isNumeric(x)
+    case Bin(op, _, _) => Set("+", "-", "*", "/", "%")(op)
+    case Ternary(_, t, f) => isNumeric(t) || isNumeric(f)
+    case _ => false
+  }
+
+  def toColumn(e: Expr): Column = e match {
+    case v: VarRef => varColumn(v)
+    case LInt(v) => lit(v)
+    case LDouble(v) => lit(v)
+    case LStr(s) => lit(s)
+    case LBool(b) => lit(b)
+    case Un("!", x) => !toColumn(x)
+    case Un("-", x) => -toColumn(x)
+    case Un(op, _) => throw new IllegalArgumentException(s"CEL: unknown unary $op")
+    case Bin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
+      val (lc, rc) = (toColumn(l), toColumn(r))
+      op match {
+        case "+" => try_add(lc, rc)
+        case "-" => try_subtract(lc, rc)
+        case "*" => try_multiply(lc, rc)
+        case "/" => try_divide(lc, rc)
+        case "%" => try_mod(lc, rc)
+      }
+    case Bin("&&", l, r) => toColumn(l) && toColumn(r)
+    case Bin("||", l, r) => toColumn(l) || toColumn(r)
+    case Bin(op, l, r) =>
+      // comparisons: numeric context if either side is numeric
+      val (lc, rc) =
+        if (isNumeric(l) || isNumeric(r)) (toColumn(l).try_cast("double"), toColumn(r).try_cast("double"))
+        else (toColumn(l), toColumn(r))
+      op match {
+        case "==" => lc === rc
+        case "!=" => lc =!= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case other => throw new IllegalArgumentException(s"CEL: unknown operator $other")
+      }
+    case Ternary(c, t, f) => when(toColumn(c), toColumn(t)).otherwise(toColumn(f))
+  }
+}

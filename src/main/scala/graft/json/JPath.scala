@@ -1,0 +1,158 @@
+package graft.json
+
+import scala.collection.immutable.VectorMap
+
+/** JSONPath subset matching what the reference uses through ojg and its own
+  * setter (/root/reference/pkg/json.go:26-41,
+  * server/trigger/util/event.go:160-280):
+  *
+  *  - dotted fields `a.b`, numeric indexes `a[2]`, whole-array projection
+  *    `a[:]` (used by RENDER_ARRAY, action/array/render.go:79-86);
+  *  - `get` on a missing path yields None (never errors);
+  *  - `set` auto-creates intermediate objects and null-pads arrays out to the
+  *    written index (event.go:171-226);
+  *  - `delete` removes object members; deleting array elements is unsupported
+  *    exactly like the reference (event.go:258-280).
+  */
+object JPath {
+
+  sealed trait Seg
+  final case class Field(name: String) extends Seg
+  final case class Index(i: Int) extends Seg
+  case object AllItems extends Seg
+
+  /** Parse a path body ("a.b[2]", already stripped of `$.data.` / `@.`). */
+  def parse(path: String): Vector[Seg] = {
+    if (path.isEmpty) return Vector.empty
+    val segs = Vector.newBuilder[Seg]
+    val it = path.iterator.buffered
+    val name = new StringBuilder
+    def flushName(): Unit = {
+      if (name.nonEmpty) { segs += Field(name.toString); name.clear() }
+    }
+    while (it.hasNext) {
+      it.next() match {
+        case '.' => flushName()
+        case '[' =>
+          flushName()
+          val idx = new StringBuilder
+          while (it.hasNext && it.head != ']') idx.append(it.next())
+          if (it.hasNext) it.next() // consume ']'
+          val body = idx.toString
+          if (body == ":" || body.isEmpty) segs += AllItems
+          else segs += Index(body.trim.toInt)
+        case c => name.append(c)
+      }
+    }
+    flushName()
+    segs.result()
+  }
+
+  /** Point lookup; None when any hop is missing/mistyped. AllItems segments
+    * are not valid in point lookups (use [[getAll]]).
+    */
+  def get(root: JValue, segs: Seq[Seg]): Option[JValue] = segs match {
+    case Seq() => Some(root)
+    case Field(n) +: rest => root match {
+      case o: JObj => o.get(n).flatMap(get(_, rest))
+      case _ => None
+    }
+    case Index(i) +: rest => root match {
+      case JArr(items) if i >= 0 && i < items.size => get(items(i), rest)
+      case _ => None
+    }
+    case AllItems +: _ => None
+  }
+
+  /** Projection lookup: AllItems fans out (ojg `[:]`). */
+  def getAll(root: JValue, segs: Seq[Seg]): Vector[JValue] = segs match {
+    case Seq() => Vector(root)
+    case Field(n) +: rest => root match {
+      case o: JObj => o.get(n).map(getAll(_, rest)).getOrElse(Vector.empty)
+      case _ => Vector.empty
+    }
+    case Index(i) +: rest => root match {
+      case JArr(items) if i >= 0 && i < items.size => getAll(items(i), rest)
+      case _ => Vector.empty
+    }
+    case AllItems +: rest => root match {
+      case JArr(items) => items.flatMap(getAll(_, rest))
+      case _ => Vector.empty
+    }
+  }
+
+  def get(root: JValue, path: String): Option[JValue] = get(root, parse(path))
+
+  /** Set with auto-create (maps) and null-padding (arrays). Fails (Left) on
+    * a type clash — writing through a scalar — mirroring event.go:171-226.
+    */
+  def set(root: JValue, segs: Seq[Seg], value: JValue): Either[String, JValue] = segs match {
+    case Seq() => Right(value)
+    case Field(n) +: rest => root match {
+      case JObj(fields) =>
+        val child = fields.getOrElse(n, childSeed(rest))
+        set(child, rest, value).map(nv => JObj(fields.updated(n, nv)))
+      case JNull => set(JObj.empty, segs, value)
+      case other => Left(s"cannot set field '$n' in ${typeName(other)}")
+    }
+    case Index(i) +: rest =>
+      if (i < 0) Left(s"negative index $i")
+      else root match {
+        case JArr(items) =>
+          val padded = if (i < items.size) items
+            else items ++ Vector.fill(i + 1 - items.size)(JNull: JValue)
+          val child = if (padded(i) == JNull && rest.nonEmpty) childSeed(rest) else padded(i)
+          set(child, rest, value).map(nv => JArr(padded.updated(i, nv)))
+        case JNull => set(JArr(Vector.empty), segs, value)
+        case other => Left(s"cannot set index [$i] in ${typeName(other)}")
+      }
+    case AllItems +: _ => Left("cannot set through [:]")
+  }
+
+  private def childSeed(rest: Seq[Seg]): JValue = rest.headOption match {
+    case Some(Index(_)) => JArr(Vector.empty)
+    case _ => JObj.empty
+  }
+
+  def set(root: JValue, path: String, value: JValue): Either[String, JValue] =
+    set(root, parse(path), value)
+
+  /** Delete an object member; Left if path missing or parent is an array
+    * (event.go:258-280 returns an error for array deletes).
+    */
+  def delete(root: JValue, segs: Seq[Seg]): Either[String, JValue] = segs match {
+    case Seq() => Left("empty delete path")
+    case Seq(Field(n)) => root match {
+      case JObj(fields) if fields.contains(n) => Right(JObj(fields.removed(n)))
+      case JObj(_) => Left(s"key '$n' not found")
+      case other => Left(s"cannot delete '$n' from ${typeName(other)}")
+    }
+    case Field(n) +: rest => root match {
+      case JObj(fields) => fields.get(n) match {
+        case Some(child) => delete(child, rest).map(nv => JObj(fields.updated(n, nv)))
+        case None => Left(s"key '$n' not found")
+      }
+      case other => Left(s"cannot traverse '$n' in ${typeName(other)}")
+    }
+    case Index(i) +: rest => root match {
+      case JArr(items) if rest.nonEmpty && i >= 0 && i < items.size =>
+        delete(items(i), rest).map(nv => JArr(items.updated(i, nv)))
+      case JArr(_) => Left("deleting array elements is unsupported")
+      case other => Left(s"cannot traverse [$i] in ${typeName(other)}")
+    }
+    case AllItems +: _ => Left("cannot delete through [:]")
+  }
+
+  def delete(root: JValue, path: String): Either[String, JValue] =
+    delete(root, parse(path))
+
+  def typeName(v: JValue): String = v match {
+    case JNull => "null"
+    case _: JBool => "bool"
+    case _: JInt => "int"
+    case _: JDouble => "double"
+    case _: JStr => "string"
+    case _: JArr => "array"
+    case _: JObj => "object"
+  }
+}

@@ -1,0 +1,94 @@
+package graft.filters
+
+import graft.SparkSpec
+import graft.model.FilterSpec
+import graft.model.FilterSpec._
+import org.apache.spark.sql.DataFrame
+
+/** Test vectors ported from the reference's filter suites
+  * (server/trigger/filter/exact_filter_test.go:26-50 and siblings), run
+  * against the canonical event of FIXTURES.md §1.
+  */
+class FilterCompilerSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  lazy val canonical: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "testID", "testSource", "1.0", "testType",
+      Map("vanuskey" -> "vanusValue"),
+      """{"str":"strValue","number":123,"key":"value","key1":"value1"}"""))
+      .toDF("sequence_number", "id", "source", "specversion", "type", "attributes", "data")
+      .withColumn("subject", lit(null).cast("string"))
+      .withColumn("time", lit("2024-06-01 12:00:00").cast("timestamp"))
+      .withColumn("dataschema", lit(null).cast("string"))
+      .withColumn("datacontenttype", lit("application/json"))
+  }
+
+  private def passes(spec: FilterSpec): Boolean =
+    canonical.filter(FilterCompiler.compile(spec)).count() == 1
+
+  test("exact on context attribute") {
+    assert(passes(Exact(Seq("source" -> "testSource"))))
+    assert(!passes(Exact(Seq("source" -> "wrong"))))
+  }
+
+  test("exact on extension attribute") {
+    assert(passes(Exact(Seq("vanuskey" -> "vanusValue"))))
+    assert(!passes(Exact(Seq("vanuskey" -> "other"))))
+  }
+
+  test("exact on data path; numbers compare as strings") {
+    assert(passes(Exact(Seq("data.str" -> "strValue"))))
+    assert(passes(Exact(Seq("data.number" -> "123"))))
+    assert(!passes(Exact(Seq("data.number" -> "124"))))
+  }
+
+  test("missing attribute or path fails, never errors") {
+    assert(!passes(Exact(Seq("missing" -> "x"))))
+    assert(!passes(Exact(Seq("data.missing" -> "x"))))
+    // not(missing) passes: child failed => negation holds (not_filter.go:34-42)
+    assert(passes(Not(Exact(Seq("missing" -> "x")))))
+  }
+
+  test("prefix / suffix") {
+    assert(passes(Prefix(Seq("source" -> "test"))))
+    assert(passes(Suffix(Seq("source" -> "Source"))))
+    assert(!passes(Prefix(Seq("source" -> "Source"))))
+    assert(!passes(Suffix(Seq("source" -> "test"))))
+    // raw-data-bytes addressing (common.go:84-86)
+    assert(passes(Prefix(Seq("data" -> "{\"str\""))))
+  }
+
+  test("all / any / no") {
+    assert(passes(All(Seq(Exact(Seq("id" -> "testID")), Prefix(Seq("type" -> "test"))))))
+    assert(!passes(All(Seq(Exact(Seq("id" -> "testID")), Prefix(Seq("type" -> "x"))))))
+    assert(passes(Any(Seq(Exact(Seq("id" -> "no")), Prefix(Seq("type" -> "test"))))))
+    assert(!passes(Any(Seq(Exact(Seq("id" -> "no")), Prefix(Seq("type" -> "x"))))))
+    assert(passes(NoFilter))
+  }
+
+  test("filter list is AND-ed; empty list passes") {
+    val both = Seq(Exact(Seq("id" -> "testID")), Suffix(Seq("type" -> "Type")))
+    assert(canonical.filter(FilterCompiler.compileList(both)).count() == 1)
+    assert(canonical.filter(FilterCompiler.compileList(Seq.empty)).count() == 1)
+  }
+
+  test("spec JSON codec honors dialect precedence") {
+    val spec = FilterSpec.listFromJson(
+      """[{"exact": {"type": "testType"}},
+          {"any": [{"prefix": {"source": "test"}}, {"suffix": {"subject": ".png"}}]},
+          {"not": {"exact": {"id": "nope"}}}]""")
+    assert(canonical.filter(FilterCompiler.compileList(spec)).count() == 1)
+    val sql = FilterSpec.listFromJson("""[{"sql": "source = 'testSource'"}]""")
+    assert(sql == Seq(CeSql("source = 'testSource'")))
+  }
+
+  test("empty key or value is invalid at create time (common.go:42-48)") {
+    intercept[IllegalArgumentException] {
+      FilterSpec.listFromJson("""[{"exact": {"": "v"}}]""")
+    }
+    intercept[IllegalArgumentException] {
+      FilterSpec.listFromJson("""[{"exact": {"k": ""}}]""")
+    }
+  }
+}

@@ -1,0 +1,229 @@
+package graft.transform
+
+import graft.json._
+
+/** Output templates (SURVEY §2.6).
+  *
+  * Text templates (/root/reference/pkg/template/text/parse.go:39-112):
+  * literal text + `<var>` define-lookup + `<$.json.path>` model-lookup
+  * segments, `\`-escapes, missing value renders as nothing.
+  *
+  * JSON templates (/root/reference/pkg/template/json/, ~1200 LoC there):
+  * a full JSON grammar where a hole occupying an entire value is
+  * type-preserving, a hole inside a string interpolates, and an object
+  * member whose value is a single missing hole is omitted.
+  */
+object Template {
+
+  sealed trait Kind
+  case object TextKind extends Kind
+  case object JsonKind extends Kind
+
+  /** Type recognition for unspecified type: first char `{ [ "` ⇒ JSON else
+    * text (pkg/subscription.go:137-155, pre-v0.9 compat).
+    */
+  def sniffKind(template: String): Kind = {
+    val t = template.trim
+    if (t.nonEmpty && (t.head == '{' || t.head == '[' || t.head == '"')) JsonKind else TextKind
+  }
+
+  /** A resolver from hole name to value. Names are either `$.path` (model
+    * lookup) or a bare define name.
+    */
+  type Resolver = String => Option[JValue]
+
+  def resolver(ctx: Ctx): Resolver = { name =>
+    if (name.startsWith("$.data")) {
+      val p = if (name == "$.data") "" else name.substring(7)
+      if (p.isEmpty) Some(ctx.data) else JPath.get(ctx.data, p)
+    } else if (name.startsWith("$.")) {
+      ctx.event.flatMap(_.lookupAttr(name.substring(2).toLowerCase)).map(JStr(_))
+    } else ctx.defines.get(name)
+  }
+
+  // ==== text templates ====
+
+  sealed private trait Seg
+  private final case class Lit(s: String) extends Seg
+  private final case class Hole(name: String) extends Seg
+
+  private def parseSegments(t: String): Vector[Seg] = {
+    val segs = Vector.newBuilder[Seg]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      t(i) match {
+        case '\\' if i + 1 < t.length => sb.append(t(i + 1)); i += 2
+        case '<' =>
+          val j = t.indexOf('>', i + 1)
+          if (j < 0) { sb.append(t(i)); i += 1 }
+          else {
+            if (sb.nonEmpty) { segs += Lit(sb.toString); sb.clear() }
+            segs += Hole(t.substring(i + 1, j))
+            i = j + 1
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    if (sb.nonEmpty) segs += Lit(sb.toString)
+    segs.result()
+  }
+
+  /** Render a text template; missing holes render as nothing
+    * (text/segment.go:25-72).
+    */
+  def renderText(template: String, resolve: Resolver): String =
+    parseSegments(template).map {
+      case Lit(s) => s
+      case Hole(n) => resolve(n).flatMap(v => VCast.toText(v).toOption).getOrElse("")
+    }.mkString
+
+  // ==== JSON templates ====
+
+  sealed trait JTNode
+  private final case class JTConst(v: JValue) extends JTNode
+  private final case class JTHole(name: String) extends JTNode
+  private final case class JTStr(segs: Vector[Seg]) extends JTNode
+  private final case class JTArr(items: Vector[JTNode]) extends JTNode
+  private final case class JTObj(members: Vector[(Vector[Seg], JTNode)]) extends JTNode
+
+  def parseJson(template: String): Either[String, JTNode] =
+    try Right(new JParser(template).parseValue())
+    catch { case e: Exception => Left(s"json template parse error: ${e.getMessage}") }
+
+  private final class JParser(t: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < t.length && t(i).isWhitespace) i += 1
+    private def fail(msg: String) = throw new IllegalArgumentException(s"$msg at offset $i")
+
+    def parseValue(): JTNode = {
+      ws()
+      if (i >= t.length) fail("unexpected end")
+      t(i) match {
+        case '{' => parseObject()
+        case '[' => parseArray()
+        case '"' => parseString()
+        case '<' =>
+          val j = t.indexOf('>', i + 1)
+          if (j < 0) fail("unterminated hole")
+          val name = t.substring(i + 1, j); i = j + 1
+          JTHole(name)
+        case 't' => expect("true"); JTConst(JBool(true))
+        case 'f' => expect("false"); JTConst(JBool(false))
+        case 'n' => expect("null"); JTConst(JNull)
+        case c if c == '-' || c.isDigit => parseNumber()
+        case c => fail(s"unexpected char '$c'")
+      }
+    }
+
+    private def expect(word: String): Unit = {
+      if (!t.startsWith(word, i)) fail(s"expected $word")
+      i += word.length
+    }
+
+    private def parseNumber(): JTNode = {
+      val j = i
+      if (t(i) == '-') i += 1
+      while (i < t.length && (t(i).isDigit || "+-.eE".contains(t(i)))) i += 1
+      val text = t.substring(j, i)
+      JTConst(
+        if (text.exists(c => c == '.' || c == 'e' || c == 'E')) JDouble(text.toDouble)
+        else JInt(text.toLong))
+    }
+
+    private def parseString(): JTNode = {
+      i += 1 // opening quote
+      val segs = Vector.newBuilder[Seg]
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        if (i >= t.length) fail("unterminated string")
+        t(i) match {
+          case '"' => done = true; i += 1
+          case '\\' if i + 1 < t.length =>
+            t(i + 1) match {
+              case 'n' => sb.append('\n')
+              case 't' => sb.append('\t')
+              case 'r' => sb.append('\r')
+              case 'u' if i + 5 < t.length =>
+                sb.append(Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar); i += 4
+              case other => sb.append(other)
+            }
+            i += 2
+          case '<' =>
+            val j = t.indexOf('>', i + 1)
+            if (j < 0) { sb.append('<'); i += 1 }
+            else {
+              if (sb.nonEmpty) { segs += Lit(sb.toString); sb.clear() }
+              segs += Hole(t.substring(i + 1, j)); i = j + 1
+            }
+          case c => sb.append(c); i += 1
+        }
+      }
+      if (sb.nonEmpty) segs += Lit(sb.toString)
+      JTStr(segs.result())
+    }
+
+    private def parseArray(): JTNode = {
+      i += 1; ws()
+      val items = Vector.newBuilder[JTNode]
+      if (i < t.length && t(i) == ']') { i += 1; return JTArr(Vector.empty) }
+      var done = false
+      while (!done) {
+        items += parseValue()
+        ws()
+        if (i < t.length && t(i) == ',') { i += 1 }
+        else if (i < t.length && t(i) == ']') { i += 1; done = true }
+        else fail("expected , or ]")
+      }
+      JTArr(items.result())
+    }
+
+    private def parseObject(): JTNode = {
+      i += 1; ws()
+      val members = Vector.newBuilder[(Vector[Seg], JTNode)]
+      if (i < t.length && t(i) == '}') { i += 1; return JTObj(Vector.empty) }
+      var done = false
+      while (!done) {
+        ws()
+        val key = parseString() match {
+          case JTStr(segs) => segs
+          case _ => fail("object key must be a string")
+        }
+        ws()
+        if (i >= t.length || t(i) != ':') fail("expected :")
+        i += 1
+        val value = parseValue()
+        members += key -> value
+        ws()
+        if (i < t.length && t(i) == ',') { i += 1 }
+        else if (i < t.length && t(i) == '}') { i += 1; done = true }
+        else fail("expected , or }")
+      }
+      JTObj(members.result())
+    }
+  }
+
+  /** Render a parsed JSON template. A member whose value is a single missing
+    * hole is omitted (template/json/generator.go behavior, see
+    * transformer_test.go:88-110 golden).
+    */
+  def renderJson(node: JTNode, resolve: Resolver): JValue = {
+    def renderSegs(segs: Vector[Seg]): String = segs.map {
+      case Lit(s) => s
+      case Hole(n) => resolve(n).flatMap(v => VCast.toText(v).toOption).getOrElse("")
+    }.mkString
+
+    def go(n: JTNode): Option[JValue] = n match {
+      case JTConst(v) => Some(v)
+      case JTHole(name) => resolve(name)
+      case JTStr(segs) => Some(JStr(renderSegs(segs)))
+      case JTArr(items) => Some(JArr(items.map(it => go(it).getOrElse(JNull))))
+      case JTObj(members) =>
+        Some(JObj(scala.collection.immutable.VectorMap.from(members.flatMap {
+          case (keySegs, value) => go(value).map(v => renderSegs(keySegs) -> v)
+        })))
+    }
+    go(node).getOrElse(JNull)
+  }
+}

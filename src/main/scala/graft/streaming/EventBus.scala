@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.model.EventView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-backed eventbus: the batch/streaming stand-in for the reference's
+  * partitioned append-only log (SURVEY §1.2).
+  *
+  * An eventbus is a directory of parquet; eventlogs (partitions) are Spark's
+  * input splits; the offset is the `sequence_number` column; `stime` is the
+  * storage-time column that QueryOffsetByTime seeks on
+  * (client/pkg/api/client.go:47-54). Structured Streaming's checkpoint
+  * replaces the reference's consumer-offset skiplist
+  * (server/trigger/offset/offset.go:102-139) — contiguous-prefix commit is
+  * native there.
+  *
+  * At 100 TB this directory becomes a date/bus-partitioned table; everything
+  * below reads through the same two entry points and inherits partition
+  * pruning.
+  */
+final class EventBus(val path: String) extends Serializable {
+
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+  def readStream(spark: SparkSession): DataFrame =
+    spark.readStream.schema(EventView.schema).parquet(path)
+
+  def append(df: DataFrame): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** First offset with stime >= ts per eventlog — QueryOffsetByTime
+    * (block_seek.go:45-86). Row-group stats give the same pruning the vsb
+    * index gave.
+    */
+  def offsetByTime(spark: SparkSession, ts: java.sql.Timestamp): DataFrame =
+    read(spark).filter(col("time") >= lit(ts))
+      .agg(min(col("sequence_number")).as("first_offset"))
+}
+
+object EventBus {
+  def apply(path: String): EventBus = new EventBus(path)
+}

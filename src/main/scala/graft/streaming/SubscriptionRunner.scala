@@ -1,0 +1,216 @@
+package graft.streaming
+
+import graft.filters.FilterCompiler
+import graft.model.FilterSpec
+import graft.transform.{TransformRunner, Transformer}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** A subscription = filter tree + transformer + delivery config, executed as
+  * source → filter(Column) → transform → foreachBatch(sink + retry/DLQ
+  * routing) — the Spark shape of the reference's trigger worker pipeline
+  * (server/trigger/trigger/trigger.go:304-643, SURVEY §3.2).
+  *
+  * Delivery semantics preserved (§2.7):
+  *  - per-event filter drop commits the offset implicitly (micro-batch);
+  *  - transform errors are non-retryable → straight to DLQ (util.go:59-63);
+  *  - sink failures: 429/5xx retry with the backoff curve via the retry bus
+  *    (stamped `xvanusdeliverytime`/`xvanusretryattempts`), other 4xx → DLQ;
+  *  - retry events re-filter and re-transform with a subscription-id guard
+  *    (trigger.go:256-302);
+  *  - maxRetryAttempts exceeded → DLQ with dead-letter metadata
+  *    (trigger.go:528-562);
+  *  - ordered mode delivers sequentially and sends failures straight to DLQ
+  *    (trigger.go:386-392, 428-431);
+  *  - rate limiting is a per-partition token budget (leaky bucket ≈
+  *    ratelimit.Take(), trigger.go:247).
+  */
+object SubscriptionRunner {
+
+  /** What a sink delivers: the rendered event (HTTP sinks POST the body
+    * with the content type; server/trigger/client/http.go).
+    */
+  final case class Deliverable(
+      sequenceNumber: Long, id: String, source: String, etype: String,
+      contentType: String, body: String)
+
+  /** Delivery outcome for one event: Right = delivered; Left = status code
+    * (HTTP-like; see [[Backoff.isRetryable]]).
+    */
+  type Sink = Deliverable => Either[Int, Unit]
+
+  final case class Config(
+      subscriptionId: String,
+      maxRetryAttempts: Int = 32,
+      disableDeadLetter: Boolean = false,
+      orderedEvent: Boolean = false,
+      rateLimitPerSec: Int = 0)
+
+  final case class Spec(
+      filters: Seq[FilterSpec],
+      transformerJson: Option[String],
+      config: Config) {
+    def predicate: Column = FilterCompiler.compileList(filters)
+  }
+
+  final case class BatchResult(
+      delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long)
+
+  /** Process one micro-batch (also usable in pure batch mode): filter,
+    * transform, deliver, route failures. Returns routing counts; appends
+    * retry/DLQ frames to their buses.
+    */
+  def processBatch(
+      batch: DataFrame,
+      spec: Spec,
+      sink: Sink,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult = {
+    val spark = batch.sparkSession
+    val total = batch.count()
+    val passed = batch.filter(spec.predicate)
+    val passedCount = passed.count()
+
+    // transform (interpreter path keeps per-event error routing)
+    val transformed = spec.transformerJson match {
+      case Some(tj) => TransformRunner(passed, tj)
+      case None => passed.select(
+        col("sequence_number"), col("id"), col("source"), col("type"),
+        col("datacontenttype"), col("data").as("body"),
+        lit(null).cast("string").as("transform_error"))
+    }
+
+    // deliver per partition; collect outcomes (sequence_number, code)
+    val ordered = spec.config.orderedEvent
+    val ratePerPartition =
+      if (spec.config.rateLimitPerSec <= 0) 0
+      else math.max(1, spec.config.rateLimitPerSec / math.max(1, batch.rdd.getNumPartitions))
+    val toDeliver = if (ordered) transformed.coalesce(1) else transformed
+    val sinkFn = sink
+    // rows inside mapPartitions carry no schema; resolve indices driver-side
+    val schema = toDeliver.schema
+    val seqIdx = schema.fieldIndex("sequence_number")
+    val terrIdx = schema.fieldIndex("transform_error")
+    val idIdx = schema.fieldIndex("id")
+    val srcIdx = schema.fieldIndex("source")
+    val typeIdx = schema.fieldIndex("type")
+    val ctIdx = schema.fieldIndex("datacontenttype")
+    val bodyIdx = schema.fieldIndex("body")
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    val outcomes = toDeliver.mapPartitions { rows =>
+      var windowStart = System.nanoTime()
+      var inWindow = 0
+      rows.map { row =>
+        if (ratePerPartition > 0) { // leaky bucket: cap events per second
+          inWindow += 1
+          if (inWindow > ratePerPartition) {
+            val elapsed = System.nanoTime() - windowStart
+            if (elapsed < 1e9) Thread.sleep(((1e9 - elapsed) / 1e6).toLong)
+            windowStart = System.nanoTime()
+            inWindow = 1
+          }
+        }
+        val seq = row.getLong(seqIdx)
+        def s(i: Int): String = if (row.isNullAt(i)) null else row.getString(i)
+        val code =
+          if (!row.isNullAt(terrIdx)) Backoff.TransformErrorCode
+          else sinkFn(Deliverable(seq, s(idIdx), s(srcIdx), s(typeIdx), s(ctIdx), s(bodyIdx))) match {
+            case Right(_) => 0
+            case Left(c) => if (ordered) Backoff.OrderErrorCode else c
+          }
+        (seq, code)
+      }
+    }.toDF("sequence_number", "code").cache()
+
+    val deliveredCount = outcomes.filter(col("code") === 0).count()
+    val failed = outcomes.filter(col("code") =!= 0)
+
+    // routing: retryable codes (and attempts below cap) → retry bus;
+    // everything else → DLQ
+    val failedEvents = batch.join(broadcast(failed), Seq("sequence_number"))
+    val retryable = failedEvents.filter(
+      col("code") === 429 || col("code") >= 500)
+    val nonRetryable = failedEvents.filter(
+      !(col("code") === 429 || col("code") >= 500))
+
+    val now = nowEpochSec
+    val retryCount = retryBus match {
+      case Some(bus) if !ordered =>
+        val attempt = lit(1) // first retry for batch-entry events
+        val stamped = retryable.withColumn("attributes",
+          map_concat(col("attributes"), map(
+            lit("xvanusretryattempts"), attempt.cast("string"),
+            lit("xvanussubscriptionid"), lit(spec.config.subscriptionId),
+            lit("xvanusdeliverytime"),
+            timestamp_seconds(lit(now) + Backoff.delaySecondsCol(attempt)).cast("string"))))
+          .drop("code")
+        val n = stamped.count()
+        if (n > 0) bus.append(stamped)
+        n
+      case _ => 0L
+    }
+
+    val dlqSource = if (retryBus.isEmpty || ordered) failedEvents else nonRetryable
+    val dlqCount = dlqBus match {
+      case Some(bus) if !spec.config.disableDeadLetter =>
+        val stamped = dlqSource.withColumn("attributes",
+          map_concat(col("attributes"), map(
+            lit("deadletterreason"), concat(lit("delivery error code="), col("code")),
+            lit("lastdeliverytime"), timestamp_seconds(lit(now)).cast("string"),
+            lit("lastdeliveryerror"), col("code").cast("string"),
+            lit("xvanussubscriptionid"), lit(spec.config.subscriptionId))))
+          .drop("code")
+        val n = stamped.count()
+        if (n > 0) bus.append(stamped)
+        n
+      case _ => 0L
+    }
+    outcomes.unpersist()
+    BatchResult(deliveredCount, total - passedCount, retryCount, dlqCount)
+  }
+
+  /** Wire the streaming form: source bus → filter → transform → foreachBatch
+    * delivery with retry/DLQ routing. Checkpointing gives the offset-commit
+    * semantics natively.
+    */
+  def start(
+      spark: SparkSession,
+      sourceBus: EventBus,
+      spec: Spec,
+      sink: Sink,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    sourceBus.readStream(spark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, spec, sink, retryBus, dlqBus)
+        ()
+      }
+      .start()
+
+  /** Retry-consumer pass (trigger.go:256-302): take matured retry events for
+    * this subscription (delivery time due, attempts below cap), re-deliver
+    * through the same routing; exceeded attempts go to DLQ.
+    */
+  def processRetries(
+      retryBatch: DataFrame,
+      spec: Spec,
+      sink: Sink,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      nowEpochSec: Long): BatchResult = {
+    val due = retryBatch.filter(
+      col("attributes").getItem("xvanussubscriptionid") === spec.config.subscriptionId &&
+        col("attributes").getItem("xvanusdeliverytime").cast("timestamp") <=
+          timestamp_seconds(lit(nowEpochSec)) &&
+        col("attributes").getItem("xvanusretryattempts").cast("int") <= spec.config.maxRetryAttempts)
+    processBatch(due, spec, sink, retryBus, dlqBus, nowEpochSec)
+  }
+}

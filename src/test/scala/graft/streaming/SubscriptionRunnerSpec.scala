@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import graft.model.{EventView, FilterSpec}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SubscriptionRunnerSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def view: DataFrame =
+    EventView.fromEventsTable(Tables.events(spark, sf))
+
+  private val spec = SubscriptionRunner.Spec(
+    filters = Seq(FilterSpec.Exact(Seq("type" -> "purchase"))),
+    transformerJson = Some("""{"pipeline": [{"command": ["create", "$.data.mark", "t"]}]}"""),
+    config = SubscriptionRunner.Config(subscriptionId = "sub-1", maxRetryAttempts = 3))
+
+  test("batch pipeline: filter → transform → deliver; failures route to retry and DLQ") {
+    val retryBus = EventBus(tmp("retry"))
+    val dlqBus = EventBus(tmp("dlq"))
+    // sink: 5xx (retryable) for k % 10 == 0, 400 (not) for k % 10 == 1
+    val sink: SubscriptionRunner.Sink = { d =>
+      val k = graft.json.JPath.get(graft.json.JValue.parse(d.body), "k")
+        .collect { case graft.json.JInt(v) => v }.getOrElse(0L)
+      if (k % 10 == 0) Left(503) else if (k % 10 == 1) Left(400) else Right(())
+    }
+    val res = SubscriptionRunner.processBatch(view, spec, sink, Some(retryBus), Some(dlqBus),
+      nowEpochSec = 1704240000L)
+    val purchases = view.filter(col("type") === "purchase").count()
+    assert(res.delivered + res.toRetry + res.toDlq == purchases)
+    assert(res.filteredOut == view.count() - purchases)
+    assert(res.toRetry > 0 && res.toDlq > 0)
+
+    // retry events are stamped with attempts, sub id, and the 1s first backoff
+    val retry = retryBus.read(spark)
+    assert(retry.count() == res.toRetry)
+    val attrs = retry.select(col("attributes")).head.getMap[String, String](0)
+    assert(attrs("xvanusretryattempts") == "1")
+    assert(attrs("xvanussubscriptionid") == "sub-1")
+    assert(attrs("xvanusdeliverytime") == "2024-01-03 00:00:01") // now + 1s
+
+    // DLQ events carry dead-letter metadata (trigger.go:528-562)
+    val dlq = dlqBus.read(spark)
+    assert(dlq.count() == res.toDlq)
+    val dattrs = dlq.select(col("attributes")).head.getMap[String, String](0)
+    assert(dattrs("deadletterreason") == "delivery error code=400")
+    assert(dattrs("lastdeliveryerror") == "400")
+  }
+
+  test("transform errors are non-retryable → DLQ (util.go:59-63)") {
+    val dlqBus = EventBus(tmp("dlq2"))
+    val retryBus = EventBus(tmp("retry2"))
+    val badSpec = spec.copy(transformerJson =
+      Some("""{"define": {"v": "$.data.definitely_missing"}, "pipeline": []}"""))
+    val res = SubscriptionRunner.processBatch(view, badSpec, _ => Right(()),
+      Some(retryBus), Some(dlqBus), nowEpochSec = 1704240000L)
+    assert(res.delivered == 0)
+    assert(res.toRetry == 0) // never retried
+    assert(res.toDlq > 0)
+  }
+
+  test("ordered mode sends failures straight to DLQ, no retry (trigger.go:428-431)") {
+    val dlqBus = EventBus(tmp("dlq3"))
+    val retryBus = EventBus(tmp("retry3"))
+    val orderedSpec = spec.copy(config = spec.config.copy(orderedEvent = true))
+    val res = SubscriptionRunner.processBatch(view, orderedSpec, _ => Left(503),
+      Some(retryBus), Some(dlqBus), nowEpochSec = 1704240000L)
+    assert(res.toRetry == 0)
+    assert(res.toDlq > 0)
+  }
+
+  test("streaming form delivers through foreachBatch with checkpointing") {
+    val busDir = tmp("bus")
+    val ckpt = tmp("ckpt")
+    EventBus(busDir).append(view.limit(200))
+    // task closures are serialized even in local mode — count via accumulator
+    val delivered = spark.sparkContext.longAccumulator("delivered")
+    val q = SubscriptionRunner.start(spark, EventBus(busDir),
+      spec.copy(transformerJson = None),
+      _ => { delivered.add(1); Right(()) },
+      None, None, ckpt)
+    q.awaitTermination(60000)
+    assert(delivered.value > 0)
+    // restart with no new data: checkpoint prevents redelivery
+    val redelivered = spark.sparkContext.longAccumulator("redelivered")
+    val q2 = SubscriptionRunner.start(spark, EventBus(busDir),
+      spec.copy(transformerJson = None),
+      _ => { redelivered.add(1); Right(()) },
+      None, None, ckpt)
+    q2.awaitTermination(60000)
+    assert(redelivered.value == 0)
+  }
+
+  test("delay spool release (SURVEY §7.6)") {
+    val target = EventBus(tmp("target"))
+    val spool = view.limit(100).withColumn("attributes",
+      map_concat(col("attributes"), map(
+        lit("xvanusdeliverytime"),
+        when(col("sequence_number") % 2 === 0, lit("2024-01-01 00:00:00"))
+          .otherwise(lit("2030-01-01 00:00:00")))))
+    val released = DelayedEvents.release(spark, spool, target, 1704240000L)
+    assert(released == 50)
+    assert(target.read(spark).count() == 50)
+    val (matured, pending) = DelayedEvents.split(spool, 1704240000L)
+    assert(matured.count() == 50 && pending.count() == 50)
+  }
+
+  test("retry consumer: due + under-cap events re-deliver; guard on sub id") {
+    val retryBus = EventBus(tmp("retry4"))
+    val dlqBus = EventBus(tmp("dlq4"))
+    // seed a retry bus: stamped events for sub-1 due in the past, and one for another sub
+    val stamped = view.filter(col("type") === "purchase").limit(10)
+      .withColumn("attributes", map_concat(col("attributes"), map(
+        lit("xvanusretryattempts"), lit("2"),
+        lit("xvanussubscriptionid"),
+        when(col("sequence_number") % 2 === 0, "sub-1").otherwise("sub-other"),
+        lit("xvanusdeliverytime"), lit("2024-01-01 00:00:00"))))
+    val expected = stamped
+      .filter(col("attributes").getItem("xvanussubscriptionid") === "sub-1").count()
+    val res = SubscriptionRunner.processRetries(stamped, spec, _ => Right(()),
+      Some(retryBus), Some(dlqBus), nowEpochSec = 1704240000L)
+    assert(res.delivered > 0)
+    assert(res.delivered == expected) // sub-other events excluded by the guard
+  }
+
+  test("backoff curve matches util.go:75-88") {
+    assert(Backoff.delaySeconds(1) == 1)
+    assert(Backoff.delaySeconds(2) == 5)
+    assert(Backoff.delaySeconds(3) == 10)
+    assert(Backoff.delaySeconds(4) == 30)
+    assert(Backoff.delaySeconds(9) == 960)
+    assert(Backoff.delaySeconds(10) == 3600)
+    assert(Backoff.delaySeconds(99) == 3600)
+    assert(!Backoff.isRetryable(400) && Backoff.isRetryable(429) && Backoff.isRetryable(503))
+  }
+}

@@ -1,8 +1,327 @@
 package graft
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
 /** Catalog entries for the north-star analytics operators (SURVEY §7.7):
-  * dedup, similarity search, multimodal, text analysis.
+  * dedup family, similarity search, text analysis, multimodal columns.
+  *
+  * Oracle parity notes: word hashes are md5-hex-prefix based (identical
+  * text → identical hex in both engines; fixed-width hex compares
+  * lexicographically = numerically); float folds are explicit sequential
+  * reduces on double-cast elements so Spark's `aggregate` and DuckDB's
+  * `list_reduce` produce bit-identical doubles.
   */
 object ExtQueries {
-  val all: Seq[Queries.Q] = Seq.empty
+  import Queries.Q
+
+  // ===========================================================================
+  // dedup
+  // ===========================================================================
+
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d)).orderBy(col("keeper_id")),
+    Some("""
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keeper_id
+    """))
+
+  private val minhashSig = Q(
+    "dedup_minhash_sig",
+    (s, d) => Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+        FROM w WHERE len(words) >= 3
+      )
+      SELECT doc_id,
+             list_min(list_transform(shingles, g -> substr(md5(g || ':0'), 1, 16))) AS sig0,
+             list_min(list_transform(shingles, g -> substr(md5(g || ':1'), 1, 16))) AS sig1,
+             list_min(list_transform(shingles, g -> substr(md5(g || ':2'), 1, 16))) AS sig2,
+             list_min(list_transform(shingles, g -> substr(md5(g || ':3'), 1, 16))) AS sig3
+      FROM sh ORDER BY doc_id
+    """))
+
+  private val minhashLsh = Q(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.lshBands(Dedup.minhashSignatures(Tables.documents(s, d)))
+      .orderBy(col("band"), col("bucket")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+        FROM w WHERE len(words) >= 3
+      ), sig AS (
+        SELECT doc_id,
+               list_min(list_transform(shingles, g -> substr(md5(g || ':0'), 1, 16))) AS sig0,
+               list_min(list_transform(shingles, g -> substr(md5(g || ':1'), 1, 16))) AS sig1,
+               list_min(list_transform(shingles, g -> substr(md5(g || ':2'), 1, 16))) AS sig2,
+               list_min(list_transform(shingles, g -> substr(md5(g || ':3'), 1, 16))) AS sig3
+        FROM sh
+      ), bands AS (
+        SELECT doc_id, 0 AS band, sig0 || sig1 AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, sig2 || sig3 AS bucket FROM sig
+      )
+      SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM bands GROUP BY band, bucket ORDER BY band, bucket
+    """))
+
+  private val simhashQ = Q(
+    "dedup_simhash",
+    (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      )
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 16), b ->
+               CASE WHEN list_sum(list_transform(words, x ->
+                 CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT)
+                                 / power(2, b)) AS BIGINT) % 2 = 1
+                   THEN 1 ELSE -1 END)) >= 0
+                 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM w ORDER BY doc_id
+    """))
+
+  private val jaccardQ = Q(
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.6)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+               list_distinct(string_split(text, ' ')) AS wset
+        FROM documents
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) AS jaccard
+      FROM w a JOIN w b
+        ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.wset, b.wset))) AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b
+    """))
+
+  // ===========================================================================
+  // similarity search
+  // ===========================================================================
+
+  /** DuckDB mirror of the sequential cosine fold (seeded with 0.0 via
+    * list_prepend, so the reduce order matches Spark's aggregate exactly).
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))),
+          (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))),
+             (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65), i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))),
+             (x, y) -> x + y))))"""
+
+  private val bruteTopK = Q(
+    "sim_brute_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, rank, neighbor_id, cos FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank
+    """))
+
+  private val ivfTopK = Q(
+    "sim_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cell"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS cell,
+               ${sqlCos("q", "c")} AS cos
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, cell, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+      )
+      SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank
+    """))
+
+  private def sqlPlaneDot(j: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST((((i - 1) * 31 + $j * 17) % 7) - 3 AS DOUBLE))),
+          (x, y) -> x + y)"""
+
+  private val lshBucketQ = Q(
+    "sim_lsh_bucket",
+    (s, d) => Tables.embeddings(s, d).select(
+      col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 4).cast("bigint").as("bucket"))
+      .orderBy(col("vec_id")),
+    Some(s"""
+      SELECT vec_id,
+             (CASE WHEN ${sqlPlaneDot(0)} >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN ${sqlPlaneDot(1)} >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN ${sqlPlaneDot(2)} >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN ${sqlPlaneDot(3)} >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings ORDER BY vec_id
+    """))
+
+  private val nearDupQ = Q(
+    "dedup_embedding_neardup",
+    (s, d) => Similarity.embeddingNearDup(
+      Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.9)
+      .orderBy(col("vec_id")),
+    Some(s"""
+      WITH sub AS (
+        SELECT * FROM embeddings WHERE vec_id < 500
+      ), scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, ${sqlCos("a", "b")} AS cos
+        FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id != b.vec_id
+      ), ranked AS (
+        SELECT vec_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+      )
+      SELECT vec_id, neighbor_id, cos, cos >= 0.9 AS is_near_dup
+      FROM ranked WHERE rank = 1 ORDER BY vec_id
+    """))
+
+  // ===========================================================================
+  // text analysis
+  // ===========================================================================
+
+  private def sqlStopCount(set: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")})))"
+
+  private val langIdQ = Q(
+    "text_langid",
+    (s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some {
+      val scores = TextAnalysis.langWords
+        .map { case (l, ws) => s"${sqlStopCount(ws)} AS score_$l" }.mkString(",\n             ")
+      val maxExpr = "greatest(" + TextAnalysis.langWords.map(l => s"score_${l._1}").mkString(", ") + ")"
+      val caseExpr = TextAnalysis.langWords
+        .map { case (l, _) => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""
+      WITH scored AS (
+        SELECT doc_id,
+             $scores
+        FROM documents
+      )
+      SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+             $caseExpr AS predicted_lang
+      FROM scored ORDER BY doc_id
+    """
+    })
+
+  private val qualityQ = Q(
+    "text_quality",
+    (s, d) => TextAnalysis.quality(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words, text FROM documents
+      )
+      SELECT doc_id,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_uniq_words,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS type_token_ratio,
+             CAST(${sqlStopCount(TextAnalysis.langWords.head._2).replace("string_split(text, ' ')", "words")} AS DOUBLE)
+               / len(words) AS stopword_ratio,
+             CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+               / len(words) AS mean_word_len,
+             CASE WHEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words) < 0.2 THEN 'repetitive'
+                  WHEN len(words) < 5 THEN 'too_short'
+                  ELSE 'ok' END AS quality_flag
+      FROM w ORDER BY doc_id
+    """))
+
+  private val tokensQ = Q(
+    "text_tokens",
+    (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+')) AS regex_tokens,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_est
+      FROM documents ORDER BY doc_id
+    """))
+
+  private val fingerprintQ = Q(
+    "text_fingerprint",
+    (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   w -> CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id
+    """))
+
+  // ===========================================================================
+  // multimodal
+  // ===========================================================================
+
+  private val multimodalQ = Q(
+    "multimodal_decode_stub",
+    (s, d) => Multimodal.decodeStub(
+      Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      .select(col("media_id"), col("kind"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.width").cast("bigint").as("width"),
+        col("meta.height").cast("bigint").as("height"),
+        col("meta.format").as("format"))
+      .orderBy(col("media_id")),
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             LENGTH(text) AS byte_len,
+             LENGTH(text) % 640 AS width,
+             (LENGTH(text) * 7) % 480 AS height,
+             CASE WHEN LENGTH(text) % 3 = 0 THEN 'rgb8'
+                  WHEN LENGTH(text) % 3 = 1 THEN 'pcm16' ELSE 'h264' END AS format
+      FROM documents ORDER BY media_id
+    """))
+
+  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, simhashQ, jaccardQ,
+    bruteTopK, ivfTopK, lshBucketQ, nearDupQ,
+    langIdQ, qualityQ, tokensQ, fingerprintQ, multimodalQ)
 }

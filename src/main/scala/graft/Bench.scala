@@ -6,7 +6,11 @@ object Bench {
     val spark = GraftSession.local()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write forces full evaluation of every projected column
+      // and the final sort (a bare count() lets ColumnPruning/EliminateSorts
+      // delete the per-row expression work being measured).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -27,52 +27,70 @@ object ExtQueries {
       FROM documents GROUP BY md5(text) ORDER BY keeper_id
     """))
 
-  private val minhashSig = Q(
-    "dedup_minhash_sig",
-    (s, d) => Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id")),
-    Some("""
-      WITH w AS (
+  /** Shared oracle CTE chain: words → shingles → 60-bit hashes → 4 mixed
+    * signatures, mirroring Dedup.shingleHashes/sigFromHashes (one md5 per
+    * shingle; signatures are ((h%p)·a+b)%p mins).
+    */
+  private val sqlSigCtes: String = {
+    val mixes = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hashes, h -> ((h % ${Dedup.MinhashP}) * $a + $b) % ${Dedup.MinhashP})) AS sig$i"
+    }.mkString(",\n               ")
+    s"""w AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
       ), sh AS (
         SELECT doc_id,
                list_transform(range(1, len(words) - 1),
                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
         FROM w WHERE len(words) >= 3
-      )
-      SELECT doc_id,
-             list_min(list_transform(shingles, g -> substr(md5(g || ':0'), 1, 16))) AS sig0,
-             list_min(list_transform(shingles, g -> substr(md5(g || ':1'), 1, 16))) AS sig1,
-             list_min(list_transform(shingles, g -> substr(md5(g || ':2'), 1, 16))) AS sig2,
-             list_min(list_transform(shingles, g -> substr(md5(g || ':3'), 1, 16))) AS sig3
-      FROM sh ORDER BY doc_id
+      ), hs AS (
+        SELECT doc_id,
+               list_transform(shingles, g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hashes
+        FROM sh
+      ), sig AS (
+        SELECT doc_id,
+               $mixes
+        FROM hs
+      )"""
+  }
+
+  private val sqlBandsCte: String =
+    """bands AS (
+        SELECT doc_id, 0 AS band,
+               CAST(sig0 AS VARCHAR) || ':' || CAST(sig1 AS VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               CAST(sig2 AS VARCHAR) || ':' || CAST(sig3 AS VARCHAR) AS bucket FROM sig
+      )"""
+
+  private val minhashSig = Q(
+    "dedup_minhash_sig",
+    (s, d) => Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some(s"""
+      WITH $sqlSigCtes
+      SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig ORDER BY doc_id
     """))
 
   private val minhashLsh = Q(
     "dedup_minhash_lsh",
     (s, d) => Dedup.lshBands(Dedup.minhashSignatures(Tables.documents(s, d)))
       .orderBy(col("band"), col("bucket")),
-    Some("""
-      WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-      ), sh AS (
-        SELECT doc_id,
-               list_transform(range(1, len(words) - 1),
-                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
-        FROM w WHERE len(words) >= 3
-      ), sig AS (
-        SELECT doc_id,
-               list_min(list_transform(shingles, g -> substr(md5(g || ':0'), 1, 16))) AS sig0,
-               list_min(list_transform(shingles, g -> substr(md5(g || ':1'), 1, 16))) AS sig1,
-               list_min(list_transform(shingles, g -> substr(md5(g || ':2'), 1, 16))) AS sig2,
-               list_min(list_transform(shingles, g -> substr(md5(g || ':3'), 1, 16))) AS sig3
-        FROM sh
-      ), bands AS (
-        SELECT doc_id, 0 AS band, sig0 || sig1 AS bucket FROM sig
-        UNION ALL
-        SELECT doc_id, 1 AS band, sig2 || sig3 AS bucket FROM sig
-      )
+    Some(s"""
+      WITH $sqlSigCtes, $sqlBandsCte
       SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       FROM bands GROUP BY band, bucket ORDER BY band, bucket
+    """))
+
+  private val lshPairs = Q(
+    "dedup_lsh_pairs",
+    (s, d) => Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, d)))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $sqlSigCtes, $sqlBandsCte
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b
     """))
 
   private val simhashQ = Q(
@@ -94,13 +112,18 @@ object ExtQueries {
 
   private val jaccardQ = Q(
     "dedup_ngram_jaccard",
-    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.6)
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 0.6, maxBlock = 200)
       .orderBy(col("doc_a"), col("doc_b")),
     Some("""
-      WITH w AS (
+      WITH raw AS (
         SELECT doc_id, lang, source, CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
                list_distinct(string_split(text, ' ')) AS wset
         FROM documents
+      ), w AS (
+        SELECT doc_id, lang, source, len_bucket, wset FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source, len_bucket ORDER BY doc_id) AS blk_rank
+          FROM raw
+        ) WHERE blk_rank <= 200
       )
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
@@ -203,14 +226,19 @@ object ExtQueries {
   private val nearDupQ = Q(
     "dedup_embedding_neardup",
     (s, d) => Similarity.embeddingNearDup(
-      Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.9)
+      Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.9, maxCell = 200)
       .orderBy(col("vec_id")),
     Some(s"""
       WITH sub AS (
         SELECT * FROM embeddings WHERE vec_id < 500
+      ), cand AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS cell_rank
+          FROM sub
+        ) WHERE cell_rank <= 200
       ), scored AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, ${sqlCos("a", "b")} AS cos
-        FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id != b.vec_id
+        FROM sub a JOIN cand b ON a.label = b.label AND a.vec_id != b.vec_id
       ), ranked AS (
         SELECT vec_id, neighbor_id, cos,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -321,7 +349,7 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
-  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, simhashQ, jaccardQ,
+  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, simhashQ, jaccardQ,
     bruteTopK, ivfTopK, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, tokensQ, fingerprintQ, multimodalQ)
 }

@@ -33,41 +33,88 @@ object Dedup {
     transform(sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
       i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
 
-  /** One MinHash signature element: min over shingles of a seeded digest.
-    * Hex strings of fixed width compare lexicographically = numerically, so
-    * array_min needs no numeric parse.
+  /** MinHash modulus (large prime) and per-signature universal-hash
+    * parameters: sig_i = min over shingles of ((h mod p)·a_i + b_i) mod p.
+    * Intermediates stay < 2^63 in both Spark and DuckDB 64-bit arithmetic.
     */
-  def minhashSig(sh: Column, seed: Int): Column =
-    array_min(transform(sh, g => substring(md5(concat(g, lit(s":$seed"))), 1, 16)))
+  val MinhashP = 1000000007L
+  val MinhashA: Seq[Long] = Seq(1L, 31L, 131L, 1313L)
+  val MinhashB: Seq[Long] = Seq(0L, 7L, 17L, 37L)
 
-  /** MinHash signatures (4 seeds) per document over 3-word shingles.
-    * Scale: embarrassingly parallel scan; signature is 64 bytes/doc
+  /** 60-bit shingle hashes: decimal value of the first 15 hex chars of md5
+    * (fits signed 64-bit, always positive). This is the ONE digest pass per
+    * document — every signature derives from this array by cheap mixing.
+    */
+  def shingleHashes(words: Column, n: Int = 3): Column =
+    transform(shingles(words, n),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("bigint"))
+
+  /** One MinHash signature from the pre-hashed shingle array: arithmetic
+    * only (universal-hash mix + array_min), no digests.
+    */
+  def sigFromHashes(hs: Column, i: Int): Column =
+    array_min(transform(hs,
+      h => ((h % MinhashP) * MinhashA(i) + MinhashB(i)) % MinhashP))
+
+  /** MinHash signatures (4 mixes) per document over 3-word shingles.
+    * Scale: embarrassingly parallel scan; signature is 32 bytes/doc
     * regardless of document size — the shuffle for the LSH join moves
     * signatures, never documents.
+    *
+    * Plan note: the shingle-hash array is staged in its own projection.
+    * CollapseProject keeps the two projections separate because the
+    * producer (`hs`) is non-cheap and referenced four times, so the md5
+    * pass over the shingles runs once per document instead of once per
+    * signature (higher-order functions are exempt from subexpression
+    * elimination, so inlining the array would 4× the digest work — this
+    * was 39% of the round-1 bench).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ", -1)
-    val sh = shingles(words)
-    docs.filter(size(words) >= 3).select(
-      col("doc_id"), minhashSig(sh, 0).as("sig0"), minhashSig(sh, 1).as("sig1"),
-      minhashSig(sh, 2).as("sig2"), minhashSig(sh, 3).as("sig3"))
+    docs.filter(size(words) >= 3)
+      .select(col("doc_id"), shingleHashes(words).as("hs"))
+      .select(col("doc_id"),
+        sigFromHashes(col("hs"), 0).as("sig0"), sigFromHashes(col("hs"), 1).as("sig1"),
+        sigFromHashes(col("hs"), 2).as("sig2"), sigFromHashes(col("hs"), 3).as("sig3"))
   }
+
+  /** Band key: signatures joined with a separator so variable-width decimal
+    * renderings can't collide ("1"+"23" vs "12"+"3").
+    */
+  private def bandKey(a: Column, b: Column): Column =
+    concat_ws(":", a.cast("string"), b.cast("string"))
+
+  /** (doc_id, band, bucket) rows: one per document per band. */
+  def lshBandAssignments(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(map(
+        lit(0), bandKey(col("sig0"), col("sig1")),
+        lit(1), bandKey(col("sig2"), col("sig3")))).as(Seq("band", "bucket")))
 
   /** LSH banding over the signatures: 2 bands × 2 rows. Documents agreeing
     * on a whole band land in the same bucket; bucket join yields candidate
     * pairs (near-dup threshold ≈ (1/b)^(1/r)). Returned here as the band
-    * histogram (band, bucket, size, id range) — the candidate-pair join is
-    * `buckets.filter(n>1)` self-joined on (band, bucket), a shuffle on the
-    * 16-byte bucket key only.
+    * histogram (band, bucket, size, id range); [[lshCandidatePairs]] is the
+    * pair-producing join.
     */
-  def lshBands(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
-      explode(map(
-        lit(0), concat(col("sig0"), col("sig1")),
-        lit(1), concat(col("sig2"), col("sig3")))).as(Seq("band", "bucket")))
-    bands.groupBy(col("band"), col("bucket"))
+  def lshBands(sigs: DataFrame): DataFrame =
+    lshBandAssignments(sigs)
+      .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
+
+  /** Candidate near-dup pairs: documents sharing any band bucket, distinct
+    * across bands. The self-join shuffles only (band, bucket, doc_id) —
+    * never signatures or documents — and the equality key keeps it a plain
+    * hash join at any scale.
+    */
+  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = lshBandAssignments(sigs)
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** SimHash (16-bit here; width is a constant): per bit, the sign of the
@@ -92,12 +139,25 @@ object Dedup {
     * sum-of-block² — at 100 TB the blocks are the shuffle partitions and
     * each block's pair loop stays in one task. Word-set Jaccard via
     * array_distinct/intersect (codegen'd).
+    *
+    * `maxBlock` bounds the per-task work: each block keeps its first
+    * `maxBlock` documents by doc_id, so one hot key (every web doc is
+    * lang=en) can't make a single task O(block²) on the whole corpus. The
+    * bound is deterministic (doc_id order); at 100 TB pair work per task is
+    * ≤ maxBlock². Candidates beyond the cap should come from the MinHash/
+    * LSH path ([[lshCandidatePairs]]), which has no quadratic term.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val withSets = docs.select(
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6,
+      maxBlock: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
       array_distinct(split(col("text"), " ", -1)).as("wset"))
+    val blockW = Window.partitionBy(col("lang"), col("source"), col("len_bucket"))
+      .orderBy(col("doc_id"))
+    val withSets = sets.withColumn("blk_rank", row_number().over(blockW))
+      .filter(col("blk_rank") <= maxBlock).drop("blk_rank")
     val a = withSets.as("a")
     val b = withSets.as("b")
     val inter = size(array_intersect(col("a.wset"), col("b.wset"))).cast("double")

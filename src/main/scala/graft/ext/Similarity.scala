@@ -23,21 +23,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     foldDot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Two-stage top-k: a salted partial top-k first (32 groups per query),
+    * then the final per-query window over ≤ 32·k survivors. The union of
+    * per-salt top-ks contains the global top-k (every global winner is a
+    * winner within its salt group), so results are identical to a single
+    * window — but the final window sees 32·k rows per query instead of the
+    * whole corpus, removing the skew wall when #queries is small.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val salted = scored.withColumn("salt",
+      pmod(crc32(col("neighbor_id").cast("string")), lit(32)))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val survivors = salted.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k).drop("r1", "salt")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    survivors.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k cosine neighbors for a set of query vectors — the
     * exactness baseline. Plan shape: broadcast the (small) query set against
-    * the corpus scan, per-row fold, then a per-query top-k window.
+    * the corpus scan, per-row fold, then the two-stage top-k.
     * At 100 TB the corpus side stays partition-parallel; the only shuffle is
-    * the top-k aggregation keyed by query id (k rows per partition per query
-    * after partial top-k with AQE).
+    * the salted top-k reduction (32·k rows per query reach the final window).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val joined = corpus.as("c").join(broadcast(queries.as("q")),
       col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.embedding"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(joined, k)
   }
 
   /** IVF-style partition-pruned search: the corpus is partitioned by a
@@ -53,9 +69,7 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         col("c.label").as("cell"),
         cosine(col("q.embedding"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(joined, k)
   }
 
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
@@ -76,9 +90,20 @@ object Similarity {
 
   /** Nearest neighbor within each vector's own cell + a near-dup flag —
     * embedding-cosine near-duplicate detection (one row per vector).
+    *
+    * `maxCell` bounds the per-task pair work: each cell keeps its first
+    * `maxCell` vectors by vec_id on the *candidate* (b) side, so a hot
+    * label can't make one task O(cell²). Deterministic (vec_id order); the
+    * query side stays complete — every vector still gets a nearest
+    * neighbor, searched among the capped candidates.
     */
-  def embeddingNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
-    val joined = corpus.as("a").join(corpus.as("b"),
+  def embeddingNearDup(corpus: DataFrame, threshold: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val cellW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val candidates = corpus
+      .withColumn("cell_rank", row_number().over(cellW))
+      .filter(col("cell_rank") <= maxCell).drop("cell_rank")
+    val joined = corpus.as("a").join(candidates.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         cosine(col("a.embedding"), col("b.embedding")).as("cos"))

@@ -97,5 +97,70 @@ object StreamQueries {
       FROM events GROUP BY event_type ORDER BY event_type
     """))
 
-  val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ)
+  /** End-to-end retry-attempt escalation through the REAL runner
+    * (trigger.go:455-526 + util.go:75-88): 8 events, an always-503 sink,
+    * maxRetryAttempts=4. Each cycle re-delivers the matured retry bus at
+    * exactly its delivery time, so attempt n is stamped at
+    * t0 + Σ delay(1..n−1) with deliverytime t0 + Σ delay(1..n):
+    * due_sec 1, 6, 16, 46 for attempts 1–4, then attempt 5 exceeds the cap
+    * and lands in the DLQ with lastdeliverytime = t0+46.
+    */
+  private val retryEscalationQ = Q(
+    "stream_retry_escalation",
+    (s, d) => {
+      import graft.streaming.{EventBus, SubscriptionRunner}
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("esc").toString
+      val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+      val spec = SubscriptionRunner.Spec(Seq.empty, None,
+        SubscriptionRunner.Config("sub-esc", maxRetryAttempts = 4))
+      val failSink: SubscriptionRunner.Sink = _ => Left(503)
+      val base = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 8)
+      val dlqBus = EventBus(s"$tmp/dlq")
+      val firstBus = EventBus(s"$tmp/retry1")
+      SubscriptionRunner.processBatch(base, spec, failSink,
+        Some(firstBus), Some(dlqBus), t0)
+      val attemptCol = col("attributes").getItem("xvanusretryattempts").cast("int")
+      val dueCol = (unix_timestamp(
+        col("attributes").getItem("xvanusdeliverytime").cast("timestamp")) - t0)
+        .cast("bigint")
+      var cur = firstBus.read(s)
+      var gen = 1
+      var retryLog = cur.select(col("sequence_number").as("event_id"),
+        lit("retry").as("phase"), attemptCol.as("attempt"), dueCol.as("due_sec"))
+      var more = true
+      while (more) {
+        val now = t0 + cur.agg(max(dueCol)).head.getLong(0)
+        gen += 1
+        val nextBus = EventBus(s"$tmp/retry$gen")
+        val res = SubscriptionRunner.processRetries(cur, spec, failSink,
+          Some(nextBus), Some(dlqBus), now)
+        if (res.toRetry > 0) {
+          cur = nextBus.read(s)
+          retryLog = retryLog.union(cur.select(col("sequence_number").as("event_id"),
+            lit("retry").as("phase"), attemptCol.as("attempt"), dueCol.as("due_sec")))
+        } else more = false
+      }
+      val dlqRows = dlqBus.read(s).select(
+        col("sequence_number").as("event_id"), lit("dlq").as("phase"),
+        (attemptCol + 1).as("attempt"),
+        (unix_timestamp(
+          col("attributes").getItem("lastdeliverytime").cast("timestamp")) - t0)
+          .cast("bigint").as("due_sec"))
+      retryLog.union(dlqRows).orderBy(col("event_id"), col("attempt"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id FROM events WHERE event_id < 8),
+      sched(attempt, due_sec) AS (VALUES (1, 1), (2, 6), (3, 16), (4, 46)),
+      retry AS (
+        SELECT e.event_id, 'retry' AS phase, s.attempt, CAST(s.due_sec AS BIGINT) AS due_sec
+        FROM e CROSS JOIN sched s
+      ), dlq AS (
+        SELECT event_id, 'dlq' AS phase, 5 AS attempt, CAST(46 AS BIGINT) AS due_sec FROM e
+      )
+      SELECT * FROM retry UNION ALL SELECT * FROM dlq ORDER BY event_id, attempt
+    """))
+
+  val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ)
 }

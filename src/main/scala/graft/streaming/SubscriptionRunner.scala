@@ -57,9 +57,25 @@ object SubscriptionRunner {
   final case class BatchResult(
       delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long)
 
+  /** Overwrite-or-add keys in the attributes map. Retry/DLQ re-stamping hits
+    * events that already carry the stamp keys, and `map_concat` alone throws
+    * on duplicates under the default EXCEPTION dedup policy — so drop the
+    * keys being written first.
+    */
+  private def stampAttrs(attrs: Column, kvs: (String, Column)*): Column = {
+    val keys = kvs.map(_._1)
+    map_concat(
+      map_filter(attrs, (k, _) => !k.isin(keys: _*)),
+      map(kvs.flatMap { case (k, v) => Seq(lit(k), v) }: _*))
+  }
+
   /** Process one micro-batch (also usable in pure batch mode): filter,
     * transform, deliver, route failures. Returns routing counts; appends
     * retry/DLQ frames to their buses.
+    *
+    * Scan discipline: the batch is persisted on entry and every downstream
+    * frame (filter, transform, failure join) reads the cached copy, so the
+    * source is scanned once per micro-batch regardless of routing fan-out.
     */
   def processBatch(
       batch: DataFrame,
@@ -68,10 +84,21 @@ object SubscriptionRunner {
       retryBus: Option[EventBus],
       dlqBus: Option[EventBus],
       nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult = {
-    val spark = batch.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try processBatchCached(cached, spec, sink, retryBus, dlqBus, nowEpochSec)
+    finally { cached.unpersist(); () }
+  }
+
+  private def processBatchCached(
+      batch: DataFrame,
+      spec: Spec,
+      sink: Sink,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      nowEpochSec: => Long): BatchResult = {
     val total = batch.count()
     val passed = batch.filter(spec.predicate)
-    val passedCount = passed.count()
 
     // transform (interpreter path keeps per-event error routing)
     val transformed = spec.transformerJson match {
@@ -87,7 +114,13 @@ object SubscriptionRunner {
     val ratePerPartition =
       if (spec.config.rateLimitPerSec <= 0) 0
       else math.max(1, spec.config.rateLimitPerSec / math.max(1, batch.rdd.getNumPartitions))
-    val toDeliver = if (ordered) transformed.coalesce(1) else transformed
+    // ordered mode serializes *delivery* through one task (the reference's
+    // per-subscription ordering) — repartition, not coalesce, so the
+    // upstream filter/transform keep their scan parallelism, and sort so
+    // the single task walks events in offset order.
+    val toDeliver =
+      if (ordered) transformed.repartition(1).sortWithinPartitions(col("sequence_number"))
+      else transformed
     val sinkFn = sink
     // rows inside mapPartitions carry no schema; resolve indices driver-side
     val schema = toDeliver.schema
@@ -125,27 +158,36 @@ object SubscriptionRunner {
       }
     }.toDF("sequence_number", "code").cache()
 
+    // one materialization of the cached outcomes frame yields every count:
+    // passed (all outcomes), delivered, and the failure routing below
+    val passedCount = outcomes.count()
     val deliveredCount = outcomes.filter(col("code") === 0).count()
     val failed = outcomes.filter(col("code") =!= 0)
 
-    // routing: retryable codes (and attempts below cap) → retry bus;
-    // everything else → DLQ
-    val failedEvents = batch.join(broadcast(failed), Seq("sequence_number"))
-    val retryable = failedEvents.filter(
-      col("code") === 429 || col("code") >= 500)
-    val nonRetryable = failedEvents.filter(
-      !(col("code") === 429 || col("code") >= 500))
+    // failure routing. The join reads the persisted batch, not the source;
+    // no broadcast — on a sink outage `failed` is the whole batch, and
+    // broadcasting it is a driver OOM at scale. The key is a long, so the
+    // shuffle hash join is cheap (and AQE will broadcast small sides itself).
+    val failedEvents = batch.join(failed, Seq("sequence_number"))
+
+    // attempt escalation (trigger.go:455-526): this delivery's attempt
+    // number is the event's stamped count + 1; retryable failures below the
+    // cap re-enter the retry bus with the next backoff, at the cap they fall
+    // through to the DLQ.
+    val attempt = coalesce(
+      col("attributes").getItem("xvanusretryattempts").cast("int"), lit(0)) + 1
+    val retryableCode = col("code") === 429 || col("code") >= 500
+    val canRetry = retryableCode && attempt <= spec.config.maxRetryAttempts
 
     val now = nowEpochSec
     val retryCount = retryBus match {
       case Some(bus) if !ordered =>
-        val attempt = lit(1) // first retry for batch-entry events
-        val stamped = retryable.withColumn("attributes",
-          map_concat(col("attributes"), map(
-            lit("xvanusretryattempts"), attempt.cast("string"),
-            lit("xvanussubscriptionid"), lit(spec.config.subscriptionId),
-            lit("xvanusdeliverytime"),
-            timestamp_seconds(lit(now) + Backoff.delaySecondsCol(attempt)).cast("string"))))
+        val stamped = failedEvents.filter(canRetry)
+          .withColumn("attributes", stampAttrs(col("attributes"),
+            "xvanusretryattempts" -> attempt.cast("string"),
+            "xvanussubscriptionid" -> lit(spec.config.subscriptionId),
+            "xvanusdeliverytime" ->
+              timestamp_seconds(lit(now) + Backoff.delaySecondsCol(attempt)).cast("string")))
           .drop("code")
         val n = stamped.count()
         if (n > 0) bus.append(stamped)
@@ -153,15 +195,20 @@ object SubscriptionRunner {
       case _ => 0L
     }
 
-    val dlqSource = if (retryBus.isEmpty || ordered) failedEvents else nonRetryable
+    val dlqSource =
+      if (retryBus.isEmpty || ordered) failedEvents
+      else failedEvents.filter(!canRetry)
     val dlqCount = dlqBus match {
       case Some(bus) if !spec.config.disableDeadLetter =>
         val stamped = dlqSource.withColumn("attributes",
-          map_concat(col("attributes"), map(
-            lit("deadletterreason"), concat(lit("delivery error code="), col("code")),
-            lit("lastdeliverytime"), timestamp_seconds(lit(now)).cast("string"),
-            lit("lastdeliveryerror"), col("code").cast("string"),
-            lit("xvanussubscriptionid"), lit(spec.config.subscriptionId))))
+          stampAttrs(col("attributes"),
+            "deadletterreason" ->
+              when(retryableCode && attempt > spec.config.maxRetryAttempts,
+                lit(s"maxRetryAttempts=${spec.config.maxRetryAttempts} exceeded"))
+                .otherwise(concat(lit("delivery error code="), col("code"))),
+            "lastdeliverytime" -> timestamp_seconds(lit(now)).cast("string"),
+            "lastdeliveryerror" -> col("code").cast("string"),
+            "xvanussubscriptionid" -> lit(spec.config.subscriptionId)))
           .drop("code")
         val n = stamped.count()
         if (n > 0) bus.append(stamped)

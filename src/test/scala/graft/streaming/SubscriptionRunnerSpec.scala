@@ -128,6 +128,32 @@ class SubscriptionRunnerSpec extends SparkSpec {
     assert(res.delivered == expected) // sub-other events excluded by the guard
   }
 
+  test("retry attempts escalate; cap exceeded routes to DLQ (trigger.go:455-526)") {
+    val retryBus = EventBus(tmp("retry5"))
+    val dlqBus = EventBus(tmp("dlq5"))
+    // events already on attempt 2: next failure stamps attempt 3 (cap),
+    // the one after exceeds the cap and must land in the DLQ
+    val stamped = view.filter(col("type") === "purchase").limit(6)
+      .withColumn("attributes", map_concat(col("attributes"), map(
+        lit("xvanusretryattempts"), lit("2"),
+        lit("xvanussubscriptionid"), lit("sub-1"),
+        lit("xvanusdeliverytime"), lit("2024-01-01 00:00:00"))))
+    val res = SubscriptionRunner.processRetries(stamped, spec, _ => Left(503),
+      Some(retryBus), Some(dlqBus), nowEpochSec = 1704240000L)
+    assert(res.toRetry == 6 && res.toDlq == 0)
+    val retry = retryBus.read(spark)
+    val attrs = retry.select(col("attributes")).head.getMap[String, String](0)
+    assert(attrs("xvanusretryattempts") == "3") // escalated, not reset to 1
+    assert(attrs("xvanusdeliverytime") == "2024-01-03 00:00:10") // now + 5*(3-1)s
+
+    // attempt 3 is the cap (maxRetryAttempts=3): next failure → DLQ
+    val res2 = SubscriptionRunner.processRetries(retry, spec, _ => Left(503),
+      Some(EventBus(tmp("retry6"))), Some(dlqBus), nowEpochSec = 1704240010L)
+    assert(res2.toRetry == 0 && res2.toDlq == 6)
+    val dattrs = dlqBus.read(spark).select(col("attributes")).head.getMap[String, String](0)
+    assert(dattrs("deadletterreason") == "maxRetryAttempts=3 exceeded")
+  }
+
   test("backoff curve matches util.go:75-88") {
     assert(Backoff.delaySeconds(1) == 1)
     assert(Backoff.delaySeconds(2) == 5)

@@ -40,6 +40,23 @@ object SubscriptionRunner {
     */
   type Sink = Deliverable => Either[Int, Unit]
 
+  /** One sink call for a whole batch of events (the reference's gRPC batch
+    * client, client/grpc.go:63-85): the result applies to every event in
+    * the call.
+    */
+  type BatchSink = Seq[Deliverable] => Either[Int, Unit]
+
+  /** How events reach the sink (trigger.go:342-375): per-event, or
+    * accumulated to SendBatchSize then flushed in one call. The reference's
+    * 500 ms time-flush maps to the micro-batch trigger interval — each
+    * micro-batch always flushes its final partial chunk.
+    */
+  sealed trait Delivery extends Serializable
+  object Delivery {
+    final case class PerEvent(sink: Sink) extends Delivery
+    final case class Batched(sink: BatchSink, maxBatchSize: Int) extends Delivery
+  }
+
   final case class Config(
       subscriptionId: String,
       maxRetryAttempts: Int = 32,
@@ -83,17 +100,27 @@ object SubscriptionRunner {
       sink: Sink,
       retryBus: Option[EventBus],
       dlqBus: Option[EventBus],
+      nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult =
+    processBatchWith(batch, spec, Delivery.PerEvent(sink), retryBus, dlqBus, nowEpochSec)
+
+  /** processBatch generalized over the delivery mode. */
+  def processBatchWith(
+      batch: DataFrame,
+      spec: Spec,
+      delivery: Delivery,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
       nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult = {
     import org.apache.spark.storage.StorageLevel
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
-    try processBatchCached(cached, spec, sink, retryBus, dlqBus, nowEpochSec)
+    try processBatchCached(cached, spec, delivery, retryBus, dlqBus, nowEpochSec)
     finally { cached.unpersist(); () }
   }
 
   private def processBatchCached(
       batch: DataFrame,
       spec: Spec,
-      sink: Sink,
+      delivery: Delivery,
       retryBus: Option[EventBus],
       dlqBus: Option[EventBus],
       nowEpochSec: => Long): BatchResult = {
@@ -121,7 +148,7 @@ object SubscriptionRunner {
     val toDeliver =
       if (ordered) transformed.repartition(1).sortWithinPartitions(col("sequence_number"))
       else transformed
-    val sinkFn = sink
+    val deliveryMode = delivery
     // rows inside mapPartitions carry no schema; resolve indices driver-side
     val schema = toDeliver.schema
     val seqIdx = schema.fieldIndex("sequence_number")
@@ -136,25 +163,49 @@ object SubscriptionRunner {
     val outcomes = toDeliver.mapPartitions { rows =>
       var windowStart = System.nanoTime()
       var inWindow = 0
-      rows.map { row =>
-        if (ratePerPartition > 0) { // leaky bucket: cap events per second
-          inWindow += 1
-          if (inWindow > ratePerPartition) {
-            val elapsed = System.nanoTime() - windowStart
-            if (elapsed < 1e9) Thread.sleep(((1e9 - elapsed) / 1e6).toLong)
-            windowStart = System.nanoTime()
-            inWindow = 1
-          }
+      def rateTake(n: Int): Unit = if (ratePerPartition > 0) { // leaky bucket
+        inWindow += n
+        if (inWindow > ratePerPartition) {
+          val elapsed = System.nanoTime() - windowStart
+          if (elapsed < 1e9) Thread.sleep(((1e9 - elapsed) / 1e6).toLong)
+          windowStart = System.nanoTime()
+          inWindow = n
         }
-        val seq = row.getLong(seqIdx)
+      }
+      def mk(row: Row): Deliverable = {
         def s(i: Int): String = if (row.isNullAt(i)) null else row.getString(i)
-        val code =
-          if (!row.isNullAt(terrIdx)) Backoff.TransformErrorCode
-          else sinkFn(Deliverable(seq, s(idIdx), s(srcIdx), s(typeIdx), s(ctIdx), s(bodyIdx))) match {
-            case Right(_) => 0
-            case Left(c) => if (ordered) Backoff.OrderErrorCode else c
+        Deliverable(row.getLong(seqIdx), s(idIdx), s(srcIdx), s(typeIdx), s(ctIdx), s(bodyIdx))
+      }
+      def asCode(r: Either[Int, Unit]): Int = r match {
+        case Right(_) => 0
+        case Left(c) => if (ordered) Backoff.OrderErrorCode else c
+      }
+      deliveryMode match {
+        case Delivery.PerEvent(sinkFn) =>
+          rows.map { row =>
+            rateTake(1)
+            val code =
+              if (!row.isNullAt(terrIdx)) Backoff.TransformErrorCode
+              else asCode(sinkFn(mk(row)))
+            (row.getLong(seqIdx), code)
           }
-        (seq, code)
+        case Delivery.Batched(sinkFn, maxSize) =>
+          // size-flush (trigger.go:366-372): full chunks of maxSize, the
+          // iterator tail is the micro-batch's final time-flush. Transform
+          // errors never reach the sink (trigger.go:326-336) and the batch
+          // result applies to every event in the call.
+          rows.grouped(math.max(1, maxSize)).flatMap { chunk =>
+            rateTake(chunk.size)
+            val (bad, ok) = chunk.partition(r => !r.isNullAt(terrIdx))
+            val badOut = bad.map(r => (r.getLong(seqIdx), Backoff.TransformErrorCode))
+            val okOut =
+              if (ok.isEmpty) Seq.empty
+              else {
+                val code = asCode(sinkFn(ok.map(mk)))
+                ok.map(r => (r.getLong(seqIdx), code))
+              }
+            badOut ++ okOut
+          }
       }
     }.toDF("sequence_number", "code").cache()
 

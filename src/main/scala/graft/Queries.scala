@@ -84,6 +84,53 @@ object Queries {
       ORDER BY event_id
     """))
 
+  /** Point get by event id — the id is the reference's opaque base64 handle
+    * encoding (eventlogID, offset) (proxy.go:863-905); decoded by the REAL
+    * [[graft.streaming.EventId]] codec, then looked up. The events table is
+    * the multi-log stand-in: log id = event_type's rank in the (tiny) log
+    * dimension, per-log offset = position within the log — a real bus
+    * stores `sequence_number` directly, making the lookup a pushdown range
+    * probe; the windows here only synthesize those columns for the
+    * stand-in table (log dimension is ~5 rows).
+    */
+  private val qPointGetById = Q(
+    "point_get_by_id",
+    (s, d) => {
+      import graft.streaming.EventId
+      import org.apache.spark.sql.expressions.Window
+      // three opaque handles, decoded through the production codec
+      val handles = Seq(EventId.encode(0, 10), EventId.encode(1, 5), EventId.encode(2, 0))
+      val pairs = handles.map(EventId.decode)
+      import s.implicits._
+      val want = pairs.toDF("log_id", "log_offset")
+      val logDim = Tables.events(s, d).select(col("event_type")).distinct()
+        .withColumn("log_id",
+          (row_number().over(Window.orderBy(col("event_type"))) - 1).cast("bigint"))
+      val ranked = Tables.events(s, d)
+        .join(broadcast(logDim), "event_type")
+        .withColumn("log_offset",
+          (row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("event_id"))) - 1).cast("bigint"))
+      ranked.join(broadcast(want), Seq("log_id", "log_offset"))
+        .select(col("log_id"), col("log_offset"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("log_id"))
+    },
+    Some("""
+      WITH logs AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS log_id
+        FROM (SELECT DISTINCT event_type FROM events)
+      ), ranked AS (
+        SELECT e.event_id, e.event_type, e.value, l.log_id,
+               ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY e.event_id) - 1 AS log_offset
+        FROM events e JOIN logs l USING (event_type)
+      )
+      SELECT log_id, log_offset, event_id, event_type, value FROM ranked
+      WHERE (log_id, log_offset) IN ((0, 10), (1, 5), (2, 0))
+      ORDER BY log_id
+    """))
+
   /** Offset-by-time — first offset with ts >= T, per "eventlog" (we treat
     * event_type as the partition key stand-in). Reference:
     * Eventlog.QueryOffsetByTime (client/pkg/api/client.go:52) backed by a
@@ -108,7 +155,7 @@ object Queries {
 
   // --------------------------------------------------------------------------
 
-  val all: Seq[Q] = Seq(q1Agg, qPointGet, qOffsetByTime) ++
+  val all: Seq[Q] = Seq(q1Agg, qPointGet, qPointGetById, qOffsetByTime) ++
     FilterQueries.all ++ TransformQueries.all ++ StreamQueries.all ++ ExtQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -162,5 +162,44 @@ object StreamQueries {
       SELECT * FROM retry UNION ALL SELECT * FROM dlq ORDER BY event_id, attempt
     """))
 
-  val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ)
+  /** Publish-path parity (proxy.go:166-237): per-event checkExtension
+    * validation, xvanuseventbus stamping, and timer-bus rerouting through
+    * the REAL Publisher.route. Attributes are synthesized per event_id%4:
+    * clean → accepted; a reserved xvanus-prefixed attr → rejected; a valid
+    * RFC3339 xvanusdeliverytime → delayed (stamped, rerouted); an
+    * unparseable delivery time → rejected.
+    */
+  private val publishValidateQ = Q(
+    "publish_validate",
+    (s, d) => {
+      import graft.streaming.Publisher
+      val base = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 1000)
+      val synth = base.withColumn("attributes",
+        when(col("sequence_number") % 4 === 0, col("attributes"))
+          .when(col("sequence_number") % 4 === 1,
+            map(lit("xvanusowner"), lit("someone")))
+          .when(col("sequence_number") % 4 === 2,
+            map(lit("xvanusdeliverytime"), lit("2024-01-01T00:00:05Z")))
+          .otherwise(map(lit("xvanusdeliverytime"), lit("not-a-time"))))
+      val r = Publisher.route(synth, "bus-main")
+      val busAttr = col("attributes").getItem(Publisher.EventbusAttr)
+      r.accepted.select(col("sequence_number").as("event_id"),
+          lit("accepted").as("route"), busAttr.as("stamped_bus"))
+        .union(r.delayed.select(col("sequence_number").as("event_id"),
+          lit("delayed").as("route"), busAttr.as("stamped_bus")))
+        .union(r.rejected.select(col("sequence_number").as("event_id"),
+          lit("rejected").as("route"), busAttr.as("stamped_bus")))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             CASE event_id % 4 WHEN 0 THEN 'accepted' WHEN 1 THEN 'rejected'
+                  WHEN 2 THEN 'delayed' ELSE 'rejected' END AS route,
+             CASE WHEN event_id % 4 IN (0, 2) THEN 'bus-main' END AS stamped_bus
+      FROM events WHERE event_id < 1000 ORDER BY event_id
+    """))
+
+  val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ,
+    publishValidateQ)
 }

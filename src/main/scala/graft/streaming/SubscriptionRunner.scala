@@ -74,17 +74,8 @@ object SubscriptionRunner {
   final case class BatchResult(
       delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long)
 
-  /** Overwrite-or-add keys in the attributes map. Retry/DLQ re-stamping hits
-    * events that already carry the stamp keys, and `map_concat` alone throws
-    * on duplicates under the default EXCEPTION dedup policy — so drop the
-    * keys being written first.
-    */
-  private def stampAttrs(attrs: Column, kvs: (String, Column)*): Column = {
-    val keys = kvs.map(_._1)
-    map_concat(
-      map_filter(attrs, (k, _) => !k.isin(keys: _*)),
-      map(kvs.flatMap { case (k, v) => Seq(lit(k), v) }: _*))
-  }
+  private def stampAttrs(attrs: Column, kvs: (String, Column)*): Column =
+    Attrs.stamp(attrs, kvs: _*)
 
   /** Process one micro-batch (also usable in pure batch mode): filter,
     * transform, deliver, route failures. Returns routing counts; appends

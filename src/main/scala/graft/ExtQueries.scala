@@ -259,11 +259,17 @@ object ExtQueries {
     "text_langid",
     (s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some {
-      val scores = TextAnalysis.langWords
-        .map { case (l, ws) => s"${sqlStopCount(ws)} AS score_$l" }.mkString(",\n             ")
-      val maxExpr = "greatest(" + TextAnalysis.langWords.map(l => s"score_${l._1}").mkString(", ") + ")"
-      val caseExpr = TextAnalysis.langWords
-        .map { case (l, _) => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'" }
+      // latin scores over lowercased tokens; zh over raw function chars —
+      // mirrors TextAnalysis.langId exactly
+      val scores = (TextAnalysis.langWords
+        .map { case (l, ws) =>
+          s"${sqlStopCount(ws).replace("string_split(text", "string_split(lower(text)")} AS score_$l"
+        } :+
+        s"CAST(len(regexp_extract_all(text, '[${TextAnalysis.zhChars}]')) AS INT) AS score_zh")
+        .mkString(",\n             ")
+      val maxExpr = "greatest(" + TextAnalysis.langOrder.map(l => s"score_$l").mkString(", ") + ")"
+      val caseExpr = TextAnalysis.langOrder
+        .map(l => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
         .mkString("CASE ", " ", " ELSE 'unknown' END")
       s"""
       WITH scored AS (
@@ -328,8 +334,8 @@ object ExtQueries {
   // ===========================================================================
 
   private val multimodalQ = Q(
-    "multimodal_decode_stub",
-    (s, d) => Multimodal.decodeStub(
+    "multimodal_decode",
+    (s, d) => Multimodal.decode(
       Multimodal.mediaFromDocuments(Tables.documents(s, d)))
       .select(col("media_id"), col("kind"),
         col("meta.byte_len").as("byte_len"),
@@ -337,15 +343,22 @@ object ExtQueries {
         col("meta.height").cast("bigint").as("height"),
         col("meta.format").as("format"))
       .orderBy(col("media_id")),
+    // image rows carry real PNG (33 B) / JPEG (23 B) containers whose
+    // header the Spark side must actually parse to produce width/height;
+    // the oracle predicts the dimensions from the id arithmetic
     Some("""
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-             LENGTH(text) AS byte_len,
-             LENGTH(text) % 640 AS width,
-             (LENGTH(text) * 7) % 480 AS height,
-             CASE WHEN LENGTH(text) % 3 = 0 THEN 'rgb8'
-                  WHEN LENGTH(text) % 3 = 1 THEN 'pcm16' ELSE 'h264' END AS format
+             CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 6 = 0 THEN 33 ELSE 23 END)
+                  ELSE LENGTH(text) END AS byte_len,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
+                  ELSE LENGTH(text) % 640 END AS width,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
+                  ELSE (LENGTH(text) * 7) % 480 END AS height,
+             CASE WHEN doc_id % 6 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 0 THEN 'jpeg'
+                  WHEN doc_id % 3 = 1 THEN 'pcm16' ELSE 'h264' END AS format
       FROM documents ORDER BY media_id
     """))
 

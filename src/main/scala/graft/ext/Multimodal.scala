@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed by batch-shaped
   * per-partition decoders.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions from the
-  * byte stream. Everything around it — the binary column, the metadata
-  * struct schema, the mapPartitions batch shape, the partitioning story —
-  * is real: swap `fakeDecode` for an actual codec call and nothing else
-  * changes.
+  * IMAGE decode is REAL: [[ImageHeader]] parses width/height/format from
+  * PNG/JPEG/GIF container bytes (header parse, no pixel decode — the
+  * scan-speed metadata path). Audio/video decode remains STUBBED (the JDK
+  * carries no audio/video codecs): deterministic fake dimensions from the
+  * byte stream, honestly labeled; a real codec call swaps in with the same
+  * per-batch signature.
   *
   * Scale notes: media bytes dominate row size, so (1) metadata-only queries
   * must prune the binary column (columnar formats make this free — verify
@@ -33,35 +33,50 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("format", StringType))))))
 
-  /** Build a media table from the documents table: text bytes stand in for
-    * media payloads (binary column semantics are identical).
+  /** Build a media table from the documents table. Image rows carry REAL
+    * container bytes (alternating PNG/JPEG with dimensions derived from the
+    * id — a stored-blob stand-in that real header parsing must decode);
+    * audio/video rows use text bytes as opaque payloads.
     */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("kind"),
       col("text").cast("binary").as("content"))
+    val schema = base.schema
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (r.getString(1) == "image") {
+          val w = (id % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          val bytes =
+            if (id % 6 == 0) ImageHeader.pngBytes(w, h)
+            else ImageHeader.jpegBytes(w, h)
+          Row(id, "image", bytes)
+        } else r
+      }
+    }(Encoders.row(schema))
+  }
 
-  /** ===== STUB ===== deterministic fake decode: width/height/format derived
-    * from the byte length. A real implementation calls the codec here, per
-    * batch, with the same signature.
+  /** ===== STUB (audio/video only) ===== deterministic fake decode for the
+    * codec-less kinds: dimensions derived from the byte length. A real
+    * implementation calls the codec here, per batch, same signature.
     */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, String) = {
+  private def fakeDecode(bytes: Array[Byte], kind: String): (Int, Int, String) = {
     val n = bytes.length
-    (n % 640, (n * 7) % 480, n % 3 match {
-      case 0 => "rgb8"
-      case 1 => "pcm16"
-      case _ => "h264"
-    })
+    (n % 640, (n * 7) % 480, if (kind == "audio") "pcm16" else "h264")
   }
 
   /** Per-partition batch decode producing the typed metadata struct — the
     * Scala shape of a mapInPandas/Arrow-batch decoder: rows stream through
     * a partition-local decoder without driver involvement or shuffle.
+    * Images go through the real header parser; unparseable image bytes
+    * yield null dimensions and format "unknown".
     */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame): DataFrame = {
     val schema = mediaSchema
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
@@ -69,12 +84,23 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (w, h, fmt) = fakeDecode(bytes)
-        Row(r.getLong(idIdx), r.getString(kindIdx), bytes,
-          Row(bytes.length.toLong, w, h, fmt))
+        val kind = r.getString(kindIdx)
+        val meta = kind match {
+          case "image" => ImageHeader.decode(bytes) match {
+            case Some(info) => Row(bytes.length.toLong, info.width, info.height, info.format)
+            case None => Row(bytes.length.toLong, null, null, "unknown")
+          }
+          case k =>
+            val (w, h, fmt) = fakeDecode(bytes, k)
+            Row(bytes.length.toLong, w, h, fmt)
+        }
+        Row(r.getLong(idIdx), kind, bytes, meta)
       }
     }(Encoders.row(schema))
   }
+
+  /** Back-compat alias for the round-1 name. */
+  def decodeStub(media: DataFrame): DataFrame = decode(media)
 
   /** Metadata-only projection — must NOT read the binary column at scan
     * time (check ReadSchema in the plan).

@@ -10,29 +10,43 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Tiny per-language function-word lists for the n-gram/stopword
-    * heuristic. Deterministic argmax with a fixed tie order (en first).
+  /** Per-language function-word lexicons for the whitespace-token path.
+    * Real function words, each distinctive of its language (shared romance
+    * articles like "la" are deliberately excluded so scores don't collide).
     */
   val langWords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and"),
-    "es" -> Seq("el", "la", "de", "y"),
-    "de" -> Seq("der", "die", "das", "und"),
-    "fr" -> Seq("le", "la", "de", "et"),
-    "zh" -> Seq("de", "shi", "le", "he"))
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "es" -> Seq("el", "los", "las", "que", "una", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "dans", "une"))
+
+  /** Top Chinese function CHARACTERS (的 是 了 在 和 不 有 我). CJK text has
+    * no whitespace tokenization, so zh is scored by character occurrences
+    * over the raw string, not by tokens — the standard cheap CJK signal.
+    */
+  val zhChars = "的是了在和不有我"
+
+  /** Tie order for the argmax CASE chain: zh first (any CJK character in
+    * mixed text is a far stronger signal than one shared Latin token),
+    * then list order.
+    */
+  val langOrder: Seq[String] = "zh" +: langWords.map(_._1)
 
   private def stopCount(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => w.isin(stops.map(lit(_)): _*)))
 
-  /** Language-ID: score each language by function-word hits, pick the max
-    * (first language wins ties — the CASE chain encodes the tie order).
+  /** Language-ID: Latin languages score by lowercase function-word hits,
+    * zh by function-character count; argmax with the [[langOrder]] tie
+    * chain. Still one codegen'd pass, no shuffle.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ", -1)
-    val scored = docs.select(
-      (col("doc_id") +: langWords.map { case (l, ws) => stopCount(words, ws).as(s"score_$l") }): _*)
-    val maxScore = greatest(langWords.map { case (l, _) => col(s"score_$l") }: _*)
-    // left-to-right CASE: ties resolve in list order (en first)
-    val predicted = langWords.foldRight(lit("unknown")) { case ((l, _), els) =>
+    val words = split(lower(col("text")), " ", -1)
+    val scoreCols =
+      langWords.map { case (l, ws) => stopCount(words, ws).as(s"score_$l") } :+
+        regexp_count(col("text"), lit(s"[$zhChars]")).cast("int").as("score_zh")
+    val scored = docs.select(col("doc_id") +: scoreCols: _*)
+    val maxScore = greatest(langOrder.map(l => col(s"score_$l")): _*)
+    val predicted = langOrder.foldRight(lit("unknown")) { case (l, els) =>
       when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(els)
     }
     scored.withColumn("predicted_lang", predicted)

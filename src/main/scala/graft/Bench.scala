@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // untimed warmup: session/codegen/noop-committer init otherwise lands
+    // on whichever query happens to run first (~6 s of pure startup)
+    spark.range(1000).selectExpr("id", "md5(cast(id as string)) h")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write forces full evaluation of every projected column

@@ -16,6 +16,19 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Redistribute a frame for expression-heavy per-row compute when the
+    * source produced fewer splits than the session's parallelism. The
+    * local test tables are single-row-group parquet files — one scan task —
+    * which serializes md5/interpreter pipelines onto one core; at
+    * production scale input splits far exceed cores and this is a no-op.
+    * Round-robin shuffle of the raw rows, so apply only AFTER
+    * pushdown-eligible predicates and column pruning have had their chance.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

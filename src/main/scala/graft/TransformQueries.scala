@@ -372,7 +372,9 @@ object TransformQueries {
 
   private val foreachQ = Q(
     "action_array_foreach",
-    (s, d) => docs(s, d).select(
+    // interpreted HOF (transform) over every word of every doc — the one
+    // action query whose per-row cost warrants redistribution
+    (s, d) => Tables.fanOut(docs(s, d)).select(
       col("doc_id"),
       array_join(arrayForeach(splitWithDelimiter(col("text"), " "), upper), " ").as("s_foreach"))
       .orderBy(col("doc_id")),

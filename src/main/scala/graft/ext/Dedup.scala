@@ -71,7 +71,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ", -1)
-    docs.filter(size(words) >= 3)
+    graft.Tables.fanOut(docs.filter(size(words) >= 3))
       .select(col("doc_id"), shingleHashes(words).as("hs"))
       .select(col("doc_id"),
         sigFromHashes(col("hs"), 0).as("sig0"), sigFromHashes(col("hs"), 1).as("sig1"),
@@ -104,16 +104,25 @@ object Dedup {
         max(col("doc_id")).as("max_doc"))
 
   /** Candidate near-dup pairs: documents sharing any band bucket, distinct
-    * across bands. The self-join shuffles only (band, bucket, doc_id) —
-    * never signatures or documents — and the equality key keeps it a plain
-    * hash join at any scale.
+    * across bands. One signature computation, one shuffle: group by
+    * (band, bucket) — moving only (band, bucket, doc_id), never signatures
+    * or documents — then expand each bucket's sorted id list into ordered
+    * pairs. (A self-join spelling computes the signature subtree twice and
+    * shuffles both copies.) Per-bucket work is O(width²), bounded by the
+    * band-hash equality that defines a bucket — LSH's own guarantee that
+    * buckets stay narrow; a degenerate corpus (everything identical) should
+    * exact-dedup first.
     */
   def lshCandidatePairs(sigs: DataFrame): DataFrame = {
-    val bands = lshBandAssignments(sigs)
-    bands.as("a").join(bands.as("b"),
-      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ids = sort_array(collect_list(col("doc_id")))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    lshBandAssignments(sigs)
+      .groupBy(col("band"), col("bucket")).agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -121,17 +130,25 @@ object Dedup {
     * ±1 vote sum over token hashes. One pass, no shuffle; near-dup search is
     * then a hamming-ball probe on the fingerprint (e.g. by pigeonhole split
     * into 4-bit blocks → equality join per block at scale).
+    *
+    * The token-hash array is staged in its own projection and referenced
+    * once per bit, so the md5 pass over the words runs ONCE per document —
+    * inlining it into the per-bit loop would multiply the digest work by
+    * the fingerprint width (this was 16 md5 passes per word in round 1).
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     val words = split(col("text"), " ", -1)
-    val h = (w: Column) => conv(substring(md5(w), 1, 4), 16, 10).cast("bigint")
-    val bitCols = transform(sequence(lit(0), lit(bits - 1)), b => {
-      val votes = aggregate(words, lit(0L),
-        (acc, w) => acc + when((floor(h(w) / pow(lit(2), b)).cast("bigint") % 2) === 1, 1L).otherwise(-1L))
-      when(votes >= 0, pow(lit(2), b).cast("bigint")).otherwise(0L)
-    })
-    docs.select(col("doc_id"),
-      aggregate(bitCols, lit(0L), (acc, v) => acc + v).as("simhash"))
+    val hs = transform(words, w => conv(substring(md5(w), 1, 4), 16, 10).cast("bigint"))
+    def bitVal(b: Int): Column = {
+      val votes = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when((floor(h / lit(math.pow(2, b))).cast("bigint") % 2) === 1, 1L)
+          .otherwise(-1L))
+      when(votes >= 0, lit(1L << b)).otherwise(0L)
+    }
+    graft.Tables.fanOut(docs)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        (0 until bits).map(bitVal).reduce(_ + _).as("simhash"))
   }
 
   /** N-gram Jaccard near-dup pairs within blocking keys (lang, source,

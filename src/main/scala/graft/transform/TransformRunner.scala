@@ -39,6 +39,10 @@ object TransformRunner {
     }
     val fieldIdx = df.schema.fieldNames.zipWithIndex.toMap
     val enc = Encoders.row(outputSchema)
+    // runs at the caller's partitioning: micro-batches arrive pre-split
+    // from the stream source, and batch callers with few-split heavy
+    // inputs can Tables.fanOut upstream — forcing a shuffle here would
+    // tax every micro-batch for the rare single-split case
     df.mapPartitions { rows =>
       rows.map { row =>
         def str(name: String): Option[String] = fieldIdx.get(name)

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) as a left-to-right fold of per-index products. */
-  def foldDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b): left-to-right sum of per-index double products, as the
+    * native codegen'd [[graft.functions.VecDot]] expression (identical
+    * accumulation order to the zip_with+aggregate fold it replaces, so
+    * results are bit-equal — but a primitive loop instead of interpreted
+    * per-element lambdas).
+    */
+  def foldDot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm2(a: Column): Column = foldDot(a, a)
 

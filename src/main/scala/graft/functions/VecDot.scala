@@ -1,0 +1,76 @@
+// Hosted under org.apache.spark.sql so the expression can use the
+// private[sql] ExpectsInputTypes/ExpressionUtils surface — the standard
+// pattern for third-party native expressions. Public API re-exported from
+// graft.functions.VecDot below.
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd float-vector dot product:
+  * `acc += (double) a[i] * (double) b[i]`, left to right.
+  *
+  * This is the hot inner loop of every embedding operator (cosine top-k,
+  * IVF probe, near-dup). The `zip_with`+`aggregate` spelling allocates an
+  * intermediate array and evaluates interpreted lambda calls per element —
+  * higher-order functions don't participate in whole-stage codegen. This
+  * expression generates a primitive loop instead (~dim× fewer virtual
+  * calls, zero allocation) while keeping the exact left-to-right double
+  * accumulation order, so results stay bit-identical to the fold and to
+  * DuckDB's list_reduce oracle.
+  *
+  * Null semantics match zip_with+aggregate: a null element poisons the
+  * whole sum to null.
+  */
+case class VecDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDotExpr {
+  def column(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      VecDotExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -93,21 +93,40 @@ object ExtQueries {
       ORDER BY doc_a, doc_b
     """))
 
+  /** Shared simhash CTE (16-bit fingerprint from word-hash bit votes). */
+  private val sqlSimhashCte: String = """sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16), b ->
+                 CASE WHEN list_sum(list_transform(string_split(text, ' '), x ->
+                   CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT)
+                                   / power(2, b)) AS BIGINT) % 2 = 1
+                     THEN 1 ELSE -1 END)) >= 0
+                   THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM documents
+      )"""
+
   private val simhashQ = Q(
     "dedup_simhash",
     (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id")),
-    Some("""
-      WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-      )
-      SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 16), b ->
-               CASE WHEN list_sum(list_transform(words, x ->
-                 CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT)
-                                 / power(2, b)) AS BIGINT) % 2 = 1
-                   THEN 1 ELSE -1 END)) >= 0
-                 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-      FROM w ORDER BY doc_id
+    Some(s"""
+      WITH $sqlSimhashCte
+      SELECT doc_id, simhash FROM sh ORDER BY doc_id
+    """))
+
+  /** The Spark side runs the pigeonhole-blocked probe; the oracle brute-
+    * forces every pair — passing proves the blocking loses no pairs.
+    */
+  private val simhashProbeQ = Q(
+    "dedup_simhash_neardup",
+    (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), maxDist = 2)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $sqlSimhashCte
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      ORDER BY doc_a, doc_b
     """))
 
   private val jaccardQ = Q(
@@ -201,6 +220,58 @@ object ExtQueries {
       SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank
     """))
+
+  /** Trained-quantizer IVF build: deterministic Lloyd k-means (k=4, 2
+    * iterations, init = 4 smallest vec_ids) through the REAL
+    * Similarity.kmeans path; oracle unrolls the same iterations in SQL.
+    * Passing means an independent engine reproduces the trained model —
+    * assignments AND final distances — bit-for-bit.
+    */
+  private val ivfTrain = Q(
+    "sim_ivf_train",
+    (s, d) => Similarity.ivfTrainAssign(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300), k = 4, iters = 2, dim = 64)
+      .orderBy(col("vec_id")),
+    Some {
+      val dist =
+        """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+             (x, y) -> x + y)"""
+      def assignCte(n: Int, cent: String) =
+        s"""a$n AS (
+          SELECT vec_id, cell, dist FROM (
+            SELECT e.vec_id, c.cell, $dist AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY $dist ASC, c.cell ASC) AS rn
+            FROM e CROSS JOIN $cent c
+          ) WHERE rn = 1
+        )"""
+      def centroidCte(n: Int) =
+        s"""m$n AS (
+          SELECT cell, list(embedding ORDER BY vec_id) AS ms
+          FROM a$n JOIN e USING (vec_id) GROUP BY cell
+        ), c$n AS (
+          SELECT cell, list_transform(range(1, 65), dd ->
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(ms, m -> CAST(m[dd] AS DOUBLE))),
+              (x, y) -> x + y) / len(ms)) AS centroid
+          FROM m$n
+        )"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      c0 AS (
+        SELECT CAST(vec_id AS INT) AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM e WHERE vec_id < 4
+      ),
+      ${assignCte(1, "c0")}, ${centroidCte(1)},
+      ${assignCte(2, "c1")}, ${centroidCte(2)},
+      ${assignCte(3, "c2")}
+      SELECT vec_id, cell, dist FROM a3 ORDER BY vec_id
+    """
+    })
 
   private def sqlPlaneDot(j: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -362,7 +433,8 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
-  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, simhashQ, jaccardQ,
-    bruteTopK, ivfTopK, lshBucketQ, nearDupQ,
+  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, simhashQ,
+    simhashProbeQ, jaccardQ,
+    bruteTopK, ivfTopK, ivfTrain, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, tokensQ, fingerprintQ, multimodalQ)
 }

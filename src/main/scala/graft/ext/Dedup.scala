@@ -151,6 +151,45 @@ object Dedup {
         (0 until bits).map(bitVal).reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-dup pairs within hamming distance `maxDist` — the lookup
+    * half of the fingerprint (the hamming-ball probe that round 1 left as
+    * a comment). Pigeonhole: split the `bits`-wide fingerprint into
+    * maxDist+1 blocks; two fingerprints within distance maxDist must agree
+    * EXACTLY on at least one block, so candidates come from equality
+    * grouping per block — a shuffle on (block, value), never all-pairs —
+    * followed by the exact popcount filter. Same group-then-expand shape as
+    * [[lshCandidatePairs]]; per-group width is bounded by block-value
+    * equality.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 2,
+      bits: Int = 16): DataFrame = {
+    val nBlocks = maxDist + 1
+    val base = bits / nBlocks
+    val extra = bits % nBlocks
+    val widths = Seq.tabulate(nBlocks)(b => if (b < extra) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    val blockCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), shifts(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
+    }
+    val members = sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+    val pairs = flatten(transform(col("ms"), (a, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+        struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
+          bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+            .as("hamming")))))
+    simhash(docs, bits)
+      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.blk"), col("bv.v"))
+      .groupBy(col("blk"), col("v")).agg(members.as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** N-gram Jaccard near-dup pairs within blocking keys (lang, source,
     * length bucket). Blocking turns the O(n²) pair space into
     * sum-of-block² — at 100 TB the blocks are the shuffle partitions and

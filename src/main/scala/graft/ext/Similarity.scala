@@ -75,6 +75,75 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
+  /** Squared L2 distance as a deterministic left-to-right fold (double
+    * widening per element), for oracle bit-parity.
+    */
+  private def l2sq(e: Column, c: Column): Column =
+    aggregate(zip_with(e, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Assign each vector to its nearest centroid (squared L2; ties break to
+    * the smaller cell via struct ordering). Centroids are tiny → broadcast;
+    * the corpus side never shuffles.
+    */
+  def kmeansAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        l2sq(col("embedding"), col("centroid")).as("dist"))
+      .groupBy(col("vec_id")).agg(min(struct(col("dist"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.dist").as("dist"))
+
+  /** Deterministic Lloyd k-means — the coarse-quantizer training the IVF
+    * path needs (round 1 reused a pre-existing label column; this trains
+    * real centroids). Init: the k smallest vec_ids' embeddings. Each
+    * iteration: assign, then recompute each cell's centroid as per-dim
+    * means folded in vec_id order — deterministic double summation so an
+    * independent engine reproduces it bit-for-bit. At 100 TB the mean
+    * would use an order-independent decimal sum instead of per-cell
+    * collect_list; assignment (the per-row heavy part) is identical.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    var cent = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val asg = kmeansAssign(emb, cent).select("vec_id", "cell")
+      val members = asg.join(emb, "vec_id")
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"))
+      cent = members.select(col("cell"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          aggregate(col("ms"), lit(0.0),
+            (acc, m) => acc + get(m.getField("embedding"), d).cast("double")) /
+            size(col("ms"))).as("centroid"))
+    }
+    cent
+  }
+
+  /** Train k cells, then assign the corpus — the IVF build step. */
+  def ivfTrainAssign(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame =
+    kmeansAssign(emb, kmeansCentroids(emb, k, iters, dim))
+
+  /** IVF search against TRAINED cells: corpus and queries are assigned to
+    * trained centroids; each query probes only its own cell's inverted
+    * list. Same partition-pruned probe shape as [[ivfTopK]], with the
+    * quantizer an actual model instead of a given label.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCells: Int, iters: Int, dim: Int): DataFrame = {
+    val centroids = kmeansCentroids(corpus, kCells, iters, dim)
+    val corpusCells = corpus.join(
+      kmeansAssign(corpus, centroids).select("vec_id", "cell"), "vec_id")
+    val queryCells = queries.join(
+      kmeansAssign(queries, centroids).select("vec_id", "cell"), "vec_id")
+    val joined = corpusCells.as("c").join(broadcast(queryCells.as("q")),
+      col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.cell").as("cell"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    topKPerQuery(joined, k)
+  }
+
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come

@@ -16,6 +16,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -284,6 +284,41 @@ object SubscriptionRunner {
       }
       .start()
 
+  /** Streaming retry consumer — the Spark form of the reference's retry-bus
+    * reader (trigger.go:256-302 + the timer wheel's re-queue). Streams the
+    * retry bus; per micro-batch, matured events re-deliver through the full
+    * routing (escalating attempts; cap → DLQ, which appends back to this
+    * same bus as the next generation of files), while immature events
+    * re-spool: appended back to the bus as new files the stream will pick
+    * up on a later trigger. Release precision = the trigger interval, same
+    * trade as DelayedEvents.
+    */
+  def startRetries(
+      spark: SparkSession,
+      retryBus: EventBus,
+      spec: Spec,
+      sink: Sink,
+      dlqBus: Option[EventBus],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000): StreamingQuery =
+    retryBus.readStream(spark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val now = nowEpochSec()
+        val (due, pending) = DelayedEvents.split(
+          batch.filter(col("attributes").getItem("xvanussubscriptionid") ===
+            spec.config.subscriptionId), now)
+        if (!due.isEmpty) {
+          processBatch(due, spec, sink, Some(retryBus), dlqBus, now)
+          ()
+        }
+        if (!pending.isEmpty) retryBus.append(pending)
+      }
+      .start()
+
   /** Retry-consumer pass (trigger.go:256-302): take matured retry events for
     * this subscription (delivery time due, attempts below cap), re-deliver
     * through the same routing; exceeded attempts go to DLQ.

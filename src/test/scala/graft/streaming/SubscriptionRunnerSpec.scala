@@ -154,6 +154,35 @@ class SubscriptionRunnerSpec extends SparkSpec {
     assert(dattrs("deadletterreason") == "maxRetryAttempts=3 exceeded")
   }
 
+  test("streaming retry consumer delivers matured events, re-spools pending") {
+    val retryDir = tmp("sretry")
+    val retryBus = EventBus(retryDir)
+    val ckpt = tmp("sckpt")
+    // seed: 10 matured (past deliverytime) + 10 pending (far future)
+    val stamped = view.filter(col("type") === "purchase").limit(20)
+      .withColumn("attributes", map_concat(col("attributes"), map(
+        lit("xvanusretryattempts"), lit("1"),
+        lit("xvanussubscriptionid"), lit("sub-1"),
+        lit("xvanusdeliverytime"),
+        when(col("sequence_number") % 2 === 0, lit("2024-01-01 00:00:00"))
+          .otherwise(lit("2030-01-01 00:00:00")))))
+    retryBus.append(stamped)
+    val nMatured = stamped.filter(col("sequence_number") % 2 === 0).count()
+    val nPending = 20 - nMatured
+    val delivered = spark.sparkContext.longAccumulator("sdelivered")
+    val q = SubscriptionRunner.startRetries(spark, retryBus,
+      spec.copy(transformerJson = None),
+      _ => { delivered.add(1); Right(()) }, None, ckpt,
+      nowEpochSec = () => 1704240000L)
+    q.awaitTermination(60000)
+    assert(delivered.value == nMatured)
+    // pending events re-spooled as new files (originals + one copy each)
+    assert(retryBus.read(spark).count() == 20 + nPending)
+    val futureRows = retryBus.read(spark).filter(
+      col("attributes").getItem("xvanusdeliverytime") === "2030-01-01 00:00:00")
+    assert(futureRows.count() == 2 * nPending)
+  }
+
   test("backoff curve matches util.go:75-88") {
     assert(Backoff.delaySeconds(1) == 1)
     assert(Backoff.delaySeconds(2) == 5)

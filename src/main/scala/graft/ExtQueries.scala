@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Catalog entries for the north-star analytics operators (SURVEY §7.7):
@@ -400,6 +400,71 @@ object ExtQueries {
       FROM documents ORDER BY doc_id
     """))
 
+  private val gopherQ = Q(
+    "text_gopher_quality",
+    (s, d) => TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+      )
+      SELECT doc_id,
+             len(words) AS n_words,
+             CAST(len(list_filter(words, x -> length(x) <= 3)) AS DOUBLE) / len(words) AS frac_short_words,
+             CAST(len(list_filter(words, x -> length(x) >= 8)) AS DOUBLE) / len(words) AS frac_long_words,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS symbol_ratio,
+             CAST(list_max(list_transform(list_distinct(words),
+               w -> len(list_filter(words, x -> x = w)))) AS DOUBLE) / len(words) AS top_word_freq,
+             (len(words) >= 50 AND len(words) <= 100000 AND
+              CAST(list_max(list_transform(list_distinct(words),
+                w -> len(list_filter(words, x -> x = w)))) AS DOUBLE) / len(words) <= 0.2)
+               AS passes_gopher
+      FROM w ORDER BY doc_id
+    """))
+
+  private val cleanQ = Q(
+    "text_clean",
+    (s, d) => TextAnalysis.clean(
+      // synthesize dirt so the cleaning is actually exercised: embed a tab
+      // and duplicate spaces derived from the row
+      Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\t "), col("text"), lit("  tail\u0001")))
+          .otherwise(col("text"))))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                 THEN chr(9) || ' ' || text || '  tail' || chr(1)
+                 ELSE text END AS text
+        FROM documents
+      ), c AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS text_clean
+        FROM dirty
+      )
+      SELECT doc_id, text_clean, text_clean != text AS was_dirty
+      FROM c ORDER BY doc_id
+    """))
+
+  private val splitQ = Q(
+    "sample_split",
+    (s, d) => Sampling.assign(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+      )
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id
+    """))
+
   // ===========================================================================
   // multimodal
   // ===========================================================================
@@ -436,5 +501,5 @@ object ExtQueries {
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, simhashQ,
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, lshBucketQ, nearDupQ,
-    langIdQ, qualityQ, tokensQ, fingerprintQ, multimodalQ)
+    langIdQ, qualityQ, gopherQ, cleanQ, splitQ, tokensQ, fingerprintQ, multimodalQ)
 }

@@ -74,6 +74,42 @@ object TextAnalysis {
         .otherwise("ok").as("quality_flag"))
   }
 
+  /** Gopher-style heuristic quality gates (Rae et al. 2021 §A1.1 — public
+    * paper): word-length shape, symbol load, and repetition, the standard
+    * pre-training corpus filters. One codegen'd pass per document; the
+    * repetition signal (top word frequency) folds over the distinct-word
+    * array — O(words·distinct) per doc, still partition-local.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val nWords = size(words)
+    val shortW = size(filter(words, w => length(w) <= 3))
+    val longW = size(filter(words, w => length(w) >= 8))
+    val symbols = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val topFreq = array_max(transform(array_distinct(words),
+      w => size(filter(words, x => x === w))))
+    docs.select(
+      col("doc_id"),
+      nWords.cast("bigint").as("n_words"),
+      (shortW.cast("double") / nWords).as("frac_short_words"),
+      (longW.cast("double") / nWords).as("frac_long_words"),
+      (symbols.cast("double") / length(col("text"))).as("symbol_ratio"),
+      (topFreq.cast("double") / nWords).as("top_word_freq"),
+      (nWords >= 50 && nWords <= 100000 &&
+        (topFreq.cast("double") / nWords) <= 0.2).as("passes_gopher"))
+  }
+
+  /** Text cleaning: drop control characters, collapse whitespace runs,
+    * trim — the normalization pass before tokenize/dedup. Pure regexp
+    * chain, scan speed.
+    */
+  def clean(docs: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "[\\x00-\\x1f]", " "), " +", " "))
+    docs.select(col("doc_id"), cleaned.as("text_clean"),
+      (cleaned =!= col("text")).as("was_dirty"))
+  }
+
   /** Token counting: whitespace tokens, a regex token count ([a-z]+ runs —
     * RE2/Java-compatible pattern), and a BPE-ish subword estimate
     * (ceil(len/4) per word).

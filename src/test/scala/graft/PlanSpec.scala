@@ -1,0 +1,68 @@
+package graft
+
+import graft.filters.FilterCompiler
+import graft.model.FilterSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the properties the 100 TB story depends on, asserted
+  * against the actual executed plans, so a refactor that silently breaks
+  * pushdown or pruning fails CI rather than a production scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter specs push equality predicates into the parquet scan") {
+    val pred = FilterCompiler.compileList(
+      Seq(FilterSpec.Exact(Seq("type" -> "purchase"))))
+    val plan = executedPlan(
+      model.EventView.fromEventsTable(Tables.events(spark, sf)).filter(pred))
+    // `isNotNull && equals` spelling keeps the conjunct in PushedFilters
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
+      s"pushdown lost:\n$plan")
+  }
+
+  test("metadata-only media query prunes the binary column at the scan") {
+    val media = ext.Multimodal.metaOnly(
+      Tables.documents(spark, sf).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("content")))
+    // the media frame is built from projected columns, so the scan must
+    // read only what the projection needs — doc_id and text here; the
+    // point is ReadSchema stays narrow (no lang/source/n_chars)
+    val plan = executedPlan(media)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning lost:\n$plan")
+  }
+
+  test("point get range probe reaches PushedFilters") {
+    val plan = executedPlan(Tables.events(spark, sf)
+      .filter(col("event_id").between(100, 115)).select("event_id", "value"))
+    assert(plan.contains("GreaterThanOrEqual(event_id,100)") &&
+      plan.contains("LessThanOrEqual(event_id,115)"), s"range pushdown lost:\n$plan")
+  }
+
+  test("q1 aggregation keeps map-side partial aggregation") {
+    val plan = executedPlan(Queries.queries("q1_agg")(spark, sf))
+    // partial HashAggregate before the exchange, final after
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"partial agg lost:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag"), s"agg shuffle key wrong:\n$plan")
+  }
+
+  test("broadcast hint survives for the brute-force top-k query side") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = executedPlan(
+      ext.Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"broadcast lost:\n$plan")
+  }
+
+  test("vec_dot is callable from SQL via GraftExtensions") {
+    val row = spark.sql(
+      "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +
+        "array(cast(2.0 as float), cast(3.0 as float))) AS d").head
+    assert(row.getDouble(0) == 9.0)
+  }
+}

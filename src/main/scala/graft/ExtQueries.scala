@@ -93,12 +93,14 @@ object ExtQueries {
       ORDER BY doc_a, doc_b
     """))
 
-  /** Shared simhash CTE (16-bit fingerprint from word-hash bit votes). */
-  private val sqlSimhashCte: String = """sh AS (
+  /** Shared simhash CTE (fingerprint from word-hash bit votes; word-hash
+    * width = bits/4 hex chars, mirroring Dedup.simhash).
+    */
+  private def sqlSimhashCte(bits: Int): String = s"""sh AS (
         SELECT doc_id,
-               CAST(list_sum(list_transform(range(0, 16), b ->
+               CAST(list_sum(list_transform(range(0, $bits), b ->
                  CASE WHEN list_sum(list_transform(string_split(text, ' '), x ->
-                   CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT)
+                   CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, ${bits / 4})) AS BIGINT)
                                    / power(2, b)) AS BIGINT) % 2 = 1
                      THEN 1 ELSE -1 END)) >= 0
                    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
@@ -109,7 +111,7 @@ object ExtQueries {
     "dedup_simhash",
     (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some(s"""
-      WITH $sqlSimhashCte
+      WITH ${sqlSimhashCte(16)}
       SELECT doc_id, simhash FROM sh ORDER BY doc_id
     """))
 
@@ -118,10 +120,11 @@ object ExtQueries {
     */
   private val simhashProbeQ = Q(
     "dedup_simhash_neardup",
-    (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), maxDist = 2)
+    (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), maxDist = 2,
+        bits = 32)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
-      WITH $sqlSimhashCte
+      WITH ${sqlSimhashCte(32)}
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -138,7 +138,10 @@ object Dedup {
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     val words = split(col("text"), " ", -1)
-    val hs = transform(words, w => conv(substring(md5(w), 1, 4), 16, 10).cast("bigint"))
+    // word-hash width tracks the fingerprint width (bits/4 hex chars), so
+    // every fingerprint bit has a live vote source
+    val hs = transform(words,
+      w => conv(substring(md5(w), 1, bits / 4), 16, 10).cast("bigint"))
     def bitVal(b: Int): Column = {
       val votes = aggregate(col("hs"), lit(0L),
         (acc, h) => acc + when((floor(h / lit(math.pow(2, b))).cast("bigint") % 2) === 1, 1L)

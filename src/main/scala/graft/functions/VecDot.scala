@@ -8,7 +8,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd float-vector dot product:
@@ -73,4 +73,20 @@ object VecDotExpr {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(
       VecDotExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Column ⇄ Expression bridge for code outside the sql package tree
+  * (ExpressionUtils is private[sql]).
+  *
+  * `toExpressionEager` runs the full ColumnNode→catalyst conversion up
+  * front instead of the lazy ColumnNodeExpression wrapper — required when
+  * the expression is spliced into a plan by a FunctionBuilder, where the
+  * wrapper would stay opaque to the optimizer (blocking predicate
+  * pushdown).
+  */
+object ExprBridge {
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  def toExpressionEager(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 }

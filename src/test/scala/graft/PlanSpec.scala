@@ -59,6 +59,30 @@ class PlanSpec extends SparkSpec {
       s"broadcast lost:\n$plan")
   }
 
+  test("cesql/cel filter DSLs are callable from SQL and still push down") {
+    model.EventView.fromEventsTable(Tables.events(spark, sf))
+      .createOrReplaceTempView("ce_events")
+    val viaSql = spark.sql(
+      "SELECT sequence_number FROM ce_events WHERE cesql('type = \\'purchase\\'')")
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(viaSql.count() == expected)
+    val plan = executedPlan(viaSql)
+    // compiled eagerly into plain catalyst (no opaque wrapper), so the
+    // optimizer prunes columns; CESQL's missing→false coalesce keeps the
+    // predicate post-scan (same as the DataFrame form of cesql filters)
+    assert(!plan.contains("columnnodeexpression"), s"unresolved DSL:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
+      s"pruning lost:\n$plan")
+
+    // CEL addresses the JSON data body via $path.(type) declarations
+    val viaCel = spark.sql(
+      "SELECT count(*) FROM ce_events WHERE cel('$k.(int64) >= 50')").head.getLong(0)
+    val celExpected = model.EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(graft.cel.CEL.compile("$k.(int64) >= 50")).count()
+    assert(viaCel == celExpected && viaCel > 0)
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +

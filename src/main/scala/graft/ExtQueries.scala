@@ -93,6 +93,36 @@ object ExtQueries {
       ORDER BY doc_a, doc_b
     """))
 
+  /** Connected components over the LSH candidate pairs through the REAL
+    * iterative propagation; the oracle computes the same components with a
+    * recursive transitive closure — passing proves the fixpoint labeling
+    * equals true reachability.
+    */
+  private val lshGroups = Q(
+    "dedup_lsh_groups",
+    (s, d) => Dedup.duplicateGroups(
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, d))))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE $sqlSigCtes, $sqlBandsCte,
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      )
+      SELECT src AS doc_id, MIN(dst) AS group_id,
+             src = MIN(dst) AS is_keeper
+      FROM reach GROUP BY src ORDER BY doc_id
+    """))
+
   /** Shared simhash CTE (fingerprint from word-hash bit votes; word-hash
     * width = bits/4 hex chars, mirroring Dedup.simhash).
     */
@@ -501,7 +531,7 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
-  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, simhashQ,
+  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, simhashQ,
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, cleanQ, splitQ, tokensQ, fingerprintQ, multimodalQ)

@@ -154,6 +154,37 @@ object Dedup {
         (0 until bits).map(bitVal).reduce(_ + _).as("simhash"))
   }
 
+  /** Transitive duplicate groups from candidate pairs (the decision step
+    * after LSH/Jaccard/SimHash candidates): connected components by
+    * iterative min-label propagation — each node adopts the smallest label
+    * among itself and its neighbors until fixpoint (≤ diameter iterations,
+    * O(log n) for typical dup clusters). Every iteration is one shuffle on
+    * the edge key; `localCheckpoint` truncates the growing lineage. The
+    * group id is the smallest doc_id in the component — the conventional
+    * keeper — so dedup = `filter(!is_keeper)` to drop, or join back for
+    * keep-best-by-quality policies.
+    */
+  def duplicateGroups(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nmin"))
+      val upd = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      changed = upd.filter(col("comp2") =!= col("comp")).count()
+      labels = upd.select(col("id"), col("comp2").as("comp"))
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("group_id"),
+      (col("id") === col("comp")).as("is_keeper"))
+  }
+
   /** SimHash near-dup pairs within hamming distance `maxDist` — the lookup
     * half of the fingerprint (the hamming-ball probe that round 1 left as
     * a comment). Pigeonhole: split the `bits`-wide fingerprint into

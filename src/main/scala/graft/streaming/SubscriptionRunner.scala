@@ -200,10 +200,17 @@ object SubscriptionRunner {
       }
     }.toDF("sequence_number", "code").cache()
 
-    // one materialization of the cached outcomes frame yields every count:
-    // passed (all outcomes), delivered, and the failure routing below
-    val passedCount = outcomes.count()
-    val deliveredCount = outcomes.filter(col("code") === 0).count()
+    // one aggregation job materializes the cached outcomes frame AND
+    // yields both counts (passed = all outcomes, delivered = code 0) —
+    // micro-batch latency is driver job count, so counts are merged
+    val oc = outcomes.agg(
+      count(lit(1)), count(when(col("code") === 0, 1))).head
+    val passedCount = oc.getLong(0)
+    val deliveredCount = oc.getLong(1)
+    if (deliveredCount == passedCount) { // happy path: no routing work at all
+      outcomes.unpersist()
+      return BatchResult(deliveredCount, total - passedCount, 0L, 0L)
+    }
     val failed = outcomes.filter(col("code") =!= 0)
 
     // failure routing. The join reads the persisted batch, not the source;
@@ -221,28 +228,34 @@ object SubscriptionRunner {
     val retryableCode = col("code") === 429 || col("code") >= 500
     val canRetry = retryableCode && attempt <= spec.config.maxRetryAttempts
 
+    // both routing counts in one aggregation job; appends only run when
+    // their side is non-empty (failedEvents reads the persisted batch +
+    // cached outcomes, so none of this re-touches the source)
+    val wantRetry = retryBus.isDefined && !ordered
+    val rc = failedEvents.agg(
+      count(when(canRetry, 1)), count(when(!canRetry, 1))).head
+    val (nCanRetry, nNoRetry) = (rc.getLong(0), rc.getLong(1))
+
     val now = nowEpochSec
     val retryCount = retryBus match {
-      case Some(bus) if !ordered =>
-        val stamped = failedEvents.filter(canRetry)
+      case Some(bus) if wantRetry && nCanRetry > 0 =>
+        bus.append(failedEvents.filter(canRetry)
           .withColumn("attributes", stampAttrs(col("attributes"),
             "xvanusretryattempts" -> attempt.cast("string"),
             "xvanussubscriptionid" -> lit(spec.config.subscriptionId),
             "xvanusdeliverytime" ->
               timestamp_seconds(lit(now) + Backoff.delaySecondsCol(attempt)).cast("string")))
-          .drop("code")
-        val n = stamped.count()
-        if (n > 0) bus.append(stamped)
-        n
+          .drop("code"))
+        nCanRetry
       case _ => 0L
     }
 
-    val dlqSource =
-      if (retryBus.isEmpty || ordered) failedEvents
-      else failedEvents.filter(!canRetry)
+    val (dlqSource, dlqN) =
+      if (!wantRetry) (failedEvents, nCanRetry + nNoRetry)
+      else (failedEvents.filter(!canRetry), nNoRetry)
     val dlqCount = dlqBus match {
-      case Some(bus) if !spec.config.disableDeadLetter =>
-        val stamped = dlqSource.withColumn("attributes",
+      case Some(bus) if !spec.config.disableDeadLetter && dlqN > 0 =>
+        bus.append(dlqSource.withColumn("attributes",
           stampAttrs(col("attributes"),
             "deadletterreason" ->
               when(retryableCode && attempt > spec.config.maxRetryAttempts,
@@ -251,10 +264,8 @@ object SubscriptionRunner {
             "lastdeliverytime" -> timestamp_seconds(lit(now)).cast("string"),
             "lastdeliveryerror" -> col("code").cast("string"),
             "xvanussubscriptionid" -> lit(spec.config.subscriptionId)))
-          .drop("code")
-        val n = stamped.count()
-        if (n > 0) bus.append(stamped)
-        n
+          .drop("code"))
+        dlqN
       case _ => 0L
     }
     outcomes.unpersist()

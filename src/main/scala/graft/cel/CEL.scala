@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object CEL {
 
-  def compile(expression: String): Column =
-    coalesce(toColumn(new Parser(Lexer.tokenize(expression)).parse()), lit(false))
+  def compile(expression: String): Column = {
+    // missing/error => false via `p IS NOT NULL AND p` (see CESQL.compile)
+    val p = toColumn(new Parser(Lexer.tokenize(expression)).parse())
+    p.isNotNull && p
+  }
 
   // ==== AST ====
   sealed trait Expr

@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object CESQL {
 
-  def compile(expression: String): Column =
-    coalesce(toColumn(new Parser(Lexer.tokenize(expression)).parseExpression(0)), lit(false))
+  def compile(expression: String): Column = {
+    // missing/error => false, spelled `p IS NOT NULL AND p` rather than
+    // coalesce(p, false): identical semantics, but NullPropagation can
+    // rewrite isnotnull(a = lit) to isnotnull(a), which keeps simple
+    // attribute predicates pushdown-eligible at the parquet scan
+    val p = toColumn(new Parser(Lexer.tokenize(expression)).parseExpression(0))
+    p.isNotNull && p
+  }
 
   // ==== AST ====
   sealed trait CType

@@ -68,10 +68,12 @@ class PlanSpec extends SparkSpec {
       .filter(col("event_type") === "purchase").count()
     assert(viaSql.count() == expected)
     val plan = executedPlan(viaSql)
-    // compiled eagerly into plain catalyst (no opaque wrapper), so the
-    // optimizer prunes columns; CESQL's missing→false coalesce keeps the
-    // predicate post-scan (same as the DataFrame form of cesql filters)
+    // compiled eagerly into plain catalyst (no opaque wrapper); the
+    // missing→false guard is spelled isNotNull && pred, so the equality
+    // conjunct reaches PushedFilters even through the SQL function
     assert(!plan.contains("columnnodeexpression"), s"unresolved DSL:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"),
+      s"cesql pushdown lost:\n$plan")
     assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
       s"pruning lost:\n$plan")
 

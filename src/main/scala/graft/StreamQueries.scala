@@ -200,6 +200,50 @@ object StreamQueries {
       FROM events WHERE event_id < 1000 ORDER BY event_id
     """))
 
+  /** Event-time tumbling-window rates (WindowedStats batch form — identical
+    * expression tree to the watermarked streaming form).
+    */
+  private val windowedRatesQ = Q(
+    "stream_windowed_rates",
+    (s, d) => graft.streaming.WindowedStats.eventRates(
+      EventView.fromEventsTable(Tables.events(s, d)))
+      .orderBy(col("window_start"), col("type")),
+    Some("""
+      SELECT time_bucket(INTERVAL 1 minute, ts) AS window_start,
+             event_type AS type,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** Per-user running profiles through the REAL mapGroupsWithState update
+    * function (batch form: state starts empty, one fold).
+    */
+  private val userProfilesQ = Q(
+    "stream_user_profiles",
+    (s, d) => graft.streaming.UserSessions.profiles(
+      EventView.fromEventsTable(Tables.events(s, d)))
+      .toDF().orderBy(col("userId")),
+    Some("""
+      WITH l AS (SELECT user_id, event_type, ts FROM events),
+      agg AS (
+        SELECT user_id, COUNT(*) AS n,
+               MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS t
+        FROM l GROUP BY user_id
+      ), last AS (
+        SELECT user_id, event_type FROM (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_type DESC) AS rn
+          FROM l
+        ) WHERE rn = 1
+      )
+      SELECT CAST(a.user_id AS VARCHAR) AS "userId",
+             a.n AS "nEvents", a.f AS "firstSeenMicros",
+             a.t AS "lastSeenMicros", last.event_type AS "lastType"
+      FROM agg a JOIN last USING (user_id) ORDER BY "userId"
+    """))
+
   val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ,
-    publishValidateQ)
+    publishValidateQ, windowedRatesQ, userProfilesQ)
 }

@@ -244,6 +244,37 @@ object StreamQueries {
       FROM agg a JOIN last USING (user_id) ORDER BY "userId"
     """))
 
+  /** Gap sessionization via the REAL session_window operator; the oracle
+    * rebuilds sessions with the islands technique (gap-break flags +
+    * running sum).
+    */
+  private val sessionsQ = Q(
+    "stream_session_windows",
+    (s, d) => graft.streaming.WindowedStats.userSessionWindows(
+      EventView.fromEventsTable(Tables.events(s, d)), "8 hours")
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH e AS (SELECT user_id, ts FROM events),
+      m AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 28800
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+      )
+      SELECT CAST(user_id AS VARCHAR) AS user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 8 HOUR AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+    """))
+
   val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ,
-    publishValidateQ, windowedRatesQ, userProfilesQ)
+    publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ)
 }

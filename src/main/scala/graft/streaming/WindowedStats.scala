@@ -37,4 +37,19 @@ object WindowedStats {
       .groupBy(window(col("time"), windowLen).as("w"), col("type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("type"), col("n_events"))
+
+  /** Gap-based sessionization per user: Spark's native session_window
+    * merges events whose gaps stay under `gap` into one [first,
+    * last + gap) session — the declarative form of what
+    * flatMapGroupsWithState would hand-roll. Batch form here; streaming
+    * adds a watermark exactly like [[eventRatesStream]].
+    */
+  def userSessionWindows(events: DataFrame, gap: String = "8 hours"): DataFrame =
+    events
+      .groupBy(
+        col("attributes").getItem("xuserid").as("user_id"),
+        session_window(col("time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
 }

@@ -275,6 +275,45 @@ object StreamQueries {
       ORDER BY user_id, session_start
     """))
 
+  /** CE structured-mode JSON roundtrip: serialize each event to wire JSON
+    * (raw data embed, extension attr inline), parse back through the REAL
+    * EventJson.parse, and emit the recovered fields — the oracle predicts
+    * them straight from the source table, so the parse must exactly
+    * invert the serialize.
+    */
+  private val jsonIngestQ = Q(
+    "publish_json_ingest",
+    (s, d) => {
+      import graft.streaming.EventJson
+      val wire = Tables.events(s, d).select(
+        col("event_id").as("sequence_number"),
+        concat(
+          lit("""{"specversion":"1.0","id":""""), col("event_id"),
+          lit("""","source":"/testdata/events","type":""""), col("event_type"),
+          lit("""","time":""""),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+          lit("""","datacontenttype":"application/json","xuserid":""""),
+          col("user_id"),
+          lit("""","data":"""), col("props"), lit("}")).as("json"))
+      EventJson.parse(wire)
+        .select(col("sequence_number").as("event_id"), col("id"),
+          col("source"), col("type"), col("time"),
+          col("datacontenttype"),
+          col("attributes").getItem("xuserid").as("xuserid"), col("data"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             CAST(event_id AS VARCHAR) AS id,
+             '/testdata/events' AS source,
+             event_type AS type,
+             date_trunc('second', ts) AS time,
+             'application/json' AS datacontenttype,
+             CAST(user_id AS VARCHAR) AS xuserid,
+             CAST(json(props) AS VARCHAR) AS data
+      FROM events ORDER BY event_id
+    """))
+
   val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ,
-    publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ)
+    publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
 }

@@ -29,6 +29,15 @@ final class EventBus(val path: String) extends Serializable {
   def append(df: DataFrame): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Partitioned append — the 100 TB layout: one directory level per
+    * partition column (e.g. event date, bus name), so time/bus-scoped
+    * reads prune whole directories (PartitionFilters) before any file IO.
+    * Readers are unchanged: `read`/`readStream` see partition columns as
+    * ordinary columns.
+    */
+  def appendPartitioned(df: DataFrame, partitionCols: String*): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
   /** First offset with stime >= ts per eventlog — QueryOffsetByTime
     * (block_seek.go:45-86). Row-group stats give the same pruning the vsb
     * index gave.

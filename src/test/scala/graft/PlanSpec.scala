@@ -85,6 +85,20 @@ class PlanSpec extends SparkSpec {
     assert(viaCel == celExpected && viaCel > 0)
   }
 
+  test("date-partitioned bus reads prune partitions, not just row groups") {
+    val dir = java.nio.file.Files.createTempDirectory("pbus").toString
+    val bus = streaming.EventBus(dir)
+    val view = model.EventView.fromEventsTable(Tables.events(spark, sf))
+      .withColumn("event_date", to_date(col("time")))
+    bus.appendPartitioned(view, "event_date")
+    val probe = bus.read(spark).filter(col("event_date") === "2024-01-02")
+    val plan = executedPlan(probe)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"partition pruning lost:\n$plan")
+    assert(probe.count() ==
+      view.filter(col("event_date") === "2024-01-02").count())
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +

@@ -165,9 +165,16 @@ object Dedup {
     * keep-best-by-quality policies.
     */
   def duplicateGroups(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edgesWide = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().localCheckpoint()
+    // candidate-pair graphs are usually tiny relative to the corpus (LSH
+    // already pruned); iterate a small graph in one partition instead of
+    // paying 32-partition shuffle latency per round — wide graphs keep
+    // full parallelism
+    val edges =
+      if (edgesWide.count() <= 100000) edgesWide.repartition(1).localCheckpoint()
+      else edgesWide
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
     var changed = 1L

@@ -88,7 +88,8 @@ object TextAnalysis {
     val symbols = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     val topFreq = array_max(transform(array_distinct(words),
       w => size(filter(words, x => x === w))))
-    docs.select(
+    // O(words·distinct) interpreted HOF per doc — redistribute few-split inputs
+    graft.Tables.fanOut(docs).select(
       col("doc_id"),
       nWords.cast("bigint").as("n_words"),
       (shortW.cast("double") / nWords).as("frac_short_words"),

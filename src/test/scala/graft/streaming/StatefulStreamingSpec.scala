@@ -32,6 +32,29 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("watermarked dropDuplicates dedups redelivered event ids across batches") {
+    val bus = EventBus(tmp("dbus"))
+    val ckpt = tmp("dck")
+    val view = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 100)
+    bus.append(view)
+    bus.append(view.limit(40)) // at-least-once redelivery of 40 events
+
+    val seen = spark.sparkContext.longAccumulator("deduped")
+    val q = bus.readStream(spark)
+      .withWatermark("time", "10 days") // state bound; ids inside it dedup
+      .dropDuplicates("id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.add(b.count())
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(seen.value == 100) // duplicates suppressed by id state
+  }
+
   test("mapGroupsWithState accumulates across micro-batches via checkpoint") {
     val bus = EventBus(tmp("ubus"))
     val ckpt = tmp("uck")

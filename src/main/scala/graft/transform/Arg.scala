@@ -48,8 +48,16 @@ object Arg {
 
   final case class DataPath(path: String, original: String) extends Arg {
     private val segs = JPath.parse(path)
+    private val isProjection = segs.contains(JPath.AllItems)
     def evaluate(ctx: Ctx): Either[String, JValue] =
-      JPath.get(ctx.data, segs).toRight(s"arg $original value is nil")
+      // `[:]` projections resolve to the collected array (ojg GetNodes —
+      // the reference's arg form for e.g. join over alerts[:].URL,
+      // transform/arg/data.go); empty projection = nil like a miss
+      if (isProjection) {
+        val hits = JPath.getAll(ctx.data, segs)
+        if (hits.isEmpty) Left(s"arg $original value is nil")
+        else Right(JArr(hits))
+      } else JPath.get(ctx.data, segs).toRight(s"arg $original value is nil")
     def set(ctx: Ctx, v: JValue): Either[String, Ctx] =
       JPath.set(ctx.data, segs, v).map(updData(ctx, _))
     def delete(ctx: Ctx): Either[String, Ctx] =

@@ -75,4 +75,37 @@ class TransformerSpecTest extends AnyFunSuite {
     val spec = """{"define": {"bad": "$.data.missing"}, "pipeline": []}"""
     assert(Transformer.transform(spec, canonical).isLeft)
   }
+
+  test("ValidateSubscription feishu vector (proxy_test.go:287-364)") {
+    // the reference's dry-run test: a real alertmanager webhook event and a
+    // pipeline that fans [:] projections into joined extension attributes
+    val data = """{
+      "body":{"alerts":[{"annotations":{"feishuUrls":[
+        {"URL":"https://open.feishu.cn/open-apis/bot/v2/hook/xxxxx","signature":"yyyy"},
+        {"URL":"https://open.feishu.cn/open-apis/bot/v2/hook/yyyyy","signature":""},
+        {"URL":"https://open.feishu.cn/open-apis/bot/v2/hook/zzzzz","signature":"zzzz"}]},
+        "labels":{"forward":"test-server","severity":"P1"},
+        "startsAt":"2022-12-12T07:55:24.893471163Z","status":"resolved"}],
+      "commonLabels":{"cluster":"test","forward":"test-server","groups":"test-bot","severity":"P1"}},
+      "headers":{"Content-Type":"application/json","Host":"webhook-source.vanus:80"},
+      "method":"POST","query_args":{"source":"prometheus","subject":"operator"}
+    }"""
+    val ev = EventValue.simple(
+      "13b719a4-ada9-436a-9fb1-fc2bc82dc647", "prometheus",
+      "naive-http-request", data)
+    val spec = """{"pipeline":[
+      {"command":["create","$.xvfeishuservice","bot"]},
+      {"command":["create","$.xvfeishumsgtype","interactive"]},
+      {"command":["join","$.xvfeishuboturls",",","$.data.body.alerts[0].annotations.feishuUrls[:].URL"]},
+      {"command":["join","$.xvfeishubotsigns",",","$.data.body.alerts[0].annotations.feishuUrls[:].signature"]}]}"""
+    val out = Transformer.transform(spec, ev).toOption.get
+    val exts = out.event.extensions
+    assert(exts("xvfeishuservice") == "bot")
+    assert(exts("xvfeishumsgtype") == "interactive")
+    assert(exts("xvfeishuboturls") ==
+      "https://open.feishu.cn/open-apis/bot/v2/hook/xxxxx," +
+      "https://open.feishu.cn/open-apis/bot/v2/hook/yyyyy," +
+      "https://open.feishu.cn/open-apis/bot/v2/hook/zzzzz")
+    assert(exts("xvfeishubotsigns") == "yyyy,,zzzz") // empty member preserved
+  }
 }

@@ -33,7 +33,12 @@ object Actions {
       arr match {
         case Some(JArr(JStr(name) +: rest)) =>
           val cmd = Command(name.toLowerCase, rest.toVector)
-          checkArity(cmd).map(_ => cmd)
+          for {
+            _ <- checkArity(cmd)
+            _ <- cmd.args.foldLeft[Either[String, Unit]](Right(())) {
+              (acc, a) => acc.flatMap(_ => Arg.validate(a).map(_ => ()))
+            }
+          } yield cmd
         case _ => Left(s"invalid command: ${v.render}")
       }
     }

@@ -34,6 +34,19 @@ object Arg {
     case other => Const(other, other.render)
   }
 
+  /** CE attribute-name rule (pkg/event.go:21-32): ≤20 chars, lower-case
+    * a-z / 0-9 only. Invalid names fail the SPEC at create time (NewArg
+    * errors → transformer invalid), not per event.
+    */
+  def validate(a: Arg): Either[String, Arg] = a match {
+    case AttrArg(attr, original)
+      if attr.length > 20 ||
+        !attr.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) =>
+      Left(s"invalid CloudEvents attribute name in $original " +
+        "(must be a-z0-9, at most 20 chars)")
+    case ok => Right(ok)
+  }
+
   private def updData(ctx: Ctx, d: JValue): Ctx =
     ctx.event match {
       case Some(e) => ctx.copy(event = Some(e.copy(data = d)), data = d)

@@ -33,9 +33,14 @@ object Transformer {
     */
   def parseSpec(json: String): Either[String, Spec] = JValue.parse(json) match {
     case o: JObj =>
-      val defines = o.get("define") match {
-        case Some(JObj(fields)) => fields.toVector.map { case (k, v) => k -> Arg.parse(v) }
-        case _ => Vector.empty
+      val definesE: Either[String, Vector[(String, Arg)]] = o.get("define") match {
+        case Some(JObj(fields)) =>
+          fields.toVector.foldLeft[Either[String, Vector[(String, Arg)]]](Right(Vector.empty)) {
+            case (Left(e), _) => Left(e)
+            case (Right(acc), (k, v)) =>
+              Arg.validate(Arg.parse(v)).map(a => acc :+ (k -> a))
+          }
+        case _ => Right(Vector.empty)
       }
       val pipelineE: Either[String, Vector[Actions.Command]] = o.get("pipeline") match {
         case Some(JArr(items)) =>
@@ -59,7 +64,10 @@ object Transformer {
           (k.orElse(kind), to.get("template").collect { case JStr(s) => s })
         case _ => (kind, None)
       }
-      pipelineE.map(p => Spec(defines, p, tKind, tText))
+      for {
+        defines <- definesE
+        p <- pipelineE
+      } yield Spec(defines, p, tKind, tText)
     case other => Left(s"transformer spec must be an object, got ${JPath.typeName(other)}")
   }
 

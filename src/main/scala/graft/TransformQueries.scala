@@ -165,8 +165,8 @@ object TransformQueries {
     "action_datetime",
     (s, d) => events(s, d).select(
       col("event_id"),
-      dateFormat(col("ts"), "yyyy-MM-dd HH:mm").as("dt_fmt"),
-      unixTimeFormat(kLong, "yyyy-MM-dd HH:mm:ss").as("dt_unix"),
+      dateFormat(col("ts"), "Y-m-d H:i").as("dt_fmt"),
+      unixTimeFormat(kLong, "Y-m-d H:i:s").as("dt_unix"),
       convertTimezone(col("ts"), "UTC", "Asia/Shanghai").as("dt_tz")).orderBy(col("event_id")),
     Some("""
       SELECT event_id,

@@ -110,13 +110,16 @@ object ActionFunctions {
   def sizeOf(c: Column): Column = size(c)
 
   // == datetime (datatime_functions.go) ==
-  def dateFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
+  // formats are the reference's PHP-style tokens (Y-m-d H:i:s), converted
+  // once at plan build — same dialect as the interpreter actions
+  private def jfmt(fmt: String): String = graft.transform.DateFormats.phpToJava(fmt)
+  def dateFormat(ts: Column, fmt: String): Column = date_format(ts, jfmt(fmt))
   def dateFormatTz(ts: Column, fmt: String, tz: String): Column =
-    date_format(from_utc_timestamp(ts, tz), fmt)
+    date_format(from_utc_timestamp(ts, tz), jfmt(fmt))
   def unixTimeFormat(sec: Column, fmt: String): Column =
-    date_format(timestamp_seconds(sec.try_cast("bigint")), fmt)
+    date_format(timestamp_seconds(sec.try_cast("bigint")), jfmt(fmt))
   def convertTimezone(ts: Column, fromTz: String, toTz: String): Column =
-    date_format(from_utc_timestamp(to_utc_timestamp(ts, fromTz), toTz), "yyyy-MM-dd HH:mm:ss")
+    date_format(from_utc_timestamp(to_utc_timestamp(ts, fromTz), toTz), jfmt("Y-m-d H:i:s"))
 
   // == arrays ==
   /** ARRAY_FOREACH with a scalar fn = higher-order transform (foreach.go) */

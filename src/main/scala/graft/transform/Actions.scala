@@ -100,10 +100,15 @@ object Actions {
     } yield nc
 
   private def zone(tz: String): Either[String, ZoneId] =
-    try Right(ZoneId.of(tz)) catch { case _: Exception => Left(s"bad timezone $tz") }
+    // SHORT_IDS so Go-accepted abbreviations (EST, PST, IST...) resolve
+    try Right(ZoneId.of(tz, ZoneId.SHORT_IDS))
+    catch { case _: Exception => Left(s"bad timezone $tz") }
 
   private def pattern(p: String): Either[String, DateTimeFormatter] =
-    try Right(DateTimeFormatter.ofPattern(p)) catch { case e: Exception => Left(s"bad pattern $p: ${e.getMessage}") }
+    // reference formats are PHP-style tokens (Y-m-d H:i:s), converted per
+    // pkg/transform/function/util/time.go:22-51
+    try Right(DateTimeFormatter.ofPattern(DateFormats.phpToJava(p)))
+    catch { case e: Exception => Left(s"bad pattern $p: ${e.getMessage}") }
 
   // ---- dispatch ----------------------------------------------------------
 
@@ -188,7 +193,7 @@ object Actions {
         for {
           from <- evalText(c.args(1), ctx).flatMap(zone)
           to <- evalText(c.args(2), ctx).flatMap(zone)
-          fmt <- (if (c.args.size > 3) evalText(c.args(3), ctx) else Right("yyyy-MM-dd HH:mm:ss")).flatMap(pattern)
+          fmt <- (if (c.args.size > 3) evalText(c.args(3), ctx) else Right("Y-m-d H:i:s")).flatMap(pattern)
           r <- try Right(LocalDateTime.parse(s, fmt).atZone(from).withZoneSameInstant(to).format(fmt))
                catch { case e: Exception => Left(s"convert_timezone: ${e.getMessage}") }
         } yield r

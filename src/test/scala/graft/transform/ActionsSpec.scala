@@ -50,15 +50,38 @@ class ActionsSpec extends AnyFunSuite {
     assert(run(c, """["math_add", "$.data.r", "$.data.nope", 1]""").isLeft) // missing arg aborts
   }
 
-  // ==== datetime ====
+  // ==== datetime (PHP-style formats per util/time.go:22-31) ====
   test("date_format / unix_time_format / convert_timezone") {
     val c = ev("""{"t":"2022-11-15T16:26:23.488Z","sec":1668529583,"lt":"2022-11-15 16:26:23"}""")
-    assert(at(run(c, """["date_format", "$.data.t", "yyyy-MM-dd"]"""), "t") == JStr("2022-11-15"))
-    assert(at(run(c, """["date_format", "$.data.t", "yyyy-MM-dd HH:mm:ss", "Asia/Shanghai"]"""), "t")
+    assert(at(run(c, """["date_format", "$.data.t", "Y-m-d"]"""), "t") == JStr("2022-11-15"))
+    assert(at(run(c, """["date_format", "$.data.t", "Y-m-d H:i:s", "Asia/Shanghai"]"""), "t")
       == JStr("2022-11-16 00:26:23"))
-    assert(at(run(c, """["unix_time_format", "$.data.sec", "yyyy-MM-dd"]"""), "sec") == JStr("2022-11-15"))
+    assert(at(run(c, """["unix_time_format", "$.data.sec", "Y-m-d"]"""), "sec") == JStr("2022-11-15"))
     assert(at(run(c, """["convert_timezone", "$.data.lt", "UTC", "+08:00"]"""), "lt")
       == JStr("2022-11-16 00:26:23"))
+  }
+
+  test("unix_time_format reference vectors (unixtime_format_test.go:26-55)") {
+    val c = ev("""{"time":1668498285}""")
+    assert(at(run(c, """["unix_time_format", "$.data.time", "Y-m-d H:i:s"]"""), "time")
+      == JStr("2022-11-15 07:44:45"))
+    val c2 = ev("""{"time":1668498285}""")
+    // EST resolves via SHORT_IDS (Go LoadLocation accepts it)
+    assert(at(run(c2, """["unix_time_format", "$.data.time", "Y-m-d H:i:s", "EST"]"""), "time")
+      == JStr("2022-11-15 02:44:45"))
+    // escaped literal and 12-hour token
+    val c3 = ev("""{"time":1668498285}""")
+    assert(at(run(c3, """["unix_time_format", "$.data.time", "Y-m-dTh:i"]"""), "time")
+      == JStr("2022-11-15T07:44"))
+  }
+
+  test("convert_timezone reference vectors (convert_timezone_test.go:28-55)") {
+    val c = ev("""{"time":"2021-08-29 12:01:10"}""")
+    assert(at(run(c, """["convert_timezone", "$.data.time", "CET", "UTC"]"""), "time")
+      == JStr("2021-08-29 10:01:10"))
+    val c2 = ev("""{"time":"2021-08-29 12:01:10"}""")
+    assert(at(run(c2, """["convert_timezone", "$.data.time", "CET", "Asia/Kolkata"]"""), "time")
+      == JStr("2021-08-29 15:31:10"))
   }
 
   // ==== strings ====

@@ -31,13 +31,13 @@ object ExtQueries {
     * signatures, mirroring Dedup.shingleHashes/sigFromHashes (one md5 per
     * shingle; signatures are ((h%p)·a+b)%p mins).
     */
-  private val sqlSigCtes: String = {
+  private def sqlSigCtes(src: String = "documents"): String = {
     val mixes = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(hashes, h -> ((h % ${Dedup.MinhashP}) * $a + $b) % ${Dedup.MinhashP})) AS sig$i"
     }.mkString(",\n               ")
     s"""w AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        SELECT doc_id, string_split(text, ' ') AS words FROM $src
       ), sh AS (
         SELECT doc_id,
                list_transform(range(1, len(words) - 1),
@@ -67,7 +67,7 @@ object ExtQueries {
     "dedup_minhash_sig",
     (s, d) => Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some(s"""
-      WITH $sqlSigCtes
+      WITH ${sqlSigCtes()}
       SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig ORDER BY doc_id
     """))
 
@@ -76,7 +76,7 @@ object ExtQueries {
     (s, d) => Dedup.lshBands(Dedup.minhashSignatures(Tables.documents(s, d)))
       .orderBy(col("band"), col("bucket")),
     Some(s"""
-      WITH $sqlSigCtes, $sqlBandsCte
+      WITH ${sqlSigCtes()}, $sqlBandsCte
       SELECT band, bucket, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       FROM bands GROUP BY band, bucket ORDER BY band, bucket
     """))
@@ -86,7 +86,7 @@ object ExtQueries {
     (s, d) => Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
-      WITH $sqlSigCtes, $sqlBandsCte
+      WITH ${sqlSigCtes()}, $sqlBandsCte
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -104,7 +104,7 @@ object ExtQueries {
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, d))))
       .orderBy(col("doc_id")),
     Some(s"""
-      WITH RECURSIVE $sqlSigCtes, $sqlBandsCte,
+      WITH RECURSIVE ${sqlSigCtes()}, $sqlBandsCte,
       cpairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -121,6 +121,41 @@ object ExtQueries {
       SELECT src AS doc_id, MIN(dst) AS group_id,
              src = MIN(dst) AS is_keeper
       FROM reach GROUP BY src ORDER BY doc_id
+    """))
+
+  /** The composed pipeline through the REAL dedupCorpus (exact keepers →
+    * LSH grouping over survivors → drop non-keepers); oracle chains the
+    * same stages with the recursive-closure groups.
+    */
+  private val dedupPipelineQ = Q(
+    "dedup_pipeline",
+    (s, d) => Dedup.dedupCorpus(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE ek AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      ), surv AS (
+        SELECT d.* FROM documents d JOIN ek USING (doc_id)
+      ), ${sqlSigCtes("surv")}, $sqlBandsCte,
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), losers AS (
+        SELECT src AS doc_id FROM reach GROUP BY src HAVING src != MIN(dst)
+      )
+      SELECT doc_id, lang, source, n_chars FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id
     """))
 
   /** Shared simhash CTE (fingerprint from word-hash bit votes; word-hash
@@ -531,7 +566,7 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
-  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, simhashQ,
+  val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, cleanQ, splitQ, tokensQ, fingerprintQ, multimodalQ)

@@ -192,6 +192,21 @@ object Dedup {
       (col("id") === col("comp")).as("is_keeper"))
   }
 
+  /** The whole dedup pipeline composed: exact dedup (keep the smallest id
+    * per content hash), then MinHash→LSH→connected-components near-dup
+    * grouping over the survivors, keeping each group's keeper. Returns the
+    * deduplicated corpus. This is the operator a training pipeline
+    * actually runs; the stages above are its observable pieces.
+    */
+  def dedupCorpus(docs: DataFrame): DataFrame = {
+    val exactKeepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val survivors = docs.join(exactKeepers, "doc_id")
+    val nearDupLosers = duplicateGroups(lshCandidatePairs(minhashSignatures(survivors)))
+      .filter(!col("is_keeper")).select("doc_id")
+    survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs within hamming distance `maxDist` — the lookup
     * half of the fingerprint (the hamming-ball probe that round 1 left as
     * a comment). Pigeonhole: split the `bits`-wide fingerprint into

@@ -8,14 +8,20 @@ object Bench {
     // on whichever query happens to run first (~6 s of pure startup)
     spark.range(1000).selectExpr("id", "md5(cast(id as string)) h")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop-format write forces full evaluation of every projected column
+    // and the final sort (a bare count() lets ColumnPruning/EliminateSorts
+    // delete the per-row expression work being measured). Best of two runs
+    // per query: per-query fixed overhead (job scheduling, JIT, GC) is a
+    // large share of small-SF wall time and varies ±15% run to run — the
+    // min is the stable signal for round-over-round regression diffs.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop-format write forces full evaluation of every projected column
-      // and the final sort (a bare count() lets ColumnPruning/EliminateSorts
-      // delete the per-row expression work being measured).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

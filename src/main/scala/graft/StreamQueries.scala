@@ -295,7 +295,8 @@ object StreamQueries {
           lit("""","datacontenttype":"application/json","xuserid":""""),
           col("user_id"),
           lit("""","data":"""), col("props"), lit("}")).as("json"))
-      EventJson.parse(wire)
+      // from_json is codegen-fallback; redistribute the single-split scan
+      EventJson.parse(Tables.fanOut(wire))
         .select(col("sequence_number").as("event_id"), col("id"),
           col("source"), col("type"), col("time"),
           col("datacontenttype"),

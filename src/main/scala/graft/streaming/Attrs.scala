@@ -13,8 +13,10 @@ object Attrs {
     */
   def stamp(attrs: Column, kvs: (String, Column)*): Column = {
     val keys = kvs.map(_._1)
+    // null map stamps like an empty one (map_concat propagates null)
+    val base = coalesce(attrs, map().cast("map<string,string>"))
     map_concat(
-      map_filter(attrs, (k, _) => !k.isin(keys: _*)),
+      map_filter(base, (k, _) => !k.isin(keys: _*)),
       map(kvs.flatMap { case (k, v) => Seq(lit(k), v) }: _*))
   }
 }

@@ -47,7 +47,9 @@ object Publisher {
     * target bus. One scan shape — three filters over the same frame.
     */
   def route(events: DataFrame, busName: String): Routed = {
-    val bad = hasInvalidAttr || hasInvalidDeliveryTime
+    // coalesce: a NULL attributes map must route as valid (empty
+    // extensions), not vanish from both sides of the split
+    val bad = coalesce(hasInvalidAttr || hasInvalidDeliveryTime, lit(false))
     val stamped = events.filter(!bad).withColumn("attributes",
       Attrs.stamp(col("attributes"), EventbusAttr -> lit(busName)))
     Routed(

@@ -39,6 +39,15 @@ class PublisherSpec extends SparkSpec {
     assert(t(Publisher.DeliveryTimeAttr) == "2024-01-01T00:00:05+02:00")
   }
 
+  test("null attributes map routes as accepted, not dropped") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Map[String, String]]),
+      (2L, Some(Map("custom" -> "v"))))
+      .toDF("sequence_number", "attributes")
+    val r = Publisher.route(df, "b")
+    assert(r.accepted.count() == 2 && r.rejected.count() == 0)
+  }
+
   test("reserved-prefix attributes reject; xvanusdeliverytime itself is allowed") {
     import spark.implicits._
     val df = Seq(

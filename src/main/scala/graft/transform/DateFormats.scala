@@ -20,15 +20,23 @@ object DateFormats {
 
   def phpToJava(format: String): String = {
     val sb = new StringBuilder
+    // DateTimeFormatter reserves letters plus # { } [ ]; rather than track
+    // its reserved set, pass through only known-safe separators bare and
+    // single-quote everything else
+    val bareSafe = " -:/.,+()".toSet
     def literal(c: Char): Unit =
-      if (c.isLetter) sb.append('\'').append(c).append('\'')
-      else if (c == '\'') sb.append("''")
-      else sb.append(c)
+      if (c == '\'') sb.append("''")
+      else if (c.isDigit || bareSafe(c)) sb.append(c)
+      else sb.append('\'').append(c).append('\'')
     var i = 0
     while (i < format.length) {
       val c = format(i)
       tokens.get(c) match {
-        case Some(j) => sb.append(j)
+        case Some(j) =>
+          sb.append(j)
+          // merge a run of the same token: "HH" means the 24h hour once
+          // (strftime muscle memory), and Java rejects abutted repeats
+          while (i + 1 < format.length && format(i + 1) == c) i += 1
         case None if c == '\\' && i + 1 < format.length =>
           literal(format(i + 1)); i += 1
         case None => literal(c)

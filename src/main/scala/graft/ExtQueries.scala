@@ -341,6 +341,47 @@ object ExtQueries {
     """
     })
 
+  /** Normalization + quantization: unit-norm check (post-normalization
+    * norm² folds to 1 bit-for-bit via the same sequential reduce) and the
+    * int8 codes with their scale.
+    */
+  private val quantizeQ = Q(
+    "sim_quantize",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val (codes, scale) = Similarity.int8Quantize(col("embedding"))
+      emb.select(col("vec_id"),
+        Similarity.foldDot(
+          Similarity.l2Normalize(col("embedding")).cast("array<float>"),
+          Similarity.l2Normalize(col("embedding")).cast("array<float>")).as("unit_norm2"),
+        codes.as("codes"), scale.as("scale"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (a, b) -> a + b)) AS nrm,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings WHERE vec_id < 300
+      ), u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(CAST(CAST(x AS DOUBLE) / nrm AS FLOAT) AS DOUBLE)) AS unit,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale,
+               embedding
+        FROM n
+      )
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(unit, x -> x * x)), (a, b) -> a + b) AS unit_norm2,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS codes,
+             scale
+      FROM u ORDER BY vec_id
+    """))
+
   private def sqlPlaneDot(j: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(range(1, 65),
@@ -568,6 +609,6 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ,
-    bruteTopK, ivfTopK, ivfTrain, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, quantizeQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, cleanQ, splitQ, tokensQ, fingerprintQ, multimodalQ)
 }

@@ -144,6 +144,29 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
+  /** Unit-normalize an embedding (each element / L2 norm, double
+    * precision) — after this, cosine is a plain dot product, which halves
+    * the per-pair work in every downstream operator.
+    */
+  def l2Normalize(emb: Column): Column = {
+    val norm = sqrt(foldDot(emb, emb))
+    transform(emb, x => x.cast("double") / norm)
+  }
+
+  /** Symmetric int8 quantization: scale by 127/max|x| and round half-up
+    * (floor(x·s + 0.5) — same arithmetic in any engine, no rounding-mode
+    * ambiguity). 4× smaller vectors for the candidate-generation stages;
+    * exact rerank reads the float column. Returns (codes, scale) so
+    * dequantization is codes·scale.
+    */
+  def int8Quantize(emb: Column): (Column, Column) = {
+    val maxAbs = array_max(transform(emb, x => abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    val codes = transform(emb,
+      x => floor(x.cast("double") / scale + 0.5).cast("int"))
+    (codes, scale)
+  }
+
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come

@@ -557,6 +557,34 @@ object ExtQueries {
       FROM c ORDER BY doc_id
     """))
 
+  private val piiQ = Q(
+    "text_redact_pii",
+    // synthesize PII deterministically so the scrub is actually exercised
+    (s, d) => TextAnalysis.redactPii(
+      Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or https://example.com/d/"), col("doc_id")))
+          .otherwise(col("text"))))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN text || ' contact user' || doc_id
+                      || '@example.com or https://example.com/d/' || doc_id
+                 ELSE text END AS text
+        FROM documents
+      )
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS text_redacted,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls
+      FROM dirty ORDER BY doc_id
+    """))
+
   private val splitQ = Q(
     "sample_split",
     (s, d) => Sampling.assign(Tables.documents(s, d), col("doc_id"))
@@ -610,5 +638,5 @@ object ExtQueries {
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, quantizeQ, lshBucketQ, nearDupQ,
-    langIdQ, qualityQ, gopherQ, cleanQ, splitQ, tokensQ, fingerprintQ, multimodalQ)
+    langIdQ, qualityQ, gopherQ, cleanQ, piiQ, splitQ, tokensQ, fingerprintQ, multimodalQ)
 }

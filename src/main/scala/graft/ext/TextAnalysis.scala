@@ -111,6 +111,24 @@ object TextAnalysis {
       (cleaned =!= col("text")).as("was_dirty"))
   }
 
+  /** PII redaction: emails and URLs replaced with placeholder tokens —
+    * the standard scrub pass before publishing a training corpus. The
+    * patterns are RE2/Java-compatible (no lookaround), so any engine
+    * reproduces them; counts returned for audit.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emails = regexp_count(col("text"), lit(EmailPattern))
+    val urls = regexp_count(col("text"), lit(UrlPattern))
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+    docs.select(col("doc_id"), redacted.as("text_redacted"),
+      emails.cast("int").as("n_emails"), urls.cast("int").as("n_urls"))
+  }
+
   /** Token counting: whitespace tokens, a regex token count ([a-z]+ runs —
     * RE2/Java-compatible pattern), and a BPE-ish subword estimate
     * (ceil(len/4) per word).

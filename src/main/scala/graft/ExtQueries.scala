@@ -350,11 +350,15 @@ object ExtQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
       val (codes, scale) = Similarity.int8Quantize(col("embedding"))
+      // codes fold to an order-sensitive checksum: array-typed outputs are
+      // untested in the driver comparator, and the checksum pins every
+      // element and its position anyway
       emb.select(col("vec_id"),
         Similarity.foldDot(
           Similarity.l2Normalize(col("embedding")).cast("array<float>"),
           Similarity.l2Normalize(col("embedding")).cast("array<float>")).as("unit_norm2"),
-        codes.as("codes"), scale.as("scale"))
+        aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("codes_checksum"),
+        size(codes).cast("int").as("n_codes"), scale.as("scale"))
         .orderBy(col("vec_id"))
     },
     Some("""
@@ -376,8 +380,11 @@ object ExtQueries {
       SELECT vec_id,
              list_reduce(list_prepend(CAST(0 AS DOUBLE),
                list_transform(unit, x -> x * x)), (a, b) -> a + b) AS unit_norm2,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS codes,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS codes_checksum,
+             CAST(len(embedding) AS INT) AS n_codes,
              scale
       FROM u ORDER BY vec_id
     """))

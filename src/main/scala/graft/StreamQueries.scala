@@ -205,11 +205,14 @@ object StreamQueries {
     */
   private val windowedRatesQ = Q(
     "stream_windowed_rates",
+    // window start as epoch seconds: raw TIMESTAMP outputs are an
+    // untested dtype path in the driver comparator (ns vs us units)
     (s, d) => graft.streaming.WindowedStats.eventRates(
       EventView.fromEventsTable(Tables.events(s, d)))
+      .withColumn("window_start", unix_timestamp(col("window_start")))
       .orderBy(col("window_start"), col("type")),
     Some("""
-      SELECT time_bucket(INTERVAL 1 minute, ts) AS window_start,
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 minute, ts))) AS BIGINT) AS window_start,
              event_type AS type,
              COUNT(*) AS n_events,
              COUNT(DISTINCT user_id) AS n_users
@@ -252,6 +255,8 @@ object StreamQueries {
     "stream_session_windows",
     (s, d) => graft.streaming.WindowedStats.userSessionWindows(
       EventView.fromEventsTable(Tables.events(s, d)), "8 hours")
+      .withColumn("session_start", unix_timestamp(col("session_start")))
+      .withColumn("session_end", unix_timestamp(col("session_end")))
       .orderBy(col("user_id"), col("session_start")),
     Some("""
       WITH e AS (SELECT user_id, ts FROM events),
@@ -268,8 +273,8 @@ object StreamQueries {
         FROM m
       )
       SELECT CAST(user_id AS VARCHAR) AS user_id,
-             MIN(ts) AS session_start,
-             MAX(ts) + INTERVAL 8 HOUR AS session_end,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+             CAST(floor(epoch(MAX(ts) + INTERVAL 8 HOUR)) AS BIGINT) AS session_end,
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, session_start
@@ -298,7 +303,8 @@ object StreamQueries {
       // from_json is codegen-fallback; redistribute the single-split scan
       EventJson.parse(Tables.fanOut(wire))
         .select(col("sequence_number").as("event_id"), col("id"),
-          col("source"), col("type"), col("time"),
+          col("source"), col("type"),
+          unix_timestamp(col("time")).as("time"),
           col("datacontenttype"),
           col("attributes").getItem("xuserid").as("xuserid"), col("data"))
         .orderBy(col("event_id"))
@@ -308,7 +314,7 @@ object StreamQueries {
              CAST(event_id AS VARCHAR) AS id,
              '/testdata/events' AS source,
              event_type AS type,
-             date_trunc('second', ts) AS time,
+             CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS time,
              'application/json' AS datacontenttype,
              CAST(user_id AS VARCHAR) AS xuserid,
              CAST(json(props) AS VARCHAR) AS data

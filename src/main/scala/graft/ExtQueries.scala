@@ -389,6 +389,58 @@ object ExtQueries {
       FROM u ORDER BY vec_id
     """))
 
+  /** Quantized candidates + exact rerank through the REAL int8TopK; the
+    * oracle replays both stages (integer code dot × scales for the
+    * candidate cut, float cosine for the final order).
+    */
+  private val int8TopKQ = Q(
+    "sim_int8_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 5, rerankFactor = 2)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH coded AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+      ), cq AS (
+        SELECT vec_id, embedding,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) /
+                   (CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) + 0.5) AS BIGINT)) AS codes
+        FROM coded
+      ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 65), i -> c.codes[i] * q.codes[i])),
+                 (a, b) -> a + b) AS DOUBLE) * c.scale * q.scale AS approx
+        FROM cq c JOIN cq q ON c.vec_id != q.vec_id AND q.vec_id < 5
+      ), cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx DESC, neighbor_id ASC) AS r1
+          FROM scored
+        ) WHERE r1 <= 10
+      ), rer AS (
+        SELECT cand.query_id, cand.neighbor_id, ${sqlCos("q", "c")} AS cos
+        FROM cand
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        JOIN embeddings q ON q.vec_id = cand.query_id
+      )
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM rer
+      ) WHERE rank <= 5 ORDER BY query_id, rank
+    """))
+
   private def sqlPlaneDot(j: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(range(1, 65),
@@ -644,6 +696,6 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ,
-    bruteTopK, ivfTopK, ivfTrain, quantizeQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, cleanQ, piiQ, splitQ, tokensQ, fingerprintQ, multimodalQ)
 }

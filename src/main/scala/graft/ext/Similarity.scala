@@ -167,6 +167,45 @@ object Similarity {
     (codes, scale)
   }
 
+  /** Two-stage quantized search — the production ANN shape: stage 1
+    * scores int8 codes (integer dot × scales: 4× less data, SIMD-friendly)
+    * to pick rerankFactor·k candidates per query, stage 2 reranks only
+    * those with exact float cosine. At 100 TB the full-precision vectors
+    * are read for candidates only.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 2): DataFrame = {
+    def withCodes(df: DataFrame): DataFrame = {
+      val (codes, scale) = int8Quantize(col("embedding"))
+      df.select(col("vec_id"), col("embedding"),
+        codes.as("codes"), scale.as("scale"))
+    }
+    val c = withCodes(corpus).as("c")
+    val q = withCodes(queries).as("q")
+    val intDot = aggregate(
+      zip_with(col("c.codes"), col("q.codes"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    // stage 1 moves only (ids, approx) through the shuffle — never vectors
+    val scored = c.join(broadcast(q), col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (intDot.cast("double") * col("c.scale") * col("q.scale")).as("approx"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = scored.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * rerankFactor).drop("r1")
+    // stage 2 reads full-precision vectors for candidates only
+    val rerank = candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .drop("q_emb", "c_emb")
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rerank.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come

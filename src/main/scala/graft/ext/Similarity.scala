@@ -26,20 +26,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     foldDot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
-  /** Two-stage top-k: a salted partial top-k first (32 groups per query),
-    * then the final per-query window over ≤ 32·k survivors. The union of
-    * per-salt top-ks contains the global top-k (every global winner is a
-    * winner within its salt group), so results are identical to a single
-    * window — but the final window sees 32·k rows per query instead of the
-    * whole corpus, removing the skew wall when #queries is small.
+  /** Salted per-query m-cut: keep each (query, salt)'s top m rows by
+    * (`score` desc, neighbor_id asc). The union of per-salt top-ms contains
+    * the global top-m (every global winner is a winner within its salt
+    * group), so a follow-up window over the ≤ 32·m survivors is identical
+    * to a single whole-corpus window — without funneling the corpus into
+    * #queries tasks when #queries is small.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private def saltedCut(scored: DataFrame, m: Int, score: String): DataFrame = {
     val salted = scored.withColumn("salt",
       pmod(crc32(col("neighbor_id").cast("string")), lit(32)))
     val w1 = Window.partitionBy(col("query_id"), col("salt"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val survivors = salted.withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= k).drop("r1", "salt")
+      .orderBy(col(score).desc, col("neighbor_id").asc)
+    salted.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= m).drop("r1", "salt")
+  }
+
+  /** Two-stage top-k: the salted partial cut first, then the final
+    * per-query window over ≤ 32·k survivors — identical results to a single
+    * window, but the final window sees 32·k rows per query instead of the
+    * whole corpus, removing the skew wall when #queries is small.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val survivors = saltedCut(scored, k, "cos")
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     survivors.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
@@ -97,25 +106,52 @@ object Similarity {
     * path needs (round 1 reused a pre-existing label column; this trains
     * real centroids). Init: the k smallest vec_ids' embeddings. Each
     * iteration: assign, then recompute each cell's centroid as per-dim
-    * means folded in vec_id order — deterministic double summation so an
-    * independent engine reproduces it bit-for-bit. At 100 TB the mean
-    * would use an order-independent decimal sum instead of per-cell
-    * collect_list; assignment (the per-row heavy part) is identical.
+    * means folded in vec_id order.
+    *
+    * The mean is a sorted-partition streaming fold: hash-partition members
+    * by cell, sort each partition by (cell, vec_id), and stream a running
+    * per-dim double sum — O(dim) memory per cell regardless of cell size
+    * (a popular cell streams through one task instead of materializing
+    * into a collect_list buffer), and the summation order is the sorted
+    * vec_id order, so the fold stays bit-reproducible by an independent
+    * engine (the DuckDB oracle replays the identical ordered fold).
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     var cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
     for (_ <- 1 to iters) {
       val asg = kmeansAssign(emb, cent).select("vec_id", "cell")
-      val members = asg.join(emb, "vec_id")
-        .groupBy("cell")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"))
-      cent = members.select(col("cell"),
-        transform(sequence(lit(0), lit(dim - 1)), d =>
-          aggregate(col("ms"), lit(0.0),
-            (acc, m) => acc + get(m.getField("embedding"), d).cast("double")) /
-            size(col("ms"))).as("centroid"))
+      val members = asg.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("cell").cast("int").as("cell"), col("vec_id"), col("embedding"))
+      cent = members.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .mapPartitions { rows =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])]
+          var cur = 0
+          var n = 0L
+          var sum: Array[Double] = null
+          def flush(): Unit = if (n > 0) {
+            val c = new Array[Double](dim)
+            var d = 0
+            while (d < dim) { c(d) = sum(d) / n; d += 1 }
+            out += ((cur, c))
+          }
+          rows.foreach { r =>
+            val cell = r.getInt(0)
+            if (sum == null || cell != cur) {
+              flush(); cur = cell; n = 0L; sum = new Array[Double](dim)
+            }
+            val e = r.getSeq[Float](2)
+            var d = 0
+            while (d < dim) { sum(d) += e(d).toDouble; d += 1 }
+            n += 1
+          }
+          flush()
+          out.iterator
+        }.toDF("cell", "centroid")
     }
     cent
   }
@@ -185,14 +221,20 @@ object Similarity {
     val intDot = aggregate(
       zip_with(col("c.codes"), col("q.codes"), (x, y) => (x * y).cast("long")),
       lit(0L), (acc, v) => acc + v)
-    // stage 1 moves only (ids, approx) through the shuffle — never vectors
+    // stage 1 moves only (ids, approx) through the shuffle — never vectors.
+    // Candidate selection goes through the same salted two-stage cut as
+    // bruteTopK: the per-(query, salt) windows keep the corpus fanned out
+    // across tasks, and the final window ranks only ≤ 32·k·rerankFactor
+    // survivors per query — no whole-corpus single-task sort when
+    // #queries is small.
     val scored = c.join(broadcast(q), col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         (intDot.cast("double") * col("c.scale") * col("q.scale")).as("approx"))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val candidates = scored.withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= k * rerankFactor).drop("r1")
+    val candidates = saltedCut(scored, k * rerankFactor, "approx")
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * rerankFactor).drop("r1", "approx")
     // stage 2 reads full-precision vectors for candidates only
     val rerank = candidates
       .join(corpus.select(col("vec_id").as("neighbor_id"),

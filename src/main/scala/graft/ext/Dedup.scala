@@ -258,18 +258,27 @@ object Dedup {
     * bound is deterministic (doc_id order); at 100 TB pair work per task is
     * ≤ maxBlock². Candidates beyond the cap should come from the MinHash/
     * LSH path ([[lshCandidatePairs]]), which has no quadratic term.
+    *
+    * The cap itself is a [[graft.functions.MinK]] aggregation — a bounded
+    * max-heap with map-side partials — so selecting each block's first
+    * `maxBlock` ids moves ≤ maxBlock longs per block per mapper and never
+    * routes a hot block through one task to rank it (the round-2 version
+    * was a full-block `row_number` window: O(n log n) in a single task on
+    * the dominant key). The kept id set is identical.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6,
       maxBlock: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sets = docs.select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
       array_distinct(split(col("text"), " ", -1)).as("wset"))
-    val blockW = Window.partitionBy(col("lang"), col("source"), col("len_bucket"))
-      .orderBy(col("doc_id"))
-    val withSets = sets.withColumn("blk_rank", row_number().over(blockW))
-      .filter(col("blk_rank") <= maxBlock).drop("blk_rank")
+    val keepIds = sets
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(graft.functions.MinK.longs(col("doc_id"), maxBlock).as("ids"))
+      .select(explode(col("ids")).as("doc_id"))
+    // doc_id is unique, so a semi join on it applies the per-block cap;
+    // AQE broadcasts the (≤ #blocks·maxBlock ids) side when small
+    val withSets = sets.join(keepIds, Seq("doc_id"), "left_semi")
     val a = withSets.as("a")
     val b = withSets.as("b")
     val inter = size(array_intersect(col("a.wset"), col("b.wset"))).cast("double")

@@ -10,3 +10,15 @@ object VecDot {
   /** dot(a, b) for two array<float> columns, whole-stage-codegen'd. */
   def apply(a: Column, b: Column): Column = VecDotExpr.column(a, b)
 }
+
+/** Public face of the bounded min-k aggregate — see
+  * [[org.apache.spark.sql.graftexpr.MinKLongsAgg]] for semantics.
+  */
+object MinK {
+  /** The k smallest non-null values of a long column per group, as a
+    * sorted ascending array; map-side partial (≤ k longs per group per
+    * mapper reach the shuffle).
+    */
+  def longs(c: Column, k: Int): Column =
+    org.apache.spark.sql.graftexpr.MinKLongsAgg.column(c, k)
+}

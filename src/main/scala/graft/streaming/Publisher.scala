@@ -62,15 +62,29 @@ object Publisher {
 
   /** Full publish: route, append direct events to the bus and delayed
     * events to the timer spool; rejected count returned (the caller's 400).
+    *
+    * Scan discipline (same as SubscriptionRunner.processBatchWith): the
+    * batch is persisted on entry, all three routing counts come from ONE
+    * aggregation job over the cached copy, and the appends read the cache —
+    * one source scan per publish regardless of routing fan-out (the
+    * round-2 spelling re-evaluated the un-persisted route filters up to
+    * 5×: three count() actions plus two appends).
     */
   def publish(events: DataFrame, bus: EventBus, timerBus: EventBus,
       busName: String): PublishResult = {
-    val r = route(events, busName)
-    val nAccepted = r.accepted.count()
-    val nDelayed = r.delayed.count()
-    val nRejected = r.rejected.count()
-    if (nAccepted > 0) bus.append(r.accepted)
-    if (nDelayed > 0) timerBus.append(r.delayed)
-    PublishResult(nAccepted, nDelayed, nRejected)
+    import org.apache.spark.storage.StorageLevel
+    val cached = events.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = route(cached, busName)
+      val bad = coalesce(hasInvalidAttr || hasInvalidDeliveryTime, lit(false))
+      val c = cached.agg(
+        count(when(!bad && deliveryTime.isNull, 1)),
+        count(when(!bad && deliveryTime.isNotNull, 1)),
+        count(when(bad, 1))).head
+      val (nAccepted, nDelayed, nRejected) = (c.getLong(0), c.getLong(1), c.getLong(2))
+      if (nAccepted > 0) bus.append(r.accepted)
+      if (nDelayed > 0) timerBus.append(r.delayed)
+      PublishResult(nAccepted, nDelayed, nRejected)
+    } finally { cached.unpersist(); () }
   }
 }

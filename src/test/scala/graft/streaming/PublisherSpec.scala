@@ -39,6 +39,21 @@ class PublisherSpec extends SparkSpec {
     assert(t(Publisher.DeliveryTimeAttr) == "2024-01-01T00:00:05+02:00")
   }
 
+  test("publish scans its input once (persist-on-entry, merged counts)") {
+    // instrument the source with a per-partition accumulator BELOW the
+    // persist point: every re-evaluation of the source adds one per
+    // partition, cached reads add zero
+    val acc = spark.sparkContext.longAccumulator("publisher-src-scans")
+    val instrumented = synth.coalesce(1).mapPartitions { it =>
+      acc.add(1); it
+    }(org.apache.spark.sql.Encoders.row(synth.schema))
+    val res = Publisher.publish(instrumented,
+      EventBus(tmp("pbus1")), EventBus(tmp("ptimer1")), "bus-main")
+    assert(res.accepted == 25 && res.delayed == 25 && res.rejected == 50)
+    assert(acc.value == 1L,
+      s"publish evaluated its source ${acc.value}× — must be exactly once")
+  }
+
   test("null attributes map routes as accepted, not dropped") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Map[String, String]]),

@@ -673,24 +673,29 @@ object ExtQueries {
         col("meta.byte_len").as("byte_len"),
         col("meta.width").cast("bigint").as("width"),
         col("meta.height").cast("bigint").as("height"),
-        col("meta.format").as("format"))
+        col("meta.format").as("format"),
+        col("meta.sample_rate").cast("bigint").as("sample_rate"),
+        col("meta.channels").cast("bigint").as("channels"))
       .orderBy(col("media_id")),
-    // image rows carry real PNG (33 B) / JPEG (23 B) containers whose
-    // header the Spark side must actually parse to produce width/height;
-    // the oracle predicts the dimensions from the id arithmetic
+    // every row carries a real container — PNG (33 B) / JPEG (23 B) /
+    // WAV (44 B) / MP4 (124 B) — whose header the Spark side must
+    // actually parse; the oracle predicts the decoded fields from the
+    // id arithmetic the synthesizers used
     Some("""
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
              CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 6 = 0 THEN 33 ELSE 23 END)
-                  ELSE LENGTH(text) END AS byte_len,
+                  WHEN doc_id % 3 = 1 THEN 44 ELSE 124 END AS byte_len,
              CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
-                  ELSE LENGTH(text) % 640 END AS width,
+                  WHEN doc_id % 3 = 2 THEN doc_id % 1920 + 16 END AS width,
              CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
-                  ELSE (LENGTH(text) * 7) % 480 END AS height,
+                  WHEN doc_id % 3 = 2 THEN doc_id % 1080 + 16 END AS height,
              CASE WHEN doc_id % 6 = 0 THEN 'png'
                   WHEN doc_id % 3 = 0 THEN 'jpeg'
-                  WHEN doc_id % 3 = 1 THEN 'pcm16' ELSE 'h264' END AS format
+                  WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+             CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 8000 END AS sample_rate,
+             CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS channels
       FROM documents ORDER BY media_id
     """))
 

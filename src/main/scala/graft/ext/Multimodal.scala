@@ -8,11 +8,11 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed by batch-shaped
   * per-partition decoders.
   *
-  * IMAGE decode is REAL: [[ImageHeader]] parses width/height/format from
-  * PNG/JPEG/GIF container bytes (header parse, no pixel decode — the
-  * scan-speed metadata path). Audio/video decode remains STUBBED (the JDK
-  * carries no audio/video codecs): deterministic fake dimensions from the
-  * byte stream, honestly labeled; a real codec call swaps in with the same
+  * All three kinds decode REAL container bytes: [[ImageHeader]] parses
+  * width/height/format from PNG/JPEG/GIF, [[MediaHeader]] parses the WAV
+  * RIFF `fmt ` chunk (sample rate, channels) and the MP4 `moov`→`trak`→
+  * `tkhd` box (width, height). Header parsing is the scan-speed metadata
+  * path — no pixel/sample decode; a full codec swaps in behind the same
   * per-batch signature.
   *
   * Scale notes: media bytes dominate row size, so (1) metadata-only queries
@@ -31,12 +31,15 @@ object Multimodal {
       StructField("byte_len", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("format", StringType))))))
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType))))))
 
-  /** Build a media table from the documents table. Image rows carry REAL
-    * container bytes (alternating PNG/JPEG with dimensions derived from the
-    * id — a stored-blob stand-in that real header parsing must decode);
-    * audio/video rows use text bytes as opaque payloads.
+  /** Build a media table from the documents table. Every row carries REAL
+    * container bytes with parameters derived from the id — a stored-blob
+    * stand-in that real header parsing must decode: images alternate
+    * PNG/JPEG, audio is a canonical WAV header, video a minimal ISO-BMFF
+    * (ftyp + moov/trak/tkhd).
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val base = docs.select(
@@ -49,32 +52,26 @@ object Multimodal {
     base.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        if (r.getString(1) == "image") {
-          val w = (id % 640 + 1).toInt
-          val h = (id % 480 + 1).toInt
-          val bytes =
+        val bytes = r.getString(1) match {
+          case "image" =>
+            val w = (id % 640 + 1).toInt
+            val h = (id % 480 + 1).toInt
             if (id % 6 == 0) ImageHeader.pngBytes(w, h)
             else ImageHeader.jpegBytes(w, h)
-          Row(id, "image", bytes)
-        } else r
+          case "audio" =>
+            MediaHeader.wavBytes(8000 + (id % 5).toInt * 8000, (id % 2).toInt + 1)
+          case _ =>
+            MediaHeader.mp4Bytes((id % 1920).toInt + 16, (id % 1080).toInt + 16)
+        }
+        Row(id, r.getString(1), bytes)
       }
     }(Encoders.row(schema))
-  }
-
-  /** ===== STUB (audio/video only) ===== deterministic fake decode for the
-    * codec-less kinds: dimensions derived from the byte length. A real
-    * implementation calls the codec here, per batch, same signature.
-    */
-  private def fakeDecode(bytes: Array[Byte], kind: String): (Int, Int, String) = {
-    val n = bytes.length
-    (n % 640, (n * 7) % 480, if (kind == "audio") "pcm16" else "h264")
   }
 
   /** Per-partition batch decode producing the typed metadata struct — the
     * Scala shape of a mapInPandas/Arrow-batch decoder: rows stream through
     * a partition-local decoder without driver involvement or shuffle.
-    * Images go through the real header parser; unparseable image bytes
-    * yield null dimensions and format "unknown".
+    * Unparseable bytes yield null fields and format "unknown".
     */
   def decode(media: DataFrame): DataFrame = {
     val schema = mediaSchema
@@ -85,22 +82,24 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kind = r.getString(kindIdx)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        val unknown = Row(n, null, null, "unknown", null, null)
         val meta = kind match {
-          case "image" => ImageHeader.decode(bytes) match {
-            case Some(info) => Row(bytes.length.toLong, info.width, info.height, info.format)
-            case None => Row(bytes.length.toLong, null, null, "unknown")
-          }
-          case k =>
-            val (w, h, fmt) = fakeDecode(bytes, k)
-            Row(bytes.length.toLong, w, h, fmt)
+          case "image" => ImageHeader.decode(bytes)
+            .map(i => Row(n, i.width, i.height, i.format, null, null))
+            .getOrElse(unknown)
+          case "audio" => MediaHeader.decodeWav(bytes)
+            .map(a => Row(n, null, null, a.format, a.sampleRate, a.channels))
+            .getOrElse(unknown)
+          case "video" => MediaHeader.decodeMp4(bytes)
+            .map(v => Row(n, v.width, v.height, v.format, null, null))
+            .getOrElse(unknown)
+          case _ => unknown
         }
         Row(r.getLong(idIdx), kind, bytes, meta)
       }
     }(Encoders.row(schema))
   }
-
-  /** Back-compat alias for the round-1 name. */
-  def decodeStub(media: DataFrame): DataFrame = decode(media)
 
   /** Metadata-only projection — must NOT read the binary column at scan
     * time (check ReadSchema in the plan).

@@ -57,6 +57,35 @@ object StreamQueries {
       ORDER BY event_id
     """))
 
+  /** Due-time bucket assignment for the write-once delay spool
+    * (BucketedSpool: deliver_bucket = floor(deliverAt / tick), the
+    * declarative form of the reference wheel's bucket index,
+    * timingwheel/timingwheel.go:303-613). The histogram pins both the
+    * bucket function and the partition layout a release pass prunes on.
+    */
+  private val spoolBucketsQ = Q(
+    "stream_spool_buckets",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      (unix_timestamp(col("ts")) +
+        get_json_object(col("props"), "$.k").try_cast("bigint")).as("deliver_at_sec"))
+      .withColumn("deliver_bucket", floor(col("deliver_at_sec") / 300L).cast("bigint"))
+      .groupBy(col("deliver_bucket"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("deliver_bucket")),
+    Some("""
+      WITH da AS (
+        SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS deliver_at_sec
+        FROM events
+      )
+      SELECT CAST(floor(deliver_at_sec / 300.0) AS BIGINT) AS deliver_bucket,
+             COUNT(*) AS n_events, MIN(event_id) AS min_event, MAX(event_id) AS max_event
+      FROM da GROUP BY 1 ORDER BY 1
+    """))
+
   /** Dead-letter stamping (trigger.go:528-562): events failing delivery
     * (synthetic predicate) carry reason/last-error/subscription metadata.
     */
@@ -321,6 +350,6 @@ object StreamQueries {
       FROM events ORDER BY event_id
     """))
 
-  val all: Seq[Q] = Seq(backoffQ, delayQ, dlqQ, offsetResetQ, retryEscalationQ,
+  val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
     publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
 }

@@ -50,4 +50,24 @@ object DelayedEvents {
     val delayed = col("attributes").getItem("xvanusdeliverytime").isNotNull
     (batch.filter(delayed), batch.filter(!delayed))
   }
+
+  /** Bucketed release for the publish-side timer spool (pass a
+    * [[BucketedSpool]] as `Publisher.publish`'s timer bus): flush every
+    * fully-matured bucket to the target bus in one append, then evict the
+    * bucket dirs. Each delayed event is written exactly twice end to end —
+    * once into its bucket at publish, once onto the target at expiry — the
+    * wheel's write-once contract; pending buckets are never opened.
+    */
+  def releaseSpooled(spark: SparkSession, spool: BucketedSpool,
+      target: EventBus, nowEpochSec: Long): Long = {
+    val buckets = spool.maturedBuckets(spark, nowEpochSec)
+    if (buckets.isEmpty) 0L
+    else {
+      val matured = spool.readBuckets(spark, buckets)
+      val n = matured.count()
+      if (n > 0) target.append(matured)
+      spool.evict(spark, buckets)
+      n
+    }
+  }
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * below reads through the same two entry points and inherits partition
   * pruning.
   */
-final class EventBus(val path: String) extends Serializable {
+class EventBus(val path: String) extends Serializable {
 
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 

@@ -295,38 +295,58 @@ object SubscriptionRunner {
       }
       .start()
 
-  /** Streaming retry consumer — the Spark form of the reference's retry-bus
-    * reader (trigger.go:256-302 + the timer wheel's re-queue). Streams the
-    * retry bus; per micro-batch, matured events re-deliver through the full
-    * routing (escalating attempts; cap → DLQ, which appends back to this
-    * same bus as the next generation of files), while immature events
-    * re-spool: appended back to the bus as new files the stream will pick
-    * up on a later trigger. Release precision = the trigger interval, same
-    * trade as DelayedEvents.
+  /** One release pass over a due-time-bucketed retry spool: process every
+    * fully-matured bucket (partition-pruned read — pending buckets are
+    * never opened, and with nothing matured there is no Spark job at all),
+    * re-deliver through the full routing (escalating attempts; next
+    * generation appends back into the spool, bucketed by its new delivery
+    * time — ONE write), then evict the released buckets. This is the
+    * declarative form of the reference wheel's bucket flush
+    * (timingwheel/bucket.go:112-136); the round-2 design instead re-wrote
+    * every pending event on every trigger.
+    */
+  def releaseSpool(
+      spark: SparkSession,
+      spool: BucketedSpool,
+      spec: Spec,
+      sink: Sink,
+      dlqBus: Option[EventBus],
+      nowEpochSec: Long): BatchResult = {
+    val buckets = spool.maturedBuckets(spark, nowEpochSec)
+    if (buckets.isEmpty) BatchResult(0L, 0L, 0L, 0L)
+    else {
+      val matured = spool.readBuckets(spark, buckets)
+      val res = processRetries(matured, spec, sink, Some(spool), dlqBus, nowEpochSec)
+      spool.evict(spark, buckets)
+      res
+    }
+  }
+
+  /** Streaming retry consumer — the Spark form of the reference's timer
+    * server loop (server/timer + trigger.go:256-302): a durable ticker
+    * query (rate source; the rows are ignored, the trigger cadence is the
+    * wheel's tick) that runs [[releaseSpool]] once per trigger. All retry
+    * state lives in the spool's due-time buckets and the events' stamped
+    * attempt counts, so the query survives checkpoint restarts with no
+    * state of its own, and a restart resumes escalation exactly where the
+    * spool left off.
     */
   def startRetries(
       spark: SparkSession,
-      retryBus: EventBus,
+      spool: BucketedSpool,
       spec: Spec,
       sink: Sink,
       dlqBus: Option[EventBus],
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow(),
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
       nowEpochSec: () => Long = () => System.currentTimeMillis() / 1000): StreamingQuery =
-    retryBus.readStream(spark)
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val now = nowEpochSec()
-        val (due, pending) = DelayedEvents.split(
-          batch.filter(col("attributes").getItem("xvanussubscriptionid") ===
-            spec.config.subscriptionId), now)
-        if (!due.isEmpty) {
-          processBatch(due, spec, sink, Some(retryBus), dlqBus, now)
-          ()
-        }
-        if (!pending.isEmpty) retryBus.append(pending)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        releaseSpool(spark, spool, spec, sink, dlqBus, nowEpochSec())
+        ()
       }
       .start()
 

@@ -16,7 +16,7 @@ class EndToEndSpec extends SparkSpec {
   test("publish → deliver → retry generations → DLQ cap, end to end") {
     val sourceBus = EventBus(tmp("e2esrc"))
     val timerBus = EventBus(tmp("e2etimer"))
-    val retryBus = EventBus(tmp("e2eretry"))
+    val retrySpool = BucketedSpool(tmp("e2eretry"), tickSeconds = 60L)
     val dlqBus = EventBus(tmp("e2edlq"))
 
     // publish: 100 clean events land on the source bus
@@ -25,7 +25,8 @@ class EndToEndSpec extends SparkSpec {
     val pub = Publisher.publish(events, sourceBus, timerBus, "bus-e2e")
     assert(pub.accepted == 100 && pub.rejected == 0)
 
-    // subscription: k % 5 == 0 events hit a 503ing endpoint
+    // subscription: k % 5 == 0 events hit a 503ing endpoint; failures go
+    // straight into the due-time-bucketed retry spool (written once)
     val spec = SubscriptionRunner.Spec(Seq.empty, None,
       SubscriptionRunner.Config("sub-e2e", maxRetryAttempts = 2))
     val sink: SubscriptionRunner.Sink = { d =>
@@ -34,22 +35,30 @@ class EndToEndSpec extends SparkSpec {
       if (k % 5 == 0) Left(503) else Right(())
     }
     val q = SubscriptionRunner.start(spark, sourceBus, spec, sink,
-      Some(retryBus), Some(dlqBus), tmp("e2eck"))
+      Some(retrySpool), Some(dlqBus), tmp("e2eck"))
     q.awaitTermination(60000)
 
-    val failing = retryBus.read(spark).count()
+    val failing = retrySpool.read(spark).count()
     assert(failing > 0)
 
-    // retry generations: each pass matures everything (clock ahead of the
-    // real stamping time used by the main run); attempts escalate → DLQ
-    val retryCkpt = tmp("e2erck")
-    var clock = System.currentTimeMillis() / 1000
-    (1 to 3).foreach { _ =>
-      clock += 7200
-      val rq = SubscriptionRunner.startRetries(spark, retryBus, spec, sink,
-        Some(dlqBus), retryCkpt, nowEpochSec = { val c = clock; () => c })
-      rq.awaitTermination(60000)
+    // retry generations through the REAL ticker query: advance the
+    // injected clock past each generation's due bucket and wait for the
+    // release pass to drain it; attempts escalate → DLQ at the cap
+    val clock = new java.util.concurrent.atomic.AtomicLong(
+      System.currentTimeMillis() / 1000)
+    val rq = SubscriptionRunner.startRetries(spark, retrySpool, spec, sink,
+      Some(dlqBus), tmp("e2erck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"),
+      nowEpochSec = () => clock.get())
+    def drain(): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (retrySpool.maturedBuckets(spark, clock.get()).nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(retrySpool.maturedBuckets(spark, clock.get()).isEmpty,
+        "ticker failed to drain matured buckets in time")
     }
+    (1 to 3).foreach { _ => clock.addAndGet(7200); drain() }
+    rq.stop()
 
     // every failing event exhausted its attempts and reached the DLQ once
     val dlq = dlqBus.read(spark)

@@ -55,6 +55,63 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(seen.value == 100) // duplicates suppressed by id state
   }
 
+  test("retry escalation survives a ticker-query checkpoint restart") {
+    val t0 = 1704240000L
+    val spool = BucketedSpool(tmp("rspool"), tickSeconds = 60L)
+    val dlqBus = EventBus(tmp("rdlq"))
+    val ckpt = tmp("rck")
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-restart", maxRetryAttempts = 3))
+    val failSink: SubscriptionRunner.Sink = _ => Left(503)
+
+    // seed: 6 events on attempt 1, already due
+    val seeded = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 6)
+      .withColumn("attributes", map_concat(col("attributes"), map(
+        lit("xvanusretryattempts"), lit("1"),
+        lit("xvanussubscriptionid"), lit("sub-restart"),
+        lit("xvanusdeliverytime"), lit("2024-01-02 23:00:00"))))
+    spool.append(seeded)
+
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    def drain(): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spool.maturedBuckets(spark, clock.get()).nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(spool.maturedBuckets(spark, clock.get()).isEmpty,
+        "ticker failed to drain matured buckets in time")
+    }
+    def spoolAttempts: Set[String] = spool.read(spark)
+      .select(col("attributes").getItem("xvanusretryattempts"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def startTicker() = SubscriptionRunner.startRetries(spark, spool, spec,
+      failSink, Some(dlqBus), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"),
+      nowEpochSec = () => clock.get())
+
+    // generations 1 and 2 through the live query
+    val q1 = startTicker()
+    drain() // attempt 1 → fails → stamped attempt 2
+    assert(spoolAttempts == Set("2"))
+    clock.addAndGet(7200); drain() // attempt 2 → fails → stamped attempt 3
+    assert(spoolAttempts == Set("3"))
+    q1.stop()
+
+    // restart from the same checkpoint: escalation continues — attempt 3
+    // is the cap, so the next failure must land every event in the DLQ
+    val q2 = startTicker()
+    clock.addAndGet(7200); drain()
+    q2.stop()
+    assert(spool.dataFileCount(spark) == 0) // every bucket released + evicted
+    val dlq = dlqBus.read(spark)
+    assert(dlq.count() == 6)
+    val reasons = dlq.select(col("attributes").getItem("deadletterreason"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(reasons == Set("maxRetryAttempts=3 exceeded"))
+    assert(dlq.select(col("attributes").getItem("xvanusretryattempts"))
+      .distinct().collect().map(_.getString(0)).toSet == Set("3"))
+  }
+
   test("mapGroupsWithState accumulates across micro-batches via checkpoint") {
     val bus = EventBus(tmp("ubus"))
     val ckpt = tmp("uck")

@@ -154,11 +154,10 @@ class SubscriptionRunnerSpec extends SparkSpec {
     assert(dattrs("deadletterreason") == "maxRetryAttempts=3 exceeded")
   }
 
-  test("streaming retry consumer delivers matured events, re-spools pending") {
-    val retryDir = tmp("sretry")
-    val retryBus = EventBus(retryDir)
-    val ckpt = tmp("sckpt")
-    // seed: 10 matured (past deliverytime) + 10 pending (far future)
+  test("spool release delivers matured buckets; pending buckets untouched") {
+    val spool = BucketedSpool(tmp("sretry"), tickSeconds = 60L)
+    // seed: 10 matured (past deliverytime) + 10 pending (far future),
+    // appended ONCE into their due-time buckets
     val stamped = view.filter(col("type") === "purchase").limit(20)
       .withColumn("attributes", map_concat(col("attributes"), map(
         lit("xvanusretryattempts"), lit("1"),
@@ -166,21 +165,60 @@ class SubscriptionRunnerSpec extends SparkSpec {
         lit("xvanusdeliverytime"),
         when(col("sequence_number") % 2 === 0, lit("2024-01-01 00:00:00"))
           .otherwise(lit("2030-01-01 00:00:00")))))
-    retryBus.append(stamped)
+    spool.append(stamped)
     val nMatured = stamped.filter(col("sequence_number") % 2 === 0).count()
-    val nPending = 20 - nMatured
     val delivered = spark.sparkContext.longAccumulator("sdelivered")
-    val q = SubscriptionRunner.startRetries(spark, retryBus,
+    val res = SubscriptionRunner.releaseSpool(spark, spool,
       spec.copy(transformerJson = None),
-      _ => { delivered.add(1); Right(()) }, None, ckpt,
-      nowEpochSec = () => 1704240000L)
-    q.awaitTermination(60000)
-    assert(delivered.value == nMatured)
-    // pending events re-spooled as new files (originals + one copy each)
-    assert(retryBus.read(spark).count() == 20 + nPending)
-    val futureRows = retryBus.read(spark).filter(
+      _ => { delivered.add(1); Right(()) }, None, nowEpochSec = 1704240000L)
+    assert(delivered.value == nMatured && res.delivered == nMatured)
+    // released buckets evicted; only the pending bucket remains, unread
+    // and unrewritten
+    assert(spool.maturedBuckets(spark, 1704240000L).isEmpty)
+    val remaining = spool.read(spark)
+    assert(remaining.count() == 20 - nMatured)
+    assert(remaining.filter(
       col("attributes").getItem("xvanusdeliverytime") === "2030-01-01 00:00:00")
-    assert(futureRows.count() == 2 * nPending)
+      .count() == 20 - nMatured)
+  }
+
+  test("spool is write-once: idle release passes rewrite nothing (wheel bucket semantics)") {
+    val spool = BucketedSpool(tmp("wonce"), tickSeconds = 60L)
+    val stamped = view.filter(col("type") === "purchase").limit(10)
+      .withColumn("attributes", map_concat(col("attributes"), map(
+        lit("xvanusretryattempts"), lit("1"),
+        lit("xvanussubscriptionid"), lit("sub-1"),
+        lit("xvanusdeliverytime"), lit("2030-01-01 00:00:00"))))
+    spool.append(stamped)
+    val filesAfterAppend = spool.dataFileCount(spark)
+    assert(filesAfterAppend > 0)
+    // N idle triggers: nothing matured → no job, no writes, no rewrites
+    // (the round-2 design re-appended all pending rows on every trigger)
+    (1 to 5).foreach { _ =>
+      val res = SubscriptionRunner.releaseSpool(spark, spool, spec,
+        _ => Right(()), None, nowEpochSec = 1704240000L)
+      assert(res == SubscriptionRunner.BatchResult(0L, 0L, 0L, 0L))
+    }
+    assert(spool.dataFileCount(spark) == filesAfterAppend,
+      "idle release passes must not rewrite pending events")
+    assert(spool.read(spark).count() == 10)
+  }
+
+  test("publish-side timer spool: bucketed release flushes matured buckets to target") {
+    val spool = BucketedSpool(tmp("ptimer"), tickSeconds = 60L)
+    val target = EventBus(tmp("ptarget"))
+    val stamped = view.limit(100).withColumn("attributes",
+      map_concat(col("attributes"), map(
+        lit("xvanusdeliverytime"),
+        when(col("sequence_number") % 2 === 0, lit("2024-01-01 00:00:00"))
+          .otherwise(lit("2030-01-01 00:00:00")))))
+    spool.append(stamped)
+    val released = DelayedEvents.releaseSpooled(spark, spool, target, 1704240000L)
+    assert(released == 50)
+    assert(target.read(spark).count() == 50)
+    // second pass: nothing matured, nothing re-released
+    assert(DelayedEvents.releaseSpooled(spark, spool, target, 1704240000L) == 0)
+    assert(spool.read(spark).count() == 50)
   }
 
   test("backoff curve matches util.go:75-88") {

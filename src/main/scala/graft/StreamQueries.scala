@@ -191,6 +191,52 @@ object StreamQueries {
       SELECT * FROM retry UNION ALL SELECT * FROM dlq ORDER BY event_id, attempt
     """))
 
+  /** Ordered-mode delivery through the REAL runner (trigger.go:386-392,
+    * 428-431): one delivery task walks events in offset order, failures
+    * skip retry entirely and land in the DLQ stamped with OrderErrorCode.
+    * The sink asserts in-order arrival — any out-of-order event fails with
+    * 400, which ordered mode would also DLQ, producing extra rows the
+    * oracle doesn't predict — so a passing hash proves both the DLQ
+    * routing AND the delivery order.
+    */
+  private val orderedDlqQ = Q(
+    "stream_ordered_dlq",
+    (s, d) => {
+      import graft.streaming.{EventBus, SubscriptionRunner}
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("ord").toString
+      val spec = SubscriptionRunner.Spec(Seq.empty, None,
+        SubscriptionRunner.Config("sub-ord", orderedEvent = true))
+      val sink = new (SubscriptionRunner.Deliverable => Either[Int, Unit])
+        with Serializable {
+        private var last = Long.MinValue
+        def apply(dv: SubscriptionRunner.Deliverable): Either[Int, Unit] =
+          if (dv.sequenceNumber <= last) Left(400)
+          else {
+            last = dv.sequenceNumber
+            if (dv.sequenceNumber % 5 == 0) Left(503) else Right(())
+          }
+      }
+      val base = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 50)
+      SubscriptionRunner.processBatch(base, spec, sink,
+        Some(EventBus(s"$tmp/retry")), Some(EventBus(s"$tmp/dlq")), 1704067200L)
+      EventBus(s"$tmp/dlq").read(s).select(
+        col("sequence_number").as("event_id"),
+        col("attributes").getItem("deadletterreason").as("deadletterreason"),
+        col("attributes").getItem("lastdeliveryerror").as("lastdeliveryerror"),
+        col("attributes").getItem("xvanussubscriptionid").as("subscription_id"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""
+      SELECT event_id,
+             'delivery error code=${graft.streaming.Backoff.OrderErrorCode}' AS deadletterreason,
+             '${graft.streaming.Backoff.OrderErrorCode}' AS lastdeliveryerror,
+             'sub-ord' AS subscription_id
+      FROM events WHERE event_id < 50 AND event_id % 5 = 0
+      ORDER BY event_id
+    """))
+
   /** Publish-path parity (proxy.go:166-237): per-event checkExtension
     * validation, xvanuseventbus stamping, and timer-bus rerouting through
     * the REAL Publisher.route. Attributes are synthesized per event_id%4:
@@ -351,5 +397,5 @@ object StreamQueries {
     """))
 
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
-    publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
+    orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
 }

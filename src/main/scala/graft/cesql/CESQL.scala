@@ -98,8 +98,13 @@ object CESQL {
           val sb = new StringBuilder
           i += 1
           while (i < n && s(i) != quote) {
-            if (s(i) == '\\' && i + 1 < n) { sb.append(s(i + 1)); i += 2 }
-            else { sb.append(s(i)); i += 1 }
+            // only quotes and backslash unescape; other sequences (\% \_)
+            // keep their backslash so LIKE patterns can escape wildcards
+            // (cesql spec: string literals escape the quote character)
+            if (s(i) == '\\' && i + 1 < n &&
+              (s(i + 1) == quote || s(i + 1) == '\\')) {
+              sb.append(s(i + 1)); i += 2
+            } else { sb.append(s(i)); i += 1 }
           }
           require(i < n, s"unterminated string literal in CESQL: $s")
           i += 1

@@ -26,7 +26,35 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Larger-SF scaling section (VERDICT r2 directive 10): synthesize a
+    // `factor`× corpus (fresh text per copy — see ScaleData) and time the
+    // headline capped/salted/bucketed queries once each. `ratio` is
+    // sec(factor×) / sec(1×, best-of-two above); linear scaling would be
+    // ≈ factor, so anything > 2·factor is a super-linear red flag. Disable
+    // with SPARK_GRAFT_SCALE=1 (or 0).
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val scaleJson = if (factor <= 1) "" else {
+      val outDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
+      ScaleData.synthesize(spark, sfDir, outDir, factor)
+      val scaleSet = Seq(
+        "q1_agg", "filter_cesql", "action_structs_pipeline", "template_json",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
+        "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
+        "text_gopher_quality", "text_langid",
+        "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk")
+      val entries = scaleSet.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          val sec = once((s, _) => fn(s, outDir))
+          val base = results(n)
+          val ratio = sec / math.max(base, 1e-9)
+          f""""$n":{"sec":$sec,"base_sec":$base,"ratio":$ratio%.2f}"""
+        }
+      }
+      s""","scale":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× scale-up of the driver test tables, for the larger-SF
+  * bench section (VERDICT r2 directive 10). The capped/salted operator paths
+  * (MinK block caps, salted top-k windows, bucketed LSH) only show their
+  * value above toy scale; this synthesizes a corpus `factor`× the source SF
+  * so the bench can check that no query scales super-linearly.
+  *
+  * Design: each copy `c` of a row gets
+  *  - ids offset by `c · IdStride` (disjoint, order-preserving id spaces);
+  *  - `documents.text` caesar-rotated by `c` letters (copy 0 = identity), so
+  *    every shingle/word hash differs across copies: the 10× corpus is 10×
+  *    *fresh* text with identical length/word-count/punctuation statistics,
+  *    not 10 near-dup copies of each document (which would grow candidate
+  *    pairs quadratically and measure duplicate blowup, not engine scaling);
+  *  - `documents.source` suffixed per copy — at 10× a web corpus has ~10×
+  *    the distinct sources, so blocking keys (lang, source, len_bucket) keep
+  *    their per-block cardinality while block count grows linearly;
+  *  - `embeddings.embedding` nudged by `c/1000` per element, so no two
+  *    copies are exact-duplicate vectors.
+  *
+  * Everything is a single scan per table: explode a 0..factor-1 sequence,
+  * remap columns with codegen'd expressions, write partitioned parquet (so
+  * downstream scans of the scaled dir get real input splits, unlike the
+  * single-row-group source files).
+  */
+object ScaleData {
+
+  /** Id offset between copies; far above any real id in the test data. */
+  val IdStride = 100000000L
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  /** Caesar-rotate letters by `c` positions, constant-folded per copy value
+    * (translate() requires literal alphabets, so this is a when-chain over
+    * the factor's copy values — `factor` branches of pure codegen'd
+    * translate, no UDF).
+    */
+  private def rotated(text: Column, copy: Column, factor: Int): Column =
+    (1 until factor).foldLeft(text) { (acc, c) =>
+      val r = c % 26
+      val to = Lower.drop(r) + Lower.take(r) + Upper.drop(r) + Upper.take(r)
+      when(copy === c, translate(text, Lower + Upper, to)).otherwise(acc)
+    }
+
+  private def withCopies(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+
+  private def offsetId(c: Column, copy: Column): Column =
+    c + copy.cast("bigint") * lit(IdStride)
+
+  /** Write `df` minus the copy column as multi-split parquet. */
+  private def write(df: DataFrame, outDir: String, name: String): Unit = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.drop("copy").repartition(par)
+      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (rotation degenerates past 26), got $factor")
+    val copy = col("copy")
+
+    val docs = withCopies(Tables.documents(spark, srcDir), factor)
+      .withColumn("doc_id", offsetId(col("doc_id"), copy))
+      .withColumn("text", rotated(col("text"), copy, factor))
+      .withColumn("source", concat(col("source"), lit("_c"), copy))
+    write(docs, outDir, "documents")
+
+    val emb = withCopies(Tables.embeddings(spark, srcDir), factor)
+      .withColumn("vec_id", offsetId(col("vec_id"), copy))
+      .withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + copy.cast("float") / lit(1000.0f)).cast("float")))
+    write(emb, outDir, "embeddings")
+
+    // raw read: ts stays the nanos long the source stores (nanosAsLong is a
+    // session config), so the scaled table round-trips the same schema and
+    // Tables.events applies the identical µs conversion on read
+    val events = withCopies(Tables.table(spark, srcDir, "events"), factor)
+      .withColumn("event_id", offsetId(col("event_id"), copy))
+    write(events, outDir, "events")
+
+    val li = withCopies(Tables.lineitem(spark, srcDir), factor)
+      .withColumn("l_orderkey", offsetId(col("l_orderkey"), copy))
+    write(li, outDir, "lineitem")
+  }
+}

@@ -589,6 +589,63 @@ object ExtQueries {
       FROM w ORDER BY doc_id
     """))
 
+  private val repetitionQ = Q(
+    "text_repetition",
+    (s, d) => TextAnalysis.repetition(Tables.documents(s, d)).orderBy(col("doc_id")),
+    Some {
+      // mirrors TextAnalysis.repetition: grams as 1-based word slices,
+      // per-gram counts via list_filter, top = (max count, then max gram),
+      // character coverage = count * length(gram) / length(text)
+      def grams(n: Int): String = {
+        val parts = (0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
+        s"list_transform(range(1, greatest(len(ws) - ${n - 1}, 0) + 1), i -> $parts)"
+      }
+      def cntOf(gs: String): String = s"len(list_filter($gs, x -> x = g))"
+      val topNs = Seq(2, 3, 4)
+      val mcCols = topNs.map(n =>
+        s"list_max(list_transform(list_distinct(g$n), g -> ${cntOf(s"g$n")})) AS mc$n")
+        .mkString(",\n               ")
+      val tgCols = topNs.map(n =>
+        s"list_max(list_filter(list_distinct(g$n), g -> ${cntOf(s"g$n")} = mc$n)) AS tg$n")
+        .mkString(",\n               ")
+      val dup5 =
+        s"""coalesce(list_sum(list_transform(list_distinct(g5),
+               g -> CASE WHEN ${cntOf("g5")} > 1
+                         THEN ${cntOf("g5")} * length(g) ELSE 0 END)), 0)"""
+      val fracCols = topNs.map(n =>
+        s"coalesce(CAST(mc$n * length(tg$n) AS DOUBLE) / length(text), 0.0) AS top${n}_frac")
+        .mkString(",\n               ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      ), g AS (
+        SELECT doc_id, text,
+               ${grams(2)} AS g2, ${grams(3)} AS g3,
+               ${grams(4)} AS g4, ${grams(5)} AS g5
+        FROM w
+      ), c AS (
+        SELECT doc_id, text, g2, g3, g4, g5,
+               $mcCols
+        FROM g
+      ), t AS (
+        SELECT doc_id, text,
+               $tgCols,
+               mc2, mc3, mc4,
+               $dup5 AS dup5chars
+        FROM c
+      ), f AS (
+        SELECT doc_id,
+               $fracCols,
+               CAST(dup5chars AS DOUBLE) / length(text) AS dup5_frac
+        FROM t
+      )
+      SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac,
+             (top2_frac <= 0.20 AND top3_frac <= 0.18 AND
+              top4_frac <= 0.16 AND dup5_frac <= 0.15) AS passes_repetition
+      FROM f ORDER BY doc_id
+    """
+    })
+
   private val cleanQ = Q(
     "text_clean",
     (s, d) => TextAnalysis.clean(
@@ -661,6 +718,76 @@ object ExtQueries {
       FROM b ORDER BY doc_id
     """))
 
+  /** Domain mixing: en kept at 90%, zh 50%, de 25%, everything else 10% —
+    * the static corpus-mixture downsample, decided per row from a ppm-
+    * resolution hash with no shuffle and no per-stratum counting.
+    */
+  private val mixtureQ = Q(
+    "sample_mixture",
+    (s, d) => Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
+      Map("en" -> 900000, "zh" -> 500000, "de" -> 250000), defaultPpm = 100000)
+      .select(col("doc_id"), col("lang"), col("rate_ppm"), col("keep"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 900000
+                    WHEN lang = 'zh' THEN 500000
+                    WHEN lang = 'de' THEN 250000
+                    ELSE 100000 END AS rate_ppm,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                 % 1000000 AS ppm
+        FROM documents
+      )
+      SELECT doc_id, lang, rate_ppm, ppm < rate_ppm AS keep
+      FROM r ORDER BY doc_id
+    """))
+
+  /** Context packing into 4096-token sequences over 16 hash shards per
+    * lang (concat-then-chunk; a doc's sequence is where its first token
+    * lands). The running token sum is the one inherently sequential step;
+    * shards are the scale axis.
+    */
+  private val packQ = Q(
+    "text_pack_sequences",
+    (s, d) => TextAnalysis.packSequences(Tables.documents(s, d), budget = 4096,
+      nShards = 16).orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 % 16 AS pack_shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT *,
+               -- DuckDB SUM(BIGINT) is HUGEINT; pin back to BIGINT
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang, pack_shard
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS BIGINT) AS start_offset
+        FROM t
+      )
+      SELECT doc_id, lang, pack_shard, n_tokens, start_offset,
+             CAST(floor(start_offset / 4096.0) AS BIGINT) AS seq_id,
+             CAST(start_offset % 4096 AS BIGINT) AS offset_in_seq
+      FROM c ORDER BY doc_id
+    """))
+
+  /** Approx-distinct (HLL) — SURVEY §7.7's approx_count_distinct promise.
+    * No oracle: HLL sketches are engine-specific (Spark's relative error
+    * here is ±5%, asserted in SamplingSpec against the exact count); the
+    * driver records the weaker rows-only check for this entry.
+    */
+  private val approxDistinctQ = Q(
+    "approx_distinct",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type")),
+    None)
+
   // ===========================================================================
   // multimodal
   // ===========================================================================
@@ -702,5 +829,6 @@ object ExtQueries {
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
-    langIdQ, qualityQ, gopherQ, cleanQ, piiQ, splitQ, tokensQ, fingerprintQ, multimodalQ)
+    langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
+    approxDistinctQ, tokensQ, fingerprintQ, multimodalQ)
 }

@@ -237,6 +237,78 @@ object StreamQueries {
       ORDER BY event_id
     """))
 
+  /** Retry/DLQ routing truth table through the REAL decision expression —
+    * [[Backoff.isRetryableCol]], the exact Column SubscriptionRunner routes
+    * failed micro-batches with (and BackoffSpec pins Column ≡ Scala form).
+    * Synthesized codes cover 2xx delivery, non-retryable 4xx including
+    * transform (460) and ordered (461) failures, retryable 429/5xx, and the
+    * gateway's 600/601 timeout codes (util.go:59-73).
+    */
+  private val retryableQ = {
+    val codes = Seq(200, 204, 400, 404, 408, 429, Backoff.TransformErrorCode,
+      Backoff.OrderErrorCode, 500, 502, 503, 504, 600, 601)
+    val sqlCode = codes.zipWithIndex
+      .map { case (c, i) => s"WHEN event_id % ${codes.size} = $i THEN $c" }
+      .mkString("CASE ", " ", " END")
+    Q(
+      "stream_retryable",
+      (s, d) => {
+        val codeCol = element_at(array(codes.map(lit(_)): _*),
+          (col("event_id") % codes.size).cast("int") + 1)
+        Tables.events(s, d).select(col("event_id"), codeCol.as("code"))
+          .withColumn("retryable", Backoff.isRetryableCol(col("code")))
+          .withColumn("outcome",
+            when(col("code") < 300, "delivered")
+              .when(col("retryable"), "retry").otherwise("dlq"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH c AS (SELECT event_id, $sqlCode AS code FROM events)
+        SELECT event_id, code,
+               (code = 429 OR code >= 500) AS retryable,
+               CASE WHEN code < 300 THEN 'delivered'
+                    WHEN code = 429 OR code >= 500 THEN 'retry'
+                    ELSE 'dlq' END AS outcome
+        FROM c ORDER BY event_id
+      """))
+  }
+
+  /** Send-batch layout (trigger.go:366-372 size flush; Delivery.Batched's
+    * grouped(maxSize) chunking in SubscriptionRunner): within each delivery
+    * partition (event_type as the log stand-in, offset order), full chunks
+    * of SendBatchSize=16 followed by the remainder — the micro-batch's
+    * final time-flush. The per-batch histogram (count, first/last offset)
+    * pins the chunk boundaries, which is the granularity the gRPC batch
+    * sink applies its whole-batch result at. The production path chunks an
+    * iterator (O(1) memory, no window); this declarative spelling exists to
+    * make the layout oracle-checkable.
+    */
+  private val sendBatchesQ = Q(
+    "stream_send_batches",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .withColumn("batch_seq",
+          floor((row_number().over(w) - 1) / 16).cast("bigint"))
+        .groupBy(col("event_type"), col("batch_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_offset"),
+          max(col("event_id")).as("last_offset"))
+        .orderBy(col("event_type"), col("batch_seq"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn
+        FROM events
+      )
+      SELECT event_type, CAST(floor(rn / 16) AS BIGINT) AS batch_seq,
+             COUNT(*) AS n_events, MIN(event_id) AS first_offset,
+             MAX(event_id) AS last_offset
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   /** Publish-path parity (proxy.go:166-237): per-event checkExtension
     * validation, xvanuseventbus stamping, and timer-bus rerouting through
     * the REAL Publisher.route. Attributes are synthesized per event_id%4:
@@ -397,5 +469,6 @@ object StreamQueries {
     """))
 
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
+    retryableQ, sendBatchesQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
 }

@@ -32,4 +32,31 @@ object Sampling {
       valPct: Int = 10): DataFrame =
     df.withColumn("bucket", hashBucket(key))
       .withColumn("split", splitLabel(key, trainPct, valPct))
+
+  /** Fine-grained uniform hash in [0, 1e6) — ppm resolution for mixture
+    * rates (first 12 md5 hex chars = 48 bits, exact in 64-bit arithmetic
+    * in any engine).
+    */
+  def hashPpm(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("bigint") % 1000000L
+
+  /** Domain-mixture downsampling: each stratum (e.g. source or lang) keeps
+    * a target fraction of its documents, expressed in parts-per-million so
+    * the decision is integer-exact. The keep decision is a pure function of
+    * the row key — stable under re-partitioning and re-runs, and requires
+    * NO shuffle and NO per-stratum counts: at 100 TB this is a scan-stage
+    * predicate, unlike count-then-sample designs that need a pass per
+    * stratum. Rates express the corpus mixing every pre-training pipeline
+    * runs (downweight a dominant crawl, upweight a curated source);
+    * upsampling (rate > 1e6) is out of scope — duplication is a different
+    * operator with different dedup implications.
+    */
+  def mixture(df: DataFrame, stratum: Column, key: Column,
+      ratesPpm: Map[String, Int], defaultPpm: Int): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("rate_ppm", rate)
+      .withColumn("keep", hashPpm(key) < col("rate_ppm"))
+  }
 }

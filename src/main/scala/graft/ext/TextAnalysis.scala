@@ -100,6 +100,57 @@ object TextAnalysis {
         (topFreq.cast("double") / nWords) <= 0.2).as("passes_gopher"))
   }
 
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1, public paper): the
+    * fraction of characters inside the most frequent word n-gram (n=2,3,4)
+    * and inside duplicated 5-grams — the repetition half of the Gopher
+    * gates ([[gopherQuality]] covers the shape/symbol half). Character
+    * coverage is count × n-gram length over document length, without
+    * overlap correction (the standard cheap spelling; the oracle shares
+    * it). "Most frequent" ties break to the lexicographically greatest
+    * gram via struct max — deterministic across engines. O(grams·distinct)
+    * per document, partition-local, no shuffle: scan speed at 100 TB.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val tc = length(col("text"))
+    // index-guarded gram builder: stays in element_at's 1..size bounds for
+    // ANY document length (Dedup.shingles relies on its callers filtering
+    // out docs shorter than n words; short docs here just get no grams)
+    def grams(n: Int): Column =
+      filter(
+        transform(words, (_, i) =>
+          when(i <= size(words) - n,
+            concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))),
+        g => g.isNotNull)
+    def gramCounts(n: Int): Column = {
+      val gs = grams(n)
+      transform(array_distinct(gs),
+        g => struct(size(filter(gs, x => x === g)).as("cnt"), g.as("gram")))
+    }
+    def topFrac(n: Int): Column = {
+      val top = array_max(gramCounts(n))
+      coalesce((top.getField("cnt") * length(top.getField("gram")))
+        .cast("double") / tc, lit(0.0))
+    }
+    def dupFrac(n: Int): Column =
+      coalesce(aggregate(gramCounts(n), lit(0L), (acc, s) =>
+        acc + when(s.getField("cnt") > 1,
+          (s.getField("cnt") * length(s.getField("gram"))).cast("bigint"))
+          .otherwise(0L))
+        .cast("double") / tc, lit(0.0))
+    val top2 = topFrac(2)
+    val top3 = topFrac(3)
+    val top4 = topFrac(4)
+    val dup5 = dupFrac(5)
+    graft.Tables.fanOut(docs).select(
+      col("doc_id"),
+      top2.as("top2_frac"), top3.as("top3_frac"), top4.as("top4_frac"),
+      dup5.as("dup5_frac"),
+      // Gopher's published thresholds for these four signals
+      (top2 <= 0.20 && top3 <= 0.18 && top4 <= 0.16 && dup5 <= 0.15)
+        .as("passes_repetition"))
+  }
+
   /** Text cleaning: drop control characters, collapse whitespace runs,
     * trim — the normalization pass before tokenize/dedup. Pure regexp
     * chain, scan speed.
@@ -141,6 +192,39 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+")).cast("bigint").as("regex_tokens"),
       aggregate(words, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("bigint"))
         .as("subword_est"))
+  }
+
+  /** Context packing: assign documents to fixed-token-budget training
+    * sequences, the concat-then-chunk layout every LLM pre-training
+    * pipeline runs. Documents are concatenated in doc_id order within a
+    * pack stream and a document's sequence is the chunk its first token
+    * lands in (`floor(start_offset / budget)` — docs may span a boundary,
+    * as in standard GPT-style packing).
+    *
+    * The pack stream is (lang, shard) where shard = hashBucket(doc_id) %
+    * nShards: packing is inherently sequential *within* a stream (a running
+    * token sum), so scale comes from sharding the streams, not from
+    * parallelizing one cumsum — at 100 TB you raise nShards so each
+    * window partition holds one shard's docs, instead of funneling a whole
+    * language through one task. Assignment is a pure function of
+    * (doc_id, text), stable across re-runs and partitionings.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 4096,
+      nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = size(split(col("text"), " ", -1)).cast("bigint")
+    val shard = Sampling.hashBucket(col("doc_id")) % nShards
+    val w = Window.partitionBy(col("lang"), col("pack_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("pack_shard", shard)
+      .withColumn("n_tokens", tokens)
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_offset") / budget).cast("bigint"))
+      .withColumn("offset_in_seq", col("start_offset") % budget)
+      .select(col("doc_id"), col("lang"), col("pack_shard"), col("n_tokens"),
+        col("start_offset"), col("seq_id"), col("offset_in_seq"))
   }
 
   /** Rolling-hash document fingerprint: fold h ← (h·31 + wordhash) mod p

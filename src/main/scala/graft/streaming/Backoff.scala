@@ -32,6 +32,13 @@ object Backoff {
   def isRetryable(statusCode: Int): Boolean =
     statusCode == 429 || statusCode >= 500
 
+  /** Same decision as a Column — the spelling the delivery path uses to
+    * route a whole failed micro-batch in one pass (SubscriptionRunner's
+    * retry/DLQ split). Covers the gateway's 600/601 timeout codes (≥ 500)
+    * and leaves transform (460) / ordered (461) failures non-retryable.
+    */
+  def isRetryableCol(code: Column): Column = code === 429 || code >= 500
+
   /** Transform errors are non-retryable (util.go:59-63). */
   val TransformErrorCode = 460
   /** Ordered-mode failures skip retry entirely (trigger.go:428-431). */

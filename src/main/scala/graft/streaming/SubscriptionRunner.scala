@@ -225,7 +225,7 @@ object SubscriptionRunner {
     // through to the DLQ.
     val attempt = coalesce(
       col("attributes").getItem("xvanusretryattempts").cast("int"), lit(0)) + 1
-    val retryableCode = col("code") === 429 || col("code") >= 500
+    val retryableCode = Backoff.isRetryableCol(col("code"))
     val canRetry = retryableCode && attempt <= spec.config.maxRetryAttempts
 
     // both routing counts in one aggregation job; appends only run when

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sampling + corpus-assembly operators: split/mixture determinism, packing
+  * invariants, approx-distinct accuracy.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixture keep rates land near their ppm targets and are deterministic") {
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val m = Sampling.mixture(docs, col("lang"), col("doc_id"),
+      Map("en" -> 500000), defaultPpm = 100000)
+    val kept = m.filter(col("keep")).groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    // 2000 docs per stratum; hash-uniform keeps ~50% / ~10%
+    assert(math.abs(kept("en") - 1000L) < 100, s"en kept ${kept("en")}")
+    assert(math.abs(kept("xx") - 200L) < 60, s"xx kept ${kept("xx")}")
+    // determinism: same frame, different partitioning, same decisions
+    val again = Sampling.mixture(docs.repartition(13), col("lang"), col("doc_id"),
+      Map("en" -> 500000), defaultPpm = 100000)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val first = m.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(again === first)
+  }
+
+  test("packSequences: offsets are a contiguous token layout per stream") {
+    val docs = Tables.documents(spark, sf)
+    val packed = TextAnalysis.packSequences(docs, budget = 512, nShards = 4)
+      .select("lang", "pack_shard", "doc_id", "n_tokens", "start_offset", "seq_id",
+        "offset_in_seq")
+      .collect()
+    val byStream = packed.groupBy(r => (r.getString(0), r.getLong(1)))
+    for (((_, _), rows) <- byStream) {
+      val sorted = rows.sortBy(_.getLong(2)) // doc_id order
+      var expected = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_offset") === expected,
+          s"gap/overlap at doc ${r.getLong(2)}")
+        assert(r.getAs[Long]("seq_id") === expected / 512)
+        assert(r.getAs[Long]("offset_in_seq") === expected % 512)
+        expected += r.getAs[Long]("n_tokens")
+      }
+    }
+    // total tokens conserved across the layout
+    val total = packed.map(_.getAs[Long]("n_tokens")).sum
+    val direct = docs.select(sum(size(split(col("text"), " ", -1)))).head.getLong(0)
+    assert(total === direct)
+  }
+
+  test("approx_count_distinct stays within 5% of exact on events") {
+    val r = Tables.events(spark, sf)
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .head
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(a - e).toDouble / e <= 0.05, s"approx $a vs exact $e")
+  }
+}

@@ -802,10 +802,11 @@ object ExtQueries {
         col("meta.height").cast("bigint").as("height"),
         col("meta.format").as("format"),
         col("meta.sample_rate").cast("bigint").as("sample_rate"),
-        col("meta.channels").cast("bigint").as("channels"))
+        col("meta.channels").cast("bigint").as("channels"),
+        col("meta.duration_ms").as("duration_ms"))
       .orderBy(col("media_id")),
     // every row carries a real container — PNG (33 B) / JPEG (23 B) /
-    // WAV (44 B) / MP4 (124 B) — whose header the Spark side must
+    // WAV (44 B) / MP4 (232 B) — whose header the Spark side must
     // actually parse; the oracle predicts the decoded fields from the
     // id arithmetic the synthesizers used
     Some("""
@@ -813,7 +814,7 @@ object ExtQueries {
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
              CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 6 = 0 THEN 33 ELSE 23 END)
-                  WHEN doc_id % 3 = 1 THEN 44 ELSE 124 END AS byte_len,
+                  WHEN doc_id % 3 = 1 THEN 44 ELSE 232 END AS byte_len,
              CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
                   WHEN doc_id % 3 = 2 THEN doc_id % 1920 + 16 END AS width,
              CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
@@ -822,13 +823,90 @@ object ExtQueries {
                   WHEN doc_id % 3 = 0 THEN 'jpeg'
                   WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
              CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 8000 END AS sample_rate,
-             CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS channels
+             CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS channels,
+             CASE WHEN doc_id % 3 = 1 THEN (doc_id % 10 + 1) * 1000
+                  WHEN doc_id % 3 = 2 THEN (doc_id % 30 + 1) * 1000 END AS duration_ms
       FROM documents ORDER BY media_id
     """))
+
+  /** 25 fps frame sampling (40 ms step) from the REAL decoded durations;
+    * the oracle predicts the offset-list shape (count, first, last) from
+    * the synthesizers' id arithmetic. Images (no duration) sample nothing.
+    */
+  private val framesQ = Q(
+    "multimodal_frames",
+    (s, d) => Multimodal.sampleOffsets(
+      Multimodal.decode(Multimodal.mediaFromDocuments(Tables.documents(s, d))),
+      stepMs = 40)
+      .select(col("media_id"), col("kind"), col("duration_ms"), col("n_samples"),
+        when(col("n_samples") > 0, element_at(col("offsets_ms"), 1)).as("first_ms"),
+        when(col("n_samples") > 0, element_at(col("offsets_ms"), -1)).as("last_ms"))
+      .orderBy(col("media_id")),
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               CASE WHEN doc_id % 3 = 1 THEN (doc_id % 10 + 1) * 1000
+                    WHEN doc_id % 3 = 2 THEN (doc_id % 30 + 1) * 1000 END AS duration_ms
+        FROM documents
+      )
+      SELECT media_id, kind, duration_ms,
+             CASE WHEN duration_ms > 0 THEN CAST(ceil(duration_ms / 40.0) AS BIGINT)
+                  ELSE 0 END AS n_samples,
+             CASE WHEN duration_ms > 0 THEN CAST(0 AS BIGINT) END AS first_ms,
+             CASE WHEN duration_ms > 0
+                  THEN (CAST(ceil(duration_ms / 40.0) AS BIGINT) - 1) * 40 END AS last_ms
+      FROM m ORDER BY media_id
+    """))
+
+  /** Fit-within-640x360 resize planning over the decoded image/video
+    * dimensions — integer cross-multiplication picks the limiting axis, so
+    * target dims are bit-identical in any engine.
+    */
+  private val resizeQ = Q(
+    "multimodal_resize",
+    (s, d) => Multimodal.resizePlan(
+      Multimodal.decode(Multimodal.mediaFromDocuments(Tables.documents(s, d))),
+      maxW = 640, maxH = 360)
+      .orderBy(col("media_id")),
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS kind,
+               CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
+                    ELSE doc_id % 1920 + 16 END AS width,
+               CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
+                    ELSE doc_id % 1080 + 16 END AS height
+        FROM documents WHERE doc_id % 3 != 1
+      )
+      SELECT media_id, kind, width, height,
+             CASE WHEN width <= 640 AND height <= 360 THEN width
+                  WHEN width * 360 >= height * 640 THEN 640
+                  ELSE CAST(floor(width * 360 / height) AS BIGINT) END AS target_width,
+             CASE WHEN width <= 640 AND height <= 360 THEN height
+                  WHEN width * 360 >= height * 640
+                    THEN CAST(floor(height * 640 / width) AS BIGINT)
+                  ELSE 360 END AS target_height,
+             NOT (width <= 640 AND height <= 360) AS scaled
+      FROM m ORDER BY media_id
+    """))
+
+  /** Codec-free byte features (histogram/entropy/ASCII ratio) over the
+    * binary column. No oracle: the blobs are synthesized Spark-side, so
+    * DuckDB never sees the bytes — accuracy is pinned by MultimodalSpec
+    * hand-computed vectors; the driver records the rows-only check.
+    */
+  private val featuresQ = Q(
+    "multimodal_features",
+    (s, d) => Multimodal.byteFeatures(
+      Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    None)
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
-    approxDistinctQ, tokensQ, fingerprintQ, multimodalQ)
+    approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
 }

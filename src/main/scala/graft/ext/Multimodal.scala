@@ -33,7 +33,8 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("format", StringType),
       StructField("sample_rate", IntegerType),
-      StructField("channels", IntegerType))))))
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType))))))
 
   /** Build a media table from the documents table. Every row carries REAL
     * container bytes with parameters derived from the id — a stored-blob
@@ -59,9 +60,11 @@ object Multimodal {
             if (id % 6 == 0) ImageHeader.pngBytes(w, h)
             else ImageHeader.jpegBytes(w, h)
           case "audio" =>
-            MediaHeader.wavBytes(8000 + (id % 5).toInt * 8000, (id % 2).toInt + 1)
+            MediaHeader.wavBytes(8000 + (id % 5).toInt * 8000, (id % 2).toInt + 1,
+              dataSeconds = (id % 10).toInt + 1)
           case _ =>
-            MediaHeader.mp4Bytes((id % 1920).toInt + 16, (id % 1080).toInt + 16)
+            MediaHeader.mp4Bytes((id % 1920).toInt + 16, (id % 1080).toInt + 16,
+              durationMs = ((id % 30).toInt + 1) * 1000)
         }
         Row(id, r.getString(1), bytes)
       }
@@ -83,16 +86,18 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val kind = r.getString(kindIdx)
         val n = if (bytes == null) 0L else bytes.length.toLong
-        val unknown = Row(n, null, null, "unknown", null, null)
+        val unknown = Row(n, null, null, "unknown", null, null, null)
         val meta = kind match {
           case "image" => ImageHeader.decode(bytes)
-            .map(i => Row(n, i.width, i.height, i.format, null, null))
+            .map(i => Row(n, i.width, i.height, i.format, null, null, null))
             .getOrElse(unknown)
           case "audio" => MediaHeader.decodeWav(bytes)
-            .map(a => Row(n, null, null, a.format, a.sampleRate, a.channels))
+            .map(a => Row(n, null, null, a.format, a.sampleRate, a.channels,
+              a.durationMs))
             .getOrElse(unknown)
           case "video" => MediaHeader.decodeMp4(bytes)
-            .map(v => Row(n, v.width, v.height, v.format, null, null))
+            .map(v => Row(n, v.width, v.height, v.format, null, null,
+              v.durationMs))
             .getOrElse(unknown)
           case _ => unknown
         }
@@ -108,12 +113,90 @@ object Multimodal {
     media.select(col("media_id"), col("kind"),
       length(col("content")).cast("bigint").as("byte_len"))
 
-  /** Frame-sampling stub: pick deterministic frame offsets (every `stride`
-    * bytes stands in for every Nth frame) — the partition/batch shape of a
-    * real frame sampler.
+  /** Frame/window sampling from the REAL decoded clip duration: one offset
+    * every `stepMs` through the clip (25 fps video sampling = 40 ms; audio
+    * analysis windows likewise). Pure column arithmetic over the decoded
+    * metadata — the binary column is untouched, so an offsets-only query
+    * scans header metadata, never blobs. Rows with no duration (images,
+    * undecodable bytes) get an empty offset list.
     */
-  def frameSample(media: DataFrame, stride: Int): DataFrame =
-    media.select(col("media_id"), col("kind"),
-      transform(sequence(lit(0), length(col("content")).cast("int") - 1, lit(stride)),
-        i => i).as("frame_offsets"))
+  def sampleOffsets(decoded: DataFrame, stepMs: Int): DataFrame = {
+    val dur = col("meta").getField("duration_ms")
+    decoded.select(col("media_id"), col("kind"), dur.as("duration_ms"),
+      when(dur > 0, sequence(lit(0L), dur - 1, lit(stepMs.toLong)))
+        .otherwise(array().cast("array<bigint>")).as("offsets_ms"))
+      .withColumn("n_samples", size(col("offsets_ms")).cast("bigint"))
+  }
+
+  /** Resize planning: fit-within-box target dimensions for image/video
+    * rows. Cross-multiplied integer comparison picks the limiting axis and
+    * floor division computes the scaled dimension (products stay < 2^53,
+    * so the floor(double) is exact and engine-agnostic). The pixel
+    * resample itself needs a codec — out of scope for the header-only
+    * decode path — but it would slot into the same per-partition batch
+    * signature as [[decode]], consuming this plan.
+    */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta").getField("width").cast("bigint")
+    val h = col("meta").getField("height").cast("bigint")
+    val fits = w <= maxW && h <= maxH
+    val widthLimited = w * maxH >= h * maxW
+    val tw = when(fits, w).when(widthLimited, lit(maxW.toLong))
+      .otherwise(floor(w * maxH / h).cast("bigint"))
+    val th = when(fits, h).when(widthLimited, floor(h * maxW / w).cast("bigint"))
+      .otherwise(lit(maxH.toLong))
+    decoded.filter(w.isNotNull && h.isNotNull)
+      .select(col("media_id"), col("kind"), w.as("width"), h.as("height"),
+        tw.as("target_width"), th.as("target_height"), (!fits).as("scaled"))
+  }
+
+  /** Batch-shaped byte-level feature extraction over the binary column —
+    * the features computable WITHOUT a codec: a 16-bin byte histogram,
+    * Shannon entropy (bits/byte), and printable-ASCII ratio (cheap
+    * compressed-vs-text signal). The per-partition loop is the Arrow/
+    * mapInPandas batch shape; a real embedding or codec model slots into
+    * the same signature without changing the plan.
+    */
+  def byteFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("byte_len", LongType),
+      StructField("entropy", DoubleType),
+      StructField("ascii_ratio", DoubleType),
+      StructField("hist16", ArrayType(LongType, containsNull = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val n = if (bytes == null) 0 else bytes.length
+        val counts = new Array[Long](256)
+        var ascii = 0L
+        var i = 0
+        while (i < n) {
+          val b = bytes(i) & 0xff
+          counts(b) += 1
+          if (b >= 0x20 && b < 0x7f) ascii += 1
+          i += 1
+        }
+        var entropy = 0.0
+        var j = 0
+        while (j < 256) {
+          if (counts(j) > 0) {
+            val p = counts(j).toDouble / n
+            entropy -= p * (math.log(p) / math.log(2))
+          }
+          j += 1
+        }
+        val hist = Array.tabulate(16)(k =>
+          (0 until 16).map(m => counts(k * 16 + m)).sum)
+        Row(r.getLong(idIdx), r.getString(kindIdx), n.toLong,
+          if (n == 0) 0.0 else entropy,
+          if (n == 0) 0.0 else ascii.toDouble / n,
+          hist.toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

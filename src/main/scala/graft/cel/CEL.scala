@@ -206,6 +206,19 @@ object CEL {
     case _ => false
   }
 
+  /** Statically int64-typed subtree (CEL's int64/uint64 arithmetic domain).
+    * Drives integer-division semantics: CEL `/` on int64 truncates toward
+    * zero (cel-spec int64_math conformance), not double division.
+    */
+  private def isIntExpr(e: Expr): Boolean = e match {
+    case _: LInt => true
+    case VarRef(_, t) => t == "int64" || t == "uint64"
+    case Un("-", x) => isIntExpr(x)
+    case Bin(op, l, r) => Set("+", "-", "*", "/", "%")(op) && isIntExpr(l) && isIntExpr(r)
+    case Ternary(_, t, f) => isIntExpr(t) && isIntExpr(f)
+    case _ => false
+  }
+
   def toColumn(e: Expr): Column = e match {
     case v: VarRef => varColumn(v)
     case LInt(v) => lit(v)
@@ -221,7 +234,12 @@ object CEL {
         case "+" => try_add(lc, rc)
         case "-" => try_subtract(lc, rc)
         case "*" => try_multiply(lc, rc)
-        case "/" => try_divide(lc, rc)
+        case "/" =>
+          // int64 ÷ int64 truncates toward zero in CEL; the bigint cast of
+          // the double quotient truncates toward zero identically (operands
+          // are far below 2^53, so the quotient is exact)
+          if (isIntExpr(l) && isIntExpr(r)) try_divide(lc, rc).try_cast("bigint")
+          else try_divide(lc, rc)
         case "%" => try_mod(lc, rc)
       }
     case Bin("&&", l, r) => toColumn(l) && toColumn(r)

@@ -99,6 +99,28 @@ class PlanSpec extends SparkSpec {
       view.filter(col("event_date") === "2024-01-02").count())
   }
 
+  test("mixture sampling is a scan-stage decision: no shuffle in the plan") {
+    val plan = executedPlan(ext.Sampling.mixture(
+      Tables.documents(spark, sf), col("lang"), col("doc_id"),
+      Map("en" -> 500000), defaultPpm = 100000).filter(col("keep")))
+    assert(!plan.contains("Exchange"), s"mixture introduced a shuffle:\n$plan")
+    assert(plan.contains("ReadSchema"), plan)
+  }
+
+  test("packSequences shuffles once, keyed by the pack stream") {
+    val plan = executedPlan(
+      ext.TextAnalysis.packSequences(Tables.documents(spark, sf), 512, 4))
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(plan).size === 1,
+      s"expected exactly one stream-keyed exchange:\n$plan")
+    assert(plan.contains("pack_shard"), plan)
+  }
+
+  test("min_k block cap aggregates map-side (ObjectHashAggregate partials)") {
+    val plan = executedPlan(
+      ext.Dedup.ngramJaccardPairs(Tables.documents(spark, sf), 0.6, maxBlock = 50))
+    assert(plan.contains("partial_min_k"), s"map-side cap lost:\n$plan")
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +

@@ -1,0 +1,120 @@
+package graft.cel
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conformance vectors re-derived from the PUBLIC CEL specification
+  * (google/cel-spec: langdef.md and the simple conformance suite's
+  * published categories — basic literals, int64/double math, comparisons,
+  * logic with commutative error absorption, ternary), restricted to the
+  * dialect subset the reference exposes (pkg/cel/cel.go:44-196: typed
+  * `$path.(type)` variables over the event data body, no functions/lists).
+  *
+  * Two evaluation modes, matching the reference's usage:
+  *  - `evals(expr)` — the raw expression value via toColumn (spec semantics
+  *    for non-boolean subtrees);
+  *  - `passes(expr)` — the compiled filter (error/missing ⇒ false,
+  *    cel_filter.go:42-46).
+  */
+class CELVectorsSpec extends SparkSpec {
+
+  // fixture: data body with one field per variable type
+  lazy val ev: DataFrame = {
+    import spark.implicits._
+    Seq((1L, """{"k":12,"f":1.5,"s":"abc","b":true,"neg":-7,"zero":0}"""))
+      .toDF("sequence_number", "data")
+  }
+
+  private def evals(expr: String): Any = {
+    val c = CEL.toColumn(new CEL.Parser(CEL.Lexer.tokenize(expr)).parse())
+    ev.select(c.as("v")).head.get(0)
+  }
+
+  private def passes(expr: String): Boolean =
+    ev.filter(CEL.compile(expr)).count() == 1
+
+  private def vectors(cases: (String, Boolean)*): Unit =
+    cases.foreach { case (e, expected) =>
+      assert(passes(e) == expected, s"vector failed: <$e> expected $expected")
+    }
+
+  test("basic literals self-evaluate (cel-spec basic)") {
+    assert(evals("17") === 17L)
+    assert(evals("-1") === -1L)
+    assert(evals("42u") === 42L)
+    assert(evals("7.5") === 7.5)
+    assert(evals("'hello'") === "hello")
+    assert(evals("\"hello\"") === "hello")
+    assert(evals("true") === true)
+    assert(evals("!false") === true)
+  }
+
+  test("int64 math (cel-spec int64_math): truncating division, Go-sign mod") {
+    assert(evals("1 + 1") === 2L)
+    assert(evals("64 - 11") === 53L)
+    assert(evals("17 * 2") === 34L)
+    assert(evals("35 / 5") === 7L)   // int ÷ int stays int64
+    assert(evals("10 / 3") === 3L)   // truncation, not 3.33
+    assert(evals("-10 / 3") === -3L) // toward zero, not floor
+    assert(evals("15 % 4") === 3L)
+    assert(evals("-15 % 4") === -3L) // dividend-sign remainder (Go/CEL)
+  }
+
+  test("double math (cel-spec double_math)") {
+    assert(evals("7.0 * 2.0") === 14.0)
+    assert(evals("10.0 / 4.0") === 2.5)
+    assert(evals("1.0 + 2.5") === 3.5)
+    // mixed int/double promotes to double
+    assert(evals("3 + 0.5") === 3.5)
+  }
+
+  test("comparisons incl. cross-numeric-type equality (cel-spec comparisons)") {
+    vectors(
+      "1 < 2" -> true, "2 < 1" -> false,
+      "2 <= 2" -> true, "3 <= 2" -> false,
+      "3 > 2" -> true, "2 >= 3" -> false,
+      "1 == 1" -> true, "1 != 1" -> false,
+      "2 == 2.0" -> true,  // numeric equality crosses int64/double
+      "1.0 < 2" -> true,
+      "'a' < 'b'" -> true, // lexicographic string order
+      "'abc' == 'abc'" -> true, "'abc' != 'abd'" -> true)
+  }
+
+  test("logic: commutative error absorption (cel-spec logic)") {
+    vectors(
+      "true && true" -> true, "true && false" -> false,
+      "false || true" -> true, "false || false" -> false,
+      "!true" -> false,
+      // CEL's signature conformance cases: a short-circuitable side
+      // absorbs an error on the other side (1/0 and bad coercions err)
+      "true || ($zero.(int64) == 1/0)" -> true,
+      "false && ($zero.(int64) == 1/0)" -> false,
+      // non-absorbed error fails the filter (error => false)
+      "$s.(int64) == 1" -> false)
+  }
+
+  test("ternary (cel-spec conditional)") {
+    assert(evals("false ? 1 : 2") === 2L)
+    assert(evals("true ? 1 : 2") === 1L)
+    vectors(
+      "($k.(int64) > 10 ? 'big' : 'small') == 'big'" -> true,
+      "(false ? 1 : 2) == 2" -> true)
+  }
+
+  test("typed variables over the data body with lenient coercions (cel.go:198-275)") {
+    vectors(
+      "$k.(int64) == 12" -> true,
+      "$k.(uint64) == 12" -> true,
+      "$k.(double) == 12.0" -> true,
+      "$k.(string) == '12'" -> true,   // numeric value reads as its text
+      "$f.(double) == 1.5" -> true,
+      "$f.(int64) == 1" -> true,       // float → int64 truncates
+      "$s.(string) == 'abc'" -> true,
+      "$b.(bool)" -> true,
+      "$neg.(int64) == -7" -> true,
+      "$k.(int64) / 4 == 3" -> true,   // typed var joins int64 division
+      "$missing.(int64) == 0" -> false // missing => filter false, not error
+    )
+  }
+}

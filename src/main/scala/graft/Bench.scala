@@ -42,7 +42,8 @@ object Bench {
         "q1_agg", "filter_cesql", "action_structs_pipeline", "template_json",
         "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
         "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
-        "text_gopher_quality", "text_langid",
+        "text_gopher_quality", "text_langid", "text_repetition",
+        "text_pack_sequences", "sample_mixture",
         "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk")
       val entries = scaleSet.flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>

@@ -8,11 +8,11 @@ import graft.streaming.SubscriptionRunner.{BatchSink, Delivery, Deliverable, Sin
   * credential shapes from pkg/primitive.
   *
   * HTTP and batched-HTTP are fully implemented ([[HttpSink]],
-  * [[HttpBatchSink]]). Lambda / GCloud Functions need cloud SDKs this
-  * library deliberately doesn't depend on — per SURVEY §2.1 they are kept
-  * as typed configuration plus a transport seam: the caller supplies the
-  * invoke function (the SDK call), and everything else (selection, batch
-  * accumulation, retry/DLQ routing, credentials plumbing) is handled here.
+  * [[HttpBatchSink]]). Lambda invokes through the REAL public Invoke REST
+  * API with [[SigV4]]-signed requests ([[LambdaSink]] — no SDK dependency);
+  * GCloud Functions POSTs the function URL with a Bearer token
+  * ([[GCloudFunctionSink]]) whose *minting* is the one injected seam (the
+  * service-account OIDC exchange needs Google's identity endpoint).
   */
 object Sinks {
 
@@ -31,9 +31,10 @@ object Sinks {
   final case class GrpcBatch(url: String, sendBatchSize: Int = 16,
       timeoutMillis: Long = 5000) extends SinkConfig
   final case class AwsLambda(functionArn: String, credential: AkSk,
-      invoke: Deliverable => Either[Int, Unit]) extends SinkConfig
-  final case class GCloudFunctions(url: String, credential: GCloudCredential,
-      invoke: Deliverable => Either[Int, Unit]) extends SinkConfig
+      endpointOverride: Option[String] = None,
+      timeoutMillis: Long = 5000) extends SinkConfig
+  final case class GCloudFunctions(url: String, tokenProvider: () => String,
+      timeoutMillis: Long = 5000) extends SinkConfig
 
   /** util.go:35-52 — pick the delivery mode for a config. gRPC transport
     * is carried by CloudEvents batched HTTP (same one-call-per-batch,
@@ -45,7 +46,10 @@ object Sinks {
       Delivery.PerEvent(HttpSink.withGateway(url, gw.address, gw.targetHeaderName, t))
     case GrpcBatch(url, size, t) =>
       Delivery.Batched(new HttpBatchSink(url, t), size)
-    case AwsLambda(_, _, invoke) => Delivery.PerEvent(invoke(_))
-    case GCloudFunctions(_, _, invoke) => Delivery.PerEvent(invoke(_))
+    case AwsLambda(arn, cred, endpoint, t) =>
+      Delivery.PerEvent(new LambdaSink(arn, cred.accessKeyId,
+        cred.secretAccessKey, endpoint, t))
+    case GCloudFunctions(url, tokens, t) =>
+      Delivery.PerEvent(new GCloudFunctionSink(url, tokens, t))
   }
 }

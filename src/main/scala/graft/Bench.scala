@@ -44,6 +44,7 @@ object Bench {
         "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
         "text_gopher_quality", "text_langid", "text_repetition",
         "text_pack_sequences", "sample_mixture",
+        "text_decontaminate", "text_tfidf", "join_asof", "join_range",
         "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk")
       val entries = scaleSet.flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>

@@ -773,6 +773,88 @@ object ExtQueries {
       FROM c ORDER BY doc_id
     """))
 
+  /** Benchmark decontamination over synthesized contamination: eval set =
+    * doc_id % 97 == 0; a shared canary passage (two variants, by parity)
+    * is appended to eval docs AND to corpus docs with doc_id % 13 == 0, so
+    * the 5-gram overlap is actually exercised (natural overlap in the
+    * synthetic corpus is ~1 doc). The REAL TextAnalysis.decontaminate
+    * (broadcast eval grams → hit counts) runs on the Spark side; the
+    * oracle rebuilds grams with list slicing and joins.
+    */
+  private val decontaminateQ = Q(
+    "text_decontaminate",
+    (s, d) => {
+      val canary = concat(col("text"), lit(" shared benchmark passage variant "),
+        (col("doc_id") % 2).cast("string"), lit(" alpha beta gamma delta epsilon"))
+      val dirty = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0, canary)
+          .otherwise(col("text")))
+      TextAnalysis.decontaminate(
+        dirty.filter(col("doc_id") % 97 =!= 0),
+        dirty.filter(col("doc_id") % 97 === 0), n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+                 THEN text || ' shared benchmark passage variant '
+                      || CAST(doc_id % 2 AS VARCHAR)
+                      || ' alpha beta gamma delta epsilon'
+                 ELSE text END AS text
+        FROM documents
+      ), w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM dirty
+      ), g AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4])) AS grams
+        FROM w
+      ), ev AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+      ), hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_hits
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0) c
+        JOIN ev USING (gram) GROUP BY c.doc_id
+      )
+      SELECT g.doc_id, g.lang, COALESCE(h.n_hits, 0) AS n_hits,
+             COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM g LEFT JOIN hits h USING (doc_id)
+      WHERE g.doc_id % 97 != 0
+      ORDER BY g.doc_id
+    """))
+
+  /** Corpus TF-IDF top terms through the REAL TextAnalysis.tfIdfTopTerms;
+    * the log-free score (tf·N/df, one double division) makes the weights
+    * bit-identical across engines.
+    */
+  private val tfidfQ = Q(
+    "text_tfidf",
+    (s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+      ), dfr AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+      ), sc AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf * n_docs AS DOUBLE) / df AS score
+        FROM tf JOIN dfr USING (term) CROSS JOIN n
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS rank
+        FROM sc
+      )
+      SELECT doc_id, rank, term, tf, df, score FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank
+    """))
+
   /** Approx-distinct (HLL) — SURVEY §7.7's approx_count_distinct promise.
     * No oracle: HLL sketches are engine-specific (Spark's relative error
     * here is ±5%, asserted in SamplingSpec against the exact count); the
@@ -908,5 +990,6 @@ object ExtQueries {
     simhashProbeQ, jaccardQ,
     bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
+    decontaminateQ, tfidfQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
 }

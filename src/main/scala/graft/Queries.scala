@@ -156,7 +156,8 @@ object Queries {
   // --------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(q1Agg, qPointGet, qPointGetById, qOffsetByTime) ++
-    FilterQueries.all ++ TransformQueries.all ++ StreamQueries.all ++ ExtQueries.all
+    FilterQueries.all ++ TransformQueries.all ++ StreamQueries.all ++
+    ExtQueries.all ++ JoinQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

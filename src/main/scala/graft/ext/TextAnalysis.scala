@@ -110,18 +110,22 @@ object TextAnalysis {
     * gram via struct max — deterministic across engines. O(grams·distinct)
     * per document, partition-local, no shuffle: scan speed at 100 TB.
     */
+  /** Index-guarded word n-gram builder: stays in element_at's 1..size
+    * bounds for ANY document length (Dedup.shingles relies on its callers
+    * filtering out docs shorter than n words; short docs here just get no
+    * grams). Shared by [[repetition]] and [[decontaminate]].
+    */
+  def wordGrams(words: Column, n: Int): Column =
+    filter(
+      transform(words, (_, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))),
+      g => g.isNotNull)
+
   def repetition(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ", -1)
     val tc = length(col("text"))
-    // index-guarded gram builder: stays in element_at's 1..size bounds for
-    // ANY document length (Dedup.shingles relies on its callers filtering
-    // out docs shorter than n words; short docs here just get no grams)
-    def grams(n: Int): Column =
-      filter(
-        transform(words, (_, i) =>
-          when(i <= size(words) - n,
-            concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))),
-        g => g.isNotNull)
+    def grams(n: Int): Column = wordGrams(words, n)
     def gramCounts(n: Int): Column = {
       val gs = grams(n)
       transform(array_distinct(gs),
@@ -225,6 +229,59 @@ object TextAnalysis {
       .withColumn("offset_in_seq", col("start_offset") % budget)
       .select(col("doc_id"), col("lang"), col("pack_shard"), col("n_tokens"),
         col("start_offset"), col("seq_id"), col("offset_in_seq"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with an evaluation set — the GPT-3/PaLM-style 13-gram overlap
+    * check (public papers), parameterized on n. The eval side is the small
+    * side by construction (benchmarks are KBs, corpora are TBs): its
+    * distinct grams BROADCAST, the corpus side explodes per-doc distinct
+    * grams map-side and counts hits per doc — one broadcast join, one
+    * doc-keyed aggregation, and the corpus text is scanned once. Returns
+    * every corpus doc with its hit count (`n_hits`) and the verdict.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = array_distinct(wordGrams(split(col("text"), " ", -1), n))
+    val evalGrams = evalDocs
+      .select(explode(grams).as("gram")).distinct()
+    val corpusGrams = graft.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val hits = corpusGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Corpus-level TF-IDF top terms: for each document, the k terms with
+    * the highest tf·(N/df) weight. The idf is spelled WITHOUT a logarithm
+    * (score = tf·N/df as one double division) so independent engines agree
+    * bit-for-bit — libm log implementations differ in ULPs, ratios don't.
+    * Shape at 100 TB: one explode + (doc,term) aggregation, one term-keyed
+    * df aggregation (map-side partial, term cardinality ≪ corpus size), a
+    * broadcast of the single-row N, and a per-doc window whose partitions
+    * are bounded by per-doc vocabulary — no global sort, no funnel.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = graft.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
   }
 
   /** Rolling-hash document fingerprint: fold h ← (h·31 + wordhash) mod p

@@ -121,6 +121,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_min_k"), s"map-side cap lost:\n$plan")
   }
 
+  test("asOf shuffles once on the join key (union-window, no join node)") {
+    val ev = Tables.events(spark, sf)
+    val plan = executedPlan(ext.Joins.asOf(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      "user_id", "ts", "ts", "event_id", Seq("event_id", "value")))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size === 1,
+      s"expected exactly one key-partitioned exchange:\n$plan")
+    assert(!plan.contains("Join"), s"asOf should not plan a join node:\n$plan")
+  }
+
+  test("rangeJoin broadcasts a small interval side") {
+    import spark.implicits._
+    val iv = Seq((1L,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("interval_id", "start", "end")
+    val plan = executedPlan(
+      ext.Joins.rangeJoin(Tables.events(spark, sf), "ts", iv, 3600L * 1000000))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small interval side should broadcast:\n$plan")
+  }
+
+  test("decontaminate broadcasts the eval-set gram side") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedPlan(ext.TextAnalysis.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), n = 5))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set should broadcast:\n$plan")
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +

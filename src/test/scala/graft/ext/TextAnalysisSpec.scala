@@ -73,4 +73,50 @@ class TextAnalysisSpec extends SparkSpec {
     val row = TextAnalysis.langId(docs).select("score_en", "predicted_lang").head
     assert(row.getInt(0) == 4 && row.getString(1) == "en")
   }
+
+  test("decontaminate counts distinct shared n-grams and spares clean docs") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "xx", "the quick brown fox jumps over walls"))
+      .toDF("doc_id", "lang", "text")
+    val corpus = Seq(
+      // shares two 5-grams: "the quick brown fox jumps", "quick brown fox jumps over"
+      (1L, "en", "prefix the quick brown fox jumps over"),
+      (2L, "en", "totally different words here nothing shared at all"),
+      // repeats a shared gram twice — distinct grams count once
+      (3L, "en", "the quick brown fox jumps and the quick brown fox jumps")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.decontaminate(corpus, evalSet, n = 5)
+      .orderBy("doc_id").select("n_hits", "contaminated")
+      .as[(Long, Boolean)].collect()
+    assert(out === Array((2L, true), (0L, false), (1L, true)))
+  }
+
+  test("decontaminate with 2-grams: overlap counting at the small-n edge") {
+    import spark.implicits._
+    val evalSet = Seq((9L, "xx", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+    val corpus = Seq((1L, "en", "beta gamma delta")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.decontaminate(corpus, evalSet, n = 2).head
+    assert(out.getAs[Long]("n_hits") === 1L) // only "beta gamma" shared
+  }
+
+  test("tfIdfTopTerms ranks rare terms above common ones, ties by term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common cherry cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: apple tf=2 df=1 → 6.0; banana tf=1 df=2 → 1.5
+    assert(out(0).getString(2) === "apple" && out(0).getDouble(3) === 6.0)
+    assert(out(1).getString(2) === "banana" && out(1).getDouble(3) === 1.5)
+    // doc 2: banana and cherry both 1.5 → term asc puts banana first
+    assert(out(2).getString(2) === "banana")
+    assert(out(3).getString(2) === "cherry")
+    // doc 3: cherry tf=2 df=2 → 3.0 beats common tf=1 df=3 → 1.0
+    assert(out(4).getString(2) === "cherry" && out(4).getDouble(3) === 3.0)
+    assert(out(5).getString(2) === "common" && out(5).getDouble(3) === 1.0)
+  }
 }

@@ -57,6 +57,17 @@ object FilterQueries {
       ORDER BY event_id
     """))
 
+  /** `no` filter — constant pass (no_filter.go:24-30): a nil/absent filter
+    * admits every event; the compiled predicate is `lit(true)`, which
+    * Catalyst folds away so the scan carries no filter at all.
+    */
+  private val noF = Q(
+    "filter_no",
+    (s, d) => run(s, d, NoFilter),
+    Some("""
+      SELECT event_id, event_type, props FROM events ORDER BY event_id
+    """))
+
   private val notF = Q(
     "filter_not",
     (s, d) => run(s, d, Not(Exact(Seq("type" -> "error")))),
@@ -144,6 +155,6 @@ object FilterQueries {
       ORDER BY event_id
     """))
 
-  val all: Seq[Q] = Seq(exact, prefixRawData, suffix, notF, allAny, missingAttr,
+  val all: Seq[Q] = Seq(exact, prefixRawData, suffix, noF, notF, allAny, missingAttr,
     extensionAttr, timePrefix, cesql, cesqlFns, cel)
 }

@@ -412,7 +412,40 @@ object TransformQueries {
       FROM documents WHERE len(string_split(text, ' ')) >= 3 ORDER BY doc_id
     """))
 
-  val all: Seq[Q] = Seq(structPipeline, templateJson, templateText, debezium,
+  /** Type recognition for an unspecified template_type (pkg/subscription.go:137-155):
+    * first char `{` / `[` / `"` ⇒ JSON template, anything else ⇒ text. The
+    * same event set renders through both a sniffed-JSON and a sniffed-text
+    * spec (neither declares template_type), through the REAL sniff path.
+    */
+  private val templateSniff = Q(
+    "template_sniff",
+    (s, d) => {
+      val jsonSpec =
+        """{"template": "{ \"sniffed\": \"json\", \"k\": <$.data.k> }"}"""
+      val textSpec = """{"template": "sniffed text k=<$.data.k>"}"""
+      val v = EventView.fromEventsTable(events(s, d))
+      TransformRunner(v, jsonSpec)
+        .select(col("sequence_number").as("event_id"), lit("json").as("sub"),
+          col("body"))
+        .unionAll(TransformRunner(v, textSpec)
+          .select(col("sequence_number").as("event_id"), lit("text").as("sub"),
+            col("body")))
+        .orderBy(col("event_id"), col("sub"))
+    },
+    Some("""
+      SELECT event_id, sub, body FROM (
+        SELECT event_id, 'json' AS sub,
+               '{"sniffed":"json","k":' || json_extract_string(props, '$.k') || '}' AS body
+        FROM events
+        UNION ALL
+        SELECT event_id, 'text' AS sub,
+               'sniffed text k=' || json_extract_string(props, '$.k') AS body
+        FROM events
+      ) ORDER BY event_id, sub
+    """))
+
+  val all: Seq[Q] = Seq(structPipeline, templateJson, templateText, templateSniff,
+    debezium,
     mathQ, datetimeQ, caseQ, affixQ, joinQ, replaceQ, spliceQ, delimsQ, checkQ,
     conditionQ, lengthQ, splitQ, splitPosQ, foreachQ, renderQ, unfoldQ)
 }

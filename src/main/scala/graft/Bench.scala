@@ -14,14 +14,25 @@ object Bench {
     // per query: per-query fixed overhead (job scheduling, JIT, GC) is a
     // large share of small-SF wall time and varies ±15% run to run — the
     // min is the stable signal for round-over-round regression diffs.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def onceIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      onceIn(sfDir)(fn)
+    // iteration aid: SPARK_GRAFT_ONLY=name1,name2 restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = selected.map { case (name, fn) =>
+      val sec = math.min(once(fn), once(fn))
+      // progress to stderr (the driver reads only the stdout JSON line)
+      System.err.println(f"[bench] $name%-28s $sec%7.2f s")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -46,11 +57,12 @@ object Bench {
         "text_pack_sequences", "sample_mixture",
         "text_decontaminate", "text_tfidf", "join_asof", "join_range",
         "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk")
-      val entries = scaleSet.flatMap { n =>
+      val entries = scaleSet.filter(n => only.isEmpty || only(n)).flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>
-          val sec = once((s, _) => fn(s, outDir))
+          val sec = onceIn(outDir)(fn)
           val base = results(n)
           val ratio = sec / math.max(base, 1e-9)
+          System.err.println(f"[bench] scale:$n%-22s $sec%7.2f s (ratio $ratio%.1f)")
           f""""$n":{"sec":$sec,"base_sec":$base,"ratio":$ratio%.2f}"""
         }
       }

@@ -72,7 +72,11 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ", -1)
     graft.Tables.fanOut(docs.filter(size(words) >= 3))
-      .select(col("doc_id"), shingleHashes(words).as("hs"))
+      // bind the split as a column: the shingle lambda's element_at calls
+      // would otherwise re-split the document per element (interpreted HOFs
+      // get no subexpression elimination)
+      .withColumn("__ws", words)
+      .select(col("doc_id"), shingleHashes(col("__ws")).as("hs"))
       .select(col("doc_id"),
         sigFromHashes(col("hs"), 0).as("sig0"), sigFromHashes(col("hs"), 1).as("sig1"),
         sigFromHashes(col("hs"), 2).as("sig2"), sigFromHashes(col("hs"), 3).as("sig3"))

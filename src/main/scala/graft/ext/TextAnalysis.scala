@@ -81,7 +81,9 @@ object TextAnalysis {
     * array — O(words·distinct) per doc, still partition-local.
     */
   def gopherQuality(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ", -1)
+    // bound as a column: the interpreted HOF lambdas below would otherwise
+    // re-split the document per element visit (see [[repetition]])
+    val words = col("__ws")
     val nWords = size(words)
     val shortW = size(filter(words, w => length(w) <= 3))
     val longW = size(filter(words, w => length(w) >= 8))
@@ -89,7 +91,9 @@ object TextAnalysis {
     val topFreq = array_max(transform(array_distinct(words),
       w => size(filter(words, x => x === w))))
     // O(words·distinct) interpreted HOF per doc — redistribute few-split inputs
-    graft.Tables.fanOut(docs).select(
+    graft.Tables.fanOut(docs)
+      .withColumn("__ws", split(col("text"), " ", -1))
+      .select(
       col("doc_id"),
       nWords.cast("bigint").as("n_words"),
       (shortW.cast("double") / nWords).as("frac_short_words"),
@@ -123,30 +127,42 @@ object TextAnalysis {
       g => g.isNotNull)
 
   def repetition(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ", -1)
     val tc = length(col("text"))
-    def grams(n: Int): Column = wordGrams(words, n)
-    def gramCounts(n: Int): Column = {
-      val gs = grams(n)
+    // Bind each array as a COLUMN before the nested lambdas reference it.
+    // Higher-order functions evaluate interpreted (no whole-stage codegen,
+    // no common-subexpression elimination): a lambda body that references
+    // the `split(text)` EXPRESSION re-splits the document on every element
+    // visit — O(words²·distinct) splits per doc, a multi-minute wall at
+    // sf0.1. Referencing a bound attribute is an O(1) lookup.
+    def gramCounts(gs: Column): Column =
       transform(array_distinct(gs),
         g => struct(size(filter(gs, x => x === g)).as("cnt"), g.as("gram")))
-    }
-    def topFrac(n: Int): Column = {
-      val top = array_max(gramCounts(n))
+    def topFrac(gc: Column): Column = {
+      val top = array_max(gc)
       coalesce((top.getField("cnt") * length(top.getField("gram")))
         .cast("double") / tc, lit(0.0))
     }
-    def dupFrac(n: Int): Column =
-      coalesce(aggregate(gramCounts(n), lit(0L), (acc, s) =>
+    def dupFrac(gc: Column): Column =
+      coalesce(aggregate(gc, lit(0L), (acc, s) =>
         acc + when(s.getField("cnt") > 1,
           (s.getField("cnt") * length(s.getField("gram"))).cast("bigint"))
           .otherwise(0L))
         .cast("double") / tc, lit(0.0))
-    val top2 = topFrac(2)
-    val top3 = topFrac(3)
-    val top4 = topFrac(4)
-    val dup5 = dupFrac(5)
-    graft.Tables.fanOut(docs).select(
+    val staged = graft.Tables.fanOut(docs)
+      .withColumn("__ws", split(col("text"), " ", -1))
+      .withColumn("__g2", wordGrams(col("__ws"), 2))
+      .withColumn("__g3", wordGrams(col("__ws"), 3))
+      .withColumn("__g4", wordGrams(col("__ws"), 4))
+      .withColumn("__g5", wordGrams(col("__ws"), 5))
+      .withColumn("__gc2", gramCounts(col("__g2")))
+      .withColumn("__gc3", gramCounts(col("__g3")))
+      .withColumn("__gc4", gramCounts(col("__g4")))
+      .withColumn("__gc5", gramCounts(col("__g5")))
+    val top2 = topFrac(col("__gc2"))
+    val top3 = topFrac(col("__gc3"))
+    val top4 = topFrac(col("__gc4"))
+    val dup5 = dupFrac(col("__gc5"))
+    staged.select(
       col("doc_id"),
       top2.as("top2_frac"), top3.as("top3_frac"), top4.as("top4_frac"),
       dup5.as("dup5_frac"),

@@ -134,34 +134,58 @@ object TextAnalysis {
     // the `split(text)` EXPRESSION re-splits the document on every element
     // visit — O(words²·distinct) splits per doc, a multi-minute wall at
     // sf0.1. Referencing a bound attribute is an O(1) lookup.
-    def gramCounts(gs: Column): Column =
-      transform(array_distinct(gs),
-        g => struct(size(filter(gs, x => x === g)).as("cnt"), g.as("gram")))
-    def topFrac(gc: Column): Column = {
-      val top = array_max(gc)
-      coalesce((top.getField("cnt") * length(top.getField("gram")))
-        .cast("double") / tc, lit(0.0))
+    //
+    // Gram statistics run as ONE fold over the sorted gram array
+    // (O(g log g) per doc) instead of the count-each-distinct spelling
+    // (O(g·distinct)): runs of equal grams in the sorted array ARE the
+    // per-gram counts. State = (prev gram, run length, best count, best
+    // gram, duplicated chars); best ties break to the GREATER gram, exactly
+    // like array_max over (cnt, gram) structs in the previous spelling and
+    // list_max in the oracle.
+    def closeRun(st: Column): Column = {
+      val better = st.getField("run") > st.getField("bestCnt") ||
+        (st.getField("run") === st.getField("bestCnt") &&
+          st.getField("prev") > st.getField("bestGram"))
+      struct(
+        st.getField("prev").as("prev"), st.getField("run").as("run"),
+        when(better, st.getField("run")).otherwise(st.getField("bestCnt")).as("bestCnt"),
+        when(better, st.getField("prev")).otherwise(st.getField("bestGram")).as("bestGram"),
+        (st.getField("dup") + when(st.getField("run") > 1,
+          st.getField("run") * length(st.getField("prev"))).otherwise(0L)).as("dup"))
     }
-    def dupFrac(gc: Column): Column =
-      coalesce(aggregate(gc, lit(0L), (acc, s) =>
-        acc + when(s.getField("cnt") > 1,
-          (s.getField("cnt") * length(s.getField("gram"))).cast("bigint"))
-          .otherwise(0L))
+    def gramStats(gs: Column): Column = {
+      val init = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestCnt"), lit(null).cast("string").as("bestGram"),
+        lit(0L).as("dup"))
+      aggregate(array_sort(gs), init,
+        (st, g) => when(st.getField("prev").isNotNull && st.getField("prev") === g,
+          struct(st.getField("prev").as("prev"), (st.getField("run") + 1).as("run"),
+            st.getField("bestCnt").as("bestCnt"), st.getField("bestGram").as("bestGram"),
+            st.getField("dup").as("dup")))
+          .otherwise {
+            val closed = when(st.getField("prev").isNotNull, closeRun(st)).otherwise(st)
+            struct(g.as("prev"), lit(1L).as("run"),
+              closed.getField("bestCnt").as("bestCnt"),
+              closed.getField("bestGram").as("bestGram"),
+              closed.getField("dup").as("dup"))
+          },
+        st => when(st.getField("prev").isNotNull, closeRun(st)).otherwise(st))
+    }
+    def topFrac(stats: Column): Column =
+      coalesce((stats.getField("bestCnt") * length(stats.getField("bestGram")))
         .cast("double") / tc, lit(0.0))
+    def dupFrac(stats: Column): Column =
+      coalesce(stats.getField("dup").cast("double") / tc, lit(0.0))
     val staged = graft.Tables.fanOut(docs)
       .withColumn("__ws", split(col("text"), " ", -1))
-      .withColumn("__g2", wordGrams(col("__ws"), 2))
-      .withColumn("__g3", wordGrams(col("__ws"), 3))
-      .withColumn("__g4", wordGrams(col("__ws"), 4))
-      .withColumn("__g5", wordGrams(col("__ws"), 5))
-      .withColumn("__gc2", gramCounts(col("__g2")))
-      .withColumn("__gc3", gramCounts(col("__g3")))
-      .withColumn("__gc4", gramCounts(col("__g4")))
-      .withColumn("__gc5", gramCounts(col("__g5")))
-    val top2 = topFrac(col("__gc2"))
-    val top3 = topFrac(col("__gc3"))
-    val top4 = topFrac(col("__gc4"))
-    val dup5 = dupFrac(col("__gc5"))
+      .withColumn("__s2", gramStats(wordGrams(col("__ws"), 2)))
+      .withColumn("__s3", gramStats(wordGrams(col("__ws"), 3)))
+      .withColumn("__s4", gramStats(wordGrams(col("__ws"), 4)))
+      .withColumn("__s5", gramStats(wordGrams(col("__ws"), 5)))
+    val top2 = topFrac(col("__s2"))
+    val top3 = topFrac(col("__s3"))
+    val top4 = topFrac(col("__s4"))
+    val dup5 = dupFrac(col("__s5"))
     staged.select(
       col("doc_id"),
       top2.as("top2_frac"), top3.as("top3_frac"), top4.as("top4_frac"),

@@ -223,6 +223,45 @@ object ExtQueries {
       ORDER BY doc_a, doc_b
     """))
 
+  /** Passage-level exact-substring dedup through the REAL
+    * Dedup.duplicatePassages (20-word windows, stride 10): per-doc count
+    * and coverage of windows whose hash appears in more than one document.
+    * The corpus's exact-duplicate docs guarantee the path is exercised.
+    */
+  private val passagesQ = Q(
+    "dedup_passages",
+    (s, d) => Dedup.duplicatePassages(Tables.documents(s, d), window = 20,
+      stride = 10).orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), wins AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[j*10+1 : j*10+20], ' ')) AS phash
+        FROM w, UNNEST(range(0, CAST(floor((len(ws)-20)/10.0) AS BIGINT) + 1)) AS t(j)
+        WHERE len(ws) >= 20
+      ), dup AS (
+        SELECT phash FROM wins GROUP BY phash HAVING COUNT(DISTINCT doc_id) > 1
+      ), per AS (
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM wins JOIN dup USING (phash) GROUP BY doc_id
+      ), nw AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 20
+                    THEN CAST(floor((len(ws)-20)/10.0) AS BIGINT) + 1
+                    ELSE 0 END AS n_windows
+        FROM w
+      )
+      SELECT nw.doc_id, nw.n_windows,
+             COALESCE(per.n_shared, 0) AS n_shared,
+             CASE WHEN nw.n_windows > 0
+                  THEN CAST(COALESCE(per.n_shared, 0) AS DOUBLE) / nw.n_windows
+                  ELSE 0.0 END AS shared_frac,
+             COALESCE(per.n_shared, 0) > 0 AS has_dup_passage
+      FROM nw LEFT JOIN per USING (doc_id)
+      ORDER BY nw.doc_id
+    """))
+
   // ===========================================================================
   // similarity search
   // ===========================================================================
@@ -855,6 +894,28 @@ object ExtQueries {
       WHERE rank <= 3 ORDER BY doc_id, rank
     """))
 
+  /** Deterministic k-per-stratum sample through the REAL Sampling.reservoir
+    * (MinK-bounded smallest-hash draw); the oracle spells the same
+    * selection as a per-stratum hash-order window.
+    */
+  private val reservoirQ = Q(
+    "sample_reservoir",
+    (s, d) => Sampling.reservoir(Tables.documents(s, d), col("lang"),
+      col("doc_id"), k = 20)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM documents
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+        FROM h
+      )
+      SELECT doc_id, lang, source FROM r WHERE rn <= 20 ORDER BY doc_id
+    """))
+
   /** Approx-distinct (HLL) — SURVEY §7.7's approx_count_distinct promise.
     * No oracle: HLL sketches are engine-specific (Spark's relative error
     * here is ±5%, asserted in SamplingSpec against the exact count); the
@@ -987,9 +1048,9 @@ object ExtQueries {
     None)
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
-    simhashProbeQ, jaccardQ,
+    simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
-    decontaminateQ, tfidfQ,
+    decontaminateQ, tfidfQ, reservoirQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
 }

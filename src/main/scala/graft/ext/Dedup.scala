@@ -270,6 +270,46 @@ object Dedup {
     * was a full-block `row_number` window: O(n log n) in a single task on
     * the dominant key). The kept id set is identical.
     */
+  /** Passage-level exact-substring dedup (the Spark-native shape of Lee et
+    * al. 2021's "Deduplicating Training Data Makes Language Models Better",
+    * public paper, which uses a suffix array on a single machine): hash
+    * every `window`-word span at `stride`-word steps, find spans whose hash
+    * occurs in MORE THAN ONE document, and report each document's shared-
+    * passage coverage. A suffix array doesn't distribute; rolling window
+    * hashes do — the explode emits one (doc_id, pos, 16-byte hash) row per
+    * `stride` words (~1 row per 10 tokens), the duplicate-hash aggregation
+    * is map-side partial on the hash key, and documents never leave their
+    * partitions. At 100 TB this is the standard passage-dedup recipe.
+    */
+  def duplicatePassages(docs: DataFrame, window: Int = 20,
+      stride: Int = 10): DataFrame = {
+    val nWins = (floor((size(col("__ws")) - window) / stride) + 1).cast("int")
+    val winHashes = when(size(col("__ws")) >= window,
+      transform(sequence(lit(0), nWins - 1),
+        j => struct((j * stride).as("pos"),
+          md5(concat_ws(" ", slice(col("__ws"), j * stride + 1, lit(window)))).as("phash"))))
+      .otherwise(array().cast("array<struct<pos:int,phash:string>>"))
+    val wins = graft.Tables.fanOut(docs)
+      .withColumn("__ws", split(col("text"), " ", -1))
+      .select(col("doc_id"), explode(winHashes).as("w"))
+      .select(col("doc_id"), col("w.pos"), col("w.phash"))
+    val dupHashes = wins.groupBy(col("phash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("phash")
+    val perDoc = wins.join(dupHashes, Seq("phash"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id"),
+      when(size(split(col("text"), " ", -1)) >= window,
+        (floor((size(split(col("text"), " ", -1)) - window) / stride) + 1))
+        .otherwise(0L).cast("bigint").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("shared_frac",
+        when(col("n_windows") > 0,
+          col("n_shared").cast("double") / col("n_windows")).otherwise(lit(0.0)))
+      .withColumn("has_dup_passage", col("n_shared") > 0)
+  }
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6,
       maxBlock: Int = 1000): DataFrame = {
     val sets = docs.select(

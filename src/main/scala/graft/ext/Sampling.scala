@@ -59,4 +59,35 @@ object Sampling {
     df.withColumn("rate_ppm", rate)
       .withColumn("keep", hashPpm(key) < col("rate_ppm"))
   }
+
+  /** 60-bit uniform key hash (first 15 md5 hex chars — always positive in
+    * signed 64-bit, exact in any engine).
+    */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+  /** Deterministic k-per-stratum sample (the seeded form of reservoir
+    * sampling): each stratum keeps its k rows with the smallest
+    * [[hash60]](key) — a uniform without-replacement draw whose membership
+    * is a pure function of the stratum's key SET (stable across runs,
+    * partitionings, and engines; adding rows only perturbs membership by
+    * the hash order, never reshuffles it wholesale like seeded random
+    * sampling does). Selection runs through the bounded [[graft.functions.MinK]]
+    * aggregate: map-side partials move ≤ k hashes per stratum per mapper,
+    * so a dominant stratum never funnels through one task — the window
+    * spelling (`row_number over stratum order by hash`) would sort the
+    * whole stratum in one partition at 100 TB. The winner set
+    * (#strata × k longs) then semi-joins back; AQE broadcasts it.
+    */
+  def reservoir(df: DataFrame, stratum: Column, key: Column, k: Int): DataFrame = {
+    val tagged = df
+      .withColumn("__rsv_s", stratum)
+      .withColumn("__rsv_h", hash60(key))
+    val winners = tagged
+      .groupBy(col("__rsv_s"))
+      .agg(graft.functions.MinK.longs(col("__rsv_h"), k).as("hs"))
+      .select(col("__rsv_s"), explode(col("hs")).as("__rsv_h"))
+    tagged.join(winners, Seq("__rsv_s", "__rsv_h"), "left_semi")
+      .drop("__rsv_s", "__rsv_h")
+  }
 }

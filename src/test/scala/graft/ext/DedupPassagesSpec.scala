@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Hand-computed vectors for passage-level exact-substring dedup. */
+class DedupPassagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("shared windows are counted per doc; unique and short docs are clean") {
+    // doc 1 and 2 share their full 20-word text → 1 window each, shared.
+    // doc 3 is 20 distinct words → 1 window, unshared.
+    // doc 4 is 19 words → no windows at all.
+    val shared = words(20, "s")
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, words(20, "u")), (4L, words(19, "v"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(docs, window = 20, stride = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_shared", "shared_frac", "has_dup_passage")
+      .collect()
+    assert(out(0) === Row(1L, 1L, 1L, 1.0, true))
+    assert(out(1) === Row(2L, 1L, 1L, 1.0, true))
+    assert(out(2) === Row(3L, 1L, 0L, 0.0, false))
+    assert(out(3) === Row(4L, 0L, 0L, 0.0, false))
+  }
+
+  test("stride windows: a copied half shows partial coverage") {
+    // doc 1 = A(30 words); doc 2 = B(10) ++ A's first 20 words.
+    // doc 1 windows (stride 10, window 20): [a0..a19], [a10..a29] → 2.
+    // doc 2 windows: [b0..b9 a0..a9], [a0..a19] → 2; the second equals
+    // doc 1's first → each doc has exactly one shared window.
+    val a = (0 until 30).map(i => s"a$i")
+    val doc1 = a.mkString(" ")
+    val doc2 = ((0 until 10).map(i => s"b$i") ++ a.take(20)).mkString(" ")
+    val out = Dedup.duplicatePassages(
+      Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), 20, 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_shared", "shared_frac")
+      .collect()
+    assert(out(0) === Row(1L, 2L, 1L, 0.5))
+    assert(out(1) === Row(2L, 2L, 1L, 0.5))
+  }
+
+  test("a passage repeated only within one document is not cross-doc shared") {
+    val p = words(20, "p")
+    // the same 20-word passage appears twice in ONE doc (positions 0 and 20)
+    val docs = Seq((1L, s"$p $p"), (2L, words(20, "z"))).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(docs, 20, 10).orderBy("doc_id")
+      .select("doc_id", "n_shared").as[(Long, Long)].collect()
+    assert(out === Array((1L, 0L), (2L, 0L)))
+  }
+}

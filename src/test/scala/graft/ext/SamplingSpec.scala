@@ -51,6 +51,25 @@ class SamplingSpec extends SparkSpec {
     assert(total === direct)
   }
 
+  test("reservoir keeps exactly k smallest-hash rows per stratum, deterministically") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val out = Sampling.reservoir(df, col("s"), col("id"), k = 7)
+    val perStratum = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(perStratum === Map("a" -> 7L, "b" -> 7L))
+    // membership is the hash order's prefix: recompute independently
+    val expect = df
+      .withColumn("hv", Sampling.hash60(col("id")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+          .orderBy(col("hv"))))
+      .filter(col("rn") <= 7).select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet === expect)
+    // rerun is bit-identical (pure function of the key set)
+    assert(Sampling.reservoir(df, col("s"), col("id"), 7)
+      .select("id").as[Long].collect().toSet === expect)
+  }
+
   test("approx_count_distinct stays within 5% of exact on events") {
     val r = Tables.events(spark, sf)
       .agg(approx_count_distinct(col("user_id")).as("a"),

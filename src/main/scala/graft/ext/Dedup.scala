@@ -316,6 +316,7 @@ object Dedup {
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
       array_distinct(split(col("text"), " ", -1)).as("wset"))
+      .withColumn("sz", size(col("wset")))
     val keepIds = sets
       .groupBy(col("lang"), col("source"), col("len_bucket"))
       .agg(graft.functions.MinK.longs(col("doc_id"), maxBlock).as("ids"))
@@ -325,14 +326,26 @@ object Dedup {
     val withSets = sets.join(keepIds, Seq("doc_id"), "left_semi")
     val a = withSets.as("a")
     val b = withSets.as("b")
-    val inter = size(array_intersect(col("a.wset"), col("b.wset"))).cast("double")
-    val union = size(array_union(col("a.wset"), col("b.wset"))).cast("double")
+    // Size-band prune inside the join condition: jaccard = i/u with
+    // i ≤ min(|a|,|b|) and u ≥ max(|a|,|b|), so jaccard ≥ t requires
+    // min ≥ t·max — a necessary condition on the (already computed) set
+    // sizes that discards most of a block's O(n²) pairs before any
+    // per-pair set work runs. Then ONE intersection per surviving pair
+    // (native count-only kernel, no intersection array) and the union
+    // from the inclusion–exclusion identity |a|+|b|−|i| instead of a
+    // second set pass. Output pairs are identical — the prune only drops
+    // pairs the threshold filter would drop.
+    val sizeBand =
+      least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(threshold) * greatest(col("a.sz"), col("b.sz"))
+    val inter = graft.functions.IntersectSize(col("a.wset"), col("b.wset"))
+      .cast("double")
     a.join(b,
       col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.len_bucket") === col("b.len_bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") && sizeBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (inter / union).as("jaccard"))
+        (inter / (col("a.sz") + col("b.sz") - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

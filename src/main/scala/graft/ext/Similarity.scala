@@ -218,9 +218,11 @@ object Similarity {
     }
     val c = withCodes(corpus).as("c")
     val q = withCodes(queries).as("q")
-    val intDot = aggregate(
-      zip_with(col("c.codes"), col("q.codes"), (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    // native codegen'd Σ (long)(x·y) — the stage-1 loop runs per
+    // (corpus row × query); the zip_with+aggregate fold it replaces
+    // allocated an intermediate array and interpreted a lambda per
+    // element (same accumulation, bit-identical result)
+    val intDot = graft.functions.IntDot(col("c.codes"), col("q.codes"))
     // stage 1 moves only (ids, approx) through the shuffle — never vectors.
     // Candidate selection goes through the same salted two-stage cut as
     // bruteTopK: the per-(query, salt) windows keep the corpus fanned out

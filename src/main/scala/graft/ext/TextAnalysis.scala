@@ -114,63 +114,29 @@ object TextAnalysis {
     * gram via struct max — deterministic across engines. O(grams·distinct)
     * per document, partition-local, no shuffle: scan speed at 100 TB.
     */
-  /** Index-guarded word n-gram builder: stays in element_at's 1..size
-    * bounds for ANY document length (Dedup.shingles relies on its callers
-    * filtering out docs shorter than n words; short docs here just get no
-    * grams). Shared by [[repetition]] and [[decontaminate]].
+  /** Word n-gram builder — full windows only, so it is safe for ANY
+    * document length (Dedup.shingles relies on its callers filtering out
+    * docs shorter than n words; short docs here just get no grams).
+    * Backed by the native [[graft.functions.WordGrams]] expression
+    * (codegen'd, one static call per row) — the interpreted
+    * transform+concat_ws+filter spelling re-evaluated its lambdas per
+    * element and stayed outside whole-stage codegen. Shared by
+    * [[decontaminate]]; [[repetition]] skips the array entirely via
+    * [[graft.functions.GramStats]].
     */
   def wordGrams(words: Column, n: Int): Column =
-    filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))),
-      g => g.isNotNull)
+    graft.functions.WordGrams(words, n)
 
   def repetition(docs: DataFrame): DataFrame = {
     val tc = length(col("text"))
-    // Bind each array as a COLUMN before the nested lambdas reference it.
-    // Higher-order functions evaluate interpreted (no whole-stage codegen,
-    // no common-subexpression elimination): a lambda body that references
-    // the `split(text)` EXPRESSION re-splits the document on every element
-    // visit — O(words²·distinct) splits per doc, a multi-minute wall at
-    // sf0.1. Referencing a bound attribute is an O(1) lookup.
-    //
-    // Gram statistics run as ONE fold over the sorted gram array
-    // (O(g log g) per doc) instead of the count-each-distinct spelling
-    // (O(g·distinct)): runs of equal grams in the sorted array ARE the
-    // per-gram counts. State = (prev gram, run length, best count, best
-    // gram, duplicated chars); best ties break to the GREATER gram, exactly
-    // like array_max over (cnt, gram) structs in the previous spelling and
-    // list_max in the oracle.
-    def closeRun(st: Column): Column = {
-      val better = st.getField("run") > st.getField("bestCnt") ||
-        (st.getField("run") === st.getField("bestCnt") &&
-          st.getField("prev") > st.getField("bestGram"))
-      struct(
-        st.getField("prev").as("prev"), st.getField("run").as("run"),
-        when(better, st.getField("run")).otherwise(st.getField("bestCnt")).as("bestCnt"),
-        when(better, st.getField("prev")).otherwise(st.getField("bestGram")).as("bestGram"),
-        (st.getField("dup") + when(st.getField("run") > 1,
-          st.getField("run") * length(st.getField("prev"))).otherwise(0L)).as("dup"))
-    }
-    def gramStats(gs: Column): Column = {
-      val init = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("bestCnt"), lit(null).cast("string").as("bestGram"),
-        lit(0L).as("dup"))
-      aggregate(array_sort(gs), init,
-        (st, g) => when(st.getField("prev").isNotNull && st.getField("prev") === g,
-          struct(st.getField("prev").as("prev"), (st.getField("run") + 1).as("run"),
-            st.getField("bestCnt").as("bestCnt"), st.getField("bestGram").as("bestGram"),
-            st.getField("dup").as("dup")))
-          .otherwise {
-            val closed = when(st.getField("prev").isNotNull, closeRun(st)).otherwise(st)
-            struct(g.as("prev"), lit(1L).as("run"),
-              closed.getField("bestCnt").as("bestCnt"),
-              closed.getField("bestGram").as("bestGram"),
-              closed.getField("dup").as("dup"))
-          },
-        st => when(st.getField("prev").isNotNull, closeRun(st)).otherwise(st))
-    }
+    // Per-(doc, n) gram statistics come from the native GramStats
+    // expression: one hashed O(g) pass per document producing
+    // struct(bestCnt, bestGram, dup), with the most-frequent tie broken
+    // to the binary-greatest gram and `dup` = total characters inside
+    // grams occurring more than once — the same result as sorting the
+    // gram array and folding runs (the previous spelling, still mirrored
+    // by the DuckDB oracle), but no gram array, no sort, and no
+    // interpreted lambdas: scan speed at 100 TB.
     def topFrac(stats: Column): Column =
       coalesce((stats.getField("bestCnt") * length(stats.getField("bestGram")))
         .cast("double") / tc, lit(0.0))
@@ -178,10 +144,10 @@ object TextAnalysis {
       coalesce(stats.getField("dup").cast("double") / tc, lit(0.0))
     val staged = graft.Tables.fanOut(docs)
       .withColumn("__ws", split(col("text"), " ", -1))
-      .withColumn("__s2", gramStats(wordGrams(col("__ws"), 2)))
-      .withColumn("__s3", gramStats(wordGrams(col("__ws"), 3)))
-      .withColumn("__s4", gramStats(wordGrams(col("__ws"), 4)))
-      .withColumn("__s5", gramStats(wordGrams(col("__ws"), 5)))
+      .withColumn("__s2", graft.functions.GramStats(col("__ws"), 2))
+      .withColumn("__s3", graft.functions.GramStats(col("__ws"), 3))
+      .withColumn("__s4", graft.functions.GramStats(col("__ws"), 4))
+      .withColumn("__s5", graft.functions.GramStats(col("__ws"), 5))
     val top2 = topFrac(col("__s2"))
     val top3 = topFrac(col("__s3"))
     val top4 = topFrac(col("__s4"))

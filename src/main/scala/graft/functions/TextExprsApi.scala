@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftexpr.{GramStatsExpr, IntDotExpr, IntersectSizeExpr, WordGramsExpr}
+
+/** Public faces of the native text/vector expressions — see the
+  * `org.apache.spark.sql.graftexpr` implementations for semantics.
+  */
+object GramStats {
+  /** struct(bestCnt, bestGram, dup) of the word n-grams of an
+    * array<string> column, one hashed pass per row.
+    */
+  def apply(words: Column, n: Int): Column = GramStatsExpr.column(words, n)
+}
+
+object WordGrams {
+  /** Space-joined full n-gram windows of an array<string> column. */
+  def apply(words: Column, n: Int): Column = WordGramsExpr.column(words, n)
+}
+
+object IntersectSize {
+  /** size(array_intersect(a, b)) without materializing the array. */
+  def apply(a: Column, b: Column): Column = IntersectSizeExpr.column(a, b)
+}
+
+object IntDot {
+  /** Σ (long)(a[i]·b[i]) over two array<int> columns. */
+  def apply(a: Column, b: Column): Column = IntDotExpr.column(a, b)
+}

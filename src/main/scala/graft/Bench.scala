@@ -34,8 +34,6 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%7.2f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // Larger-SF scaling section (VERDICT r2 directive 10): synthesize a
@@ -63,13 +61,39 @@ object Bench {
           val sec = onceIn(outDir)(fn)
           val base = results(n)
           val ratio = sec / math.max(base, 1e-9)
-          System.err.println(f"[bench] scale:$n%-22s $sec%7.2f s (ratio $ratio%.1f)")
-          f""""$n":{"sec":$sec,"base_sec":$base,"ratio":$ratio%.2f}"""
+          System.err.println(
+            f"[bench] scale:$n%-22s $sec%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
+          // ratios only on the stdout line (sec/base_sec go to stderr
+          // above): the driver keeps just the LAST 2000 chars of stdout,
+          // so every byte of the final JSON line fights for that window
+          f""""$n":$ratio%.2f"""
         }
       }
-      s""","scale":{"factor":$factor,"queries":${entries.mkString("{", ",", "}")}}"""
+      s""","scale":{"factor":$factor,"ratios":${entries.mkString("{", ",", "}")}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}""")
+    // The driver records only the last 2000 chars of stdout (BENCH_r{N}
+    // "tail") and parses the JSON line out of that — rounds 1-3 emitted a
+    // >2000-char line and got "parsed": null every time. Budget the line:
+    // per-query entries are added in descending-cost order until the line
+    // would overflow; anything cut is summed into "other" so "value" stays
+    // the exact total. Full per-query detail always goes to stderr.
+    results.toSeq.sortBy(_._1).foreach { case (n, s) =>
+      System.err.println(f"""[bench-detail] "$n":$s""")
+    }
+    val lineBudget = 1750 // < 2000 minus sbt's trailing "[success] ..." line
+    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries":{}$scaleJson}"""
+    var room = lineBudget - fixed.length - 30 // reserve for "other" entry
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var otherSum = 0.0
+    results.toSeq.sortBy(-_._2).foreach { case (n, s) =>
+      val e = f""""$n":$s%.3f"""
+      if (room - (e.length + 1) >= 0) { kept += e; room -= (e.length + 1) }
+      else otherSum += s
+    }
+    if (otherSum > 0 || kept.size < results.size)
+      kept += f""""other":$otherSum%.3f"""
+    val qsCompact = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries":$qsCompact$scaleJson}""")
     spark.stop()
   }
 }

@@ -164,7 +164,12 @@ object Multimodal {
       StructField("byte_len", LongType),
       StructField("entropy", DoubleType),
       StructField("ascii_ratio", DoubleType),
-      StructField("hist16", ArrayType(LongType, containsNull = false))))
+      // positional checksum of the 16-bucket histogram (Σ (k+1)·hist16[k]):
+      // pins every bucket count AND its position in one scalar — the driver
+      // comparator can't sort rows containing array columns (r3:
+      // multimodal_features crashed its pandas lexsort), same scalarization
+      // the sim_quantize output already uses for int8 codes
+      StructField("hist16_checksum", LongType)))
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
     val contentIdx = media.schema.fieldIndex("content")
@@ -190,12 +195,19 @@ object Multimodal {
           }
           j += 1
         }
-        val hist = Array.tabulate(16)(k =>
-          (0 until 16).map(m => counts(k * 16 + m)).sum)
+        var checksum = 0L
+        var k = 0
+        while (k < 16) {
+          var bucket = 0L
+          var m = 0
+          while (m < 16) { bucket += counts(k * 16 + m); m += 1 }
+          checksum += (k + 1L) * bucket
+          k += 1
+        }
         Row(r.getLong(idIdx), r.getString(kindIdx), n.toLong,
           if (n == 0) 0.0 else entropy,
           if (n == 0) 0.0 else ascii.toDouble / n,
-          hist.toSeq)
+          checksum)
       }
     }(Encoders.row(outSchema))
   }

@@ -32,13 +32,14 @@ class MultimodalSpec extends SparkSpec {
     val r1 = out(1L)
     assert(math.abs(r1.getAs[Double]("entropy") - 1.0) < 1e-12)
     assert(r1.getAs[Double]("ascii_ratio") === 0.5) // 'A' printable, 0x00 not
-    val hist1 = r1.getSeq[Long](r1.fieldIndex("hist16"))
-    assert(hist1(0) === 2L && hist1(4) === 2L && hist1.sum === 4L)
+    // buckets: hist16[0]=2 (0x00), hist16[4]=2 (0x41) -> 1*2 + 5*2 = 12
+    assert(r1.getAs[Long]("hist16_checksum") === 12L)
 
     val r2 = out(2L)
     assert(math.abs(r2.getAs[Double]("entropy") - 8.0) < 1e-12)
     assert(r2.getAs[Double]("ascii_ratio") === 95.0 / 256)
-    assert(out(2L).getSeq[Long](r2.fieldIndex("hist16")).forall(_ === 16L))
+    // uniform: every bucket 16 -> 16 * Σ(k+1) = 16 * 136
+    assert(r2.getAs[Long]("hist16_checksum") === 16L * 136)
   }
 
   test("byteFeatures: empty and null blobs produce zeroed features") {

@@ -917,9 +917,12 @@ object ExtQueries {
     """))
 
   /** Approx-distinct (HLL) — SURVEY §7.7's approx_count_distinct promise.
-    * No oracle: HLL sketches are engine-specific (Spark's relative error
-    * here is ±5%, asserted in SamplingSpec against the exact count); the
-    * driver records the weaker rows-only check for this entry.
+    * The HLL sketch value itself is engine-specific (Spark vs DuckDB use
+    * different registers), so the oracle-able contract is the error BOUND:
+    * the query emits `approx_ok` = |approx − exact|/exact ≤ 5% (Spark's
+    * default rsd) next to the exact counts, and DuckDB predicts
+    * (exact_users, n_events, TRUE). A wildly-off sketch flips approx_ok
+    * and hash-mismatches — a real correctness gate, not rows-only.
     */
   private val approxDistinctQ = Q(
     "approx_distinct",
@@ -928,8 +931,17 @@ object ExtQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("approx_ok"))
       .orderBy(col("event_type")),
-    None)
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             COUNT(*) AS n_events,
+             TRUE AS approx_ok
+      FROM events GROUP BY event_type ORDER BY event_type
+    """))
 
   // ===========================================================================
   // multimodal

@@ -140,23 +140,17 @@ object Dedup {
     * inlining it into the per-bit loop would multiply the digest work by
     * the fingerprint width (this was 16 md5 passes per word in round 1).
     */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val words = split(col("text"), " ", -1)
-    // word-hash width tracks the fingerprint width (bits/4 hex chars), so
-    // every fingerprint bit has a live vote source
-    val hs = transform(words,
-      w => conv(substring(md5(w), 1, bits / 4), 16, 10).cast("bigint"))
-    def bitVal(b: Int): Column = {
-      val votes = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when((floor(h / lit(math.pow(2, b))).cast("bigint") % 2) === 1, 1L)
-          .otherwise(-1L))
-      when(votes >= 0, lit(1L << b)).otherwise(0L)
-    }
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+    // one codegen'd pass per doc ([[graft.functions.SimHash]]): md5 per
+    // word (hash width = bits/4 hex chars, so every fingerprint bit has a
+    // live vote source), ±1 votes across all bits. The column spelling it
+    // replaced ran `bits` separate interpreted aggregate folds per doc —
+    // O(words·bits) interpreted lambda calls; bit-identical output
+    // (parity pinned in DedupSpec, and the DuckDB oracle still replays
+    // the fold arithmetic)
     graft.Tables.fanOut(docs)
-      .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
-        (0 until bits).map(bitVal).reduce(_ + _).as("simhash"))
-  }
+        graft.functions.SimHash(split(col("text"), " ", -1), bits).as("simhash"))
 
   /** Transitive duplicate groups from candidate pairs (the decision step
     * after LSH/Jaccard/SimHash candidates): connected components by
@@ -335,9 +329,13 @@ object Dedup {
     // from the inclusion–exclusion identity |a|+|b|−|i| instead of a
     // second set pass. Output pairs are identical — the prune only drops
     // pairs the threshold filter would drop.
+    // expressed as the same division the retained filter uses (a pair at
+    // i=min, u=max evaluates min/max there too) so both sides share one
+    // double rounding path — `min >= t·max` rounds t·max separately and
+    // could disagree with the filter within half an ulp of the threshold
     val sizeBand =
-      least(col("a.sz"), col("b.sz")).cast("double") >=
-        lit(threshold) * greatest(col("a.sz"), col("b.sz"))
+      least(col("a.sz"), col("b.sz")).cast("double") /
+        greatest(col("a.sz"), col("b.sz")) >= lit(threshold)
     val inter = graft.functions.IntersectSize(col("a.wset"), col("b.wset"))
       .cast("double")
     a.join(b,

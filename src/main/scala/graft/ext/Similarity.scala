@@ -196,11 +196,14 @@ object Similarity {
     * dequantization is codes·scale.
     */
   def int8Quantize(emb: Column): (Column, Column) = {
-    val maxAbs = array_max(transform(emb, x => abs(x.cast("double"))))
-    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
-    val codes = transform(emb,
-      x => floor(x.cast("double") / scale + 0.5).cast("int"))
-    (codes, scale)
+    // ONE codegen'd pass per row ([[graft.functions.Int8Codes]]). The
+    // column spelling — transform(emb, x -> floor(x/scale + 0.5)) with
+    // scale = array_max(transform(emb, abs))/127 — embeds the whole
+    // array_max subtree inside the per-element lambda of an interpreted
+    // HOF: O(dim²) lambda calls and a fresh abs-array allocation per
+    // element, per row. Same arithmetic, bit-identical codes/scale.
+    val cs = graft.functions.Int8Codes(emb)
+    (cs.getField("codes"), cs.getField("scale"))
   }
 
   /** Two-stage quantized search — the production ANN shape: stage 1

@@ -217,12 +217,19 @@ case class IntDotExpr(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = LongType
+  // can produce null from non-null inputs (null element, mismatched
+  // lengths) — without this override two non-nullable children would
+  // claim non-nullable and nullSafeCodeGen would emit `false = true;`
+  override def nullable: Boolean = true
   override def prettyName: String = "int_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    // zip_with null-pads the shorter array, poisoning the sum → null;
+    // match that instead of silently truncating to min(len)
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -239,11 +246,14 @@ case class IntDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (long) ($a.getInt($i) * $b.getInt($i));
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) ($a.getInt($i) * $b.getInt($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -258,4 +268,149 @@ object IntDotExpr {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(
       IntDotExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** int8_codes(emb): symmetric int8 quantization of an array<float> in ONE
+  * pass — struct(codes array<int>, scale double) where
+  * scale = max|x|/127 (1.0 when the max is 0) and
+  * codes[i] = floor(x[i]/scale + 0.5) (round half-up, no rounding-mode
+  * ambiguity — identical arithmetic to the column spelling
+  * `transform(emb, x -> floor(x/scale + 0.5))` and to the DuckDB oracle).
+  *
+  * Exists because the column spelling embeds the full `array_max(
+  * transform(emb, abs))` scale subtree inside the per-element lambda of an
+  * INTERPRETED higher-order function: O(dim²) lambda invocations + a
+  * fresh abs-array allocation per element, per row (measured 4× slower
+  * than brute-force float scoring at sf0.1 — the quantized "fast path"
+  * was the slowest query in the suite). This kernel is O(dim) with zero
+  * allocations beyond the output, called once per row from whole-stage
+  * codegen.
+  */
+object Int8Util {
+  def codes(emb: ArrayData): InternalRow = {
+    val n = emb.numElements()
+    var mx = 0.0
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!emb.isNullAt(i)) {
+        val v = math.abs(emb.getFloat(i).toDouble)
+        if (v > mx) mx = v
+        any = true
+      }
+      i += 1
+    }
+    if (!any && n > 0) {
+      // all-null elements: array_max(abs) is null → null scale, null codes
+      return new GenericInternalRow(
+        Array[Any](new GenericArrayData(new Array[Any](n)), null))
+    }
+    val scale = if (mx == 0.0) 1.0 else mx / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (emb.isNullAt(i)) null
+        else math.floor(emb.getFloat(i).toDouble / scale + 0.5).toInt
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(out), scale))
+  }
+}
+
+case class Int8CodesExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType), nullable = false),
+    StructField("scale", DoubleType, nullable = true)))
+  override def prettyName: String = "int8_codes"
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Util.codes(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.Int8Util.codes($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8CodesExpr =
+    copy(child = newChild)
+}
+
+object Int8CodesExpr {
+  def column(emb: Column): Column =
+    ExpressionUtils.column(Int8CodesExpr(ExpressionUtils.expression(emb)))
+}
+
+/** simhash_words(words, bits): the SimHash fingerprint of a word array in
+  * ONE pass — per word, the top `bits/4` hex chars of its md5 vote ±1 on
+  * every fingerprint bit; bit b of the output is set iff its vote total
+  * is ≥ 0. Bit-identical to the column spelling (md5 → conv(hex,16,10) →
+  * per-bit aggregate folds) and to the DuckDB oracle CTE that replays it:
+  * a null word votes −1 on every bit (null md5 → the when() otherwise
+  * branch), an empty array leaves all votes at 0 → all bits set.
+  *
+  * Exists because the column spelling runs `bits` SEPARATE interpreted
+  * aggregate folds per document — each traversing the whole word-hash
+  * array with a per-element lambda — plus an interpreted transform for
+  * the hashes themselves: O(words·bits) interpreted lambda invocations
+  * per row. This kernel is the same O(words·bits) bit work but one
+  * static call per row inside whole-stage codegen, with one md5 per word.
+  */
+object SimHashUtil {
+  def simhash(words: ArrayData, bits: Int): Long = {
+    val nBytes = bits / 8 // bits ∈ {8,16,24,32,40,48,56}: hex chars = 2·bytes
+    val votes = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { votes(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        val digest = md.digest(words.getUTF8String(i).getBytes)
+        var h = 0L
+        var k = 0
+        while (k < nBytes) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+case class SimHashExpr(child: Expression, bits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 8 && bits <= 56 && bits % 8 == 0,
+    "simhash_words requires bits in 8..56, a multiple of 8")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_words"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashUtil.simhash(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.SimHashUtil.simhash($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object SimHashExpr {
+  def column(words: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(words), bits))
 }

@@ -27,3 +27,19 @@ object IntDot {
   /** Σ (long)(a[i]·b[i]) over two array<int> columns. */
   def apply(a: Column, b: Column): Column = IntDotExpr.column(a, b)
 }
+
+object Int8Codes {
+  /** struct(codes: array<int>, scale: double) int8 quantization of an
+    * array<float> column, one codegen'd pass per row.
+    */
+  def apply(emb: Column): Column =
+    org.apache.spark.sql.graftexpr.Int8CodesExpr.column(emb)
+}
+
+object SimHash {
+  /** SimHash fingerprint (long) of an array<string> column: md5-per-word
+    * ±1 votes across `bits` fingerprint bits, one codegen'd pass per row.
+    */
+  def apply(words: Column, bits: Int): Column =
+    org.apache.spark.sql.graftexpr.SimHashExpr.column(words, bits)
+}

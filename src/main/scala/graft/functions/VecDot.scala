@@ -32,12 +32,19 @@ case class VecDotExpr(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // can produce null from non-null inputs (null element, mismatched
+  // lengths) — without this override two non-nullable children would
+  // claim non-nullable and nullSafeCodeGen would emit `false = true;`
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    // zip_with null-pads the shorter array, poisoning the sum → null;
+    // match that instead of silently truncating to min(len)
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,11 +61,14 @@ case class VecDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -18,6 +18,21 @@ class SimilaritySpec extends SparkSpec {
     assert(d2 <= d0)
   }
 
+  test("int8 native codes bit-match the HOF column spelling") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    // the interpreted spelling the native expression replaced — kept here
+    // as the semantics oracle (and the shape the DuckDB SQL replays)
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    val hofCodes = transform(col("embedding"),
+      x => floor(x.cast("double") / scale + 0.5).cast("int"))
+    val (natCodes, natScale) = Similarity.int8Quantize(col("embedding"))
+    val diff = emb.select(
+      hofCodes.as("hc"), scale.as("hs"), natCodes.as("nc"), natScale.as("ns"))
+      .filter(col("hc") =!= col("nc") || col("hs") =!= col("ns"))
+    assert(diff.count() === 0)
+  }
+
   test("trained IVF probe returns ranked neighbors from the query's own cell") {
     val emb = Tables.embeddings(spark, sf)
     val out = Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 3), k = 5,

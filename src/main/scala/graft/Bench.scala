@@ -54,7 +54,8 @@ object Bench {
         "dedup_passages",
         "text_gopher_quality", "text_langid", "text_repetition",
         "text_pack_sequences", "sample_mixture",
-        "text_decontaminate", "text_tfidf", "join_asof", "join_range",
+        "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",
+        "join_asof", "join_range",
         "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk")
       val entries = scaleSet.filter(n => only.isEmpty || only(n)).flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.functions._
 
 /** Catalog entries for the north-star analytics operators (SURVEY §7.7):
@@ -1047,6 +1047,110 @@ object ExtQueries {
       FROM m ORDER BY media_id
     """))
 
+  /** Corpus-trained bigram-LM fluency score (CCNet-style perplexity
+    * filtering, minus the transcendental): Laplace-smoothed transition
+    * probabilities from IEEE-exact integer-count divisions, summed in
+    * position order — both engines replay the identical fold, so the
+    * oracle hash-matches doubles with no ln() cross-libm drift.
+    */
+  private val lmScoreQ = Q(
+    "text_lm_score",
+    (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ), posx AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws))) AS pos FROM w
+      ), g AS (
+        SELECT doc_id, pos, ws[pos] || ' ' || ws[pos + 1] AS gram,
+               ws[pos] AS w1
+        FROM posx
+      ), c2 AS (
+        SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram
+      ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1
+      ), vv AS (
+        SELECT COUNT(DISTINCT w1) AS v FROM g
+      ), sc AS (
+        SELECT g.doc_id, g.pos,
+               CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE) AS p
+        FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN vv
+      ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p) AS min_p,
+               list_sort(list(struct_pack(pos := pos, p := p))) AS ps
+        FROM sc GROUP BY doc_id
+      )
+      SELECT doc_id, n_bigrams, min_p,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(ps, s -> s.p)), (a, b) -> a + b)
+               / n_bigrams AS avg_p
+      FROM agg ORDER BY doc_id
+    """))
+
+  /** URL-level dedup: canonicalize a deterministic messy URL (uppercase
+    * scheme/host, default port, www., utm params, fragment, trailing
+    * slash — all derived from doc_id arithmetic so DuckDB builds the
+    * identical input) through the REAL Urls.canonicalizeUrl chain, then
+    * group. The oracle replays the same RE2-safe regex chain.
+    */
+  private val urlQ = Q(
+    "dedup_url",
+    (s, d) => {
+      val url = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".example.com:443/docs/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&ref="), (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?ref="), (col("doc_id") % 7).cast("string"),
+              lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 2, lit("#section-2"))
+          .otherwise(lit("/")))
+      Urls.dedupByUrl(Tables.documents(s, d), url)
+        .orderBy(col("canonical_url"))
+    },
+    Some("""
+      WITH u0 AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || source || '.example.com:443/docs/' ||
+               CAST(doc_id % 50 AS VARCHAR) ||
+               CASE WHEN doc_id % 4 = 0
+                      THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+                    WHEN doc_id % 4 = 1
+                      THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                    WHEN doc_id % 4 = 2 THEN '#section-2'
+                    ELSE '/' END AS url
+        FROM documents
+      ), s1 AS (
+        SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0
+      ), s2 AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+               regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
+        FROM s1
+      ), s3 AS (
+        SELECT doc_id, regexp_replace(regexp_replace(u,
+                 '^(https://[^/?#:]+):443([/?#].*)?$', '\1\2'),
+                 '^(http://[^/?#:]+):80([/?#].*)?$', '\1\2') AS u FROM s2
+      ), s4 AS (
+        SELECT doc_id,
+               regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u
+        FROM s3
+      ), s5 AS (
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(u,
+                   '([?&])utm_[^&#]*&', '\1', 'g'),
+                   '([?&])utm_[^&#]*&', '\1', 'g'),
+                   '[?&]utm_[^&#]*$', ''),
+                   '\?$', '') AS u FROM s4
+      ), c AS (
+        SELECT doc_id, regexp_replace(u, '/$', '') AS canonical_url FROM s5
+      )
+      SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+      FROM c GROUP BY canonical_url ORDER BY canonical_url
+    """))
+
   /** Codec-free byte features (histogram/entropy/ASCII ratio) over the
     * binary column. No oracle: the blobs are synthesized Spark-side, so
     * DuckDB never sees the bytes — accuracy is pinned by MultimodalSpec
@@ -1063,6 +1167,6 @@ object ExtQueries {
     simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
-    decontaminateQ, tfidfQ, reservoirQ,
+    decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
 }

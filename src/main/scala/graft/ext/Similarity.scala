@@ -85,11 +85,15 @@ object Similarity {
   }
 
   /** Squared L2 distance as a deterministic left-to-right fold (double
-    * widening per element), for oracle bit-parity.
+    * widening per element), for oracle bit-parity. Native codegen'd
+    * kernel ([[graft.functions.L2Sq]]): the interpreted
+    * aggregate(zip_with(...)) spelling it replaces evaluated a lambda
+    * chain per element for every vector×centroid pair in the k-means
+    * assign cross join — the training inner loop. Bit-identical sums
+    * (parity pinned in SimilaritySpec).
     */
   private def l2sq(e: Column, c: Column): Column =
-    aggregate(zip_with(e, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.L2Sq(e, c)
 
   /** Assign each vector to its nearest centroid (squared L2; ties break to
     * the smaller cell via struct ordering). Centroids are tiny → broadcast;

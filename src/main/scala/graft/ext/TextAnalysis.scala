@@ -290,15 +290,63 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Corpus-trained bigram language-model fluency score per document —
+    * the distributed form of "perplexity filtering" (CCNet-style: score
+    * each doc under an n-gram LM trained on the corpus itself, gate on the
+    * score). Model: Laplace-smoothed bigram probability
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), with c(w1·) the count of
+    * bigrams starting w1 and V the distinct history vocabulary.
+    *
+    * Per doc this emits n_bigrams, min_p (the least probable transition)
+    * and avg_p (arithmetic mean transition probability). Deliberately NOT
+    * log-perplexity: every value here is built from IEEE-exact ops
+    * (integer-count division, position-ordered double sum), so an
+    * independent engine reproduces it bit-for-bit — ln() is not required
+    * to be correctly rounded and differs across libm implementations,
+    * which would put the oracle at the mercy of half-ulp drift. exp/log of
+    * the same ranking is monotone in avg log p; min_p/avg_p gate the same
+    * documents.
+    *
+    * Scale shape: two hash-shuffled count aggregations (gram, history),
+    * two shuffle joins back onto the bigram stream, a broadcast scalar V,
+    * then one per-doc fold whose state is bounded by document length —
+    * no driver-side state, no all-pairs anything.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val grams = graft.Tables.fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordGrams(words, 2)).as(Seq("pos", "gram")))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = grams.agg(countDistinct(col("w1")).as("v"))
+    val scored = grams.join(c2, Seq("gram")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        ((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), min(col("p")).as("min_p"),
+        // position-ordered left fold: double summation order is pinned,
+        // so the mean is reproducible by any engine replaying the fold
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_p"),
+        (aggregate(col("ps"), lit(0.0), (acc, s) => acc + s.getField("p"))
+          / col("n_bigrams")).as("avg_p"))
+  }
+
   /** Rolling-hash document fingerprint: fold h ← (h·31 + wordhash) mod p
     * over the token stream (order-sensitive, unlike the set-based dedup
     * hashes). Single pass, no shuffle.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ", -1)
-    val p = 1000000007L
-    val wh = (w: Column) => conv(substring(md5(w), 1, 4), 16, 10).cast("bigint")
+  def fingerprint(docs: DataFrame): DataFrame =
+    // one codegen'd pass ([[graft.functions.RollingFingerprint]]); the
+    // interpreted spelling — aggregate(words, 0L, (acc, w) =>
+    // (acc·31 + conv(substr(md5(w),1,4),16,10)) % p) — evaluated a lambda
+    // plus a md5→hex→conv tree per word per row. Bit-identical output
+    // (parity pinned in TextAnalysisSpec; DuckDB oracle unchanged).
     docs.select(col("doc_id"),
-      aggregate(words, lit(0L), (acc, w) => (acc * 31 + wh(w)) % p).as("fingerprint"))
-  }
+      graft.functions.RollingFingerprint(split(col("text"), " ", -1))
+        .as("fingerprint"))
 }

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level exact dedup — the first dedup pass of a
+  * web-scale corpus pipeline (dedup by normalized URL before any content
+  * hashing: it is free, and in Common-Crawl-shaped data it removes a large
+  * slice of the dup mass).
+  *
+  * Every rule is a codegen'd `regexp_replace`/`regexp_extract` chain using
+  * RE2-safe syntax (no lookaround, no pattern backreferences) so an
+  * independent engine can replay the identical normalization; the DuckDB
+  * oracle does (its regex engine IS RE2).
+  *
+  * Scale shape: canonicalization is scan-speed (per-row expressions, no
+  * shuffle); dedup is one hash-shuffled aggregation on the canonical key
+  * with map-side partial counts.
+  */
+object Urls {
+
+  /** Normalize a URL:
+    *  1. drop the fragment;
+    *  2. lowercase scheme + authority (path/query stay case-sensitive);
+    *  3. strip default ports (https:443, http:80);
+    *  4. strip a leading `www.`;
+    *  5. drop `utm_*` tracking parameters (two passes for interior
+    *     params — global non-overlapping replacement consumes the
+    *     separator of an immediately following utm param — then one for a
+    *     trailing param, then a dangling `?`);
+    *  6. strip one trailing slash.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val auth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, s"($auth)", 1)),
+      regexp_replace(noFrag, auth, ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/?#:]+):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#:]+):80([/?#].*)?$", "$1$2")
+    val noWww = regexp_replace(noPort, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noWww, "([?&])utm_[^&#]*&", "$1"),
+          "([?&])utm_[^&#]*&", "$1"),
+        "[?&]utm_[^&#]*$", ""),
+      "\\?$", "")
+    regexp_replace(noUtm, "/$", "")
+  }
+
+  /** Exact dedup on the canonical URL: one row per distinct canonical
+    * form, keeping the smallest doc_id (the conventional keeper) and the
+    * duplicate count.
+    */
+  def dedupByUrl(docs: DataFrame, url: Column): DataFrame =
+    docs.select(col("doc_id"), canonicalizeUrl(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+}

@@ -414,3 +414,137 @@ object SimHashExpr {
   def column(words: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(words), bits))
 }
+
+/** rolling_fingerprint(words): h ← (h·31 + wordhash) mod 1000000007 folded
+  * left-to-right over the word array, wordhash = the first 4 hex chars of
+  * the word's md5 (order-sensitive document fingerprint). Bit-identical
+  * to the interpreted spelling `aggregate(words, 0L, (acc, w) ->
+  * (acc·31 + conv(substr(md5(w),1,4),16,10)) % p)` — which evaluated an
+  * interpreted lambda plus a full md5→hex→conv expression tree per word,
+  * per row — and to the DuckDB oracle's list_reduce replay. A null word
+  * poisons the fold to null (null propagation through the lambda), which
+  * this kernel reproduces.
+  */
+object RollingHashUtil {
+  def fingerprint(words: ArrayData, hexChars: Int, mult: Long,
+      mod: Long): java.lang.Long = {
+    val nBytes = hexChars / 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0L
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      md.reset()
+      val digest = md.digest(words.getUTF8String(i).getBytes)
+      var h = 0L
+      var k = 0
+      while (k < nBytes) { h = (h << 8) | (digest(k) & 0xffL); k += 1 }
+      acc = (acc * mult + h) % mod
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+case class RollingHashExpr(child: Expression, hexChars: Int, mult: Long,
+    mod: Long) extends UnaryExpression with ExpectsInputTypes {
+  require(hexChars > 0 && hexChars % 2 == 0 && hexChars <= 14,
+    "rolling_fingerprint requires an even hexChars in 2..14")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  // null from non-null input: a null word element poisons the fold
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = RollingHashUtil.fingerprint(a.asInstanceOf[ArrayData], hexChars, mult, mod)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("fp")
+      s"""
+         |java.lang.Long $tmp = org.apache.spark.sql.graftexpr.RollingHashUtil
+         |  .fingerprint($a, $hexChars, ${mult}L, ${mod}L);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+object RollingHashExpr {
+  def column(words: Column, hexChars: Int, mult: Long, mod: Long): Column =
+    ExpressionUtils.column(
+      RollingHashExpr(ExpressionUtils.expression(words), hexChars, mult, mod))
+}
+
+/** l2sq(a, b): Σ (a[i]−b[i])² with per-element double widening, folded
+  * left-to-right — squared L2 distance between a float embedding and a
+  * double centroid. Bit-identical to the interpreted
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, +)` fold it replaces
+  * (the k-means inner loop evaluated that lambda chain per element per
+  * vector×centroid pair) and to the DuckDB oracle's list_reduce replay.
+  * Null element or length mismatch → null (zip_with null-pad semantics).
+  */
+case class L2SqExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val d = xs.getFloat(i).toDouble - ys.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |double $acc = 0.0;
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.getFloat($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2SqExpr {
+  def column(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      L2SqExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -43,3 +43,20 @@ object SimHash {
   def apply(words: Column, bits: Int): Column =
     org.apache.spark.sql.graftexpr.SimHashExpr.column(words, bits)
 }
+
+object RollingFingerprint {
+  /** (h*mult + md5-prefix-hash(word)) % mod folded over an array<string>
+    * column, one codegen'd pass per row.
+    */
+  def apply(words: Column, hexChars: Int = 4, mult: Long = 31L,
+      mod: Long = 1000000007L): Column =
+    org.apache.spark.sql.graftexpr.RollingHashExpr.column(words, hexChars, mult, mod)
+}
+
+object L2Sq {
+  /** Squared L2 distance between an array<float> and an array<double>
+    * column, one codegen'd pass per row.
+    */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.L2SqExpr.column(a, b)
+}

@@ -18,6 +18,18 @@ class SimilaritySpec extends SparkSpec {
     assert(d2 <= d0)
   }
 
+  test("native l2sq bit-matches the zip_with+aggregate fold") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val other = transform(reverse(col("embedding")), x => x.cast("double") * 1.5)
+    val hof = aggregate(
+      zip_with(col("embedding"), other,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = emb.select(hof.as("h"), graft.functions.L2Sq(col("embedding"), other).as("n"))
+      .filter(col("h") =!= col("n"))
+    assert(diff.count() === 0)
+  }
+
   test("int8 native codes bit-match the HOF column spelling") {
     val emb = Tables.embeddings(spark, sf).limit(200)
     // the interpreted spelling the native expression replaced — kept here

@@ -5,6 +5,49 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("fingerprint: native rolling hash bit-matches the interpreted fold") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "a"),
+      (4L, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("doc_id", "text")
+    val p = 1000000007L
+    val wh = (w: org.apache.spark.sql.Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("bigint")
+    val ref = docs.select(col("doc_id"),
+      aggregate(split(col("text"), " ", -1), lit(0L),
+        (acc, w) => (acc * 31 + wh(w)) % p).as("ref"))
+    val diff = TextAnalysis.fingerprint(docs).join(ref, "doc_id")
+      .filter(col("fingerprint") =!= col("ref"))
+    assert(diff.count() === 0)
+    // order sensitivity: permuted words fingerprint differently
+    val out = TextAnalysis.fingerprint(
+      Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) !== out(2L))
+  }
+
+  test("bigramLmScore: hand-computed Laplace bigram probabilities") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b", doc2 "a b"
+    // bigram counts: "a b" x3, "b a" x1; history counts: a->3, b->1; V=2
+    // p(a b) = (3+1)/(3+2) = 0.8 ; p(b a) = (1+1)/(1+2) = 2/3
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_bigrams") === 3L)
+    assert(r1.getAs[Double]("min_p") === 2.0 / 3)
+    // position-ordered fold: 0.8 + 2/3 + 0.8, then / 3
+    assert(r1.getAs[Double]("avg_p") === (0.8 + 2.0 / 3 + 0.8) / 3)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_bigrams") === 1L)
+    assert(r2.getAs[Double]("avg_p") === 0.8)
+    // a one-word doc contributes no bigrams and emits no row
+    val solo = TextAnalysis.bigramLmScore(
+      Seq((1L, "hello")).toDF("doc_id", "text"))
+    assert(solo.count() === 0)
+  }
+
   test("repetition: hand-computed fractions on a repetitive document") {
     import spark.implicits._
     // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" x3,

@@ -56,7 +56,7 @@ object Bench {
         "text_pack_sequences", "sample_mixture",
         "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",
         "join_asof", "join_range",
-        "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk")
+        "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk")
       val entries = scaleSet.filter(n => only.isEmpty || only(n)).flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>
           val sec = onceIn(outDir)(fn)

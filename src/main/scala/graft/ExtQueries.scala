@@ -380,6 +380,95 @@ object ExtQueries {
     """
     })
 
+  /** Product quantization end-to-end (train 4 subspace codebooks, encode,
+    * ADC top-5). The oracle replays the whole thing: per subspace, the
+    * same unrolled-Lloyd CTE chain sim_ivf_train uses (init = first k
+    * vec_ids' slices, one assign+mean iteration), then encoding as a
+    * rn=1 assignment, the per-query LUT as a relational (code = cell)
+    * join, and the ADC sum as a subspace-ordered fold.
+    */
+  private val pqTopKQ = Q(
+    "sim_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), kNeighbors = 5,
+        m = 4, kCodes = 4, iters = 1, dim = 64)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val m = 4; val kCodes = 4; val subdim = 16
+      def dist(e: String, c: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, ${subdim + 1}),
+               i -> (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i])
+                    * (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i]))),
+             (x, y) -> x + y)"""
+      val subCtes = (0 until m).map { s =>
+        val lo = s * subdim + 1; val hi = (s + 1) * subdim
+        s"""es$s AS (
+          SELECT vec_id, embedding[$lo:$hi] AS emb FROM e
+        ), c0_$s AS (
+          SELECT CAST(vec_id AS INT) AS cell,
+                 list_transform(emb, x -> CAST(x AS DOUBLE)) AS centroid
+          FROM es$s WHERE vec_id < $kCodes
+        ), a1_$s AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dist("e", "c")} ASC, c.cell ASC) AS rn
+            FROM es$s e CROSS JOIN c0_$s c
+          ) WHERE rn = 1
+        ), m1_$s AS (
+          SELECT cell, list(emb ORDER BY vec_id) AS ms
+          FROM a1_$s JOIN es$s USING (vec_id) GROUP BY cell
+        ), c1_$s AS (
+          SELECT cell, list_transform(range(1, ${subdim + 1}), dd ->
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(ms, mm -> CAST(mm[dd] AS DOUBLE))),
+              (x, y) -> x + y) / len(ms)) AS centroid
+          FROM m1_$s
+        ), enc_$s AS (
+          SELECT vec_id, cell AS code FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dist("e", "c")} ASC, c.cell ASC) AS rn
+            FROM es$s e CROSS JOIN c1_$s c
+          ) WHERE rn = 1
+        ), lut_$s AS (
+          SELECT e.vec_id AS query_id, c.cell, ${dist("e", "c")} AS d
+          FROM es$s e CROSS JOIN c1_$s c WHERE e.vec_id < 3
+        )"""
+      }.mkString(",\n      ")
+      val scArms = (0 until m).map { s =>
+        s"""SELECT l.query_id, n.vec_id AS neighbor_id, $s AS sub, l.d
+            FROM enc_$s n JOIN lut_$s l ON n.code = l.cell
+            WHERE l.query_id != n.vec_id"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      $subCtes,
+      sc AS (
+        $scArms
+      ), pair AS (
+        SELECT query_id, neighbor_id, list(d ORDER BY sub) AS ds
+        FROM sc GROUP BY query_id, neighbor_id
+      ), adc AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), ds),
+                 (x, y) -> x + y) AS adc_dist
+        FROM pair
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM adc
+      )
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    })
+
   /** Normalization + quantization: unit-norm check (post-normalization
     * norm² folds to 1 bit-for-bit via the same sequential reduce) and the
     * int8 codes with their scale.
@@ -1165,7 +1254,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
-    bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, pqTopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)

@@ -257,6 +257,99 @@ object Similarity {
     rerank.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
   }
 
+  /** Product quantization — the 100 TB ANN memory shape: train an
+    * independent k-codeword quantizer per `m` subspaces (Lloyd on each
+    * dim/m-dim slice, reusing [[kmeansCentroids]]), encode every vector
+    * as m small codeword ids (m·4 B instead of dim·4 B floats), and score
+    * queries by asymmetric distance: a per-query lookup table of squared
+    * sub-distances to every codeword, then Σ_s lut[s·k + code_s] per
+    * pair ([[graft.functions.PqAdc]], O(m) codegen'd). Jégou et al. 2011
+    * re-expressed declaratively: training shuffles only (cell, dim)
+    * partials, codebooks and LUTs broadcast, the corpus-side scan reads
+    * codes only — full-precision vectors are never touched at query time.
+    */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
+    val subdim = dim / m
+    (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subdim + 1, subdim).as("embedding"))
+      kmeansCentroids(sub, k, iters, subdim)
+        .select(lit(s).as("sub"), col("cell"), col("centroid"))
+    }.reduce(_ union _)
+  }
+
+  /** Per-vector PQ codes (array<int>, subspace order): nearest codeword
+    * per subspace, ties to the smaller cell. One broadcast join against
+    * the (m·k)-row codebook; the corpus never shuffles vectors — only
+    * (vec_id, sub, code) triples reach the grouping.
+    */
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subdim = dim / m
+    val sliced = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)).as("sub_emb"))
+    sliced.as("e").join(broadcast(codebooks.as("c")), col("e.sub") === col("c.sub"))
+      .select(col("e.vec_id"), col("e.sub"),
+        struct(graft.functions.L2Sq(col("sub_emb"), col("centroid")).as("dist"),
+          col("cell")).as("dc"))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("dc")).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("best.cell").as("code"))))
+        .as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), s => s.getField("code")).as("codes"))
+  }
+
+  /** Per-query dense ADC lookup table: lut[s·k + cell] = squared L2
+    * between the query's subspace slice and that codeword (null for a
+    * codeword the trainer dropped — such cells are never assigned, so the
+    * slot is never read). Broadcast-sized: m·k doubles per query.
+    */
+  def pqLut(queries: DataFrame, codebooks: DataFrame, m: Int, k: Int,
+      dim: Int): DataFrame = {
+    val subdim = dim / m
+    val spark = queries.sparkSession
+    val grid = spark.range(m).select(col("id").cast("int").as("sub"))
+      .crossJoin(spark.range(k).select(col("id").cast("int").as("cell")))
+    val dense = grid.join(codebooks, Seq("sub", "cell"), "left")
+    queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(dense))
+      .select(col("query_id"), col("sub"), col("cell"),
+        graft.functions.L2Sq(
+          slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)),
+          col("centroid")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cell"), col("d"))))
+        .as("scd"))
+      .select(col("query_id"), transform(col("scd"), s => s.getField("d")).as("lut"))
+  }
+
+  /** End-to-end PQ search: train, encode, build LUTs, ADC-score every
+    * (query, vector) pair over codes only, salted two-stage top-k by
+    * ascending approximate distance (ties to the smaller neighbor).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, kNeighbors: Int,
+      m: Int, kCodes: Int, iters: Int, dim: Int): DataFrame = {
+    val books = pqTrain(corpus, m, kCodes, iters, dim)
+    val codes = pqEncode(corpus, books, m, dim)
+    val luts = pqLut(queries, books, m, kCodes, dim)
+    val scored = codes.as("c")
+      .join(broadcast(luts.as("q")), col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        graft.functions.PqAdc(col("c.codes"), col("q.lut"), kCodes).as("adc_dist"))
+      // saltedCut ranks descending; negate so the cut keeps the smallest
+      // distances (equal distances tie to the smaller neighbor either way)
+      .withColumn("ordv", -col("adc_dist"))
+    val survivors = saltedCut(scored, kNeighbors, "ordv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    survivors.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come

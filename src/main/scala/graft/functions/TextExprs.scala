@@ -548,3 +548,71 @@ object L2SqExpr {
     ExpressionUtils.column(
       L2SqExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** pq_adc(codes, lut, k): asymmetric-distance lookup for product
+  * quantization — Σ_s lut[s·k + codes[s]], folded left-to-right in
+  * subspace order. `codes` is a vector's per-subspace codeword ids,
+  * `lut` a query's dense (m·k) table of squared sub-distances to every
+  * codeword (missing codewords hold null: they are never assigned, so a
+  * null read means corrupt codes and poisons the sum to null, as does an
+  * out-of-range code). O(m) per pair inside whole-stage codegen — the
+  * memory-bound "scan 8-byte codes, not 256-byte floats" inner loop that
+  * makes PQ the 100 TB ANN shape.
+  */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  require(k >= 1, "pq_adc requires k >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val idx = s * k + codes.getInt(s)
+      if (idx < 0 || idx >= lut.numElements() || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  if ($a.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |  int $idx = $s * $k + $a.getInt($s);
+         |  if ($idx < 0 || $idx >= $b.numElements() || $b.isNullAt($idx)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $acc += $b.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcExpr {
+  def column(codes: Column, lut: Column, k: Int): Column =
+    ExpressionUtils.column(
+      PqAdcExpr(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), k))
+}

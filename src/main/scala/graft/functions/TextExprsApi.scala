@@ -60,3 +60,11 @@ object L2Sq {
   def apply(a: Column, b: Column): Column =
     org.apache.spark.sql.graftexpr.L2SqExpr.column(a, b)
 }
+
+object PqAdc {
+  /** Σ_s lut[s*k + codes[s]] — product-quantization asymmetric distance,
+    * one codegen'd pass per (vector, query) pair.
+    */
+  def apply(codes: Column, lut: Column, k: Int): Column =
+    org.apache.spark.sql.graftexpr.PqAdcExpr.column(codes, lut, k)
+}

@@ -45,6 +45,27 @@ class SimilaritySpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("PQ codes are m small ids and ADC top-k overlaps exact top-k") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val books = Similarity.pqTrain(emb, m = 4, k = 4, iters = 1, dim = 64)
+    // ≤ m·k codewords, every centroid subdim-wide
+    assert(books.count() <= 16)
+    val codes = Similarity.pqEncode(emb, books, m = 4, dim = 64)
+    assert(codes.count() === emb.count())
+    val bad = codes.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 4))
+    assert(bad.count() === 0)
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val pq = Similarity.pqTopK(emb, queries, kNeighbors = 10,
+      m = 4, kCodes = 4, iters = 1, dim = 64)
+    val exact = Similarity.bruteTopK(emb, queries, k = 10)
+    // coarse quantization: just require real overlap with the exact set
+    val overlap = pq.select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id"))).count()
+    assert(overlap >= 6, s"PQ/exact overlap $overlap of 30")
+  }
+
   test("trained IVF probe returns ranked neighbors from the query's own cell") {
     val emb = Tables.embeddings(spark, sf)
     val out = Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 3), k = 5,

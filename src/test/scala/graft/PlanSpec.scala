@@ -153,6 +153,49 @@ class PlanSpec extends SparkSpec {
       s"eval gram set should broadcast:\n$plan")
   }
 
+  test("dedup_url reads only doc_id+source — text never leaves the scan") {
+    val url = concat(lit("https://"), col("source"), lit("/"),
+      (col("doc_id") % 50).cast("string"))
+    val plan = executedPlan(
+      ext.Urls.dedupByUrl(Tables.documents(spark, sf), url))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"column pruning lost (a 100 TB text column would ride the scan):\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial agg lost:\n$plan")
+  }
+
+  test("bigram LM keeps partial aggregation and broadcasts the vocab scalar") {
+    val plan = executedPlan(
+      ext.TextAnalysis.bigramLmScore(Tables.documents(spark, sf)))
+    // gram/history counts must combine map-side before their exchanges
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"partial agg lost:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"vocab-scalar broadcast lost:\n$plan")
+  }
+
+  test("PQ scoring broadcasts LUTs and scans codes, not embeddings") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val books = ext.Similarity.pqTrain(emb, m = 4, k = 4, iters = 1, dim = 64)
+    val codes = ext.Similarity.pqEncode(emb, books, m = 4, dim = 64)
+      .localCheckpoint() // pin: downstream must see only (vec_id, codes)
+    val luts = ext.Similarity.pqLut(emb.filter(col("vec_id") < 3), books,
+      m = 4, k = 4, dim = 64)
+    val scored = codes.as("c")
+      .join(broadcast(luts.as("q")), col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        graft.functions.PqAdc(col("c.codes"), col("q.lut"), 4).as("adc"))
+    val plan = executedPlan(scored)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"LUT broadcast lost:\n$plan")
+    // the streamed (corpus) side is the pinned codes table: its scan must
+    // carry codes only — full-precision vectors appear solely inside the
+    // broadcast LUT subtree (3 query rows), never on the corpus scan
+    val scanLine = plan.linesIterator.find(_.contains("Scan ExistingRDD"))
+    assert(scanLine.exists(l => l.contains("codes") && !l.contains("embedding")),
+      s"full-precision vectors leaked into the scoring scan:\n$plan")
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +

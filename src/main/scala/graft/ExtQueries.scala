@@ -1007,11 +1007,12 @@ object ExtQueries {
 
   /** Approx-distinct (HLL) — SURVEY §7.7's approx_count_distinct promise.
     * The HLL sketch value itself is engine-specific (Spark vs DuckDB use
-    * different registers), so the oracle-able contract is the error BOUND:
-    * the query emits `approx_ok` = |approx − exact|/exact ≤ 5% (Spark's
-    * default rsd) next to the exact counts, and DuckDB predicts
-    * (exact_users, n_events, TRUE). A wildly-off sketch flips approx_ok
-    * and hash-mismatches — a real correctness gate, not rows-only.
+    * different registers), so the oracle-able contract is the error BOUND.
+    * Spark's default rsd=0.05 is a relative STANDARD DEVIATION, not a hard
+    * bound — a correct sketch can legitimately exceed 5% at some
+    * cardinalities — so the gate is 4×rsd (=20%), which a correct HLL++
+    * essentially never exceeds while a broken sketch (off by 2×, zeroed,
+    * overflowed) still flips `approx_ok` and hash-mismatches.
     */
   private val approxDistinctQ = Q(
     "approx_distinct",
@@ -1022,7 +1023,7 @@ object ExtQueries {
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx_users") - col("exact_users"))
-          <= col("exact_users") * 0.05).as("approx_ok"))
+          <= col("exact_users") * 0.20).as("approx_ok"))
       .orderBy(col("event_type")),
     Some("""
       SELECT event_type,
@@ -1195,7 +1196,7 @@ object ExtQueries {
             concat(lit("?ref="), (col("doc_id") % 7).cast("string"),
               lit("&utm_campaign=x")))
           .when(col("doc_id") % 4 === 2, lit("#section-2"))
-          .otherwise(lit("/")))
+          .otherwise(lit("/?utm_source=s&utm_medium=m&utm_campaign=c&utm_term=t&utm_content=x")))
       Urls.dedupByUrl(Tables.documents(s, d), url)
         .orderBy(col("canonical_url"))
     },
@@ -1209,7 +1210,7 @@ object ExtQueries {
                     WHEN doc_id % 4 = 1
                       THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
                     WHEN doc_id % 4 = 2 THEN '#section-2'
-                    ELSE '/' END AS url
+                    ELSE '/?utm_source=s&utm_medium=m&utm_campaign=c&utm_term=t&utm_content=x' END AS url
         FROM documents
       ), s1 AS (
         SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0
@@ -1227,10 +1228,9 @@ object ExtQueries {
                regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u
         FROM s3
       ), s5 AS (
-        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        SELECT doc_id, regexp_replace(regexp_replace(
                  regexp_replace(u,
-                   '([?&])utm_[^&#]*&', '\1', 'g'),
-                   '([?&])utm_[^&#]*&', '\1', 'g'),
+                   '([?&])(utm_[^&#]*&)+', '\1', 'g'),
                    '[?&]utm_[^&#]*$', ''),
                    '\?$', '') AS u FROM s4
       ), c AS (
@@ -1240,17 +1240,71 @@ object ExtQueries {
       FROM c GROUP BY canonical_url ORDER BY canonical_url
     """))
 
-  /** Codec-free byte features (histogram/entropy/ASCII ratio) over the
-    * binary column. No oracle: the blobs are synthesized Spark-side, so
-    * DuckDB never sees the bytes — accuracy is pinned by MultimodalSpec
-    * hand-computed vectors; the driver records the rows-only check.
+  /** Codec-free byte features (histogram Horner checksum / entropy /
+    * ASCII ratio) over a binary column. The catalog input is the document
+    * TEXT bytes (all-ASCII in the test corpus, so DuckDB's char ops equal
+    * byte ops) — this makes every output column independently predictable
+    * by the oracle, unlike the synthesized container blobs (which stay
+    * covered by MultimodalSpec's hand-computed PNG/WAV vectors and by
+    * `multimodal_decode`). Entropy is rounded to 6 dp on both sides: the
+    * sum of −p·log₂p terms is accumulated in ascending byte order by both
+    * engines, but their libm `log` may differ in the last ulp.
     */
   private val featuresQ = Q(
     "multimodal_features",
-    (s, d) => Multimodal.byteFeatures(
-      Multimodal.mediaFromDocuments(Tables.documents(s, d)))
-      .orderBy(col("media_id")),
-    None)
+    (s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("content"))
+      Multimodal.byteFeatures(media)
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          round(col("entropy"), 6).as("entropy"),
+          col("ascii_ratio"), col("hist16_checksum"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS code
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+      ), cnt AS (
+        SELECT doc_id, code, COUNT(*) AS c FROM chars GROUP BY 1, 2
+      ), ent AS (
+        SELECT doc_id,
+               SUM(CASE WHEN code >= 32 AND code < 127 THEN c ELSE 0 END) AS ascii_cnt,
+               list_sort(list(struct_pack(code := code, c := c))) AS cs
+        FROM cnt GROUP BY doc_id
+      ), buckets AS (
+        SELECT c.doc_id, t.k,
+               CAST(COALESCE(SUM(CASE WHEN c.code // 16 = t.k THEN c.c END), 0) AS BIGINT) AS bc
+        FROM cnt c CROSS JOIN (SELECT UNNEST(range(0, 16)) AS k) t
+        GROUP BY 1, 2
+      ), hist AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_sort(list(struct_pack(k := k, bc := bc))),
+                   s -> s.bc)),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS hist16_checksum
+        FROM buckets GROUP BY doc_id
+      )
+      SELECT d.doc_id AS media_id,
+             CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                  WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(length(d.text) AS BIGINT) AS byte_len,
+             COALESCE(round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(e.cs, s ->
+                 (CAST(s.c AS DOUBLE) / length(d.text))
+                   * ln(CAST(s.c AS DOUBLE) / length(d.text)) / ln(2))),
+               (a, b) -> a + b), 6), 0.0) AS entropy,
+             COALESCE(CAST(e.ascii_cnt AS DOUBLE) / length(d.text), 0.0) AS ascii_ratio,
+             CAST(COALESCE(h.hist16_checksum, 0) AS BIGINT) AS hist16_checksum
+      FROM documents d
+      LEFT JOIN ent e ON d.doc_id = e.doc_id
+      LEFT JOIN hist h ON d.doc_id = h.doc_id
+      ORDER BY media_id
+    """))
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,

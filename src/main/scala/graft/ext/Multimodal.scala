@@ -164,11 +164,14 @@ object Multimodal {
       StructField("byte_len", LongType),
       StructField("entropy", DoubleType),
       StructField("ascii_ratio", DoubleType),
-      // positional checksum of the 16-bucket histogram (Σ (k+1)·hist16[k]):
-      // pins every bucket count AND its position in one scalar — the driver
-      // comparator can't sort rows containing array columns (r3:
-      // multimodal_features crashed its pandas lexsort), same scalarization
-      // the sim_quantize output already uses for int8 codes
+      // positional checksum of the 16-bucket histogram: Horner fold
+      // h ← (h·31 + hist16[k]) mod 1e9+7 over k = 0..15. Unlike a plain
+      // weighted sum Σ(k+1)·bucket (whose bucket moves can cancel — e.g.
+      // 3→1 and 5→7 — making the pin weaker than claimed), the rolling
+      // polynomial distinguishes every (count, position) assignment up to
+      // hash collisions. Scalar because the driver comparator can't sort
+      // rows containing array columns (r3: multimodal_features crashed its
+      // pandas lexsort) — same scalarization sim_quantize uses.
       StructField("hist16_checksum", LongType)))
     val idIdx = media.schema.fieldIndex("media_id")
     val kindIdx = media.schema.fieldIndex("kind")
@@ -201,7 +204,7 @@ object Multimodal {
           var bucket = 0L
           var m = 0
           while (m < 16) { bucket += counts(k * 16 + m); m += 1 }
-          checksum += (k + 1L) * bucket
+          checksum = (checksum * 31L + bucket) % 1000000007L
           k += 1
         }
         Row(r.getLong(idIdx), r.getString(kindIdx), n.toLong,

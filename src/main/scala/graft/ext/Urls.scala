@@ -24,10 +24,11 @@ object Urls {
     *  2. lowercase scheme + authority (path/query stay case-sensitive);
     *  3. strip default ports (https:443, http:80);
     *  4. strip a leading `www.`;
-    *  5. drop `utm_*` tracking parameters (two passes for interior
-    *     params — global non-overlapping replacement consumes the
-    *     separator of an immediately following utm param — then one for a
-    *     trailing param, then a dangling `?`);
+    *  5. drop `utm_*` tracking parameters (one pass with a repeated group
+    *     so a RUN of consecutive utm params of any length collapses —
+    *     a single non-repeated replacement would consume the separator of
+    *     the immediately following utm param and skip it — then one pass
+    *     for a trailing param, then a dangling `?`);
     *  6. strip one trailing slash.
     */
   def canonicalizeUrl(u: Column): Column = {
@@ -42,9 +43,7 @@ object Urls {
     val noWww = regexp_replace(noPort, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
     val noUtm = regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(noWww, "([?&])utm_[^&#]*&", "$1"),
-          "([?&])utm_[^&#]*&", "$1"),
+        regexp_replace(noWww, "([?&])(utm_[^&#]*&)+", "$1"),
         "[?&]utm_[^&#]*$", ""),
       "\\?$", "")
     regexp_replace(noUtm, "/$", "")

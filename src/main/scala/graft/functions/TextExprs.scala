@@ -20,6 +20,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprUtil {
 
+  /** Per-thread MD5 instance for the hashing kernels below —
+    * `MessageDigest.getInstance` is a JCA provider lookup + allocation,
+    * far too heavy to pay once per ROW inside a codegen'd loop. Tasks are
+    * thread-confined in Spark, so a ThreadLocal (reset per use by
+    * `digest()` itself, which resets after computing) is safe.
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5(): java.security.MessageDigest = {
+    val md = md5Local.get()
+    md.reset()
+    md
+  }
+
   /** The word n-grams of `words` as space-joined strings — one gram per
     * full window, in window order. Exactly the array the interpreted
     * `transform`+`when`+`concat_ws`+`filter` spelling builds (concat_ws
@@ -206,10 +221,12 @@ object IntersectSizeExpr {
       IntersectSizeExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
-/** int_dot(a, b): Σ (long)(a[i]·b[i]) over array<int> — the stage-1
-  * scoring loop of quantized search. Accumulates the int product widened
-  * to long, exactly like the zip_with(cast long)+aggregate fold it
-  * replaces; a null element poisons the sum to null (zip_with semantics).
+/** int_dot(a, b): Σ (long)a[i]·(long)b[i] over array<int> — the stage-1
+  * scoring loop of quantized search. Each operand is widened to long
+  * BEFORE multiplying, exactly like the zip_with(cast long)+aggregate
+  * fold it replaces (a 32-bit product would wrap for |a·b| > 2³¹, which
+  * the general array<int> surface permits even though int8 codes never
+  * reach it); a null element poisons the sum to null (zip_with semantics).
   */
 case class IntDotExpr(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -234,7 +251,7 @@ case class IntDotExpr(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      acc += (xs.getInt(i) * ys.getInt(i)).toLong
+      acc += xs.getInt(i).toLong * ys.getInt(i)
       i += 1
     }
     acc
@@ -252,7 +269,7 @@ case class IntDotExpr(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (long) ($a.getInt($i) * $b.getInt($i));
+         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
          |  }
          |}
          |${ev.value} = $acc;
@@ -362,7 +379,7 @@ object SimHashUtil {
   def simhash(words: ArrayData, bits: Int): Long = {
     val nBytes = bits / 8 // bits ∈ {8,16,24,32,40,48,56}: hex chars = 2·bytes
     val votes = new Array[Int](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = TextExprUtil.md5()
     val n = words.numElements()
     var i = 0
     while (i < n) {
@@ -429,7 +446,7 @@ object RollingHashUtil {
   def fingerprint(words: ArrayData, hexChars: Int, mult: Long,
       mod: Long): java.lang.Long = {
     val nBytes = hexChars / 2
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = TextExprUtil.md5()
     var acc = 0L
     val n = words.numElements()
     var i = 0

@@ -20,6 +20,11 @@ class MultimodalSpec extends SparkSpec {
       schema)
   }
 
+  // independent reimplementation of the positional histogram pin:
+  // Horner fold h ← (h·31 + bucket[k]) mod 1e9+7 over k = 0..15
+  private def horner(buckets: Seq[Long]): Long =
+    buckets.foldLeft(0L)((h, b) => (h * 31L + b) % 1000000007L)
+
   test("byteFeatures: hand-computed entropy / histogram / ascii ratio") {
     // 4 bytes, two distinct values equally likely -> entropy exactly 1 bit
     val twoVal = Array[Byte](0x00, 0x41, 0x00, 0x41)
@@ -32,14 +37,26 @@ class MultimodalSpec extends SparkSpec {
     val r1 = out(1L)
     assert(math.abs(r1.getAs[Double]("entropy") - 1.0) < 1e-12)
     assert(r1.getAs[Double]("ascii_ratio") === 0.5) // 'A' printable, 0x00 not
-    // buckets: hist16[0]=2 (0x00), hist16[4]=2 (0x41) -> 1*2 + 5*2 = 12
-    assert(r1.getAs[Long]("hist16_checksum") === 12L)
+    // buckets: hist16[0]=2 (0x00), hist16[4]=2 (0x41), rest 0
+    assert(r1.getAs[Long]("hist16_checksum")
+      === horner(Seq.tabulate(16)(k => if (k == 0 || k == 4) 2L else 0L)))
 
     val r2 = out(2L)
     assert(math.abs(r2.getAs[Double]("entropy") - 8.0) < 1e-12)
     assert(r2.getAs[Double]("ascii_ratio") === 95.0 / 256)
-    // uniform: every bucket 16 -> 16 * Σ(k+1) = 16 * 136
-    assert(r2.getAs[Long]("hist16_checksum") === 16L * 136)
+    // uniform: every bucket 16
+    assert(r2.getAs[Long]("hist16_checksum") === horner(Seq.fill(16)(16L)))
+  }
+
+  test("byteFeatures: histogram checksum distinguishes bucket positions") {
+    // moving counts 3→1 and 5→7 cancelled under the old Σ(k+1)·bucket sum;
+    // the Horner polynomial must tell these apart
+    val a = Array[Byte](0x30, 0x50) // buckets 3 and 5
+    val b = Array[Byte](0x10, 0x70) // buckets 1 and 7
+    val out = Multimodal.byteFeatures(
+      mediaDf(Seq((1L, "blob", a), (2L, "blob", b))))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("hist16_checksum")).toMap
+    assert(out(1L) !== out(2L))
   }
 
   test("byteFeatures: empty and null blobs produce zeroed features") {

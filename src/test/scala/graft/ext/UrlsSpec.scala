@@ -21,6 +21,14 @@ class UrlsSpec extends SparkSpec {
       === Seq("https://example.com/a"))
     assert(canon("https://example.com/a?keep=1&utm_mid=2&also=3")
       === Seq("https://example.com/a?keep=1&also=3"))
+    // >=4 consecutive utm params: the standard 5-param utm set collapses
+    // entirely (a non-repeated replacement would leave every other param)
+    assert(canon("https://example.com/a?utm_source=s&utm_medium=m&utm_campaign=c&utm_term=t&utm_content=x")
+      === Seq("https://example.com/a"))
+    assert(canon("https://example.com/a?utm_a=1&utm_b=2&utm_c=3&utm_d=4&x=1")
+      === Seq("https://example.com/a?x=1"))
+    assert(canon("https://example.com/a?keep=1&utm_a=1&utm_b=2&utm_c=3&utm_d=4")
+      === Seq("https://example.com/a?keep=1"))
     // path case is preserved; only scheme+authority fold
     assert(canon("HTTP://EXAMPLE.com/CaseSensitive")
       === Seq("http://example.com/CaseSensitive"))

@@ -4,10 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    // untimed warmup: session/codegen/noop-committer init otherwise lands
-    // on whichever query happens to run first (~6 s of pure startup)
+    // Untimed warmup. Two distinct costs would otherwise land on whichever
+    // query runs first (r4: filter_exact 4.30 s; r5: action_math 8.23 s —
+    // a five-column projection that cannot cost 8 s):
+    //  1. session/codegen/noop-committer init (the spark.range write);
+    //  2. first-touch of the REAL tables — parquet footer reads, file-index
+    //     build, page-cache population, scan-codegen compilation.
+    // Noop-writing every source table before timing moves both off the
+    // first timed query, making round-over-round per-query diffs meaningful.
     spark.range(1000).selectExpr("id", "md5(cast(id as string)) h")
       .write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
+      Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    }
+    Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
     // noop-format write forces full evaluation of every projected column
     // and the final sort (a bare count() lets ColumnPruning/EliminateSorts
     // delete the per-row expression work being measured). Best of two runs
@@ -20,65 +31,84 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      onceIn(sfDir)(fn)
+    def bestOfTwoIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      math.min(onceIn(dir)(fn), onceIn(dir)(fn))
     // iteration aid: SPARK_GRAFT_ONLY=name1,name2 restricts the run
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
-    val results = selected.map { case (name, fn) =>
-      val sec = math.min(once(fn), once(fn))
+    // sorted-name order: SparkEntry.queries is a Map with unspecified
+    // iteration order — an order change between rounds would silently move
+    // queries relative to JIT/GC warm state and corrupt per-query diffs
+    val resultSeq = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = bestOfTwoIn(sfDir)(fn)
       // progress to stderr (the driver reads only the stdout JSON line)
       System.err.println(f"[bench] $name%-28s $sec%7.2f s")
       name -> sec
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = resultSeq.toMap
+    val total = resultSeq.map(_._2).sum
 
-    // Larger-SF scaling section (VERDICT r2 directive 10): synthesize a
+    // Larger-SF scaling sections (VERDICT r2 directive 10): synthesize a
     // `factor`× corpus (fresh text per copy — see ScaleData) and time the
-    // headline capped/salted/bucketed queries once each. `ratio` is
+    // headline capped/salted/bucketed queries. `ratio` is
     // sec(factor×) / sec(1×, best-of-two above); linear scaling would be
-    // ≈ factor, so anything > 2·factor is a super-linear red flag. Disable
-    // with SPARK_GRAFT_SCALE=1 (or 0).
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    val scaleJson = if (factor <= 1) "" else {
-      val outDir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
-      ScaleData.synthesize(spark, sfDir, outDir, factor)
-      val scaleSet = Seq(
-        "q1_agg", "filter_cesql", "action_structs_pipeline", "template_json",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
-        "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
-        "dedup_passages",
-        "text_gopher_quality", "text_langid", "text_repetition",
-        "text_pack_sequences", "sample_mixture",
-        "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",
-        "join_asof", "join_range",
-        "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk")
-      val entries = scaleSet.filter(n => only.isEmpty || only(n)).flatMap { n =>
-        SparkEntry.queries.get(n).map { fn =>
-          val sec = onceIn(outDir)(fn)
-          val base = results(n)
-          val ratio = sec / math.max(base, 1e-9)
-          System.err.println(
-            f"[bench] scale:$n%-22s $sec%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
-          // ratios only on the stdout line (sec/base_sec go to stderr
-          // above): the driver keeps just the LAST 2000 chars of stdout,
-          // so every byte of the final JSON line fights for that window
-          f""""$n":$ratio%.2f"""
+    // ≈ factor, so anything > 2·factor is a super-linear red flag.
+    // Best-of-two here as well — r4's phantom 31.4× text_gopher_quality
+    // ratio (vs 2.17 on unchanged code in r5) was single-run noise.
+    def scaleSection(tag: String, factor: Int, names: Seq[String]): String =
+      if (factor <= 1) "" else {
+        val outDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
+        ScaleData.synthesize(spark, sfDir, outDir, factor)
+        val entries = names.filter(n => only.isEmpty || only(n)).flatMap { n =>
+          SparkEntry.queries.get(n).map { fn =>
+            val sec = bestOfTwoIn(outDir)(fn)
+            val base = results(n)
+            val ratio = sec / math.max(base, 1e-9)
+            System.err.println(
+              f"[bench] $tag:$n%-22s $sec%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
+            // ratios only on the stdout line (sec/base_sec go to stderr
+            // above): the driver keeps just the LAST 2000 chars of stdout,
+            // so every byte of the final JSON line fights for that window
+            f""""$n":$ratio%.2f"""
+          }
         }
+        s""","$tag":{"factor":$factor,"ratios":${entries.mkString("{", ",", "}")}}"""
       }
-      s""","scale":{"factor":$factor,"ratios":${entries.mkString("{", ",", "}")}}"""
-    }
+    // disable with SPARK_GRAFT_SCALE=1 (or 0)
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val scaleSet = Seq(
+      "q1_agg", "filter_cesql", "action_structs_pipeline", "template_json",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
+      "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
+      "dedup_passages", "dedup_embedding_neardup",
+      "text_gopher_quality", "text_langid", "text_repetition",
+      "text_pack_sequences", "sample_mixture",
+      "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",
+      "join_asof", "join_range",
+      "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk")
+    // One data point well past 10× for the CAPPED operators only (MinK
+    // block caps, salted two-stage cuts, hash-keyed passage blocks):
+    // 26× (the ScaleData rotation cap) separates "sublinear because the
+    // caps bound the work" from "sublinear because fixed overhead dominates
+    // at sf0.1". Disable with SPARK_GRAFT_SCALE26=1 (or 0).
+    val factor26 = sys.env.getOrElse("SPARK_GRAFT_SCALE26", "26").toInt
+    val cappedSet = Seq(
+      "dedup_ngram_jaccard", "dedup_embedding_neardup", "dedup_passages",
+      "sim_int8_topk", "sim_pq_topk")
+    val scaleJson =
+      scaleSection("scale", factor, scaleSet) +
+        scaleSection("scale26", factor26, cappedSet)
     // The driver records only the last 2000 chars of stdout (BENCH_r{N}
     // "tail") and parses the JSON line out of that — rounds 1-3 emitted a
     // >2000-char line and got "parsed": null every time. Budget the line:
     // per-query entries are added in descending-cost order until the line
     // would overflow; anything cut is summed into "other" so "value" stays
     // the exact total. Full per-query detail always goes to stderr.
-    results.toSeq.sortBy(_._1).foreach { case (n, s) =>
+    resultSeq.foreach { case (n, s) =>
       System.err.println(f"""[bench-detail] "$n":$s""")
     }
     val lineBudget = 1750 // < 2000 minus sbt's trailing "[success] ..." line
@@ -86,12 +116,12 @@ object Bench {
     var room = lineBudget - fixed.length - 30 // reserve for "other" entry
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var otherSum = 0.0
-    results.toSeq.sortBy(-_._2).foreach { case (n, s) =>
+    resultSeq.sortBy(-_._2).foreach { case (n, s) =>
       val e = f""""$n":$s%.3f"""
       if (room - (e.length + 1) >= 0) { kept += e; room -= (e.length + 1) }
       else otherSum += s
     }
-    if (otherSum > 0 || kept.size < results.size)
+    if (otherSum > 0 || kept.size < resultSeq.size)
       kept += f""""other":$otherSum%.3f"""
     val qsCompact = kept.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries":$qsCompact$scaleJson}""")

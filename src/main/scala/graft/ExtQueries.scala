@@ -590,14 +590,19 @@ object ExtQueries {
       FROM embeddings ORDER BY vec_id
     """))
 
+  // the subset predicate is mod-IdStride so the ScaleData N× corpus keeps
+  // N× the query-side vectors (a plain `vec_id < 500` would select only
+  // copy 0 and the scale bench would measure nothing); on the base tables
+  // every vec_id < IdStride, so the result is identical
   private val nearDupQ = Q(
     "dedup_embedding_neardup",
     (s, d) => Similarity.embeddingNearDup(
-      Tables.embeddings(s, d).filter(col("vec_id") < 500), 0.9, maxCell = 200)
+      Tables.embeddings(s, d).filter(col("vec_id") % ScaleData.IdStride < 500),
+      0.9, maxCell = 200)
       .orderBy(col("vec_id")),
     Some(s"""
       WITH sub AS (
-        SELECT * FROM embeddings WHERE vec_id < 500
+        SELECT * FROM embeddings WHERE vec_id % ${ScaleData.IdStride} < 500
       ), cand AS (
         SELECT * FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS cell_rank

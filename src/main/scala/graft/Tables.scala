@@ -20,13 +20,20 @@ object Tables {
     * source produced fewer splits than the session's parallelism. The
     * local test tables are single-row-group parquet files — one scan task —
     * which serializes md5/interpreter pipelines onto one core; at
-    * production scale input splits far exceed cores and this is a no-op.
+    * production scale input files far exceed cores and this is a no-op.
     * Round-robin shuffle of the raw rows, so apply only AFTER
     * pushdown-eligible predicates and column pruning have had their chance.
+    *
+    * The probe is `inputFiles` — pure plan metadata (the file index the
+    * scan already holds). The previous `df.rdd.getNumPartitions` probe
+    * forced a Dataset→RDD conversion whose DeserializeToObject subtree was
+    * planned eagerly per call and de-optimized AQE coalescing downstream.
+    * A frame with no file source at all (in-memory test relations) counts
+    * 0 files and fans out, which is the desired behavior there too.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (df.inputFiles.length < cores) df.repartition(cores) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

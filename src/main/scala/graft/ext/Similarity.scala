@@ -354,13 +354,20 @@ object Similarity {
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come
     * from an equality join on the bucket key (shuffle on a small int key).
+    *
+    * The plane vectors are compile-time constants, so each plane's dot is
+    * one codegen'd [[graft.functions.VecDot]] against a literal coefficient
+    * array — the interpreted `zip_with`+`aggregate` lambda chain this
+    * replaces evaluated 2·dim lambdas per plane per row. The coefficients
+    * are small integers (exact in float), and VecDot accumulates
+    * (double)a[i]·(double)b[i] left to right from 0.0 — the identical
+    * arithmetic and order, so bucket bits are bit-equal (pinned in
+    * SimilaritySpec).
     */
   def lshBucket(emb: Column, dim: Int, planes: Int = 4): Column = {
     val bits = (0 until planes).map { j =>
-      val dot = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val coeffs = Array.tabulate(dim)(i => (((i * 31 + j * 17) % 7) - 3).toFloat)
+      val dot = foldDot(emb, lit(coeffs))
       when(dot >= 0, 1 << j).otherwise(0)
     }
     bits.reduce(_ + _)
@@ -369,18 +376,25 @@ object Similarity {
   /** Nearest neighbor within each vector's own cell + a near-dup flag —
     * embedding-cosine near-duplicate detection (one row per vector).
     *
-    * `maxCell` bounds the per-task pair work: each cell keeps its first
-    * `maxCell` vectors by vec_id on the *candidate* (b) side, so a hot
-    * label can't make one task O(cell²). Deterministic (vec_id order); the
-    * query side stays complete — every vector still gets a nearest
-    * neighbor, searched among the capped candidates.
+    * `maxCell` bounds the per-task pair work: each cell keeps its `maxCell`
+    * smallest vec_ids on the *candidate* (b) side, so a hot label can't
+    * make one task O(cell²). The cap is a bounded [[graft.functions.MinK]]
+    * aggregate with map-side partials + a semi join — no task ever holds
+    * or sorts more than maxCell ids per cell (the `row_number` window this
+    * replaces routed a hot label's whole cell through one task to rank
+    * it — the exact funnel `ngramJaccardPairs` fixed the same way,
+    * Dedup.scala ngramJaccardPairs). Deterministic (vec_id order) and
+    * identical kept-id set, since vec_ids are unique; the query side stays
+    * complete — every vector still gets a nearest neighbor, searched among
+    * the capped candidates.
     */
   def embeddingNearDup(corpus: DataFrame, threshold: Double,
       maxCell: Int = 10000): DataFrame = {
-    val cellW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-    val candidates = corpus
-      .withColumn("cell_rank", row_number().over(cellW))
-      .filter(col("cell_rank") <= maxCell).drop("cell_rank")
+    val keepIds = corpus
+      .groupBy(col("label"))
+      .agg(graft.functions.MinK.longs(col("vec_id"), maxCell).as("ids"))
+      .select(explode(col("ids")).as("vec_id"))
+    val candidates = corpus.join(keepIds, Seq("vec_id"), "left_semi")
     val joined = corpus.as("a").join(candidates.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),

@@ -631,25 +631,30 @@ object ExtQueries {
     "text_langid",
     (s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id")),
     Some {
-      // latin scores over lowercased tokens; zh over raw function chars —
-      // mirrors TextAnalysis.langId exactly
+      // word scores over lowercased tokens; char languages over raw
+      // function chars — generated from the SAME lexicon Seqs langId
+      // compiles, so Spark and oracle stay symmetric by construction
       val scores = (TextAnalysis.langWords
         .map { case (l, ws) =>
           s"${sqlStopCount(ws).replace("string_split(text", "string_split(lower(text)")} AS score_$l"
-        } :+
-        s"CAST(len(regexp_extract_all(text, '[${TextAnalysis.zhChars}]')) AS INT) AS score_zh")
+        } ++
+        TextAnalysis.charLangs.map { case (l, cs) =>
+          s"CAST(len(regexp_extract_all(text, '[$cs]')) AS INT) AS score_$l"
+        })
         .mkString(",\n             ")
       val maxExpr = "greatest(" + TextAnalysis.langOrder.map(l => s"score_$l").mkString(", ") + ")"
       val caseExpr = TextAnalysis.langOrder
         .map(l => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
         .mkString("CASE ", " ", " ELSE 'unknown' END")
+      val scoreCols = (TextAnalysis.langWords.map(_._1) ++
+        TextAnalysis.charLangs.map(_._1)).map(l => s"score_$l").mkString(", ")
       s"""
       WITH scored AS (
         SELECT doc_id,
              $scores
         FROM documents
       )
-      SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+      SELECT doc_id, $scoreCols,
              $caseExpr AS predicted_lang
       FROM scored ORDER BY doc_id
     """
@@ -1015,9 +1020,12 @@ object ExtQueries {
     * different registers), so the oracle-able contract is the error BOUND.
     * Spark's default rsd=0.05 is a relative STANDARD DEVIATION, not a hard
     * bound — a correct sketch can legitimately exceed 5% at some
-    * cardinalities — so the gate is 4×rsd (=20%), which a correct HLL++
-    * essentially never exceeds while a broken sketch (off by 2×, zeroed,
-    * overflowed) still flips `approx_ok` and hash-mismatches.
+    * cardinalities — so the gate is 3×rsd (=15%): tight enough that a
+    * systematically-off sketch (10-15% bias, zeroed, overflowed) flips
+    * `approx_ok` and hash-mismatches. No flake risk despite rsd being a
+    * std-dev: the sketch is seedless/deterministic, so for the fixed
+    * driver corpus the observed error is a constant (verified ≤ the gate
+    * at sf0.01 and sf0.001).
     */
   private val approxDistinctQ = Q(
     "approx_distinct",
@@ -1028,7 +1036,7 @@ object ExtQueries {
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx_users") - col("exact_users"))
-          <= col("exact_users") * 0.20).as("approx_ok"))
+          <= col("exact_users") * 0.15).as("approx_ok"))
       .orderBy(col("event_type")),
     Some("""
       SELECT event_type,
@@ -1246,14 +1254,21 @@ object ExtQueries {
     """))
 
   /** Codec-free byte features (histogram Horner checksum / entropy /
-    * ASCII ratio) over a binary column. The catalog input is the document
-    * TEXT bytes (all-ASCII in the test corpus, so DuckDB's char ops equal
-    * byte ops) — this makes every output column independently predictable
-    * by the oracle, unlike the synthesized container blobs (which stay
-    * covered by MultimodalSpec's hand-computed PNG/WAV vectors and by
-    * `multimodal_decode`). Entropy is rounded to 6 dp on both sides: the
+    * ASCII ratio) over a binary column. The catalog input is the ASCII
+    * projection of the document TEXT bytes — BOTH engines strip non-ASCII
+    * up front (`[^\x00-\x7F]` → ''), so DuckDB's codepoint-based
+    * length()/ascii() provably equal Spark's byte semantics for ANY
+    * corpus, not just the current all-ASCII one (ADVICE r5: the implicit
+    * all-ASCII assumption would otherwise silently diverge byte_len,
+    * entropy, ascii_ratio and the histogram on a future corpus). This
+    * makes every output column independently predictable by the oracle,
+    * unlike the synthesized container blobs (which stay covered by
+    * MultimodalSpec's hand-computed PNG/WAV vectors and by
+    * `multimodal_decode`). Entropy is rounded to 4 dp on both sides: the
     * sum of −p·log₂p terms is accumulated in ascending byte order by both
-    * engines, but their libm `log` may differ in the last ulp.
+    * engines, but their libm `log` may differ in the last ulp, and a 6 dp
+    * round leaves a boundary case when the true value sits within an ulp
+    * of x.xxxxxx5 (ADVICE r5) — 4 dp gives that ulp ~100× more margin.
     */
   private val featuresQ = Q(
     "multimodal_features",
@@ -1263,17 +1278,21 @@ object ExtQueries {
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("kind"),
-        col("text").cast("binary").as("content"))
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "")
+          .cast("binary").as("content"))
       Multimodal.byteFeatures(media)
         .select(col("media_id"), col("kind"), col("byte_len"),
-          round(col("entropy"), 6).as("entropy"),
+          round(col("entropy"), 4).as("entropy"),
           col("ascii_ratio"), col("hist16_checksum"))
         .orderBy(col("media_id"))
     },
     Some("""
-      WITH chars AS (
+      WITH src AS (
+        SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS text
+        FROM documents
+      ), chars AS (
         SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS code
-        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        FROM src, UNNEST(range(1, length(text) + 1)) AS t(i)
       ), cnt AS (
         SELECT doc_id, code, COUNT(*) AS c FROM chars GROUP BY 1, 2
       ), ent AS (
@@ -1302,10 +1321,10 @@ object ExtQueries {
                list_transform(e.cs, s ->
                  (CAST(s.c AS DOUBLE) / length(d.text))
                    * ln(CAST(s.c AS DOUBLE) / length(d.text)) / ln(2))),
-               (a, b) -> a + b), 6), 0.0) AS entropy,
+               (a, b) -> a + b), 4), 0.0) AS entropy,
              COALESCE(CAST(e.ascii_cnt AS DOUBLE) / length(d.text), 0.0) AS ascii_ratio,
              CAST(COALESCE(h.hist16_checksum, 0) AS BIGINT) AS hist16_checksum
-      FROM documents d
+      FROM src d
       LEFT JOIN ent e ON d.doc_id = e.doc_id
       LEFT JOIN hist h ON d.doc_id = h.doc_id
       ORDER BY media_id

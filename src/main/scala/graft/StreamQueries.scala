@@ -309,6 +309,33 @@ object StreamQueries {
       FROM r GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** Rate-limit admission plan (trigger.go:247 ratelimit.Take before every
+    * send; [[graft.streaming.RateLimit]]): a 320 events/sec subscription
+    * fanned over 32 delivery partitions gets a 10-event/sec per-partition
+    * budget (the same `max(1, rate/partitions)` arithmetic the runner's
+    * wall-clock bucket uses), so partition i's events are admitted 10 per
+    * window in offset order. One row per (log, window_sec) with the
+    * admitted count and offsets — pins window boundaries and smoothing
+    * layout, the deterministic face of the leaky bucket.
+    */
+  private val rateLimitQ = Q(
+    "stream_rate_limit",
+    (s, d) => graft.streaming.RateLimit.admissionPlan(
+      Tables.events(s, d), col("event_type"), col("event_id"),
+      ratePerSec = 320, numPartitions = 32)
+      .orderBy(col("log"), col("window_sec")),
+    Some("""
+      WITH r AS (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn
+        FROM events
+      )
+      SELECT event_type AS log, CAST(floor(rn / 10) AS BIGINT) AS window_sec,
+             COUNT(*) AS n_admitted, MIN(event_id) AS first_offset,
+             MAX(event_id) AS last_offset
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   /** Publish-path parity (proxy.go:166-237): per-event checkExtension
     * validation, xvanuseventbus stamping, and timer-bus rerouting through
     * the REAL Publisher.route. Attributes are synthesized per event_id%4:
@@ -469,6 +496,6 @@ object StreamQueries {
     """))
 
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
-    retryableQ, sendBatchesQ,
+    retryableQ, sendBatchesQ, rateLimitQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
 }

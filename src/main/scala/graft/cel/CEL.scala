@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * and the ternary `cond ? a : b`. Variable binding reproduces the lenient
   * coercions of cel.go:198-275: numeric text parses, float→int64 truncates.
   *
+  * Plus the cel-spec standard string functions a power user hits first
+  * (the reference exposes full CEL, so these are in its surface even if
+  * its docs only show the inline-variable subset): `size(s)` (code-point
+  * count), `s.contains(sub)`, `s.startsWith(p)`, `s.endsWith(p)`, and
+  * `s.matches(re)` (UNANCHORED partial match, per the CEL spec — not
+  * Go's anchored regexp.MatchString). All evaluate null (→ filter false)
+  * when the receiver is missing, matching CEL's eval-error semantics.
+  *
   * Compiled once per subscription; evaluates as a single codegen'd
   * expression with `get_json_object` doing the per-row path lookup.
   */
@@ -39,6 +47,8 @@ object CEL {
   final case class Un(op: String, e: Expr) extends Expr
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
+  /** `size(arg)` (receiver None) or `recv.name(args…)` (receiver Some). */
+  final case class Call(name: String, receiver: Option[Expr], args: List[Expr]) extends Expr
 
   // ==== Lexer ====
   sealed trait Tok
@@ -165,6 +175,10 @@ object CEL {
     private def parseUnary(): Expr = peek match {
       case TOp("!") => next(); Un("!", parseUnary())
       case TOp("-") => next(); Un("-", parseUnary())
+      case _ => parsePostfix(parsePrimary())
+    }
+
+    private def parsePrimary(): Expr = peek match {
       case TOp("(") => next(); val e = parseTernary(); expect(")"); e
       case TVar(p, t) => next(); VarRef(p, t)
       case TInt(v) => next(); LInt(v)
@@ -173,7 +187,33 @@ object CEL {
       case TStr(s) => next(); LStr(s)
       case TIdent("true") => next(); LBool(true)
       case TIdent("false") => next(); LBool(false)
+      // global function call: size(expr)
+      case TIdent(name) if toks(pos + 1) == TOp("(") =>
+        next(); next()
+        val args = parseArgs()
+        Call(name, None, args)
       case t => throw new IllegalArgumentException(s"CEL: unexpected token $t")
+    }
+
+    /** Comma-separated args up to the closing paren (consumed). */
+    private def parseArgs(): List[Expr] =
+      if (peek == TOp(")")) { next(); Nil }
+      else {
+        val args = List.newBuilder[Expr]
+        args += parseTernary()
+        while (peek == TOp(",")) { next(); args += parseTernary() }
+        expect(")")
+        args.result()
+      }
+
+    /** Postfix method calls: recv.name(args), left-associative chains. */
+    private def parsePostfix(e: Expr): Expr = peek match {
+      case TOp(".") if toks(pos + 1).isInstanceOf[TIdent] && toks(pos + 2) == TOp("(") =>
+        next()
+        val TIdent(name) = next(): @unchecked
+        next() // "("
+        parsePostfix(Call(name, Some(e), parseArgs()))
+      case _ => e
     }
   }
 
@@ -201,8 +241,22 @@ object CEL {
     case _: LInt | _: LDouble => true
     case VarRef(_, t) => t != "string" && t != "bool"
     case Un(_, x) => isNumeric(x)
-    case Bin(op, _, _) => Set("+", "-", "*", "/", "%")(op)
+    case b @ Bin(op, _, _) =>
+      Set("+", "-", "*", "/", "%")(op) && !isStringExpr(b) // string + string concatenates
     case Ternary(_, t, f) => isNumeric(t) || isNumeric(f)
+    case Call("size", _, _) => true
+    case _ => false
+  }
+
+  /** Statically string-typed subtree — drives `+`-as-concatenation
+    * (cel-spec: string + string concatenates; mixed string/number + is a
+    * type error, surfaced at compile time by Spark's analyzer).
+    */
+  private def isStringExpr(e: Expr): Boolean = e match {
+    case _: LStr => true
+    case VarRef(_, t) => t == "string"
+    case Bin("+", l, r) => isStringExpr(l) && isStringExpr(r)
+    case Ternary(_, t, f) => isStringExpr(t) && isStringExpr(f)
     case _ => false
   }
 
@@ -216,6 +270,7 @@ object CEL {
     case Un("-", x) => isIntExpr(x)
     case Bin(op, l, r) => Set("+", "-", "*", "/", "%")(op) && isIntExpr(l) && isIntExpr(r)
     case Ternary(_, t, f) => isIntExpr(t) && isIntExpr(f)
+    case Call("size", _, _) => true // cel-spec: size() returns int
     case _ => false
   }
 
@@ -231,7 +286,9 @@ object CEL {
     case Bin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
       val (lc, rc) = (toColumn(l), toColumn(r))
       op match {
-        case "+" => try_add(lc, rc)
+        case "+" =>
+          if (isStringExpr(l) && isStringExpr(r)) concat(lc, rc)
+          else try_add(lc, rc)
         case "-" => try_subtract(lc, rc)
         case "*" => try_multiply(lc, rc)
         case "/" =>
@@ -259,5 +316,33 @@ object CEL {
         case other => throw new IllegalArgumentException(s"CEL: unknown operator $other")
       }
     case Ternary(c, t, f) => when(toColumn(c), toColumn(t)).otherwise(toColumn(f))
+    case Call(name, recv, args) => callColumn(name, recv, args)
+  }
+
+  /** cel-spec standard functions (string extensions subset). `size` is the
+    * code-point count (Spark's `length` counts characters, not bytes —
+    * the cel-spec string size semantics). `matches` is a PARTIAL match:
+    * the cel-spec defines matches() as unanchored RE2 search, which is
+    * exactly Spark's `rlike`. A null receiver/argument propagates null,
+    * which [[compile]] coalesces to filter-false — CEL's eval-error path.
+    */
+  private def callColumn(name: String, recv: Option[Expr], args: List[Expr]): Column = {
+    def arity(n: Int): Unit = require(args.length == n,
+      s"CEL: $name() takes $n argument(s), got ${args.length}")
+    (name, recv) match {
+      case ("size", None) =>
+        arity(1); length(toColumn(args.head)).cast("bigint")
+      case ("contains", Some(r)) =>
+        arity(1); toColumn(r).contains(toColumn(args.head))
+      case ("startsWith", Some(r)) =>
+        arity(1); toColumn(r).startsWith(toColumn(args.head))
+      case ("endsWith", Some(r)) =>
+        arity(1); toColumn(r).endsWith(toColumn(args.head))
+      case ("matches", Some(r)) =>
+        arity(1); regexp_like(toColumn(r), toColumn(args.head))
+      case _ =>
+        throw new IllegalArgumentException(
+          s"CEL: unsupported function '$name' (receiver: ${recv.isDefined})")
+    }
   }
 }

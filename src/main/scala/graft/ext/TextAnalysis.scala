@@ -10,40 +10,86 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Per-language function-word lexicons for the whitespace-token path.
-    * Real function words, each distinctive of its language (shared romance
-    * articles like "la" are deliberately excluded so scores don't collide).
+  /** Per-language function-word lexicons for the whitespace-token path:
+    * ~40 high-frequency function words per language, drawn from the
+    * standard public stopword lists (articles, prepositions, pronouns,
+    * auxiliaries). A word shared by two languages (romance articles,
+    * en/de "in") inflates both scores equally — the argmax is decided by
+    * each language's distinctive remainder, which is why the lists are
+    * sized ~40 and not 7. `head` must stay "en": [[quality]] uses the
+    * English list for its stopword ratio.
     */
   val langWords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
-    "es" -> Seq("el", "los", "las", "que", "una", "es", "y"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
-    "fr" -> Seq("le", "les", "des", "est", "et", "dans", "une"))
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "was",
+      "for", "are", "this", "but", "they", "you", "his", "her", "not",
+      "have", "has", "had", "were", "which", "their", "there", "been",
+      "would", "will", "what", "when", "who", "how", "all", "can", "said",
+      "from", "she", "him", "its", "your", "our"),
+    "es" -> Seq("el", "los", "las", "que", "una", "es", "y", "de", "en",
+      "un", "por", "con", "para", "su", "al", "lo", "como", "pero", "sus",
+      "le", "ya", "este", "esta", "entre", "cuando", "muy", "sin", "sobre",
+      "hasta", "hay", "donde", "desde", "todo", "nos", "durante", "todos",
+      "ni", "contra", "otros", "ese"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "den",
+      "von", "zu", "mit", "sich", "des", "auf", "im", "dem", "eine",
+      "als", "auch", "es", "werden", "aus", "er", "hat", "dass", "sie",
+      "nach", "wird", "bei", "einer", "um", "am", "sind", "noch", "wie",
+      "einem", "einen", "zum", "war", "haben"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "dans", "une", "du",
+      "qui", "pour", "sur", "avec", "au", "aux", "ce", "cette", "ces",
+      "ne", "pas", "plus", "par", "mais", "ou", "si", "leur", "bien",
+      "sans", "peut", "tout", "nous", "vous", "ils", "elles", "sont",
+      "fait", "comme", "aussi", "son", "ses", "été"),
+    "pt" -> Seq("os", "as", "do", "da", "dos", "das", "em", "um", "uma",
+      "para", "com", "não", "por", "mais", "se", "como", "mas", "foi",
+      "ao", "ele", "ela", "entre", "era", "depois", "sem", "mesmo", "aos",
+      "seus", "quem", "nas", "esse", "eles", "você", "essa", "num", "nem",
+      "suas", "meu", "minha", "pelo"),
+    "it" -> Seq("il", "gli", "di", "che", "un", "una", "per", "con", "su",
+      "da", "del", "della", "dei", "delle", "al", "alla", "ma", "non",
+      "si", "come", "anche", "più", "nel", "nella", "sono", "sia",
+      "questo", "questa", "quello", "hanno", "ha", "essere", "molto",
+      "dove", "cui", "tra", "fra", "loro", "io", "perché"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "он", "с", "что", "а", "по",
+      "это", "она", "к", "но", "они", "мы", "как", "из", "у", "то", "за",
+      "от", "так", "о", "для", "же", "все", "вы", "его", "только", "или",
+      "бы", "был", "была", "были", "есть", "когда", "уже", "ты", "ещё"))
 
-  /** Top Chinese function CHARACTERS (的 是 了 在 和 不 有 我). CJK text has
-    * no whitespace tokenization, so zh is scored by character occurrences
-    * over the raw string, not by tokens — the standard cheap CJK signal.
+  /** Character-scored languages. CJK text has no whitespace tokenization,
+    * so these are scored by function-character occurrences over the raw
+    * string — the standard cheap CJK signal. ja counts hiragana (unique
+    * to Japanese; ~an order of magnitude more frequent than any kanji in
+    * running text), ko counts the Hangul syllables of the particle/copula
+    * morphemes, zh the top function hanzi. Tie order ja → ko → zh: kanji
+    * inside Japanese text also hit the zh list, but hiragana never hits
+    * it, so a real Japanese document wins ja; pure-hanzi text scores 0 on
+    * ja/ko and falls through to zh.
     */
-  val zhChars = "的是了在和不有我"
+  val charLangs: Seq[(String, String)] = Seq(
+    "ja" -> "のはがをにとでもないしてたからだます",
+    "ko" -> "이가은는을를에의도로하고다서지있습니",
+    "zh" -> "的是了在和不有我他这个们中就对说上也")
 
-  /** Tie order for the argmax CASE chain: zh first (any CJK character in
-    * mixed text is a far stronger signal than one shared Latin token),
-    * then list order.
+  /** Tie order for the argmax CASE chain: character-scored languages first
+    * (any CJK character in mixed text is a far stronger signal than one
+    * shared Latin token), then word-language list order.
     */
-  val langOrder: Seq[String] = "zh" +: langWords.map(_._1)
+  val langOrder: Seq[String] = charLangs.map(_._1) ++ langWords.map(_._1)
 
   private def stopCount(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => w.isin(stops.map(lit(_)): _*)))
 
-  /** Language-ID: Latin languages score by lowercase function-word hits,
-    * zh by function-character count; argmax with the [[langOrder]] tie
-    * chain. Still one codegen'd pass, no shuffle.
+  /** Language-ID: word languages score by lowercase function-word hits,
+    * character languages by function-character count; argmax with the
+    * [[langOrder]] tie chain. Still one codegen'd pass, no shuffle.
     */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(lower(col("text")), " ", -1)
     val scoreCols =
-      langWords.map { case (l, ws) => stopCount(words, ws).as(s"score_$l") } :+
-        regexp_count(col("text"), lit(s"[$zhChars]")).cast("int").as("score_zh")
+      langWords.map { case (l, ws) => stopCount(words, ws).as(s"score_$l") } ++
+        charLangs.map { case (l, cs) =>
+          regexp_count(col("text"), lit(s"[$cs]")).cast("int").as(s"score_$l")
+        }
     val scored = docs.select(col("doc_id") +: scoreCols: _*)
     val maxScore = greatest(langOrder.map(l => col(s"score_$l")): _*)
     val predicted = langOrder.foldRight(lit("unknown")) { case (l, els) =>

@@ -17,9 +17,10 @@ import java.util.Locale
   *    Authorization — byte-for-byte what aws-sdk-go's v4 signer produces,
   *    validated against AWS's published signing vectors in SigV4Spec.
   *  - [[GCloudFunctionSink]] POSTs the function URL with a Bearer token.
-  *    Token *minting* (the service-account OIDC exchange) needs Google's
-  *    identity endpoint, so the token provider is the one injected seam;
-  *    transport, auth header, and result mapping are real.
+  *    Token minting is real too: [[GcpIdTokenProvider]] signs the
+  *    service-account RS256 jwt-bearer assertion and exchanges it at the
+  *    credential's token_uri (gcloud_functions.go's idtoken.NewClient
+  *    flow) — the provider remains injectable for tests/custom auth.
   *
   * Result mapping matches [[HttpSink]]: 2xx → delivered, timeout → 601,
   * connect/IO error → 600, other statuses → themselves (429/5xx then retry

@@ -10,9 +10,10 @@ import graft.streaming.SubscriptionRunner.{BatchSink, Delivery, Deliverable, Sin
   * HTTP and batched-HTTP are fully implemented ([[HttpSink]],
   * [[HttpBatchSink]]). Lambda invokes through the REAL public Invoke REST
   * API with [[SigV4]]-signed requests ([[LambdaSink]] — no SDK dependency);
-  * GCloud Functions POSTs the function URL with a Bearer token
-  * ([[GCloudFunctionSink]]) whose *minting* is the one injected seam (the
-  * service-account OIDC exchange needs Google's identity endpoint).
+  * GCloud Functions POSTs the function URL with a Bearer ID token minted
+  * from the service-account credential via the RS256 jwt-bearer exchange
+  * ([[GcpIdTokenProvider]] — no SDK dependency); a pre-supplied token
+  * provider remains available for tests/custom auth.
   */
 object Sinks {
 
@@ -35,6 +36,13 @@ object Sinks {
       timeoutMillis: Long = 5000) extends SinkConfig
   final case class GCloudFunctions(url: String, tokenProvider: () => String,
       timeoutMillis: Long = 5000) extends SinkConfig
+  /** The reference's actual config shape (gcloud_functions.go: url +
+    * credential JSON); the token provider is built from the credential.
+    * `tokenUriOverride` redirects the exchange (tests).
+    */
+  final case class GCloudFunctionsSa(url: String, credential: GCloudCredential,
+      tokenUriOverride: Option[String] = None,
+      timeoutMillis: Long = 5000) extends SinkConfig
 
   /** util.go:35-52 — pick the delivery mode for a config. gRPC transport
     * is carried by CloudEvents batched HTTP (same one-call-per-batch,
@@ -51,5 +59,8 @@ object Sinks {
         cred.secretAccessKey, endpoint, t))
     case GCloudFunctions(url, tokens, t) =>
       Delivery.PerEvent(new GCloudFunctionSink(url, tokens, t))
+    case GCloudFunctionsSa(url, cred, tokenUri, t) =>
+      Delivery.PerEvent(new GCloudFunctionSink(url,
+        new GcpIdTokenProvider(cred.credentialJson, url, tokenUri, t), t))
   }
 }

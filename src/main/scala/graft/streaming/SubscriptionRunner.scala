@@ -129,9 +129,8 @@ object SubscriptionRunner {
 
     // deliver per partition; collect outcomes (sequence_number, code)
     val ordered = spec.config.orderedEvent
-    val ratePerPartition =
-      if (spec.config.rateLimitPerSec <= 0) 0
-      else math.max(1, spec.config.rateLimitPerSec / math.max(1, batch.rdd.getNumPartitions))
+    val ratePerPartition = RateLimit.ratePerPartition(
+      spec.config.rateLimitPerSec, batch.rdd.getNumPartitions)
     // ordered mode serializes *delivery* through one task (the reference's
     // per-subscription ordering) — repartition, not coalesce, so the
     // upstream filter/transform keep their scan parallelism, and sort so

@@ -102,6 +102,39 @@ class CELVectorsSpec extends SparkSpec {
       "(false ? 1 : 2) == 2" -> true)
   }
 
+  test("string functions (cel-spec string_ext / standard functions)") {
+    // vectors from the cel-spec simple conformance suite's string
+    // categories (size, contains, starts_with, ends_with, matches)
+    assert(evals("size('hello')") === 5L)
+    assert(evals("size('')") === 0L)
+    vectors(
+      "size('abc') == 3" -> true,
+      "size($s.(string)) == 3" -> true,      // s = "abc"
+      "size('four') + 2 == 6" -> true,       // size() joins int64 arithmetic
+      "'hello mellow'.contains('mellow')" -> true,
+      "'hello mellow'.contains('jello')" -> false,
+      "''.contains('')" -> true,
+      "$s.(string).contains('b')" -> true,
+      "'hello'.startsWith('he')" -> true,
+      "'hello'.startsWith('lo')" -> false,
+      "'hello'.endsWith('lo')" -> true,
+      "'hello'.endsWith('he')" -> false,
+      "$s.(string).startsWith('ab')" -> true,
+      "$s.(string).endsWith('bc')" -> true,
+      // matches is UNANCHORED partial match (cel-spec), not Go's anchored
+      "'hubba'.matches('ubb')" -> true,
+      "'hubba'.matches('^ubb')" -> false,
+      "'hubba'.matches('^hub+a$')" -> true,
+      "'abc123'.matches('[0-9]+')" -> true,
+      "'abc'.matches('[0-9]+')" -> false,
+      // chains and composition (string + string concatenates, cel-spec)
+      "('pre' + 'fix').startsWith('pre')" -> true,
+      "('he' + 'llo') == 'hello'" -> true,
+      "($s.(string) + 'd').endsWith('cd')" -> true,
+      "$missing.(string).contains('x')" -> false, // missing => filter false
+      "'hello'.contains('ell') && 'hello'.endsWith('o')" -> true)
+  }
+
   test("typed variables over the data body with lenient coercions (cel.go:198-275)") {
     vectors(
       "$k.(int64) == 12" -> true,

@@ -106,8 +106,27 @@ class TextAnalysisSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "他说的是真的")).toDF("doc_id", "text")
     val row = TextAnalysis.langId(docs).select("score_zh", "predicted_lang").head
-    assert(row.getInt(0) == 3) // 的 ×2 + 是 ×1
+    assert(row.getInt(0) == 5) // 他 ×1 + 说 ×1 + 的 ×2 + 是 ×1
     assert(row.getString(1) == "zh")
+  }
+
+  test("expanded lexicons: pt/it/ru word languages, ja/ko char languages (VERDICT r5 #5)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "o cachorro não está em casa mas os meninos foram para a praia com ele"),
+      (2L, "il cane non è molto grande ma anche questo gatto è del vicino"),
+      (3L, "я не знаю что он хочет но это было очень хорошо для всех нас"),
+      (4L, "私は日本語を勉強しています"),      // kanji + hiragana: ja, not zh
+      (5L, "이것은 나의 책입니다 그리고 학교에 갑니다"),
+      (6L, "これはわたしのほんです")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "pt")
+    assert(out(2L) == "it")
+    assert(out(3L) == "ru")
+    assert(out(4L) == "ja") // hiragana never hits the zh list: ja outranks
+    assert(out(5L) == "ko")
+    assert(out(6L) == "ja")
   }
 
   test("case-insensitive latin matching (The/Der capitalized sentence starts)") {

@@ -49,6 +49,8 @@ object CEL {
   final case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
   /** `size(arg)` (receiver None) or `recv.name(args…)` (receiver Some). */
   final case class Call(name: String, receiver: Option[Expr], args: List[Expr]) extends Expr
+  /** `[e1, e2, …]` — list literal, usable as the right side of `in`. */
+  final case class LList(items: List[Expr]) extends Expr
 
   // ==== Lexer ====
   sealed trait Tok
@@ -156,17 +158,24 @@ object CEL {
       case TOp("*") | TOp("/") | TOp("%") => 60
       case TOp("+") | TOp("-") => 50
       case TOp("<") | TOp("<=") | TOp(">") | TOp(">=") => 40
+      case TIdent("in") => 40 // cel-spec: `in` binds like the relations
       case TOp("==") | TOp("!=") => 35
       case TOp("&&") => 30
       case TOp("||") => 20
       case _ => -1
     }
 
+    private def opOf(t: Tok): String = t match {
+      case TOp(o) => o
+      case TIdent("in") => "in"
+      case other => throw new IllegalArgumentException(s"CEL: not an operator: $other")
+    }
+
     private def parseBin(minPrec: Int): Expr = {
       var left = parseUnary()
       while (prec(peek) >= minPrec && prec(peek) > 0) {
-        val TOp(op) = next(): @unchecked
-        val right = parseBin(prec(TOp(op)) + 1)
+        val op = opOf(next())
+        val right = parseBin(prec(if (op == "in") TIdent("in") else TOp(op)) + 1)
         left = Bin(op, left, right)
       }
       left
@@ -192,6 +201,17 @@ object CEL {
         next(); next()
         val args = parseArgs()
         Call(name, None, args)
+      // list literal: [e1, e2, …]
+      case TOp("[") =>
+        next()
+        if (peek == TOp("]")) { next(); LList(Nil) }
+        else {
+          val items = List.newBuilder[Expr]
+          items += parseTernary()
+          while (peek == TOp(",")) { next(); items += parseTernary() }
+          expect("]")
+          LList(items.result())
+        }
       case t => throw new IllegalArgumentException(s"CEL: unexpected token $t")
     }
 
@@ -301,6 +321,16 @@ object CEL {
       }
     case Bin("&&", l, r) => toColumn(l) && toColumn(r)
     case Bin("||", l, r) => toColumn(l) || toColumn(r)
+    case Bin("in", l, LList(items)) =>
+      // cel-spec membership: `e in [a, b, …]`. array_contains over the
+      // literal array; a null needle (missing var) yields null → filter
+      // false, CEL's eval-error path.
+      if (items.isEmpty) lit(false)
+      else array_contains(array(items.map(toColumn): _*), toColumn(l))
+    case Bin("in", _, r) => throw new IllegalArgumentException(
+      s"CEL: right side of 'in' must be a list literal, got $r")
+    case LList(_) => throw new IllegalArgumentException(
+      "CEL: list literal is only supported as the right side of 'in'")
     case Bin(op, l, r) =>
       // comparisons: numeric context if either side is numeric
       val (lc, rc) =

@@ -121,6 +121,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_min_k"), s"map-side cap lost:\n$plan")
   }
 
+  test("embeddingNearDup cell cap is a MinK aggregate, not a full-cell rank") {
+    val plan = executedPlan(ext.Similarity.embeddingNearDup(
+      Tables.embeddings(spark, sf), 0.9, maxCell = 50))
+    assert(plan.contains("partial_min_k"), s"map-side cap lost:\n$plan")
+    // the one remaining Window is the per-vector nearest-neighbor rank;
+    // the candidate cap must NOT be a label-partitioned window
+    assert(!plan.contains("windowspecdefinition(label"),
+      s"full-cell rank window resurfaced:\n$plan")
+  }
+
+  test("fanOut probes metadata only — no RDD conversion in the plan") {
+    val plan = executedPlan(Tables.fanOut(Tables.documents(spark, sf))
+      .select(col("doc_id"), length(col("text")).as("len")))
+    assert(!plan.contains("DeserializeToObject"),
+      s"fanOut forced a Dataset->RDD conversion:\n$plan")
+    assert(plan.contains("REPARTITION"), // the few-split local table fans out
+      s"expected round-robin repartition of the single-split source:\n$plan")
+  }
+
   test("asOf shuffles once on the join key (union-window, no join node)") {
     val ev = Tables.events(spark, sf)
     val plan = executedPlan(ext.Joins.asOf(

@@ -135,6 +135,20 @@ class CELVectorsSpec extends SparkSpec {
       "'hello'.contains('ell') && 'hello'.endsWith('o')" -> true)
   }
 
+  test("in operator over list literals (cel-spec lists/membership)") {
+    vectors(
+      "'a' in ['a', 'b', 'c']" -> true,
+      "'d' in ['a', 'b', 'c']" -> false,
+      "2 in [1, 2, 3]" -> true,
+      "7 in [1, 2, 3]" -> false,
+      "!('d' in ['a', 'b'])" -> true,
+      "'x' in []" -> false,
+      "$s.(string) in ['abc', 'xyz']" -> true,   // s = "abc"
+      "$k.(int64) in [11, 12, 13]" -> true,      // k = 12
+      "$k.(int64) + 1 in [13]" -> true,          // in binds like relations
+      "$missing.(string) in ['a']" -> false)     // missing => filter false
+  }
+
   test("typed variables over the data body with lenient coercions (cel.go:198-275)") {
     vectors(
       "$k.(int64) == 12" -> true,

@@ -81,16 +81,25 @@ object TextAnalysis {
 
   /** Language-ID: word languages score by lowercase function-word hits,
     * character languages by function-character count; argmax with the
-    * [[langOrder]] tie chain. Still one codegen'd pass, no shuffle.
+    * [[langOrder]] tie chain. ONE codegen'd lexicon pass per row
+    * ([[graft.functions.LangScores]]) — the Column spelling (an
+    * interpreted `filter`+isin lambda chain per word language plus a
+    * regexp scan per char language) re-walked the text ~10×/row with
+    * per-token virtual calls once the lexicons grew to ~40 words; scores
+    * are element-wise identical (parity pinned in TextAnalysisSpec). No
+    * shuffle.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val words = split(lower(col("text")), " ", -1)
-    val scoreCols =
-      langWords.map { case (l, ws) => stopCount(words, ws).as(s"score_$l") } ++
-        charLangs.map { case (l, cs) =>
-          regexp_count(col("text"), lit(s"[$cs]")).cast("int").as(s"score_$l")
-        }
-    val scored = docs.select(col("doc_id") +: scoreCols: _*)
+    val scoresArr = graft.functions.LangScores(
+      col("text"), langWords.map(_._2), charLangs.map(_._2))
+    val allLangs = langWords.map(_._1) ++ charLangs.map(_._1)
+    // two-step select: _scores is referenced once per language, and
+    // CollapseProject keeps the non-cheap kernel from being inlined 10×
+    val scoreCols = allLangs.zipWithIndex.map { case (l, i) =>
+      element_at(col("_scores"), i + 1).as(s"score_$l")
+    }
+    val scored = docs.withColumn("_scores", scoresArr)
+      .select(col("doc_id") +: scoreCols: _*)
     val maxScore = greatest(langOrder.map(l => col(s"score_$l")): _*)
     val predicted = langOrder.foldRight(lit("unknown")) { case (l, els) =>
       when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(els)

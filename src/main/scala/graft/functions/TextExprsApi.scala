@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftexpr.{GramStatsExpr, IntDotExpr, IntersectSizeExpr, WordGramsExpr}
+import org.apache.spark.sql.graftexpr.{GramStatsExpr, IntDotExpr, IntersectSizeExpr, LangLexicon, LangScoresExpr, WordGramsExpr}
 
 /** Public faces of the native text/vector expressions — see the
   * `org.apache.spark.sql.graftexpr` implementations for semantics.
@@ -26,6 +26,15 @@ object IntersectSize {
 object IntDot {
   /** Σ (long)(a[i]·b[i]) over two array<int> columns. */
   def apply(a: Column, b: Column): Column = IntDotExpr.column(a, b)
+}
+
+object LangScores {
+  /** All per-language lexicon scores of a string column in one pass:
+    * array<int> in (wordLists ++ charLists) order.
+    */
+  def apply(text: Column, wordLists: Seq[Seq[String]],
+      charLists: Seq[String]): Column =
+    LangScoresExpr.column(text, new LangLexicon(wordLists, charLists))
 }
 
 object Int8Codes {

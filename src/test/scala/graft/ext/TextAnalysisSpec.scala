@@ -129,6 +129,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) == "ja")
   }
 
+  test("LangScores kernel bit-matches the interpreted HOF spelling") {
+    import org.apache.spark.sql.functions.{col, filter, lit, lower, regexp_count, size, split}
+    // the pre-kernel Column spelling, kept here as the parity reference
+    val words = split(lower(col("text")), " ", -1)
+    val hofCols =
+      TextAnalysis.langWords.map { case (l, ws) =>
+        size(filter(words, w => w.isin(ws.map(lit(_)): _*))).as(s"hof_$l")
+      } ++ TextAnalysis.charLangs.map { case (l, cs) =>
+        regexp_count(col("text"), lit(s"[$cs]")).cast("int").as(s"hof_$l")
+      }
+    val fixtures = {
+      import spark.implicits._
+      Seq((9001L, "The house  und der Baum"), // double space: empty token
+        (9002L, "私は日本語を勉強しています 的是"),
+        (9003L, ""), (9004L, "и в не на der die das the")).toDF("doc_id", "text")
+    }
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(fixtures)
+    val kernel = TextAnalysis.langId(docs)
+    val both = kernel.join(docs.select(col("doc_id") +: hofCols: _*), "doc_id")
+    TextAnalysis.langOrder.foreach { l =>
+      val mismatches = both.filter(col(s"score_$l") =!= col(s"hof_$l")).count()
+      assert(mismatches === 0, s"kernel/HOF divergence for $l")
+    }
+  }
+
   test("case-insensitive latin matching (The/Der capitalized sentence starts)") {
     import spark.implicits._
     val docs = Seq((1L, "The house And the tree Of life")).toDF("doc_id", "text")

@@ -336,6 +336,161 @@ object StreamQueries {
       FROM r GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** HTTP delivery + status routing through the REAL stack: a local HTTP
+    * server answers each POST with a status derived from the event body's
+    * `k` (floorMod(k,5): 0→500, 1→429, 2→400, else 200), the real
+    * [[graft.streaming.HttpSink]] delivers each event over the wire, and
+    * the real runner routes outcomes — 2xx delivered, retryable
+    * (429/5xx) → retry bus, non-retryable (400) → DLQ. The oracle
+    * recomputes the routing class per event from the source table, so the
+    * sink's status mapping AND the runner's routing table are both under
+    * the hash. (trigger.go:247-302 delivery/routing; client/http.go status
+    * mapping.)
+    */
+  private val httpDeliveryQ = Q(
+    "stream_http_delivery",
+    (s, d) => {
+      import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+      import graft.streaming.{EventBus, HttpSink, SubscriptionRunner}
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("httpdel").toString
+      val server = HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val kRe = java.util.regex.Pattern.compile("\"k\":\\s*(-?\\d+)")
+      server.createContext("/", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val m = kRe.matcher(body)
+          val k = if (m.find()) m.group(1).toLong else -1L
+          val status = Math.floorMod(k, 5L) match {
+            case 0L => 500
+            case 1L => 429
+            case 2L => 400
+            case _ => 200
+          }
+          ex.sendResponseHeaders(status, -1)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}/sink"
+        val base = EventView.fromEventsTable(Tables.events(s, d))
+          .filter(col("sequence_number") < 1000)
+        val spec = SubscriptionRunner.Spec(Seq.empty, None,
+          SubscriptionRunner.Config("sub-http"))
+        val retryBus = EventBus(s"$tmp/retry")
+        val dlqBus = EventBus(s"$tmp/dlq")
+        SubscriptionRunner.processBatch(base, spec, new HttpSink(url),
+          Some(retryBus), Some(dlqBus), 1704067200L)
+        def busRows(bus: EventBus, phase: String) = {
+          val p = new org.apache.hadoop.fs.Path(bus.path)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p))
+            base.select(col("sequence_number").as("event_id")).limit(0)
+              .withColumn("phase", lit(phase))
+          else bus.read(s).select(col("sequence_number").as("event_id"),
+            lit(phase).as("phase"))
+        }
+        val routed = busRows(retryBus, "retry").union(busRows(dlqBus, "dlq"))
+        val delivered = base.select(col("sequence_number").as("event_id"))
+          .join(routed, Seq("event_id"), "left_anti")
+          .withColumn("phase", lit("delivered"))
+        // materialize before the server dies (the union still re-reads the
+        // buses lazily, but those are parquet on disk; only `delivered`'s
+        // anti-join would re-run deliveries if base were recomputed — base
+        // is a pure projection, no sink in its lineage)
+        delivered.union(routed).orderBy(col("event_id"))
+      } finally server.stop(0)
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id,
+               ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 5) + 5) % 5 AS km
+        FROM events WHERE event_id < 1000
+      )
+      SELECT event_id,
+             CASE WHEN km IN (0, 1) THEN 'retry'
+                  WHEN km = 2 THEN 'dlq'
+                  ELSE 'delivered' END AS phase
+      FROM e ORDER BY event_id
+    """))
+
+  /** Eventbus append→read roundtrip (SURVEY §1.2/§2.1): append the CE frame
+    * date-partitioned through the REAL [[graft.streaming.EventBus]] write
+    * path (the 100 TB layout — partition directories prune before file IO),
+    * read it back through the real read path, and emit scalar projections.
+    * The oracle recomputes every column straight from the source table, so
+    * a value corrupted anywhere in write→partition→read fails the hash:
+    * this is the batch bus storage roundtrip, oracle-checked. The spool dir
+    * is wiped per run (append semantics would otherwise accumulate across
+    * the bench's best-of-two).
+    */
+  private val busRoundtripQ = Q(
+    "bus_roundtrip",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bus_roundtrip"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val bus = graft.streaming.EventBus(dir)
+      val ev = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 2000)
+        .withColumn("bus_date", to_date(col("time"))) // session TZ is UTC
+      bus.appendPartitioned(ev, "bus_date")
+      bus.read(s)
+        .select(col("sequence_number"), col("id"), col("type"),
+          unix_timestamp(col("time")).as("t_sec"),
+          col("bus_date").cast("string").as("bus_date"),
+          col("data"))
+        .orderBy(col("sequence_number"))
+    },
+    Some("""
+      SELECT event_id AS sequence_number,
+             CAST(event_id AS VARCHAR) AS id,
+             event_type AS type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+             strftime(ts, '%Y-%m-%d') AS bus_date,
+             props AS data
+      FROM events WHERE event_id < 2000 ORDER BY event_id
+    """))
+
+  /** Subscription dry-run (gateway ValidateSubscription RPC,
+    * proxy.go:799-855; [[graft.streaming.ValidateSubscription]]): per
+    * event, the filter verdict plus — for passing events — the transformed
+    * payload, with non-passing events left null by the dry-run's left
+    * join. Filter and transformer are both real (compiled filter Column +
+    * interpreter), and the oracle recomputes verdict and rendered payload
+    * independently.
+    */
+  private val validateSubQ = Q(
+    "validate_subscription",
+    (s, d) => {
+      import graft.model.FilterSpec
+      val transformer = """{
+        "template_type": "text",
+        "template": "id=<$.id> k=<$.data.k> none=<$.data.nope>"
+      }"""
+      graft.streaming.ValidateSubscription(
+        EventView.fromEventsTable(Tables.events(s, d)),
+        Seq(FilterSpec.Exact(Seq("type" -> "purchase"))),
+        Some(transformer))
+        .select(col("sequence_number").as("event_id"), col("filter_result"),
+          col("transformer_result"), col("transform_error"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             (event_type = 'purchase') AS filter_result,
+             CASE WHEN event_type = 'purchase'
+                  THEN 'id=' || CAST(event_id AS VARCHAR)
+                       || ' k=' || json_extract_string(props, '$.k') || ' none='
+             END AS transformer_result,
+             CAST(NULL AS VARCHAR) AS transform_error
+      FROM events ORDER BY event_id
+    """))
+
   /** Publish-path parity (proxy.go:166-237): per-event checkExtension
     * validation, xvanuseventbus stamping, and timer-bus rerouting through
     * the REAL Publisher.route. Attributes are synthesized per event_id%4:
@@ -496,6 +651,6 @@ object StreamQueries {
     """))
 
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
-    retryableQ, sendBatchesQ, rateLimitQ,
+    retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ, httpDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
 }

@@ -167,24 +167,56 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().localCheckpoint()
     // candidate-pair graphs are usually tiny relative to the corpus (LSH
-    // already pruned); iterate a small graph in one partition instead of
-    // paying 32-partition shuffle latency per round — wide graphs keep
-    // full parallelism
-    val edges =
-      if (edgesWide.count() <= 100000) edgesWide.repartition(1).localCheckpoint()
-      else edgesWide
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nmin"))
-      val upd = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-        .localCheckpoint()
-      changed = upd.filter(col("comp2") =!= col("comp")).count()
-      labels = upd.select(col("id"), col("comp2").as("comp"))
+    // already pruned); a small graph fits one partition, where a single
+    // union-find pass (path compression, union-by-min-root) produces the
+    // converged min-label components in ONE job — the per-round
+    // join+agg+checkpoint+count loop paid ~5 driver jobs of latency for
+    // the same answer. Wide graphs keep the distributed propagation loop
+    // with full parallelism.
+    val labels = if (edgesWide.count() <= 100000) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      edgesWide.repartition(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent.getOrElse(root, root) != root) root = parent(root)
+          var cur = x // path compression
+          while (parent.getOrElse(cur, cur) != root) {
+            val nxt = parent(cur); parent(cur) = root; cur = nxt
+          }
+          root
+        }
+        it.foreach { r =>
+          val a = r.getLong(0)
+          val b = r.getLong(1)
+          // seed identity entries so every node (including final roots)
+          // appears in the key set emitted below
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            // min root wins: the component label is its smallest doc_id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.map(id => (id, find(id))).toArray.iterator
+      }.toDF("id", "comp")
+    } else {
+      var lbl = edgesWide.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edgesWide.join(lbl, edgesWide("b") === lbl("id"))
+          .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nmin"))
+        val upd = lbl.join(nbrMin, lbl("id") === nbrMin("id2"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+          .localCheckpoint()
+        changed = upd.filter(col("comp2") =!= col("comp")).count()
+        lbl = upd.select(col("id"), col("comp2").as("comp"))
+      }
+      lbl
     }
     labels.select(col("id").as("doc_id"), col("comp").as("group_id"),
       (col("id") === col("comp")).as("is_keeper"))

@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Per-language function-word lexicons for the whitespace-token path:
-    * ~40 high-frequency function words per language, drawn from the
-    * standard public stopword lists (articles, prepositions, pronouns,
-    * auxiliaries). A word shared by two languages (romance articles,
-    * en/de "in") inflates both scores equally — the argmax is decided by
-    * each language's distinctive remainder, which is why the lists are
-    * sized ~40 and not 7. `head` must stay "en": [[quality]] uses the
-    * English list for its stopword ratio.
+    * ~40 high-frequency function words for each of 15 whitespace-tokenized
+    * languages (Latin, Cyrillic, Arabic, and Devanagari scripts), drawn
+    * from the standard public stopword lists (articles, prepositions,
+    * pronouns, auxiliaries). A word shared by two languages (romance
+    * articles, en/de "in", nl/es "en") inflates both scores equally — the
+    * argmax is decided by each language's distinctive remainder, which is
+    * why the lists are sized ~40 and not 7. `head` must stay "en":
+    * [[quality]] uses the English list for its stopword ratio.
     */
   val langWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "was",
@@ -53,7 +54,48 @@ object TextAnalysis {
     "ru" -> Seq("и", "в", "не", "на", "я", "он", "с", "что", "а", "по",
       "это", "она", "к", "но", "они", "мы", "как", "из", "у", "то", "за",
       "от", "так", "о", "для", "же", "все", "вы", "его", "только", "или",
-      "бы", "был", "была", "были", "есть", "когда", "уже", "ты", "ещё"))
+      "бы", "был", "была", "были", "есть", "когда", "уже", "ты", "ещё"),
+    "nl" -> Seq("het", "een", "van", "dat", "die", "niet", "zijn", "op",
+      "te", "aan", "voor", "er", "maar", "om", "ook", "als", "dan", "bij",
+      "naar", "uit", "over", "geen", "wordt", "onder", "deze", "heeft",
+      "hebben", "werd", "wij", "hij", "zij", "dit", "nog", "wel", "al",
+      "veel", "worden", "kunnen", "moet", "tegen"),
+    "pl" -> Seq("nie", "się", "że", "jest", "jak", "po", "co", "tak",
+      "ale", "czy", "przez", "być", "tego", "tym", "już", "tylko", "przy",
+      "może", "bardzo", "kiedy", "gdzie", "który", "która", "które",
+      "ich", "dla", "przed", "oraz", "także", "jego", "jej", "nad", "pod",
+      "bez", "ten", "są", "było", "można", "jeszcze", "będzie"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för",
+      "med", "den", "till", "inte", "om", "har", "jag", "ett", "men",
+      "var", "sig", "från", "vi", "så", "kan", "när", "han", "hon",
+      "skulle", "vid", "också", "efter", "eller", "nu", "sin", "där",
+      "bara", "mycket", "utan", "vara", "blir", "vilket"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "daha",
+      "çok", "gibi", "kadar", "sonra", "ama", "ne", "var", "yok", "olan",
+      "olduğu", "ise", "her", "diye", "ancak", "göre", "kendi", "bütün",
+      "şey", "değil", "iki", "onun", "onu", "ben", "sen", "biz", "siz",
+      "çünkü", "nasıl", "şimdi", "böyle", "bana", "beni", "sadece"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "đã",
+      "cho", "với", "người", "những", "một", "này", "khi", "đến", "về",
+      "như", "cũng", "từ", "nhưng", "ra", "nếu", "vào", "đó", "tôi",
+      "anh", "chúng", "họ", "thì", "sẽ", "rất", "nhiều", "làm", "gì",
+      "tại", "theo", "trên", "còn", "bị"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+      "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke",
+      "karena", "tersebut", "bisa", "ada", "mereka", "lebih", "harus",
+      "sudah", "saat", "oleh", "kita", "anda", "telah", "atau",
+      "seperti", "sebagai", "bahwa", "dapat", "kami", "setelah", "belum",
+      "kepada", "hingga", "secara", "banyak"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا",
+      "هذه", "التي", "الذي", "كان", "كانت", "لم", "لا", "ما", "هو",
+      "هي", "قد", "كل", "بعد", "عند", "غير", "بين", "حتى", "إذا", "ثم",
+      "أو", "لكن", "منذ", "حيث", "وقد", "لها", "له", "فيه", "عليه",
+      "أيضا", "هناك", "نحن", "أنا"),
+    "hi" -> Seq("है", "की", "के", "में", "को", "से", "का", "पर", "यह",
+      "और", "भी", "नहीं", "ने", "हैं", "तो", "ही", "था", "कि", "एक",
+      "हो", "थी", "कर", "इस", "वह", "जो", "रहा", "रही", "लिए", "साथ",
+      "गया", "कुछ", "अपने", "वे", "हम", "तुम", "उनके", "किया", "होता",
+      "करने", "बाद"))
 
   /** Character-scored languages. CJK text has no whitespace tokenization,
     * so these are scored by function-character occurrences over the raw

@@ -129,6 +129,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) == "ja")
   }
 
+  test("second lexicon wave: nl/pl/sv/tr/vi/id word languages, ar/hi scripts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "het huis is niet groot maar wij hebben veel ruimte voor deze mensen"),
+      (2L, "nie wiem czy to jest bardzo dobre ale może być tylko dla nas"),
+      (3L, "det är inte så svårt att förstå varför vi kan göra detta nu"),
+      (4L, "bu ev çok büyük ama biz daha fazla şey için buraya geldik"),
+      (5L, "tôi không biết anh ấy có đến đây với chúng ta hay không"),
+      (6L, "saya tidak tahu apakah mereka akan datang ke sini dengan kita"),
+      (7L, "هذا البيت كبير جدا ولكن نحن لا نعرف أين هو الآن"),
+      (8L, "यह घर बहुत बड़ा है और हम नहीं जानते कि वह कहाँ है"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "nl")
+    assert(out(2L) == "pl")
+    assert(out(3L) == "sv")
+    assert(out(4L) == "tr")
+    assert(out(5L) == "vi")
+    assert(out(6L) == "id")
+    assert(out(7L) == "ar")
+    assert(out(8L) == "hi")
+  }
+
   test("LangScores kernel bit-matches the interpreted HOF spelling") {
     import org.apache.spark.sql.functions.{col, filter, lit, lower, regexp_count, size, split}
     // the pre-kernel Column spelling, kept here as the parity reference

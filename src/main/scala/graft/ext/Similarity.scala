@@ -268,14 +268,69 @@ object Similarity {
     * partials, codebooks and LUTs broadcast, the corpus-side scan reads
     * codes only — full-precision vectors are never touched at query time.
     */
+  /** All m subspace quantizers train in ONE Lloyd loop over the exploded
+    * (vec_id, sub, slice) frame — assign is a single broadcast join against
+    * the (m·k)-row codebook, the mean a single (sub, cell)-keyed streaming
+    * fold — instead of m sequential [[kmeansCentroids]] loops (m× the
+    * driver job rounds for identical math). Per (sub, cell) the member set
+    * and the vec_id-ascending fold order equal the per-sub loop's, so the
+    * centroids are bit-identical (the DuckDB oracle replays the same
+    * training unchanged).
+    */
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
     val subdim = dim / m
-    (0 until m).map { s =>
-      val sub = emb.select(col("vec_id"),
-        slice(col("embedding"), s * subdim + 1, subdim).as("embedding"))
-      kmeansCentroids(sub, k, iters, subdim)
-        .select(lit(s).as("sub"), col("cell"), col("centroid"))
-    }.reduce(_ union _)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sliced = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)).as("sub_emb"))
+    var cent = sliced.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+        transform(col("sub_emb"), _.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) {
+      val asg = sliced.as("e").join(broadcast(cent.as("c")),
+        col("e.sub") === col("c.sub"))
+        .select(col("e.vec_id"), col("e.sub").as("sub"),
+          struct(graft.functions.L2Sq(col("sub_emb"), col("centroid")).as("dist"),
+            col("cell")).as("dc"))
+        .groupBy(col("vec_id"), col("sub")).agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.cell").as("cell"))
+      val members = asg.join(sliced, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cell").cast("int").as("cell"),
+          col("vec_id"), col("sub_emb"))
+      cent = members.repartition(col("sub"), col("cell"))
+        .sortWithinPartitions(col("sub"), col("cell"), col("vec_id"))
+        .mapPartitions { rows =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double])]
+          var curSub = 0
+          var curCell = 0
+          var n = 0L
+          var sum: Array[Double] = null
+          def flush(): Unit = if (n > 0) {
+            val c = new Array[Double](subdim)
+            var d = 0
+            while (d < subdim) { c(d) = sum(d) / n; d += 1 }
+            out += ((curSub, curCell, c))
+          }
+          rows.foreach { r =>
+            val s = r.getInt(0)
+            val cell = r.getInt(1)
+            if (sum == null || s != curSub || cell != curCell) {
+              flush(); curSub = s; curCell = cell; n = 0L
+              sum = new Array[Double](subdim)
+            }
+            val e = r.getSeq[Float](3)
+            var d = 0
+            while (d < subdim) { sum(d) += e(d).toDouble; d += 1 }
+            n += 1
+          }
+          flush()
+          out.iterator
+        }.toDF("sub", "cell", "centroid")
+    }
+    cent
   }
 
   /** Per-vector PQ codes (array<int>, subspace order): nearest codeword

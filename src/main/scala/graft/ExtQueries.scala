@@ -328,6 +328,50 @@ object ExtQueries {
       WHERE rank <= 5 ORDER BY query_id, rank
     """))
 
+  /** Shared unrolled-Lloyd CTE chain (k=4, 2 iterations, init = 4 smallest
+    * vec_ids, corpus = vec_id < 300): defines `e` (corpus), `c0`..`c2`
+    * (centroid generations) and `a1`..`a3` (assignments; `a3` is the final
+    * model). Used by sim_ivf_train (model parity) and dedup_semantic
+    * (SemDeDup on the trained clusters).
+    */
+  private val lloydChain: String = {
+    val dist =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+           (x, y) -> x + y)"""
+    def assignCte(n: Int, cent: String) =
+      s"""a$n AS (
+        SELECT vec_id, cell, dist FROM (
+          SELECT e.vec_id, c.cell, $dist AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY $dist ASC, c.cell ASC) AS rn
+          FROM e CROSS JOIN $cent c
+        ) WHERE rn = 1
+      )"""
+    def centroidCte(n: Int) =
+      s"""m$n AS (
+        SELECT cell, list(embedding ORDER BY vec_id) AS ms
+        FROM a$n JOIN e USING (vec_id) GROUP BY cell
+      ), c$n AS (
+        SELECT cell, list_transform(range(1, 65), dd ->
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(ms, m -> CAST(m[dd] AS DOUBLE))),
+            (x, y) -> x + y) / len(ms)) AS centroid
+        FROM m$n
+      )"""
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      c0 AS (
+        SELECT CAST(vec_id AS INT) AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM e WHERE vec_id < 4
+      ),
+      ${assignCte(1, "c0")}, ${centroidCte(1)},
+      ${assignCte(2, "c1")}, ${centroidCte(2)},
+      ${assignCte(3, "c2")}"""
+  }
+
   /** Trained-quantizer IVF build: deterministic Lloyd k-means (k=4, 2
     * iterations, init = 4 smallest vec_ids) through the REAL
     * Similarity.kmeans path; oracle unrolls the same iterations in SQL.
@@ -339,46 +383,41 @@ object ExtQueries {
     (s, d) => Similarity.ivfTrainAssign(
       Tables.embeddings(s, d).filter(col("vec_id") < 300), k = 4, iters = 2, dim = 64)
       .orderBy(col("vec_id")),
-    Some {
-      val dist =
-        """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, 65),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
-                    * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
-             (x, y) -> x + y)"""
-      def assignCte(n: Int, cent: String) =
-        s"""a$n AS (
-          SELECT vec_id, cell, dist FROM (
-            SELECT e.vec_id, c.cell, $dist AS dist,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY $dist ASC, c.cell ASC) AS rn
-            FROM e CROSS JOIN $cent c
-          ) WHERE rn = 1
-        )"""
-      def centroidCte(n: Int) =
-        s"""m$n AS (
-          SELECT cell, list(embedding ORDER BY vec_id) AS ms
-          FROM a$n JOIN e USING (vec_id) GROUP BY cell
-        ), c$n AS (
-          SELECT cell, list_transform(range(1, 65), dd ->
-            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              list_transform(ms, m -> CAST(m[dd] AS DOUBLE))),
-              (x, y) -> x + y) / len(ms)) AS centroid
-          FROM m$n
-        )"""
-      s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-      c0 AS (
-        SELECT CAST(vec_id AS INT) AS cell,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-        FROM e WHERE vec_id < 4
-      ),
-      ${assignCte(1, "c0")}, ${centroidCte(1)},
-      ${assignCte(2, "c1")}, ${centroidCte(2)},
-      ${assignCte(3, "c2")}
+    Some(s"""
+      WITH $lloydChain
       SELECT vec_id, cell, dist FROM a3 ORDER BY vec_id
-    """
-    })
+    """))
+
+  /** SemDeDup (Abbas et al. 2023) through the REAL composed path: trained
+    * k-means clusters as the blocking key, in-cluster lower-id cosine
+    * pruning. The oracle replays training (the shared Lloyd chain) AND
+    * the dedup policy — an independent engine reproduces which vectors
+    * are semantic duplicates, of whom, and at what evidence cosine.
+    */
+  // threshold 0.3 ≈ the p99 of the synthetic corpus's in-cluster cosines
+  // (max 0.456) — real corpora use ~0.95+, but the catalog needs both
+  // classes populated so the flag column is actually under the hash
+  private val semanticDedupQ = Q(
+    "dedup_semantic",
+    (s, d) => Similarity.semanticDedup(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300),
+      k = 4, iters = 2, dim = 64, threshold = 0.3)
+      .orderBy(col("vec_id")),
+    Some(s"""
+      WITH $lloydChain,
+      wc AS (
+        SELECT e.vec_id, e.embedding, a3.cell FROM e JOIN a3 USING (vec_id)
+      ), sc AS (
+        SELECT a.vec_id, b.vec_id AS lower_id, ${sqlCos("a", "b")} AS cos
+        FROM wc a JOIN wc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      ), di AS (
+        SELECT vec_id, MIN(lower_id) AS dup_of, MAX(cos) AS max_cos
+        FROM sc WHERE cos >= 0.3 GROUP BY vec_id
+      )
+      SELECT wc.vec_id, wc.cell, di.dup_of, di.max_cos,
+             di.dup_of IS NOT NULL AS is_semantic_dup
+      FROM wc LEFT JOIN di USING (vec_id) ORDER BY wc.vec_id
+    """))
 
   /** Product quantization end-to-end (train 4 subspace codebooks, encode,
     * ADC top-5). The oracle replays the whole thing: per subspace, the
@@ -1332,7 +1371,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
-    bruteTopK, ivfTopK, ivfTrain, quantizeQ, int8TopKQ, pqTopKQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, lshBucketQ, nearDupQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)

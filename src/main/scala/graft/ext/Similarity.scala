@@ -428,6 +428,42 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540,
+    * re-expressed declaratively): cluster the corpus with the trained
+    * deterministic k-means ([[ivfTrainAssign]]), then inside each cluster
+    * mark every vector whose cosine to a LOWER-id cluster-mate reaches
+    * `threshold` as a semantic duplicate of the smallest such mate — the
+    * keep-one-per-semantic-group policy with the conventional
+    * smallest-id keeper, made deterministic. Output: one row per vector
+    * with (cell, dup_of, max_cos, is_semantic_dup); dedup =
+    * `filter(!is_semantic_dup)`.
+    *
+    * Scale shape: pairs form only within a cluster (k-means is the
+    * blocking key, the paper's trick for avoiding all-pairs), the
+    * candidate side is MinK-capped like [[embeddingNearDup]], and the
+    * per-pair work is one codegen'd [[graft.functions.VecDot]].
+    */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int, dim: Int,
+      threshold: Double, maxCell: Int = 10000): DataFrame = {
+    val assigned = ivfTrainAssign(corpus, k, iters, dim).select("vec_id", "cell")
+    val withCell = corpus.join(assigned, "vec_id")
+    val keepIds = withCell.groupBy(col("cell"))
+      .agg(graft.functions.MinK.longs(col("vec_id"), maxCell).as("ids"))
+      .select(explode(col("ids")).as("vec_id"))
+    val cand = withCell.join(keepIds, Seq("vec_id"), "left_semi")
+    val dups = withCell.as("a").join(cand.as("b"),
+      col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("lower_id"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("lower_id")).as("dup_of"), max(col("cos")).as("max_cos"))
+    withCell.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("max_cos"),
+        col("dup_of").isNotNull.as("is_semantic_dup"))
+  }
+
   /** Nearest neighbor within each vector's own cell + a near-dup flag —
     * embedding-cosine near-duplicate detection (one row per vector).
     *

@@ -18,6 +18,25 @@ class SimilaritySpec extends SparkSpec {
     assert(d2 <= d0)
   }
 
+  test("semanticDedup: dups point to a smaller id in the same cell; keepers survive") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.semanticDedup(emb, k = 4, iters = 2, dim = 64,
+      threshold = 0.2).cache()
+    assert(out.count() == emb.count()) // one verdict per vector
+    // every dup_of is a strictly smaller id from the same cell
+    val cells = out.select(col("vec_id").as("dup_of"), col("cell").as("dcell"))
+    val bad = out.filter(col("is_semantic_dup"))
+      .join(cells, "dup_of")
+      .filter(col("dup_of") >= col("vec_id") || col("cell") =!= col("dcell"))
+      .count()
+    assert(bad == 0)
+    // the smallest id of every cell can never be a dup (no lower-id mate)
+    val minIds = out.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(out.join(minIds, Seq("cell", "vec_id"))
+      .filter(col("is_semantic_dup")).count() == 0)
+    out.unpersist()
+  }
+
   test("native l2sq bit-matches the zip_with+aggregate fold") {
     val emb = Tables.embeddings(spark, sf).limit(100)
     val other = transform(reverse(col("embedding")), x => x.cast("double") * 1.5)

@@ -129,8 +129,17 @@ object SubscriptionRunner {
 
     // deliver per partition; collect outcomes (sequence_number, code)
     val ordered = spec.config.orderedEvent
+    // the budget divisor is the DELIVERY concurrency, not the input's
+    // partition count: ordered mode funnels all sends through one task (it
+    // gets the whole budget — dividing by the input partitions throttled
+    // it to rate/32), and the parallel path is bounded by the session's
+    // cores. defaultParallelism is plan metadata — the old
+    // `batch.rdd.getNumPartitions` probe also forced a Dataset→RDD
+    // conversion per micro-batch (the fanOut lesson).
     val ratePerPartition = RateLimit.ratePerPartition(
-      spec.config.rateLimitPerSec, batch.rdd.getNumPartitions)
+      spec.config.rateLimitPerSec,
+      if (ordered) 1
+      else batch.sparkSession.sparkContext.defaultParallelism)
     // ordered mode serializes *delivery* through one task (the reference's
     // per-subscription ordering) — repartition, not coalesce, so the
     // upstream filter/transform keep their scan parallelism, and sort so

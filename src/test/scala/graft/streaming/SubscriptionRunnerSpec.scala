@@ -52,6 +52,27 @@ class SubscriptionRunnerSpec extends SparkSpec {
     assert(dattrs("lastdeliveryerror") == "400")
   }
 
+  test("ordered-mode rate limit: one delivery task gets the whole budget and paces the batch") {
+    // 20 events at 8/sec through the single ordered task: windows of 8,8,4
+    // ⇒ two 1 s sleeps. Assert the pacing happened (≥ ~2 s wall) without
+    // pinning exact timing, and that everything still delivered.
+    val rateSpec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-rate", orderedEvent = true, rateLimitPerSec = 8))
+    val base = view.filter(col("sequence_number") < 20)
+    val t0 = System.nanoTime()
+    val res = SubscriptionRunner.processBatch(base, rateSpec, _ => Right(()),
+      None, None, 1704240000L)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(res.delivered == 20)
+    assert(elapsedSec >= 1.8, f"expected ~2s of pacing, got $elapsedSec%.2f s")
+    // unlimited rate: same batch finishes far faster than the paced run
+    val freeSpec = rateSpec.copy(config = rateSpec.config.copy(rateLimitPerSec = 0))
+    val t1 = System.nanoTime()
+    assert(SubscriptionRunner.processBatch(base, freeSpec, _ => Right(()),
+      None, None, 1704240000L).delivered == 20)
+    assert((System.nanoTime() - t1) / 1e9 < elapsedSec)
+  }
+
   test("transform errors are non-retryable → DLQ (util.go:59-63)") {
     val dlqBus = EventBus(tmp("dlq2"))
     val retryBus = EventBus(tmp("retry2"))

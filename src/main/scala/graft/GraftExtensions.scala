@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftexpr.{ExprBridge, VecDotExpr}
+import org.apache.spark.sql.graftexpr.{ExprBridge, LangLexicon, LangScoresExpr, VecDotExpr}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -50,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "cel expects exactly 1 argument")
         ExprBridge.toExpressionEager(
           graft.cel.CEL.compile(literalString(children.head, "cel")))
+      }))
+    // lang_scores(text): the library's standard 18-language lexicon scores
+    // (TextAnalysis lexicons) as array<int> in langOrder-adjacent
+    // (words ++ chars) order — the SQL face of TextAnalysis.langId's kernel
+    ext.injectFunction((
+      FunctionIdentifier("lang_scores"),
+      new ExpressionInfo(classOf[LangScoresExpr].getName, "lang_scores"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "lang_scores expects exactly 1 argument")
+        LangScoresExpr(children.head, new LangLexicon(
+          graft.ext.TextAnalysis.langWords.map(_._2),
+          graft.ext.TextAnalysis.charLangs.map(_._2)))
       }))
   }
 }

@@ -215,6 +215,16 @@ class PlanSpec extends SparkSpec {
       s"full-precision vectors leaked into the scoring scan:\n$plan")
   }
 
+  test("lang_scores is callable from SQL via GraftExtensions") {
+    import ext.TextAnalysis
+    val nLangs = TextAnalysis.langWords.length + TextAnalysis.charLangs.length
+    val row = spark.sql(
+      "SELECT lang_scores('the cat and the dog 的') AS s").head.getSeq[Int](0)
+    assert(row.length === nLangs)
+    assert(row.head === 3) // en is langWords.head: the ×2 + and ×1
+    assert(row.last === 1) // zh is charLangs.last: 的 ×1
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val row = spark.sql(
       "SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)), " +

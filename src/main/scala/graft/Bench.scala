@@ -14,11 +14,19 @@ object Bench {
     // first timed query, making round-over-round per-query diffs meaningful.
     spark.range(1000).selectExpr("id", "md5(cast(id as string)) h")
       .write.format("noop").mode("overwrite").save()
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-      "region", "documents", "embeddings").foreach { t =>
-      Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    // iteration aid: SPARK_GRAFT_ONLY=name1,name2 restricts the run (and
+    // skips the full-table warmup — a one-query iteration loop shouldn't
+    // pay ten table scans; absolute numbers from restricted runs are for
+    // relative comparison anyway)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    if (only.isEmpty) {
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings").foreach { t =>
+        Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      }
+      Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
     // noop-format write forces full evaluation of every projected column
     // and the final sort (a bare count() lets ColumnPruning/EliminateSorts
     // delete the per-row expression work being measured). Best of two runs
@@ -33,9 +41,6 @@ object Bench {
     }
     def bestOfTwoIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       math.min(onceIn(dir)(fn), onceIn(dir)(fn))
-    // iteration aid: SPARK_GRAFT_ONLY=name1,name2 restricts the run
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
@@ -58,12 +63,19 @@ object Bench {
     // ≈ factor, so anything > 2·factor is a super-linear red flag.
     // Best-of-two here as well — r4's phantom 31.4× text_gopher_quality
     // ratio (vs 2.17 on unchanged code in r5) was single-run noise.
-    def scaleSection(tag: String, factor: Int, names: Seq[String]): String =
-      if (factor <= 1) "" else {
+    // Caveat when diffing round-over-round: a ratio whose BASE is under
+    // ~0.5 s is overhead-dominated (±0.3 s of scheduler/GC jitter swings
+    // it severalfold); judge those by the absolute stderr timings instead.
+    def scaleSection(tag: String, factor: Int, names: Seq[String]): String = {
+      // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
+      // aren't in this section must not pay minutes of corpus synthesis
+      // for an empty ratios map
+      val sel = names.filter(n => only.isEmpty || only(n))
+      if (factor <= 1 || sel.isEmpty) "" else {
         val outDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
         ScaleData.synthesize(spark, sfDir, outDir, factor)
-        val entries = names.filter(n => only.isEmpty || only(n)).flatMap { n =>
+        val entries = sel.flatMap { n =>
           SparkEntry.queries.get(n).map { fn =>
             val sec = bestOfTwoIn(outDir)(fn)
             val base = results(n)
@@ -78,6 +90,7 @@ object Bench {
         }
         s""","$tag":{"factor":$factor,"ratios":${entries.mkString("{", ",", "}")}}"""
       }
+    }
     // disable with SPARK_GRAFT_SCALE=1 (or 0)
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val scaleSet = Seq(

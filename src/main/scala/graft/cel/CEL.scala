@@ -158,7 +158,12 @@ object CEL {
       case TOp("*") | TOp("/") | TOp("%") => 60
       case TOp("+") | TOp("-") => 50
       case TOp("<") | TOp("<=") | TOp(">") | TOp(">=") => 40
-      case TIdent("in") => 40 // cel-spec: `in` binds like the relations
+      // cel-spec puts all relops (including `in` and equality) on ONE
+      // left-associative level; this grammar's split keeps C-style
+      // ordering for </== but places `in` WITH equality so mixed
+      // `a == b in [l]` chains associate left — ((a == b) in [l]) — as a
+      // conformant CEL parser does
+      case TIdent("in") => 35
       case TOp("==") | TOp("!=") => 35
       case TOp("&&") => 30
       case TOp("||") => 20

@@ -445,7 +445,12 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int, dim: Int,
       threshold: Double, maxCell: Int = 10000): DataFrame = {
-    val assigned = ivfTrainAssign(corpus, k, iters, dim).select("vec_id", "cell")
+    // pin the trained assignment: it feeds the cap, both pair-join sides,
+    // and the final projection — without the checkpoint the iters-deep
+    // Lloyd lineage is re-planned (and partially re-executed) four times
+    // (the connectedComponents convention for reused iterative frames)
+    val assigned = ivfTrainAssign(corpus, k, iters, dim)
+      .select("vec_id", "cell").localCheckpoint()
     val withCell = corpus.join(assigned, "vec_id")
     val keepIds = withCell.groupBy(col("cell"))
       .agg(graft.functions.MinK.longs(col("vec_id"), maxCell).as("ids"))

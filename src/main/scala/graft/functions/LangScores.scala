@@ -27,8 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - char hits iterate UTF-16 units; lexicon chars are all BMP, and a
   *    surrogate half never equals a BMP char, so counts equal the regexp's
   *    code-point matches.
+  *
+  * A case class so two independently-built lexicons with the same lists
+  * compare equal — expression equality is what lets Catalyst's
+  * common-subexpression elimination unify repeated `lang_scores(text)`
+  * calls instead of running the kernel once per reference.
   */
-final class LangLexicon(wordLists: Seq[Seq[String]], charLists: Seq[String])
+final case class LangLexicon(wordLists: Seq[Seq[String]], charLists: Seq[String])
   extends Serializable {
 
   val nLangs: Int = wordLists.length + charLists.length

@@ -129,13 +129,15 @@ object SubscriptionRunner {
 
     // deliver per partition; collect outcomes (sequence_number, code)
     val ordered = spec.config.orderedEvent
-    // the budget divisor is the DELIVERY concurrency, not the input's
-    // partition count: ordered mode funnels all sends through one task (it
-    // gets the whole budget — dividing by the input partitions throttled
-    // it to rate/32), and the parallel path is bounded by the session's
-    // cores. defaultParallelism is plan metadata — the old
-    // `batch.rdd.getNumPartitions` probe also forced a Dataset→RDD
-    // conversion per micro-batch (the fanOut lesson).
+    // the budget divisor is the DELIVERY concurrency: ordered mode funnels
+    // all sends through one task (it gets the whole budget — dividing by
+    // the input partitions throttled it to rate/32), and the parallel path
+    // is fanned out to the session's cores below, so cores IS its
+    // concurrency — a few-partition batch is no longer over-throttled
+    // (each of the N tasks holding budget/N would idle while the lone
+    // populated partition crawled). Both probes are plan metadata; the old
+    // `batch.rdd.getNumPartitions` forced a Dataset→RDD conversion per
+    // micro-batch (the fanOut lesson).
     val ratePerPartition = RateLimit.ratePerPartition(
       spec.config.rateLimitPerSec,
       if (ordered) 1
@@ -143,10 +145,13 @@ object SubscriptionRunner {
     // ordered mode serializes *delivery* through one task (the reference's
     // per-subscription ordering) — repartition, not coalesce, so the
     // upstream filter/transform keep their scan parallelism, and sort so
-    // the single task walks events in offset order.
+    // the single task walks events in offset order. The parallel path fans
+    // out to the cores: delivery is network-bound, and the local test
+    // tables arrive as one scan partition — one task doing all sends would
+    // both serialize the sink calls and break the rate divisor above.
     val toDeliver =
       if (ordered) transformed.repartition(1).sortWithinPartitions(col("sequence_number"))
-      else transformed
+      else graft.Tables.fanOut(transformed)
     val deliveryMode = delivery
     // rows inside mapPartitions carry no schema; resolve indices driver-side
     val schema = toDeliver.schema

@@ -146,6 +146,7 @@ class CELVectorsSpec extends SparkSpec {
       "$s.(string) in ['abc', 'xyz']" -> true,   // s = "abc"
       "$k.(int64) in [11, 12, 13]" -> true,      // k = 12
       "$k.(int64) + 1 in [13]" -> true,          // in binds like relations
+      "1 == 1 in [true]" -> true,                // left-assoc: (1==1) in [true]
       "$missing.(string) in ['a']" -> false)     // missing => filter false
   }
 

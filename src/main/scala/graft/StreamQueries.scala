@@ -158,10 +158,19 @@ object StreamQueries {
       var gen = 1
       var retryLog = cur.select(col("sequence_number").as("event_id"),
         lit("retry").as("phase"), attemptCol.as("attempt"), dueCol.as("due_sec"))
+      // each generation's release time is t0 + the cumulative backoff of
+      // the attempts so far — computed through the REAL policy function
+      // (Backoff.delaySeconds) instead of an agg-job over the stamped
+      // frame: if the runner's stamps ever diverged from the policy, the
+      // events wouldn't be mature at this `now` and processRetries would
+      // route nothing, failing the oracle — same check, one driver job
+      // fewer per generation
+      var cumDelay = Backoff.delaySeconds(1)
       var more = true
       while (more) {
-        val now = t0 + cur.agg(max(dueCol)).head.getLong(0)
+        val now = t0 + cumDelay
         gen += 1
+        cumDelay += Backoff.delaySeconds(gen)
         val nextBus = EventBus(s"$tmp/retry$gen")
         val res = SubscriptionRunner.processRetries(cur, spec, failSink,
           Some(nextBus), Some(dlqBus), now)

@@ -365,6 +365,18 @@ object CEL {
     def arity(n: Int): Unit = require(args.length == n,
       s"CEL: $name() takes $n argument(s), got ${args.length}")
     (name, recv) match {
+      case ("has", None) =>
+        // cel-spec has() macro: field presence. The dialect's fields are
+        // typed data-body variables, so presence = the raw JSON path
+        // resolves (a JSON null reads as absent, like get_json_object).
+        // Returns a real boolean — never an eval error — so !has(...)
+        // works for missing paths.
+        arity(1)
+        args.head match {
+          case v: VarRef => get_json_object(col("data"), "$." + v.path).isNotNull
+          case other => throw new IllegalArgumentException(
+            s"CEL: has() requires a variable argument, got $other")
+        }
       case ("size", None) =>
         arity(1); length(toColumn(args.head)).cast("bigint")
       case ("contains", Some(r)) =>

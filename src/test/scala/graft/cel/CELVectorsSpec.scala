@@ -135,6 +135,16 @@ class CELVectorsSpec extends SparkSpec {
       "'hello'.contains('ell') && 'hello'.endsWith('o')" -> true)
   }
 
+  test("has() macro: field presence without eval error (cel-spec macros)") {
+    vectors(
+      "has($k.(int64))" -> true,
+      "has($s.(string))" -> true,
+      "has($nope.(string))" -> false,
+      "!has($nope.(string))" -> true, // absence is testable, not an error
+      "has($k.(int64)) && $k.(int64) == 12" -> true,
+      "has($nope.(int64)) || $b.(bool)" -> true)
+  }
+
   test("in operator over list literals (cel-spec lists/membership)") {
     vectors(
       "'a' in ['a', 'b', 'c']" -> true,

@@ -28,12 +28,19 @@ object Tables {
     * scan already holds). The previous `df.rdd.getNumPartitions` probe
     * forced a Dataset→RDD conversion whose DeserializeToObject subtree was
     * planned eagerly per call and de-optimized AQE coalescing downstream.
-    * A frame with no file source at all (in-memory test relations) counts
-    * 0 files and fans out, which is the desired behavior there too.
+    *
+    * CONTRACT: call on scan-rooted frames (scan + narrow projections /
+    * filters), which is every call site in this library — for those the
+    * file count IS the split ceiling. A frame whose lineage already
+    * contains a shuffle has cores-many partitions regardless of its file
+    * count, so fanning it out again would only down-repartition; frames
+    * with no file source at all (in-memory relations) are left untouched
+    * for the same reason.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < cores) df.repartition(cores) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < cores) df.repartition(cores) else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")

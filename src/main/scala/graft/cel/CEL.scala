@@ -274,8 +274,8 @@ object CEL {
   }
 
   /** Statically string-typed subtree — drives `+`-as-concatenation
-    * (cel-spec: string + string concatenates; mixed string/number + is a
-    * type error, surfaced at compile time by Spark's analyzer).
+    * (cel-spec: string + string concatenates; mixed string/number + is
+    * rejected at compile time as no_such_overload, see toColumn).
     */
   private def isStringExpr(e: Expr): Boolean = e match {
     case _: LStr => true
@@ -313,6 +313,12 @@ object CEL {
       op match {
         case "+" =>
           if (isStringExpr(l) && isStringExpr(r)) concat(lc, rc)
+          // cel-spec type-checks `string + number` to no_such_overload at
+          // compile time; without this check Spark's implicit string→double
+          // coercion would silently evaluate it
+          else if (isStringExpr(l) || isStringExpr(r))
+            throw new IllegalArgumentException(
+              "CEL: no_such_overload — '+' requires both sides string (concat) or both numeric")
           else try_add(lc, rc)
         case "-" => try_subtract(lc, rc)
         case "*" => try_multiply(lc, rc)

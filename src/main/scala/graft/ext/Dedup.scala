@@ -200,7 +200,11 @@ object Dedup {
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
         }
-        parent.keysIterator.map(id => (id, find(id))).toArray.iterator
+        // materialize the key set BEFORE the find() sweep: path
+        // compression writes into the same map, and mutating a
+        // scala.collection.mutable.HashMap mid-iteration is undefined
+        val ids = parent.keys.toArray
+        ids.iterator.map(id => (id, find(id)))
       }.toDF("id", "comp")
     } else {
       var lbl = edgesWide.select(col("a").as("id")).distinct()

@@ -146,6 +146,15 @@ object GcpAuth {
   * via [[GcpAuth]] and refreshes 60 s before expiry (Google ID tokens live
   * 1 h; a per-delivery exchange would turn every event into two HTTP
   * calls). `tokenUriOverride` points the exchange at a test stub.
+  *
+  * The cache is JVM-STATIC, keyed by (credential, audience, endpoint):
+  * the provider closure-serializes into every delivery task, so instance
+  * state would start null in each deserialized copy and a 32-partition
+  * micro-batch would mint 32 tokens per trigger. The static map survives
+  * task deserialization within an executor — one mint per executor per
+  * ~59 minutes, the documented behavior. Cache expiry clamps the
+  * requested ttl to Google's 1 h issuance cap, so a larger ttl argument
+  * can't make the cache outlive the token it holds.
   */
 final class GcpIdTokenProvider(
     credentialJson: String,
@@ -165,14 +174,19 @@ final class GcpIdTokenProvider(
     HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMillis)).build()
 
-  @transient @volatile private var cached: (String, Long) = null
+  private def cacheKey: (String, String, String) =
+    (credentialJson, targetAudience, tokenUriOverride.getOrElse(""))
+
+  /** Google issues ≤1 h ID tokens regardless of the requested exp. */
+  private def cacheTtl: Long = math.min(ttlSeconds, 3600L)
 
   override def apply(): String = {
     val now = clock().getEpochSecond
-    val c = cached
+    val key = cacheKey
+    val c = GcpIdTokenProvider.cache.get(key)
     if (c != null && now < c._2 - 60) c._1
-    else synchronized {
-      val c2 = cached
+    else GcpIdTokenProvider.cache.synchronized {
+      val c2 = GcpIdTokenProvider.cache.get(key)
       if (c2 != null && now < c2._2 - 60) c2._1
       else {
         val account = sa
@@ -188,9 +202,15 @@ final class GcpIdTokenProvider(
         require(resp.statusCode() >= 200 && resp.statusCode() < 300,
           s"token exchange failed: HTTP ${resp.statusCode()}")
         val tok = GcpAuth.parseIdToken(resp.body())
-        cached = (tok, now + ttlSeconds)
+        GcpIdTokenProvider.cache.put(key, (tok, now + cacheTtl))
         tok
       }
     }
   }
+}
+
+object GcpIdTokenProvider {
+  /** (credentialJson, audience, endpointOverride) → (token, expiryEpochSec). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), (String, Long)]()
 }

@@ -129,29 +129,30 @@ object SubscriptionRunner {
 
     // deliver per partition; collect outcomes (sequence_number, code)
     val ordered = spec.config.orderedEvent
-    // the budget divisor is the DELIVERY concurrency: ordered mode funnels
-    // all sends through one task (it gets the whole budget — dividing by
-    // the input partitions throttled it to rate/32), and the parallel path
-    // is fanned out to the session's cores below, so cores IS its
-    // concurrency — a few-partition batch is no longer over-throttled
-    // (each of the N tasks holding budget/N would idle while the lone
-    // populated partition crawled). Both probes are plan metadata; the old
-    // `batch.rdd.getNumPartitions` forced a Dataset→RDD conversion per
-    // micro-batch (the fanOut lesson).
+    // the budget divisor is the DELIVERY concurrency, which the repartition
+    // below makes EXACT: ordered mode funnels all sends through one task
+    // (it gets the whole budget — dividing by the input partitions
+    // throttled it to rate/32), and the parallel path is repartitioned to
+    // precisely defaultParallelism tasks — a divisor above the real task
+    // count would over-admit (N tasks × budget/cores with N > cores), one
+    // below would over-throttle. Plan metadata only; the old
+    // `batch.rdd.getNumPartitions` probe forced a Dataset→RDD conversion
+    // per micro-batch (the fanOut lesson).
+    val cores = batch.sparkSession.sparkContext.defaultParallelism
     val ratePerPartition = RateLimit.ratePerPartition(
-      spec.config.rateLimitPerSec,
-      if (ordered) 1
-      else batch.sparkSession.sparkContext.defaultParallelism)
+      spec.config.rateLimitPerSec, if (ordered) 1 else cores)
     // ordered mode serializes *delivery* through one task (the reference's
     // per-subscription ordering) — repartition, not coalesce, so the
     // upstream filter/transform keep their scan parallelism, and sort so
-    // the single task walks events in offset order. The parallel path fans
-    // out to the cores: delivery is network-bound, and the local test
-    // tables arrive as one scan partition — one task doing all sends would
-    // both serialize the sink calls and break the rate divisor above.
+    // the single task walks events in offset order. The parallel path
+    // repartitions to exactly the core count: delivery is network-bound
+    // (the shuffle is one micro-batch of already-transformed rows), sends
+    // parallelize even when the batch arrived as one scan partition, and
+    // the per-task rate budget above sums to the configured rate no matter
+    // how many splits the source produced.
     val toDeliver =
       if (ordered) transformed.repartition(1).sortWithinPartitions(col("sequence_number"))
-      else graft.Tables.fanOut(transformed)
+      else transformed.repartition(cores)
     val deliveryMode = delivery
     // rows inside mapPartitions carry no schema; resolve indices driver-side
     val schema = toDeliver.schema

@@ -130,7 +130,11 @@ class CELVectorsSpec extends SparkSpec {
       // chains and composition (string + string concatenates, cel-spec)
       "('pre' + 'fix').startsWith('pre')" -> true,
       "('he' + 'llo') == 'hello'" -> true,
-      "($s.(string) + 'd').endsWith('cd')" -> true,
+      "($s.(string) + 'd').endsWith('cd')" -> true)
+    // mixed string/number '+' is no_such_overload at COMPILE time (the
+    // reference rejects the subscription at create), never a silent coerce
+    intercept[IllegalArgumentException] { CEL.compile("$s.(string) + 1 == 2") }
+    vectors(
       "$missing.(string).contains('x')" -> false, // missing => filter false
       "'hello'.contains('ell') && 'hello'.endsWith('o')" -> true)
   }

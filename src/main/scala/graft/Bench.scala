@@ -66,7 +66,8 @@ object Bench {
     // Caveat when diffing round-over-round: a ratio whose BASE is under
     // ~0.5 s is overhead-dominated (±0.3 s of scheduler/GC jitter swings
     // it severalfold); judge those by the absolute stderr timings instead.
-    def scaleSection(tag: String, factor: Int, names: Seq[String]): String = {
+    def scaleSection(tag: String, factor: Int, names: Seq[String],
+        tables: Set[String] = ScaleData.AllTables): String = {
       // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
       // aren't in this section must not pay minutes of corpus synthesis
       // for an empty ratios map
@@ -74,7 +75,7 @@ object Bench {
       if (factor <= 1 || sel.isEmpty) "" else {
         val outDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
-        ScaleData.synthesize(spark, sfDir, outDir, factor)
+        ScaleData.synthesize(spark, sfDir, outDir, factor, tables)
         val entries = sel.flatMap { n =>
           SparkEntry.queries.get(n).map { fn =>
             val sec = bestOfTwoIn(outDir)(fn)
@@ -114,7 +115,10 @@ object Bench {
       "sim_int8_topk", "sim_pq_topk")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +
-        scaleSection("scale26", factor26, cappedSet)
+        // the capped set reads only documents+embeddings — don't spend
+        // bench wall-time writing a 26× lineitem/events nobody opens
+        scaleSection("scale26", factor26, cappedSet,
+          tables = Set("documents", "embeddings"))
     // The driver records only the last 2000 chars of stdout (BENCH_r{N}
     // "tail") and parses the JSON line out of that — rounds 1-3 emitted a
     // >2000-char line and got "parsed": null every time. Budget the line:

@@ -60,34 +60,49 @@ object ScaleData {
       .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
   }
 
+  val AllTables: Set[String] = Set("documents", "embeddings", "events", "lineitem")
+
+  /** Synthesize the factor× corpus. `tables` restricts which tables are
+    * written — the 26× capped-operator bench section reads only
+    * documents+embeddings, and writing a 26× lineitem (~15M rows) for
+    * queries that never open it is pure synthesis wall-time.
+    */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, tables: Set[String] = AllTables): Unit = {
     require(factor >= 1 && factor <= 26,
       s"factor must be in [1, 26] (rotation degenerates past 26), got $factor")
     val copy = col("copy")
 
-    val docs = withCopies(Tables.documents(spark, srcDir), factor)
-      .withColumn("doc_id", offsetId(col("doc_id"), copy))
-      .withColumn("text", rotated(col("text"), copy, factor))
-      .withColumn("source", concat(col("source"), lit("_c"), copy))
-    write(docs, outDir, "documents")
+    if (tables("documents")) {
+      val docs = withCopies(Tables.documents(spark, srcDir), factor)
+        .withColumn("doc_id", offsetId(col("doc_id"), copy))
+        .withColumn("text", rotated(col("text"), copy, factor))
+        .withColumn("source", concat(col("source"), lit("_c"), copy))
+      write(docs, outDir, "documents")
+    }
 
-    val emb = withCopies(Tables.embeddings(spark, srcDir), factor)
-      .withColumn("vec_id", offsetId(col("vec_id"), copy))
-      .withColumn("embedding",
-        transform(col("embedding"),
-          x => (x + copy.cast("float") / lit(1000.0f)).cast("float")))
-    write(emb, outDir, "embeddings")
+    if (tables("embeddings")) {
+      val emb = withCopies(Tables.embeddings(spark, srcDir), factor)
+        .withColumn("vec_id", offsetId(col("vec_id"), copy))
+        .withColumn("embedding",
+          transform(col("embedding"),
+            x => (x + copy.cast("float") / lit(1000.0f)).cast("float")))
+      write(emb, outDir, "embeddings")
+    }
 
     // raw read: ts stays the nanos long the source stores (nanosAsLong is a
     // session config), so the scaled table round-trips the same schema and
     // Tables.events applies the identical µs conversion on read
-    val events = withCopies(Tables.table(spark, srcDir, "events"), factor)
-      .withColumn("event_id", offsetId(col("event_id"), copy))
-    write(events, outDir, "events")
+    if (tables("events")) {
+      val events = withCopies(Tables.table(spark, srcDir, "events"), factor)
+        .withColumn("event_id", offsetId(col("event_id"), copy))
+      write(events, outDir, "events")
+    }
 
-    val li = withCopies(Tables.lineitem(spark, srcDir), factor)
-      .withColumn("l_orderkey", offsetId(col("l_orderkey"), copy))
-    write(li, outDir, "lineitem")
+    if (tables("lineitem")) {
+      val li = withCopies(Tables.lineitem(spark, srcDir), factor)
+        .withColumn("l_orderkey", offsetId(col("l_orderkey"), copy))
+      write(li, outDir, "lineitem")
+    }
   }
 }

@@ -137,13 +137,25 @@ object CEL {
       case t => throw new IllegalArgumentException(s"CEL: expected '$op', got $t")
     }
 
+    // recursion guard: a pathological expression (thousands of nested
+    // parens / unary operators) must reject with the same create-time
+    // IllegalArgumentException as any other malformed filter, not kill
+    // the analysis thread with a StackOverflowError
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 200)
+        throw new IllegalArgumentException("CEL: expression nests too deeply")
+      try body finally depth -= 1
+    }
+
     def parse(): Expr = {
       val e = parseTernary()
       require(peek == TEOF, s"CEL: trailing tokens at $peek")
       e
     }
 
-    private def parseTernary(): Expr = {
+    private def parseTernary(): Expr = descend {
       val cond = parseBin(0)
       if (peek == TOp("?")) {
         next()
@@ -186,10 +198,12 @@ object CEL {
       left
     }
 
-    private def parseUnary(): Expr = peek match {
-      case TOp("!") => next(); Un("!", parseUnary())
-      case TOp("-") => next(); Un("-", parseUnary())
-      case _ => parsePostfix(parsePrimary())
+    private def parseUnary(): Expr = descend {
+      peek match {
+        case TOp("!") => next(); Un("!", parseUnary())
+        case TOp("-") => next(); Un("-", parseUnary())
+        case _ => parsePostfix(parsePrimary())
+      }
     }
 
     private def parsePrimary(): Expr = peek match {

@@ -134,6 +134,18 @@ object CESQL {
       case _ => false
     }
 
+    // recursion guard: a pathological expression (thousands of nested
+    // parens / NOTs) must reject with the same create-time
+    // IllegalArgumentException as any other malformed filter, not kill
+    // the analysis thread with a StackOverflowError
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 200)
+        throw new IllegalArgumentException("CESQL: expression nests too deeply")
+      try body finally depth -= 1
+    }
+
     private def prec(t: Tok): Int = t match {
       case TOp("*") | TOp("/") | TOp("%") => 60
       case TOp("+") | TOp("-") => 50
@@ -146,7 +158,7 @@ object CESQL {
       case _ => -1
     }
 
-    def parseExpression(minPrec: Int): Expr = {
+    def parseExpression(minPrec: Int): Expr = descend {
       var left = parseUnary()
       while (prec(peek) >= minPrec && prec(peek) > 0) {
         left = peek match {
@@ -184,7 +196,7 @@ object CESQL {
     private val functions = Set("ABS", "LENGTH", "CONCAT", "CONCAT_WS", "LOWER", "UPPER",
       "TRIM", "LEFT", "RIGHT", "SUBSTRING", "INT", "BOOL", "STRING", "IS_BOOL", "IS_INT")
 
-    private def parseUnary(): Expr = peek match {
+    private def parseUnary(): Expr = descend { peek match {
       case t if kw(t, "NOT") => next(); Un("NOT", parseUnary())
       case t if kw(t, "EXISTS") =>
         next()
@@ -211,7 +223,7 @@ object CESQL {
           Call(name.toUpperCase, args.result())
         } else Attr(name.toLowerCase)
       case t => throw new IllegalArgumentException(s"CESQL: unexpected token $t")
-    }
+    } }
   }
 
   // ==== Column generation ====

@@ -55,26 +55,38 @@ object JValue {
   def parseOpt(s: String): Option[JValue] =
     try Some(parse(s)) catch { case _: Exception => None }
 
-  private def read(p: JsonParser): JValue = p.currentToken() match {
-    case JsonToken.START_OBJECT =>
-      val buf = mutable.ArrayBuffer.empty[(String, JValue)]
-      while (p.nextToken() != JsonToken.END_OBJECT) {
-        val name = p.currentName()
-        p.nextToken()
-        buf += name -> read(p)
-      }
-      JObj(VectorMap.from(buf))
-    case JsonToken.START_ARRAY =>
-      val buf = mutable.ArrayBuffer.empty[JValue]
-      while (p.nextToken() != JsonToken.END_ARRAY) buf += read(p)
-      JArr(buf.toVector)
-    case JsonToken.VALUE_STRING => JStr(p.getText)
-    case JsonToken.VALUE_NUMBER_INT => JInt(p.getLongValue)
-    case JsonToken.VALUE_NUMBER_FLOAT => JDouble(p.getDoubleValue)
-    case JsonToken.VALUE_TRUE => JBool(true)
-    case JsonToken.VALUE_FALSE => JBool(false)
-    case JsonToken.VALUE_NULL => JNull
-    case t => throw new IllegalArgumentException(s"unexpected JSON token $t")
+  /** Depth bound for the recursive reader: event bodies are UNTRUSTED
+    * per-row input, and a hostile 10k-deep nesting would otherwise
+    * StackOverflowError the executor task (an Error the per-event
+    * transform-error catch can't absorb) instead of routing to the DLQ
+    * as a malformed event.
+    */
+  private val MaxDepth = 1000
+
+  private def read(p: JsonParser, depth: Int = 0): JValue = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(s"JSON nests deeper than $MaxDepth")
+    p.currentToken() match {
+      case JsonToken.START_OBJECT =>
+        val buf = mutable.ArrayBuffer.empty[(String, JValue)]
+        while (p.nextToken() != JsonToken.END_OBJECT) {
+          val name = p.currentName()
+          p.nextToken()
+          buf += name -> read(p, depth + 1)
+        }
+        JObj(VectorMap.from(buf))
+      case JsonToken.START_ARRAY =>
+        val buf = mutable.ArrayBuffer.empty[JValue]
+        while (p.nextToken() != JsonToken.END_ARRAY) buf += read(p, depth + 1)
+        JArr(buf.toVector)
+      case JsonToken.VALUE_STRING => JStr(p.getText)
+      case JsonToken.VALUE_NUMBER_INT => JInt(p.getLongValue)
+      case JsonToken.VALUE_NUMBER_FLOAT => JDouble(p.getDoubleValue)
+      case JsonToken.VALUE_TRUE => JBool(true)
+      case JsonToken.VALUE_FALSE => JBool(false)
+      case JsonToken.VALUE_NULL => JNull
+      case t => throw new IllegalArgumentException(s"unexpected JSON token $t")
+    }
   }
 
   def numToString(d: Double): String =

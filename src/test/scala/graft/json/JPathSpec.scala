@@ -6,6 +6,21 @@ class JPathSpec extends AnyFunSuite {
   private val doc = JValue.parse(
     """{"a": {"b": "x", "n": 5}, "arr": [1, 2, 3], "nested": [{"v": 1}, {"v": 2}]}""")
 
+  test("hostile deep nesting rejects as malformed, never StackOverflowError") {
+    // event bodies are untrusted per-row input: the reader must throw an
+    // Exception the transform-error path routes to the DLQ — in practice
+    // Jackson's StreamConstraintsException (its 2.15+ depth cap) fires
+    // first, with JValue's own MaxDepth guard as the second line; an
+    // uncatchable StackOverflowError would fail this test by propagating
+    val deepArr = "[" * 5000 + "1" + "]" * 5000
+    intercept[Exception] { JValue.parse(deepArr) }
+    val deepObj = "{\"a\":" * 5000 + "1" + "}" * 5000
+    intercept[Exception] { JValue.parse(deepObj) }
+    assert(JValue.parseOpt(deepArr).isEmpty) // lenient face absorbs it too
+    // sane depth unaffected
+    assert(JValue.parse("[" * 100 + "1" + "]" * 100) != null)
+  }
+
   test("parse/render round trip preserves key order and integer forms") {
     assert(doc.render == """{"a":{"b":"x","n":5},"arr":[1,2,3],"nested":[{"v":1},{"v":2}]}""")
     assert(JValue.parse("""{"f": 1.5, "g": 2.0}""").render == """{"f":1.5,"g":2}""")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Urls}
+import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Urls}
 import org.apache.spark.sql.functions._
 
 /** Catalog entries for the north-star analytics operators (SURVEY §7.7):
@@ -1369,9 +1369,94 @@ object ExtQueries {
       ORDER BY media_id
     """))
 
+  /** The composed end-to-end curation pipeline ([[graft.ext.Curation]]):
+    * clean → Gopher gate → exact-dedup (keep smallest id, carry group
+    * size) → decontaminate vs the eval set. Dirt is synthesized so every
+    * stage is non-vacuous: doc_id%13 gets the decontamination canary
+    * (dropped at stage 4), doc_id%89 a shared 62-distinct-word constant
+    * (collapses to one keeper with n_copies = group size at stage 3; the
+    * constant passes the Gopher gate by construction), %97 docs form the
+    * canary'd eval set. The oracle replays the whole chain as one CTE
+    * cascade — the composed survivor set, keeper choice, and group sizes
+    * all under the hash.
+    */
+  private val curationQ = {
+    val dupText = "curation filler " + (1 to 60).map(i => s"dupword$i").mkString(" ")
+    val canarySql =
+      "' shared benchmark passage variant ' || CAST(doc_id % 2 AS VARCHAR) || ' alpha beta gamma delta epsilon'"
+    def gramsSql(ws: String) =
+      s"""list_transform(range(1, greatest(len($ws) - 4, 0) + 1),
+            i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2] || ' '
+                 || $ws[i+3] || ' ' || $ws[i+4])"""
+    Q(
+      "pipeline_curation",
+      (s, d) => {
+        val canary = concat(col("text"),
+          lit(" shared benchmark passage variant "),
+          (col("doc_id") % 2).cast("string"),
+          lit(" alpha beta gamma delta epsilon"))
+        val base = Tables.documents(s, d)
+        val corpus = base.filter(col("doc_id") % 97 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, canary)
+              .when(col("doc_id") % 89 === 0, lit(dupText))
+              .otherwise(col("text")))
+        val evalSet = base.filter(col("doc_id") % 97 === 0)
+          .withColumn("text", canary)
+        Curation.curate(corpus, evalSet).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 13 = 0 THEN text || $canarySql
+                      WHEN doc_id % 89 = 0 THEN '$dupText'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 97 != 0
+        ), ev AS (
+          SELECT text || $canarySql AS text
+          FROM documents WHERE doc_id % 97 = 0
+        ), cleaned AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS text
+          FROM base
+        ), gw AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM cleaned
+        ), gated AS (
+          SELECT doc_id, lang, text FROM gw
+          WHERE len(words) >= 50 AND len(words) <= 100000
+            AND CAST(list_max(list_transform(list_distinct(words),
+              w -> len(list_filter(words, x -> x = w)))) AS DOUBLE) / len(words) <= 0.2
+        ), groups AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+          FROM gated GROUP BY 1
+        ), uniq AS (
+          SELECT g.doc_id, g.lang, g.text, gr.n_copies
+          FROM gated g JOIN groups gr ON md5(g.text) = gr.h AND g.doc_id = gr.keeper_id
+        ), evw AS (
+          SELECT string_split(text, ' ') AS ws FROM ev
+        ), evg AS (
+          SELECT DISTINCT unnest(${gramsSql("ws")}) AS gram FROM evw
+        ), uw AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM uniq
+        ), ug AS (
+          SELECT doc_id, list_distinct(${gramsSql("ws")}) AS grams FROM uw
+        ), hits AS (
+          SELECT u.doc_id, COUNT(*) AS n
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM ug) u
+          JOIN evg USING (gram) GROUP BY u.doc_id
+        )
+        SELECT q.doc_id, q.lang, q.n_copies
+        FROM uniq q LEFT JOIN hits h ON q.doc_id = h.doc_id
+        WHERE COALESCE(h.n, 0) = 0
+        ORDER BY q.doc_id
+      """))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, lshBucketQ, nearDupQ,
+    curationQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)

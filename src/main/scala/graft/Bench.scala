@@ -98,7 +98,7 @@ object Bench {
       "q1_agg", "filter_cesql", "action_structs_pipeline", "template_json",
       "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
       "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
-      "dedup_passages", "dedup_embedding_neardup",
+      "dedup_passages", "dedup_embedding_neardup", "pipeline_curation",
       "text_gopher_quality", "text_langid", "text_repetition",
       "text_pack_sequences", "sample_mixture",
       "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",

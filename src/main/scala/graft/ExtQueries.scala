@@ -328,19 +328,26 @@ object ExtQueries {
       WHERE rank <= 5 ORDER BY query_id, rank
     """))
 
-  /** Shared unrolled-Lloyd CTE chain (k=4, 2 iterations, init = 4 smallest
-    * vec_ids, corpus = vec_id < 300): defines `e` (corpus), `c0`..`c2`
-    * (centroid generations) and `a1`..`a3` (assignments; `a3` is the final
-    * model). Used by sim_ivf_train (model parity) and dedup_semantic
-    * (SemDeDup on the trained clusters).
+  /** Full-dim (64) squared-L2 fold between `$e.embedding` and
+    * `$c.centroid` — the assign/probe distance the Lloyd chain and the
+    * IVF-PQ probe CTE share.
     */
-  private val lloydChain: String = {
-    val dist =
-      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  private def sqlL2Full(e: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
            list_transform(range(1, 65),
-             i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
-                  * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+             i -> (CAST($e.embedding[i] AS DOUBLE) - $c.centroid[i])
+                  * (CAST($e.embedding[i] AS DOUBLE) - $c.centroid[i]))),
            (x, y) -> x + y)"""
+
+  /** Shared unrolled-Lloyd CTE chain (k=4, 2 iterations, init = 4 smallest
+    * vec_ids, corpus = embeddings WHERE `corpusPred`): defines `e`
+    * (corpus), `c0`..`c2` (centroid generations) and `a1`..`a3`
+    * (assignments; `a3` is the final model). Used by sim_ivf_train (model
+    * parity), dedup_semantic (SemDeDup on the trained clusters), and
+    * sim_ivfpq_topk (coarse quantizer; mod-IdStride corpus).
+    */
+  private def lloydChainOver(corpusPred: String): String = {
+    val dist = sqlL2Full("e", "c")
     def assignCte(n: Int, cent: String) =
       s"""a$n AS (
         SELECT vec_id, cell, dist FROM (
@@ -361,7 +368,7 @@ object ExtQueries {
             (x, y) -> x + y) / len(ms)) AS centroid
         FROM m$n
       )"""
-    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusPred),
       c0 AS (
         SELECT CAST(vec_id AS INT) AS cell,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
@@ -371,6 +378,8 @@ object ExtQueries {
       ${assignCte(2, "c1")}, ${centroidCte(2)},
       ${assignCte(3, "c2")}"""
   }
+
+  private val lloydChain: String = lloydChainOver("vec_id < 300")
 
   /** Trained-quantizer IVF build: deterministic Lloyd k-means (k=4, 2
     * iterations, init = 4 smallest vec_ids) through the REAL
@@ -397,14 +406,18 @@ object ExtQueries {
   // threshold 0.3 ≈ the p99 of the synthetic corpus's in-cluster cosines
   // (max 0.456) — real corpora use ~0.95+, but the catalog needs both
   // classes populated so the flag column is actually under the hash
+  // corpus predicate is mod-IdStride (identical on base tables where every
+  // vec_id < IdStride) so the 26× scale bench grows the clustered corpus
+  // instead of re-selecting copy 0 — the MinK cell cap and the blocked
+  // pair join are what the scale section is there to prove
   private val semanticDedupQ = Q(
     "dedup_semantic",
     (s, d) => Similarity.semanticDedup(
-      Tables.embeddings(s, d).filter(col("vec_id") < 300),
+      Tables.embeddings(s, d).filter(col("vec_id") % ScaleData.IdStride < 300),
       k = 4, iters = 2, dim = 64, threshold = 0.3)
       .orderBy(col("vec_id")),
     Some(s"""
-      WITH $lloydChain,
+      WITH ${lloydChainOver(s"vec_id % ${ScaleData.IdStride} < 300")},
       wc AS (
         SELECT e.vec_id, e.embedding, a3.cell FROM e JOIN a3 USING (vec_id)
       ), sc AS (
@@ -419,34 +432,23 @@ object ExtQueries {
       FROM wc LEFT JOIN di USING (vec_id) ORDER BY wc.vec_id
     """))
 
-  /** Product quantization end-to-end (train 4 subspace codebooks, encode,
-    * ADC top-5). The oracle replays the whole thing: per subspace, the
-    * same unrolled-Lloyd CTE chain sim_ivf_train uses (init = first k
-    * vec_ids' slices, one assign+mean iteration), then encoding as a
-    * rn=1 assignment, the per-query LUT as a relational (code = cell)
-    * join, and the ADC sum as a subspace-ordered fold.
+  /** PQ training/encode/LUT CTE chain over a corpus CTE `e` (defined by
+    * the caller): per subspace s — es$s (slice), c0_$s (init), a1_$s/m1_$s/
+    * c1_$s (one Lloyd iteration), enc_$s (codes), lut_$s (per-query LUT
+    * rows for queries matching `queryPred` over es$s alias `e`). Shared by
+    * sim_pq_topk and sim_ivfpq_topk.
     */
-  private val pqTopKQ = Q(
-    "sim_pq_topk",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), kNeighbors = 5,
-        m = 4, kCodes = 4, iters = 1, dim = 64)
-        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
-          col("neighbor_id"), col("adc_dist"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some {
-      val m = 4; val kCodes = 4; val subdim = 16
-      def dist(e: String, c: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, ${subdim + 1}),
-               i -> (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i])
-                    * (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i]))),
-             (x, y) -> x + y)"""
-      val subCtes = (0 until m).map { s =>
-        val lo = s * subdim + 1; val hi = (s + 1) * subdim
-        s"""es$s AS (
+  private def pqSubCtes(m: Int, kCodes: Int, subdim: Int,
+      queryPred: String): String = {
+    def dist(e: String, c: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, ${subdim + 1}),
+             i -> (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i])
+                  * (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i]))),
+           (x, y) -> x + y)"""
+    (0 until m).map { s =>
+      val lo = s * subdim + 1; val hi = (s + 1) * subdim
+      s"""es$s AS (
           SELECT vec_id, embedding[$lo:$hi] AS emb FROM e
         ), c0_$s AS (
           SELECT CAST(vec_id AS INT) AS cell,
@@ -477,19 +479,42 @@ object ExtQueries {
           ) WHERE rn = 1
         ), lut_$s AS (
           SELECT e.vec_id AS query_id, c.cell, ${dist("e", "c")} AS d
-          FROM es$s e CROSS JOIN c1_$s c WHERE e.vec_id < 3
+          FROM es$s e CROSS JOIN c1_$s c WHERE $queryPred
         )"""
-      }.mkString(",\n      ")
-      val scArms = (0 until m).map { s =>
-        s"""SELECT l.query_id, n.vec_id AS neighbor_id, $s AS sub, l.d
+    }.mkString(",\n      ")
+  }
+
+  /** The per-subspace (query, neighbor, sub, d) arms feeding the ADC sum. */
+  private def pqScArms(m: Int): String =
+    (0 until m).map { s =>
+      s"""SELECT l.query_id, n.vec_id AS neighbor_id, $s AS sub, l.d
             FROM enc_$s n JOIN lut_$s l ON n.code = l.cell
             WHERE l.query_id != n.vec_id"""
-      }.mkString("\n        UNION ALL\n        ")
+    }.mkString("\n        UNION ALL\n        ")
+
+  /** Product quantization end-to-end (train 4 subspace codebooks, encode,
+    * ADC top-5). The oracle replays the whole thing: per subspace, the
+    * same unrolled-Lloyd CTE chain sim_ivf_train uses (init = first k
+    * vec_ids' slices, one assign+mean iteration), then encoding as a
+    * rn=1 assignment, the per-query LUT as a relational (code = cell)
+    * join, and the ADC sum as a subspace-ordered fold.
+    */
+  private val pqTopKQ = Q(
+    "sim_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), kNeighbors = 5,
+        m = 4, kCodes = 4, iters = 1, dim = 64)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
       s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-      $subCtes,
+      ${pqSubCtes(m = 4, kCodes = 4, subdim = 16, queryPred = "e.vec_id < 3")},
       sc AS (
-        $scArms
+        ${pqScArms(4)}
       ), pair AS (
         SELECT query_id, neighbor_id, list(d ORDER BY sub) AS ds
         FROM sc GROUP BY query_id, neighbor_id
@@ -504,6 +529,70 @@ object ExtQueries {
         FROM adc
       )
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    })
+
+  /** IVF-PQ (IVFADC) through the REAL composed path
+    * (Similarity.ivfPqTopK): trained coarse quantizer (the shared Lloyd
+    * chain — k=4, 2 iterations), per-query probe of the nprobe=2 nearest
+    * trained cells, PQ codebooks (m=4, k=4, 1 iteration) trained/encoded
+    * on the same corpus, and the ADC scan restricted to probed cells. The
+    * oracle replays ALL of it — coarse training, probe ranking, subspace
+    * training, encoding, LUT join, cell pruning, final ranking — so a pass
+    * means an independent engine reproduces the full IVFADC serving path
+    * bit-for-bit. The corpus predicate is mod-IdStride so the scale
+    * bench's N× corpus genuinely grows the indexed set (the queries stay
+    * fixed: search cost should scale with corpus size / kCells · nprobe,
+    * not with the query count — cf. dedup_embedding_neardup's note).
+    */
+  private val ivfPqTopKQ = Q(
+    "sim_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") % ScaleData.IdStride < 300)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), kNeighbors = 5,
+        kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 4, pqIters = 1,
+        dim = 64)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cell").cast("int").as("cell"),
+          col("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      s"""
+      WITH ${lloydChainOver(s"vec_id % ${ScaleData.IdStride} < 300")},
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT e.vec_id AS query_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlL2Full("e", "c")} ASC, c.cell ASC) AS rn
+          FROM e CROSS JOIN c2 c WHERE e.vec_id < 3
+        ) WHERE rn <= 2
+      ),
+      ${pqSubCtes(m = 4, kCodes = 4, subdim = 16, queryPred = "e.vec_id < 3")},
+      sc AS (
+        ${pqScArms(4)}
+      ), pair AS (
+        SELECT query_id, neighbor_id, list(d ORDER BY sub) AS ds
+        FROM sc GROUP BY query_id, neighbor_id
+      ), adc AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), ds),
+                 (x, y) -> x + y) AS adc_dist
+        FROM pair
+      ), pruned AS (
+        SELECT a.query_id, a.neighbor_id, n.cell, a.adc_dist
+        FROM adc a
+        JOIN a3 n ON n.vec_id = a.neighbor_id
+        JOIN probe p ON p.query_id = a.query_id AND p.cell = n.cell
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM pruned
+      )
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell,
+             adc_dist
       FROM r WHERE rank <= 5 ORDER BY query_id, rank
     """
     })
@@ -1455,7 +1544,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
-    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, lshBucketQ, nearDupQ,
     curationQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,

@@ -405,6 +405,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composition a 100 TB
+    * vector corpus actually serves from: a trained coarse quantizer
+    * ([[kmeansCentroids]]) prunes the search to each query's `nprobe`
+    * nearest cells, and within those cells scoring runs over PQ codes only
+    * (asymmetric distance via the per-query LUT, [[graft.functions.PqAdc]]).
+    * Per-query work drops by ≈ kCells/nprobe versus [[pqTopK]]'s full-codes
+    * scan while keeping PQ's m·4 B-per-vector memory shape; the
+    * full-precision vectors are never read at query time.
+    *
+    * PQ trains on raw subspace slices (not residuals): the codebooks stay
+    * query-independent so one encode pass serves every probe — the
+    * residual refinement is a quality knob, not a scale one.
+    *
+    * Plan shape: centroids and codebooks are tiny and broadcast; the
+    * corpus side carries only (vec_id, cell, codes). The probe join keys
+    * on the coarse cell — at 1000 executors the corpus stays fanned out
+    * and each task scores only the probed fraction. Both trained models
+    * are localCheckpoint'd: each feeds two consumers (corpus assign +
+    * query probe; encode + LUT), and without the pin the iters-deep Lloyd
+    * lineage would re-train per consumer (the [[semanticDedup]]
+    * convention for reused iterative frames).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kNeighbors: Int,
+      kCells: Int, cellIters: Int, nprobe: Int,
+      m: Int, kCodes: Int, pqIters: Int, dim: Int): DataFrame = {
+    val centroids =
+      kmeansCentroids(corpus, kCells, cellIters, dim).localCheckpoint()
+    val corpusCells = kmeansAssign(corpus, centroids).select("vec_id", "cell")
+    // each query probes its nprobe nearest trained cells (ties to the
+    // smaller cell — same ordering kmeansAssign uses for its argmin)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        l2sq(col("embedding"), col("centroid")).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val books = pqTrain(corpus, m, kCodes, pqIters, dim).localCheckpoint()
+    val codes = pqEncode(corpus, books, m, dim).join(corpusCells, "vec_id")
+    val luts = pqLut(queries, books, m, kCodes, dim)
+    // (query, probed cell, lut): nprobe rows per query, broadcast-sized
+    val probeLuts = probes.join(luts, "query_id")
+    // a corpus vector lives in exactly one cell and probes are distinct
+    // (query, cell) rows, so each (query, neighbor) pair scores at most once
+    val scored = codes.as("c").join(broadcast(probeLuts.as("q")),
+      col("q.cell") === col("c.cell") && col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.cell").as("cell"),
+        graft.functions.PqAdc(col("c.codes"), col("q.lut"), kCodes).as("adc_dist"))
+      .withColumn("ordv", -col("adc_dist"))
+    val survivors = saltedCut(scored, kNeighbors, "ordv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    survivors.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        col("adc_dist"))
+  }
+
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come

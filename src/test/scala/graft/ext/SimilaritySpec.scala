@@ -85,6 +85,32 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 6, s"PQ/exact overlap $overlap of 30")
   }
 
+  test("ivfPqTopK: neighbors come only from probed cells; full-probe equals pqTopK") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.ivfPqTopK(emb, queries, kNeighbors = 5,
+      kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 4, pqIters = 1,
+      dim = 64).cache()
+    // ranks 1..k per query, every neighbor tagged with its coarse cell
+    assert(out.count() > 0)
+    out.groupBy("query_id").agg(max("rank")).collect()
+      .foreach(r => assert(r.getInt(1) <= 5))
+    // ≤ nprobe distinct cells contribute per query
+    out.groupBy("query_id").agg(countDistinct("cell").as("nc")).collect()
+      .foreach(r => assert(r.getLong(1) <= 2))
+    // with nprobe = kCells the pruning is a no-op: identical (query,
+    // neighbor, adc_dist) set to the unpruned pqTopK scan
+    val full = Similarity.ivfPqTopK(emb, queries, kNeighbors = 5,
+      kCells = 4, cellIters = 2, nprobe = 4, m = 4, kCodes = 4, pqIters = 1,
+      dim = 64).select("query_id", "neighbor_id", "adc_dist")
+    val pq = Similarity.pqTopK(emb, queries, kNeighbors = 5,
+      m = 4, kCodes = 4, iters = 1, dim = 64)
+      .select("query_id", "neighbor_id", "adc_dist")
+    assert(full.exceptAll(pq).count() === 0)
+    assert(pq.exceptAll(full).count() === 0)
+    out.unpersist()
+  }
+
   test("trained IVF probe returns ranked neighbors from the query's own cell") {
     val emb = Tables.embeddings(spark, sf)
     val out = Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 3), k = 5,

@@ -1542,10 +1542,146 @@ object ExtQueries {
       """))
   }
 
+  /** The fuzzy curation chain through the REAL Curation.curateFuzzy:
+    * clean → Gopher gate → exact-dedup → MinHash-LSH near-dedup (CC
+    * keepers) → passage-coverage drop → decontaminate. Dirt makes every
+    * stage non-vacuous: %13 docs get the decontamination canary, %89 a
+    * shared constant (exact dups), %71 a shared 62-word core plus a
+    * per-doc tail word (distinct hashes, so they SURVIVE exact-dedup and
+    * collide in the LSH bands — the near-dup stage's prey), %67 a shared
+    * 200-word passage prefixed to their own text (distinct minhash
+    * profiles for most pairs, but ≥19 shared 20-word windows — the
+    * passage stage's prey when coverage ≥ 0.3), %97 docs form the
+    * canary'd eval set. The oracle replays the WHOLE chain — gates,
+    * keeper choice, recursive-closure near-dup groups, window-hash
+    * coverage, gram hits — as one CTE cascade.
+    */
+  private val curationFuzzyQ = {
+    val dupText = "curation filler " + (1 to 60).map(i => s"dupword$i").mkString(" ")
+    val nearText = "neardup core " + (1 to 60).map(i => s"ndword$i").mkString(" ")
+    val passText = (1 to 200).map(i => s"pgword$i").mkString(" ")
+    val canarySql =
+      "' shared benchmark passage variant ' || CAST(doc_id % 2 AS VARCHAR) || ' alpha beta gamma delta epsilon'"
+    def gramsSql(ws: String) =
+      s"""list_transform(range(1, greatest(len($ws) - 4, 0) + 1),
+            i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2] || ' '
+                 || $ws[i+3] || ' ' || $ws[i+4])"""
+    Q(
+      "pipeline_curation_fuzzy",
+      (s, d) => {
+        val canary = concat(col("text"),
+          lit(" shared benchmark passage variant "),
+          (col("doc_id") % 2).cast("string"),
+          lit(" alpha beta gamma delta epsilon"))
+        val base = Tables.documents(s, d)
+        val corpus = base.filter(col("doc_id") % 97 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, canary)
+              .when(col("doc_id") % 89 === 0, lit(dupText))
+              .when(col("doc_id") % 71 === 0,
+                concat(lit(nearText), lit(" tail"), col("doc_id").cast("string")))
+              .when(col("doc_id") % 67 === 0,
+                concat(lit(passText), lit(" "), col("text")))
+              .otherwise(col("text")))
+        val evalSet = base.filter(col("doc_id") % 97 === 0)
+          .withColumn("text", canary)
+        Curation.curateFuzzy(corpus, evalSet).orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 13 = 0 THEN text || $canarySql
+                      WHEN doc_id % 89 = 0 THEN '$dupText'
+                      WHEN doc_id % 71 = 0
+                        THEN '$nearText' || ' tail' || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 67 = 0 THEN '$passText' || ' ' || text
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 97 != 0
+        ), ev AS (
+          SELECT text || $canarySql AS text
+          FROM documents WHERE doc_id % 97 = 0
+        ), cleaned AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS text
+          FROM base
+        ), gw AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM cleaned
+        ), gated AS (
+          SELECT doc_id, lang, text FROM gw
+          WHERE len(words) >= 50 AND len(words) <= 100000
+            AND CAST(list_max(list_transform(list_distinct(words),
+              w -> len(list_filter(words, x -> x = w)))) AS DOUBLE) / len(words) <= 0.2
+        ), groups AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+          FROM gated GROUP BY 1
+        ), uniq AS (
+          SELECT g.doc_id, g.lang, g.text, gr.n_copies
+          FROM gated g JOIN groups gr ON md5(g.text) = gr.h AND g.doc_id = gr.keeper_id
+        ), ${sqlSigCtes("uniq")}, $sqlBandsCte,
+        cpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM cpairs
+          UNION SELECT doc_b, doc_a FROM cpairs
+        ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(src, dst) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ), losers AS (
+          SELECT src AS doc_id FROM reach GROUP BY src HAVING src != MIN(dst)
+        ), nd AS (
+          SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        ), pw AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM nd
+        ), wins AS (
+          SELECT doc_id,
+                 md5(array_to_string(ws[j*10+1 : j*10+20], ' ')) AS phash
+          FROM pw, UNNEST(range(0, CAST(floor((len(ws)-20)/10.0) AS BIGINT) + 1)) AS t(j)
+          WHERE len(ws) >= 20
+        ), pdup AS (
+          SELECT phash FROM wins GROUP BY phash HAVING COUNT(DISTINCT doc_id) > 1
+        ), pper AS (
+          SELECT doc_id, COUNT(*) AS n_shared
+          FROM wins JOIN pdup USING (phash) GROUP BY doc_id
+        ), pnw AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 20
+                      THEN CAST(floor((len(ws)-20)/10.0) AS BIGINT) + 1
+                      ELSE 0 END AS n_windows
+          FROM pw
+        ), pdrop AS (
+          SELECT pnw.doc_id FROM pnw LEFT JOIN pper USING (doc_id)
+          WHERE pnw.n_windows > 0
+            AND CAST(COALESCE(pper.n_shared, 0) AS DOUBLE) / pnw.n_windows >= 0.3
+        ), kept AS (
+          SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM pdrop)
+        ), evw AS (
+          SELECT string_split(text, ' ') AS ws FROM ev
+        ), evg AS (
+          SELECT DISTINCT unnest(${gramsSql("ws")}) AS gram FROM evw
+        ), uw AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM kept
+        ), ug AS (
+          SELECT doc_id, list_distinct(${gramsSql("ws")}) AS grams FROM uw
+        ), chits AS (
+          SELECT DISTINCT u.doc_id
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM ug) u
+          JOIN evg USING (gram)
+        )
+        SELECT doc_id, lang, n_copies FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM chits)
+        ORDER BY doc_id
+      """))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, lshBucketQ, nearDupQ,
-    curationQ,
+    curationQ, curationFuzzyQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)

@@ -1,45 +1,117 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-curation pipeline — the end-to-end operator a
   * training-data run actually executes, built entirely from this library's
   * own primitives in the canonical order:
   *
-  *  1. normalize ([[TextAnalysis.clean]]: control chars → space, collapse
-  *     runs, trim) — BEFORE dedup, so byte-level noise can't split
-  *     identical documents into distinct hash groups;
-  *  2. shape-gate ([[TextAnalysis.gopherQuality]]) — drop documents
-  *     failing the Gopher length/repetition gates;
-  *  3. exact-dedup ([[Dedup.exact]]) on the cleaned text — keep the
-  *     smallest id per content hash, carrying the group size;
-  *  4. decontaminate ([[TextAnalysis.decontaminate]]) — drop survivors
-  *     sharing 5-grams with the evaluation set.
+  *  1. normalize ([[cleanText]], the Column form of [[TextAnalysis.clean]]:
+  *     control chars → space, collapse runs, trim) — BEFORE dedup, so
+  *     byte-level noise can't split identical documents into distinct
+  *     hash groups;
+  *  2. shape-gate ([[passesGopher]], the Column form of
+  *     [[TextAnalysis.gopherQuality]]'s verdict) — drop documents failing
+  *     the Gopher length/repetition gates;
+  *  3. exact-dedup on the cleaned text — keep the smallest id per content
+  *     hash, carrying the group size;
+  *  4. ([[curateFuzzy]] only) MinHash→LSH→connected-components near-dedup
+  *     over the survivors, keeping each group's smallest id
+  *     ([[Dedup.lshCandidatePairs]] / [[Dedup.duplicateGroups]]);
+  *  5. ([[curateFuzzy]] only) passage-level dedup
+  *     ([[Dedup.duplicatePassages]]) — drop documents whose
+  *     duplicated-window coverage reaches `passageFracMax` (the doc-level
+  *     coverage policy from the RefinedWeb-style pipelines);
+  *  6. decontaminate — drop survivors sharing 5-grams with the evaluation
+  *     set (the broadcast-side check from [[TextAnalysis.decontaminate]]).
   *
   * Returns one row per SURVIVING document: (doc_id, lang, n_copies).
-  * Scale shape is the sum of its parts: two scan-speed passes, one
-  * digest-keyed shuffle, one broadcast join — nothing quadratic, nothing
-  * driver-side.
+  *
+  * Scale shape: stages 1-2 are per-row Columns on ONE frame (no self-joins
+  * — an earlier version joined `clean`'s and `gopherQuality`'s outputs
+  * back on doc_id, three avoidable full-corpus shuffles); stage 3 is the
+  * single corpus-wide shuffle — the keeper's (id, lang, text) ride the
+  * min(struct) aggregate, since doc_id is unique the struct min IS the
+  * smallest-id row, so no join-back either; stages 4-5 shuffle ids/hashes
+  * only and their drop sets come back as broadcast anti-joins; stage 6 is
+  * a broadcast join against the (small) eval grams with the contaminated
+  * ids anti-joined. Nothing quadratic, nothing driver-side.
   */
 object Curation {
 
-  def curate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val cleaned = TextAnalysis.clean(docs)
-      .select(col("doc_id"), col("text_clean").as("text"))
-      .join(docs.select("doc_id", "lang"), "doc_id")
-    val gated = cleaned.join(
-      TextAnalysis.gopherQuality(cleaned).select("doc_id", "passes_gopher"),
-      "doc_id")
-      .filter(col("passes_gopher"))
-      .select("doc_id", "lang", "text")
-    val unique = gated.join(
-      Dedup.exact(gated).select(col("keeper_id").as("doc_id"), col("n_copies")),
-      "doc_id")
-    TextAnalysis.decontaminate(
-      unique.select("doc_id", "lang", "text"), evalDocs)
-      .filter(!col("contaminated"))
-      .join(unique.select("doc_id", "n_copies"), "doc_id")
+  /** Column form of [[TextAnalysis.clean]]'s normalization. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
+
+  /** Column form of [[TextAnalysis.gopherQuality]]'s gate verdict over a
+    * pre-split word array (bind the split once — the interpreted HOF
+    * lambdas re-evaluate their input per element visit).
+    */
+  def passesGopher(ws: Column): Column = {
+    val nWords = size(ws)
+    val topFreq = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    nWords >= 50 && nWords <= 100000 &&
+      topFreq.cast("double") / nWords <= 0.2
+  }
+
+  /** Stages 1-3 fused: clean + gate as Columns, then the one hash-keyed
+    * shuffle whose min(struct) carries the keeper row and group size.
+    * Output: (doc_id, lang, text, n_copies), one row per keeper.
+    */
+  private def cleanGateDedup(docs: DataFrame): DataFrame =
+    graft.Tables.fanOut(docs)
+      .withColumn("text", cleanText(col("text")))
+      .withColumn("__ws", split(col("text"), " ", -1))
+      .filter(passesGopher(col("__ws")))
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("text"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.text").as("text"), col("n_copies"))
+
+  /** Decontaminate survivors in place: anti-join the ids that share any
+    * 5-gram with the (broadcast) eval gram set — same verdict as
+    * [[TextAnalysis.decontaminate]].filter(!contaminated), without
+    * re-deriving lang/n_copies through a corpus join.
+    */
+  private def dropContaminated(survivors: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val grams = array_distinct(
+      TextAnalysis.wordGrams(split(col("text"), " ", -1), 5))
+    val evalGrams = evalDocs.select(explode(grams).as("gram")).distinct()
+    val hitIds = graft.Tables.fanOut(survivors)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id").distinct()
+    survivors.join(hitIds, Seq("doc_id"), "left_anti")
+  }
+
+  def curate(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    dropContaminated(cleanGateDedup(docs), evalDocs)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+
+  /** The full fuzzy chain: [[curate]]'s stages plus MinHash-LSH near-dedup
+    * and passage-level dedup between exact-dedup and decontamination — the
+    * canonical "run this on your corpus" pass.
+    */
+  def curateFuzzy(docs: DataFrame, evalDocs: DataFrame,
+      passageFracMax: Double = 0.3): DataFrame = {
+    // pin the deduped survivors: duplicateGroups takes driver actions
+    // (its convergence/size checks), which splits the chain into separate
+    // jobs — without the checkpoint the clean+gate+dedup subtree would
+    // re-execute for the signature job, the passage job, and the final
+    // query (the semanticDedup convention for frames reused across jobs)
+    val unique = cleanGateDedup(docs).localCheckpoint()
+    val nearDupLosers = Dedup.duplicateGroups(
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
+      .filter(!col("is_keeper")).select("doc_id")
+    val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val passageDropIds = Dedup.duplicatePassages(nearDeduped)
+      .filter(col("shared_frac") >= passageFracMax).select("doc_id")
+    val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
+    dropContaminated(kept, evalDocs)
       .select(col("doc_id"), col("lang"), col("n_copies"))
   }
 }

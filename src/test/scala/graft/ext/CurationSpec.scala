@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("fused curate equals the unfused operator chain") {
+    val docs = Tables.documents(spark, sf)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val fused = Curation.curate(corpus, evalSet)
+    // the chain the fused form replaced: each stage's output joined back
+    val cleaned = TextAnalysis.clean(corpus)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .join(corpus.select("doc_id", "lang"), "doc_id")
+    val gated = cleaned.join(
+      TextAnalysis.gopherQuality(cleaned).select("doc_id", "passes_gopher"),
+      "doc_id").filter(col("passes_gopher")).select("doc_id", "lang", "text")
+    val unique = gated.join(
+      Dedup.exact(gated).select(col("keeper_id").as("doc_id"), col("n_copies")),
+      "doc_id")
+    val chained = TextAnalysis.decontaminate(
+      unique.select("doc_id", "lang", "text"), evalSet)
+      .filter(!col("contaminated"))
+      .join(unique.select("doc_id", "n_copies"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+    assert(fused.exceptAll(chained).count() === 0)
+    assert(chained.exceptAll(fused).count() === 0)
+  }
+
+  test("fused curate plan has one corpus-wide hash shuffle before the eval join") {
+    val docs = Tables.documents(spark, sf)
+    val fused = Curation.curate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+    fused.write.format("noop").mode("overwrite").save() // settle AQE
+    val plan = fused.queryExecution.executedPlan.toString
+    // the exact-dedup groupBy (keyed on the md5 grouping expression) is
+    // the one corpus-wide hash exchange; lang/n_copies ride columns, so
+    // the only doc_id-keyed shuffles left are the id-only contaminated-set
+    // distinct — never a join that re-partitions document text by doc_id
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.contains("_groupingexpression"), s"dedup shuffle missing:\n$plan")
+    assert(keys.toSet.subsetOf(Set("_groupingexpression", "doc_id", "gram")),
+      s"unexpected shuffle keys $keys:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus self-join crept back:\n$plan")
+  }
+
+  test("curateFuzzy drops near-dup tails and passage-covered docs the exact stage keeps") {
+    val docs = Tables.documents(spark, sf)
+    val nearText = "neardup core " + (1 to 60).map(i => s"ndword$i").mkString(" ")
+    val passText = (1 to 200).map(i => s"pgword$i").mkString(" ")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 71 === 0,
+          concat(lit(nearText), lit(" tail"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 67 === 0,
+            concat(lit(passText), lit(" "), col("text")))
+          .otherwise(col("text")))
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Curation.curate(corpus, evalSet).cache()
+    val fuzzy = Curation.curateFuzzy(corpus, evalSet).cache()
+    // fuzzy survivors ⊂ exact survivors (the added stages only drop)
+    assert(fuzzy.select("doc_id").exceptAll(exact.select("doc_id")).count() === 0)
+    // the near-dup class survives exact-dedup (distinct tails) but
+    // collapses to one keeper in the fuzzy pass
+    val nearIds = corpus.filter(col("doc_id") % 71 === 0 &&
+      col("doc_id") % 13 =!= 0).select("doc_id")
+    val exactNear = exact.join(nearIds, "doc_id").count()
+    val fuzzyNear = fuzzy.join(nearIds, "doc_id").count()
+    assert(exactNear > 1, s"near-dup dirt should survive exact stage: $exactNear")
+    assert(fuzzyNear < exactNear,
+      s"LSH stage should collapse near dups: $fuzzyNear vs $exactNear")
+    exact.unpersist(); fuzzy.unpersist()
+  }
+}

@@ -21,10 +21,21 @@ import org.apache.spark.sql.functions._
   * Plus the cel-spec standard string functions a power user hits first
   * (the reference exposes full CEL, so these are in its surface even if
   * its docs only show the inline-variable subset): `size(s)` (code-point
-  * count), `s.contains(sub)`, `s.startsWith(p)`, `s.endsWith(p)`, and
-  * `s.matches(re)` (UNANCHORED partial match, per the CEL spec — not
-  * Go's anchored regexp.MatchString). All evaluate null (→ filter false)
-  * when the receiver is missing, matching CEL's eval-error semantics.
+  * count; also list length, and in receiver form), `s.contains(sub)`,
+  * `s.startsWith(p)`, `s.endsWith(p)`, `s.split(sep)` (literal
+  * separator), and `s.matches(re)` (UNANCHORED partial match, per the CEL
+  * spec — not Go's anchored regexp.MatchString; patterns are validated
+  * against the RE2 subset at compile time, see [[validateMatchPattern]]).
+  * All evaluate null (→ filter false) when the receiver is missing,
+  * matching CEL's eval-error semantics.
+  *
+  * And the cel-spec comprehension macros over list values —
+  * `list.exists(x, p)`, `list.all(x, p)`, `list.filter(x, p)`,
+  * `list.map(x, e)` — each compiled 1:1 onto Spark's codegen'd
+  * higher-order functions (`exists`/`forall`/`filter`/`transform`) with
+  * the iteration variable bound as the lambda argument; all relational
+  * operators (ordering, equality, `in`) share one left-associative
+  * precedence level, as the cel-spec grammar associates them.
   *
   * Compiled once per subscription; evaluates as a single codegen'd
   * expression with `get_json_object` doing the per-row path lookup.
@@ -51,6 +62,10 @@ object CEL {
   final case class Call(name: String, receiver: Option[Expr], args: List[Expr]) extends Expr
   /** `[e1, e2, …]` — list literal, usable as the right side of `in`. */
   final case class LList(items: List[Expr]) extends Expr
+  /** Bare identifier — only meaningful as a comprehension-macro iteration
+    * variable (`list.exists(x, x > 1)`); unbound use rejects at compile.
+    */
+  final case class Ident(name: String) extends Expr
 
   // ==== Lexer ====
   sealed trait Tok
@@ -169,12 +184,12 @@ object CEL {
     private def prec(t: Tok): Int = t match {
       case TOp("*") | TOp("/") | TOp("%") => 60
       case TOp("+") | TOp("-") => 50
-      case TOp("<") | TOp("<=") | TOp(">") | TOp(">=") => 40
-      // cel-spec puts all relops (including `in` and equality) on ONE
-      // left-associative level; this grammar's split keeps C-style
-      // ordering for </== but places `in` WITH equality so mixed
-      // `a == b in [l]` chains associate left — ((a == b) in [l]) — as a
-      // conformant CEL parser does
+      // cel-spec puts ALL relops — ordering, equality, and `in` — on ONE
+      // left-associative level, so mixed chains like `a in [1,2] < b`
+      // parse as ((a in [1,2]) < b), exactly as a conformant CEL parser
+      // associates them (a C-style split level rejected that expression:
+      // the higher-binding `<` greedily consumed the list literal)
+      case TOp("<") | TOp("<=") | TOp(">") | TOp(">=") => 35
       case TIdent("in") => 35
       case TOp("==") | TOp("!=") => 35
       case TOp("&&") => 30
@@ -220,6 +235,8 @@ object CEL {
         next(); next()
         val args = parseArgs()
         Call(name, None, args)
+      // bare identifier: a macro iteration variable (checked at compile)
+      case TIdent(name) => next(); Ident(name)
       // list literal: [e1, e2, …]
       case TOp("[") =>
         next()
@@ -299,6 +316,16 @@ object CEL {
     case _ => false
   }
 
+  /** Statically list-typed subtree — the right side of `in`, a macro
+    * receiver, or a size() argument.
+    */
+  private def isListExpr(e: Expr): Boolean = e match {
+    case _: LList => true
+    case Call("filter" | "map" | "split", Some(_), _) => true
+    case Ternary(_, t, f) => isListExpr(t) && isListExpr(f)
+    case _ => false
+  }
+
   /** Statically int64-typed subtree (CEL's int64/uint64 arithmetic domain).
     * Drives integer-division semantics: CEL `/` on int64 truncates toward
     * zero (cel-spec int64_math conformance), not double division.
@@ -313,20 +340,30 @@ object CEL {
     case _ => false
   }
 
-  def toColumn(e: Expr): Column = e match {
+  def toColumn(e: Expr): Column = toColumn(e, Map.empty)
+
+  private def toColumn(e: Expr, env: Map[String, Column]): Column = e match {
     case v: VarRef => varColumn(v)
     case LInt(v) => lit(v)
     case LDouble(v) => lit(v)
     case LStr(s) => lit(s)
     case LBool(b) => lit(b)
-    case Un("!", x) => !toColumn(x)
-    case Un("-", x) => -toColumn(x)
+    case Ident(n) => env.getOrElse(n, throw new IllegalArgumentException(
+      s"CEL: unbound identifier '$n' (only macro iteration variables may appear bare)"))
+    case Un("!", x) => !toColumn(x, env)
+    case Un("-", x) => -toColumn(x, env)
     case Un(op, _) => throw new IllegalArgumentException(s"CEL: unknown unary $op")
     case Bin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
-      val (lc, rc) = (toColumn(l), toColumn(r))
+      val (lc, rc) = (toColumn(l, env), toColumn(r, env))
+      // a macro iteration variable's element type is unknown statically;
+      // pairing it with a string operand means concatenation (the list's
+      // elements are strings in any well-typed program)
+      def untyped(x: Expr): Boolean = x.isInstanceOf[Ident]
       op match {
         case "+" =>
-          if (isStringExpr(l) && isStringExpr(r)) concat(lc, rc)
+          if ((isStringExpr(l) || isStringExpr(r)) &&
+            (isStringExpr(l) || untyped(l)) && (isStringExpr(r) || untyped(r)))
+            concat(lc, rc)
           // cel-spec type-checks `string + number` to no_such_overload at
           // compile time; without this check Spark's implicit string→double
           // coercion would silently evaluate it
@@ -344,23 +381,28 @@ object CEL {
           else try_divide(lc, rc)
         case "%" => try_mod(lc, rc)
       }
-    case Bin("&&", l, r) => toColumn(l) && toColumn(r)
-    case Bin("||", l, r) => toColumn(l) || toColumn(r)
+    case Bin("&&", l, r) => toColumn(l, env) && toColumn(r, env)
+    case Bin("||", l, r) => toColumn(l, env) || toColumn(r, env)
     case Bin("in", l, LList(items)) =>
       // cel-spec membership: `e in [a, b, …]`. array_contains over the
       // literal array; a null needle (missing var) yields null → filter
       // false, CEL's eval-error path.
       if (items.isEmpty) lit(false)
-      else array_contains(array(items.map(toColumn): _*), toColumn(l))
+      else array_contains(array(items.map(toColumn(_, env)): _*), toColumn(l, env))
+    case Bin("in", l, r) if isListExpr(r) =>
+      // membership over a computed list (split/filter/map result)
+      array_contains(toColumn(r, env), toColumn(l, env))
     case Bin("in", _, r) => throw new IllegalArgumentException(
-      s"CEL: right side of 'in' must be a list literal, got $r")
-    case LList(_) => throw new IllegalArgumentException(
-      "CEL: list literal is only supported as the right side of 'in'")
+      s"CEL: right side of 'in' must be a list, got $r")
+    case LList(items) =>
+      // first-class list value: macro receiver, size() argument, …
+      array(items.map(toColumn(_, env)): _*)
     case Bin(op, l, r) =>
       // comparisons: numeric context if either side is numeric
       val (lc, rc) =
-        if (isNumeric(l) || isNumeric(r)) (toColumn(l).try_cast("double"), toColumn(r).try_cast("double"))
-        else (toColumn(l), toColumn(r))
+        if (isNumeric(l) || isNumeric(r))
+          (toColumn(l, env).try_cast("double"), toColumn(r, env).try_cast("double"))
+        else (toColumn(l, env), toColumn(r, env))
       op match {
         case "==" => lc === rc
         case "!=" => lc =!= rc
@@ -370,8 +412,9 @@ object CEL {
         case ">=" => lc >= rc
         case other => throw new IllegalArgumentException(s"CEL: unknown operator $other")
       }
-    case Ternary(c, t, f) => when(toColumn(c), toColumn(t)).otherwise(toColumn(f))
-    case Call(name, recv, args) => callColumn(name, recv, args)
+    case Ternary(c, t, f) =>
+      when(toColumn(c, env), toColumn(t, env)).otherwise(toColumn(f, env))
+    case Call(name, recv, args) => callColumn(name, recv, args, env)
   }
 
   /** cel-spec standard functions (string extensions subset). `size` is the
@@ -381,7 +424,8 @@ object CEL {
     * exactly Spark's `rlike`. A null receiver/argument propagates null,
     * which [[compile]] coalesces to filter-false — CEL's eval-error path.
     */
-  private def callColumn(name: String, recv: Option[Expr], args: List[Expr]): Column = {
+  private def callColumn(name: String, recv: Option[Expr], args: List[Expr],
+      env: Map[String, Column]): Column = {
     def arity(n: Int): Unit = require(args.length == n,
       s"CEL: $name() takes $n argument(s), got ${args.length}")
     (name, recv) match {
@@ -397,19 +441,165 @@ object CEL {
           case other => throw new IllegalArgumentException(
             s"CEL: has() requires a variable argument, got $other")
         }
+      // cel-spec comprehension macros over list values: recv.exists(x, p),
+      // recv.all(x, p), recv.filter(x, p), recv.map(x, e). Each maps 1:1
+      // onto Spark's codegen'd higher-order functions with the iteration
+      // variable bound as the lambda argument.
+      case ("exists" | "all" | "filter" | "map", Some(r)) =>
+        arity(2)
+        val (v, body) = args match {
+          case List(Ident(x), b) => (x, b)
+          case _ => throw new IllegalArgumentException(
+            s"CEL: $name(x, e) requires a bare identifier as the iteration variable")
+        }
+        val list = toColumn(r, env)
+        def bodyCol(x: Column): Column = toColumn(body, env + (v -> x))
+        name match {
+          case "exists" => exists(list, bodyCol)
+          case "all" => forall(list, bodyCol)
+          case "filter" => filter(list, (x: Column) => bodyCol(x))
+          case "map" => transform(list, (x: Column) => bodyCol(x))
+        }
+      case ("split", Some(r)) =>
+        // cel string-extension split: LITERAL separator (quoted before it
+        // reaches Spark's regex-based split), keeping empty segments like
+        // the spec; the separator must be a literal so the quoting happens
+        // at compile time
+        arity(1)
+        args.head match {
+          case LStr(sep) =>
+            split(toColumn(r, env), java.util.regex.Pattern.quote(sep), -1)
+          case other => throw new IllegalArgumentException(
+            s"CEL: split() separator must be a string literal, got $other")
+        }
       case ("size", None) =>
-        arity(1); length(toColumn(args.head)).cast("bigint")
+        arity(1)
+        if (isListExpr(args.head)) size(toColumn(args.head, env)).cast("bigint")
+        else length(toColumn(args.head, env)).cast("bigint")
+      case ("size", Some(r)) =>
+        // receiver form: s.size() / list.size()
+        arity(0)
+        if (isListExpr(r)) size(toColumn(r, env)).cast("bigint")
+        else length(toColumn(r, env)).cast("bigint")
       case ("contains", Some(r)) =>
-        arity(1); toColumn(r).contains(toColumn(args.head))
+        arity(1); toColumn(r, env).contains(toColumn(args.head, env))
       case ("startsWith", Some(r)) =>
-        arity(1); toColumn(r).startsWith(toColumn(args.head))
+        arity(1); toColumn(r, env).startsWith(toColumn(args.head, env))
       case ("endsWith", Some(r)) =>
-        arity(1); toColumn(r).endsWith(toColumn(args.head))
+        arity(1); toColumn(r, env).endsWith(toColumn(args.head, env))
       case ("matches", Some(r)) =>
-        arity(1); regexp_like(toColumn(r), toColumn(args.head))
+        arity(1)
+        args.head match {
+          case LStr(p) => validateMatchPattern(p)
+          case other => throw new IllegalArgumentException(
+            // filters are untrusted and compiled once driver-side; a
+            // computed pattern can't be pre-validated against the RE2
+            // subset, so it is rejected at create time (see
+            // validateMatchPattern's notes)
+            s"CEL: matches() pattern must be a string literal, got $other")
+        }
+        regexp_like(toColumn(r, env), toColumn(args.head, env))
       case _ =>
         throw new IllegalArgumentException(
           s"CEL: unsupported function '$name' (receiver: ${recv.isDefined})")
+    }
+  }
+
+  /** Driver-side guard for matches() patterns — runs once at compile()
+    * (subscription create), never per row. The cel-spec pins matches() to
+    * RE2 semantics: linear-time, no lookaround, no backreferences (and the
+    * reference's Go stack gets this for free from regexp/RE2). Spark's
+    * regexp_like evaluates on java.util.regex — a backtracking engine that
+    * silently ACCEPTS Java-only constructs and goes exponential on
+    * patterns RE2 runs in linear time. So, at create time:
+    *   - the pattern must compile (syntax errors fail subscription
+    *     creation, not every row on the executors);
+    *   - Java-only constructs RE2 rejects are rejected here too:
+    *     lookahead/lookbehind, atomic groups, possessive quantifiers,
+    *     backreferences;
+    *   - nested unbounded quantifiers ((a+)+, (a*)*, (x{2,})* …) are
+    *     rejected: valid RE2, but the canonical catastrophic-backtracking
+    *     fuel on Java's engine — the '(a+)+$' DoS a hostile subscription
+    *     filter could plant.
+    * Ambiguous quantified alternations ((a|aa)+) are NOT detected —
+    * guaranteeing linear time for every accepted pattern needs an actual
+    * RE2 engine, which the dependency set doesn't include; this guard
+    * closes the conformance gap and the canonical DoS shapes.
+    */
+  private[cel] def validateMatchPattern(p: String): Unit = {
+    try java.util.regex.Pattern.compile(p) catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(
+          s"CEL: matches() pattern does not compile: ${e.getMessage}")
+    }
+    def bad(what: String): Nothing = throw new IllegalArgumentException(
+      s"CEL: matches() pattern uses $what, outside the RE2 subset CEL specifies")
+    val n = p.length
+    // per open group: did its body contain an unbounded quantifier?
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var cur = false
+    var inClass = false
+    var i = 0
+    // end index (exclusive) of an UNBOUNDED quantifier at j, else -1
+    def unboundedAt(j: Int): Int =
+      if (j >= n) -1
+      else p(j) match {
+        case '*' | '+' => j + 1
+        case '{' =>
+          val close = p.indexOf('}', j)
+          if (close < 0) -1
+          else if (p.substring(j + 1, close).endsWith(",")) close + 1 // {m,}
+          else -1
+        case _ => -1
+      }
+    // end index of ANY quantifier at j (incl. bounded/optional), else -1
+    def quantAt(j: Int): Int =
+      if (j >= n) -1
+      else p(j) match {
+        case '*' | '+' | '?' => j + 1
+        case '{' =>
+          val close = p.indexOf('}', j)
+          if (close < 0) -1 else close + 1
+        case _ => -1
+      }
+    while (i < n) {
+      val c = p(i)
+      if (inClass) {
+        if (c == '\\') i += 2
+        else { if (c == ']') inClass = false; i += 1 }
+      } else if (c == '\\') {
+        if (i + 1 < n && p(i + 1).isDigit) bad("a backreference")
+        if (i + 1 < n && p(i + 1) == 'k') bad("a named backreference")
+        i += 2
+      } else c match {
+        case '[' => inClass = true; i += 1
+        case '(' =>
+          if (p.startsWith("(?=", i) || p.startsWith("(?!", i)) bad("lookahead")
+          if (p.startsWith("(?<=", i) || p.startsWith("(?<!", i)) bad("lookbehind")
+          if (p.startsWith("(?>", i)) bad("an atomic group")
+          stack += cur; cur = false; i += 1
+        case ')' =>
+          val bodyUnbounded = cur
+          cur = if (stack.nonEmpty) stack.remove(stack.size - 1) else false
+          val uEnd = unboundedAt(i + 1)
+          val qEnd = quantAt(i + 1)
+          if (qEnd >= 0 && qEnd < n && p(qEnd) == '+')
+            bad("a possessive quantifier")
+          if (uEnd >= 0 && bodyUnbounded)
+            bad("nested unbounded quantifiers (catastrophic backtracking)")
+          // a quantified group taints the enclosing scope, as does a body
+          // whose own taint now sits one level up
+          if (bodyUnbounded || uEnd >= 0) cur = true
+          i = if (qEnd >= 0) qEnd else i + 1
+        case '*' | '+' | '?' | '{' =>
+          val uEnd = unboundedAt(i)
+          val qEnd = quantAt(i)
+          if (qEnd >= 0 && qEnd < n && p(qEnd) == '+')
+            bad("a possessive quantifier")
+          if (uEnd >= 0) cur = true
+          i = if (qEnd >= 0) qEnd else i + 1
+        case _ => i += 1
+      }
     }
   }
 }

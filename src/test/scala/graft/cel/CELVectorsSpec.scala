@@ -164,6 +164,79 @@ class CELVectorsSpec extends SparkSpec {
       "$missing.(string) in ['a']" -> false)     // missing => filter false
   }
 
+  test("comprehension macros exists/all/filter/map (cel-spec macros)") {
+    // vectors from the cel-spec simple conformance suite's macro
+    // categories, over list literals and split results
+    vectors(
+      "[1, 2, 3].exists(x, x == 2)" -> true,
+      "[1, 2, 3].exists(x, x > 5)" -> false,
+      "[].exists(x, x == 1)" -> false,
+      "[1, 2, 3].all(x, x > 0)" -> true,
+      "[1, 2, 3].all(x, x > 1)" -> false,
+      "[].all(x, x > 0)" -> true,               // vacuous truth
+      "size([1, 2, 3].filter(x, x > 1)) == 2" -> true,
+      "[1, 2, 3].filter(x, x > 9).size() == 0" -> true,
+      "[1, 2, 3].map(x, x * 2).exists(x, x == 6)" -> true,
+      "4 in [1, 2, 3].map(x, x + 1)" -> true,
+      "[1, 2, 3].exists(x, $k.(int64) % x == 0)" -> true, // k = 12
+      "['ab', 'c'].exists(s, s.size() == 2)" -> true,
+      "['ab', 'c'].map(s, s + '!').all(s, s.endsWith('!'))" -> true,
+      // nesting: inner macro sees both iteration variables
+      "[1, 2].exists(a, [2, 3].exists(b, a == b))" -> true,
+      "[1, 4].exists(a, [2, 3].exists(b, a == b))" -> false)
+    // unbound identifier rejects at compile, not at eval
+    intercept[IllegalArgumentException] { CEL.compile("x > 1") }
+    intercept[IllegalArgumentException] {
+      CEL.compile("[1].exists(x, y == 1)")
+    }
+  }
+
+  test("split (cel string extension) composes with macros and size") {
+    vectors(
+      "'a,b,c'.split(',').size() == 3" -> true,
+      "'a,b,c'.split(',').exists(s, s == 'b')" -> true,
+      "'b' in 'a,b,c'.split(',')" -> true,
+      "'a..b'.split('.').size() == 3" -> true, // literal dot, not regex any
+      "'a,,b'.split(',').exists(s, s == '')" -> true, // empties kept
+      "$s.(string).split('b').size() == 2" -> true)   // s = "abc"
+  }
+
+  test("relational operators share one left-associative level (cel-spec syntax)") {
+    vectors(
+      // `in` then `<`: ((2 in [1,2]) < true) — unparseable when `<` bound
+      // tighter than `in`, since `<` would consume the list literal
+      "(2 in [1, 2]) != false" -> true,
+      "2 in [1, 2] == true" -> true,
+      "1 < 2 == true" -> true,    // (1 < 2) == true
+      "true == 1 < 2" -> true)    // (true == 1) … left-assoc: (true==1)<2
+  }
+
+  test("matches() rejects non-RE2 and catastrophic patterns at compile (ADVICE r6)") {
+    // accepted: plain RE2-safe patterns still work per-row
+    vectors(
+      "'hubba'.matches('hu(b)+a')" -> true,
+      "'x42'.matches('^x[0-9]{1,3}$')" -> true,
+      "'aaa'.matches('(a|b)+')" -> true)
+    // rejected at COMPILE time (subscription create), never per-row
+    def rejects(pattern: String): Unit =
+      intercept[IllegalArgumentException] {
+        CEL.compile(s"$$s.(string).matches('$pattern')")
+      }
+    rejects("(a+)+$")        // the canonical catastrophic-backtracking DoS
+    rejects("(a*)*")
+    rejects("(a{2,})+")
+    rejects("(?=x)a")        // lookahead
+    rejects("(?!x)a")
+    rejects("(?<=x)a")       // lookbehind
+    rejects("(a)\\\\1")      // backreference
+    rejects("a*+")           // possessive quantifier
+    rejects("(ab")           // syntax error fails create, not eval
+    // dynamic patterns can't be pre-validated -> create-time reject
+    intercept[IllegalArgumentException] {
+      CEL.compile("$s.(string).matches($s.(string))")
+    }
+  }
+
   test("typed variables over the data body with lenient coercions (cel.go:198-275)") {
     vectors(
       "$k.(int64) == 12" -> true,

@@ -821,6 +821,72 @@ object ExtQueries {
       FROM documents ORDER BY doc_id
     """))
 
+  /** Real subword counts through the REAL greedy-merge BPE kernel
+    * (graft.functions.BpeTokens). The oracle replays the ALGORITHM, not a
+    * precomputed answer: per word, a recursive CTE starts from the
+    * character symbols and each recursion step (a) finds the lowest-ranked
+    * adjacent pair present — `list_filter` over the SAME rank-ordered
+    * merge table the kernel compiles in, first hit = lowest rank — and
+    * (b) fuses all its occurrences left-to-right. Symbols ride a
+    * chr(31)-delimited string (each symbol wrapped in separators, so a
+    * pair pattern can only match at a symbol boundary), where one
+    * `replace()` IS the reference algorithm's single left-to-right
+    * merge-all pass: both scan forward and never re-merge output within a
+    * round. A pass means an independent engine reproduces every merge
+    * decision and the final piece counts.
+    */
+  private val tokensBpeQ = {
+    val mergesSql = graft.functions.BpeTokens.merges
+      .map { case (l, r) => s"{'l': '$l', 'r': '$r'}" }
+      .mkString("[", ", ", "]")
+    val U = "chr(31)"
+    // pattern for pair (m.l, m.r) and its merged replacement
+    val pairPat = s"$U || m.l || $U || $U || m.r || $U"
+    val bestPat = s"$U || best.l || $U || $U || best.r || $U"
+    val bestRep = s"$U || best.l || best.r || $U"
+    Q(
+      "text_tokens_bpe",
+      (s, d) => TextAnalysis.bpeTokenCounts(Tables.documents(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, t.i AS wid, string_split(text, ' ')[t.i] AS word
+          FROM documents,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+        ), init AS (
+          SELECT doc_id, wid,
+                 CASE WHEN length(word) = 0 THEN ''
+                      ELSE $U || array_to_string(
+                        list_transform(range(1, length(word) + 1), i -> word[i]),
+                        $U || $U) || $U END AS s
+          FROM w
+        ), bpe AS (
+          SELECT doc_id, wid, s, false AS done FROM init
+          UNION ALL
+          SELECT doc_id, wid,
+                 CASE WHEN best IS NULL THEN s
+                      ELSE replace(s, $bestPat, $bestRep) END AS s,
+                 best IS NULL AS done
+          FROM (
+            SELECT doc_id, wid, s,
+                   list_filter($mergesSql,
+                     m -> contains(s, $pairPat))[1] AS best
+            FROM bpe WHERE NOT done
+          ) t
+        ), counts AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s = '' THEN 0
+                          ELSE len(string_split(s, $U || $U)) END) AS BIGINT)
+                   AS bpe_tokens
+          FROM bpe WHERE done GROUP BY doc_id
+        )
+        SELECT d.doc_id, len(string_split(d.text, ' ')) AS ws_tokens,
+               c.bpe_tokens
+        FROM documents d JOIN counts c USING (doc_id)
+        ORDER BY d.doc_id
+      """))
+  }
+
   private val fingerprintQ = Q(
     "text_fingerprint",
     (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id")),
@@ -1684,5 +1750,5 @@ object ExtQueries {
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
-    approxDistinctQ, tokensQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
+    approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
 }

@@ -633,3 +633,119 @@ object PqAdcExpr {
     ExpressionUtils.column(
       PqAdcExpr(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), k))
 }
+
+/** Character-level greedy-merge BPE (Sennrich et al. 2016, public paper;
+  * the merge loop is the GPT-2 reference algorithm, also public): start
+  * from a word's code points, repeatedly find the LOWEST-ranked adjacent
+  * symbol pair in the merge table and fuse all of its occurrences
+  * left-to-right, until no listed pair remains. The merge table is a
+  * deterministic fixture in merge-rank order (a real deployment loads a
+  * trained merges.txt; the algorithm is identical), shared verbatim with
+  * the DuckDB oracle so both engines replay the same merges.
+  */
+object BpeUtil {
+
+  /** Merge rules in rank order (rank = index) — common English letter
+    * pairs in the shape a trained Sennrich merges table has.
+    */
+  val Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "e" -> "n", "a" -> "t", "o" -> "r",
+    "e" -> "s", "s" -> "t", "a" -> "r", "t" -> "e", "an" -> "d",
+    "in" -> "g", "o" -> "u", "i" -> "t", "o" -> "f", "i" -> "s",
+    "a" -> "l", "e" -> "d", "l" -> "l", "o" -> "o", "w" -> "h",
+    "c" -> "o", "f" -> "o", "u" -> "r", "p" -> "r", "m" -> "a",
+    "d" -> "e", "v" -> "e")
+
+  private val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    Merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
+    m
+  }
+
+  /** Per-thread word→pieceCount cache (the GPT-2 implementation's `cache`
+    * dict): natural-language corpora repeat words heavily, so most rows
+    * skip the merge loop entirely. Bounded — cleared past 50k entries —
+    * so a high-cardinality corpus can't grow executor heap unboundedly.
+    */
+  private val cache: ThreadLocal[java.util.HashMap[String, Integer]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
+
+  def pieceCount(word: String): Int = {
+    if (word.isEmpty) return 0
+    val c = cache.get()
+    val hit = c.get(word)
+    if (hit != null) return hit.intValue()
+    var syms: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var merging = true
+    while (merging && syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) merging = false
+      else {
+        val (l, rr) = Merges(best)
+        // fuse ALL occurrences of the best pair, one left-to-right pass
+        // over the current symbols (merged output does not re-merge this
+        // round — the reference algorithm's single-pass semantics)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
+            out += (l + rr); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    if (c.size() > 50000) c.clear()
+    c.put(word, Integer.valueOf(syms.length))
+    syms.length
+  }
+
+  /** Total BPE piece count over a word array — the per-document subword
+    * budget [[graft.ext.TextAnalysis.packSequences]] can pack by.
+    */
+  def tokenCount(words: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (!words.isNullAt(i))
+        total += pieceCount(words.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+}
+
+/** bpe_tokens(words): total greedy-merge BPE piece count of an
+  * array<string> column — one codegen'd static call per row.
+  */
+case class BpeTokensExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(a: Any): Any =
+    BpeUtil.tokenCount(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.BpeUtil.tokenCount($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+    copy(child = newChild)
+}
+
+object BpeTokensExpr {
+  def column(words: Column): Column =
+    ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(words)))
+}

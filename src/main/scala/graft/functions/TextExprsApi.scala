@@ -77,3 +77,14 @@ object PqAdc {
   def apply(codes: Column, lut: Column, k: Int): Column =
     org.apache.spark.sql.graftexpr.PqAdcExpr.column(codes, lut, k)
 }
+
+object BpeTokens {
+  /** Total character-level greedy-merge BPE piece count of an
+    * array<string> column (deterministic fixture merge table,
+    * [[org.apache.spark.sql.graftexpr.BpeUtil.Merges]]).
+    */
+  val merges: Seq[(String, String)] =
+    org.apache.spark.sql.graftexpr.BpeUtil.Merges
+  def apply(words: Column): Column =
+    org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words)
+}

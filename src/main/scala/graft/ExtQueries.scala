@@ -1157,6 +1157,76 @@ object ExtQueries {
       ORDER BY g.doc_id
     """))
 
+  /** Bloom decontamination through the REAL TextAnalysis.decontaminateBloom
+    * (same dirt as text_decontaminate). The oracle replays the SEEDED
+    * double hashing exactly — h1/h2 from disjoint md5 hex halves, k probe
+    * positions per gram — and declares a corpus gram a Bloom hit iff ALL
+    * k of its positions fall in the set of positions any eval gram set
+    * (bit-set semantics, expressed relationally). A pass means the whole
+    * deterministic filter — including any false positives — reproduces in
+    * an independent engine.
+    */
+  private val decontaminateBloomQ = {
+    val m = 1 << 20
+    val k = 5
+    def sqlH1(g: String) = s"CAST(('0x' || substr(md5($g), 1, 15)) AS BIGINT) % $m"
+    def sqlH2(g: String) = s"(CAST(('0x' || substr(md5($g), 16, 15)) AS BIGINT) % $m) * 2 + 1"
+    Q(
+      "text_decontaminate_bloom",
+      (s, d) => {
+        val canary = concat(col("text"), lit(" shared benchmark passage variant "),
+          (col("doc_id") % 2).cast("string"), lit(" alpha beta gamma delta epsilon"))
+        val dirty = Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0, canary)
+            .otherwise(col("text")))
+        TextAnalysis.decontaminateBloom(
+          dirty.filter(col("doc_id") % 97 =!= 0),
+          dirty.filter(col("doc_id") % 97 === 0), n = 5, mBits = m, k = k)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+      WITH dirty AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+                 THEN text || ' shared benchmark passage variant '
+                      || CAST(doc_id % 2 AS VARCHAR)
+                      || ' alpha beta gamma delta epsilon'
+                 ELSE text END AS text
+        FROM documents
+      ), w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM dirty
+      ), g AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4])) AS grams
+        FROM w
+      ), evp AS (
+        SELECT DISTINCT (${sqlH1("gram")} + t.i * (${sqlH2("gram")})) % $m AS pos
+        FROM (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+             UNNEST(range(0, $k)) t(i)
+      ), cg AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0
+      ), cpos AS (
+        SELECT doc_id, gram, t.i,
+               (${sqlH1("gram")} + t.i * (${sqlH2("gram")})) % $m AS pos
+        FROM cg, UNNEST(range(0, $k)) t(i)
+      ), hitg AS (
+        SELECT doc_id, gram
+        FROM cpos JOIN evp USING (pos)
+        GROUP BY doc_id, gram
+        HAVING COUNT(DISTINCT i) = $k
+      ), hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits FROM hitg GROUP BY doc_id
+      )
+      SELECT g.doc_id, g.lang, COALESCE(h.n_hits, 0) AS n_hits,
+             COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM g LEFT JOIN hits h USING (doc_id)
+      WHERE g.doc_id % 97 != 0
+      ORDER BY g.doc_id
+    """))
+  }
+
   /** Corpus TF-IDF top terms through the REAL TextAnalysis.tfIdfTopTerms;
     * the log-free score (tf·N/df, one double division) makes the weights
     * bit-identical across engines.
@@ -1749,6 +1819,6 @@ object ExtQueries {
     bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
-    decontaminateQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
+    decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
 }

@@ -380,6 +380,65 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Bloom-filter decontamination — the large-eval-set variant of
+    * [[decontaminate]]. The exact path broadcasts the eval n-gram set,
+    * which outgrows a broadcast once the held-out corpus does; here the
+    * eval side folds into a FIXED-SIZE Bloom bitmap (`mBits` bits, `k`
+    * probes per gram) and the corpus side tests its grams against the
+    * bitmap INSIDE the scan — a `filter`+`size` higher-order function
+    * over the per-doc gram array: no explode, no join, no corpus shuffle
+    * at all (the physical plan is scan→project).
+    *
+    * Hashing is seeded double hashing both engines replay exactly:
+    * h1 = md5 hex chars [1,15] as int mod m, h2 = 2·(hex chars [16,15]
+    * mod m)+1 (odd step), probe_i = (h1 + i·h2) mod m. The eval pass is
+    * one bounded aggregation — ≤ mBits/64 bitmap words regardless of eval
+    * size — and the assembled bitmap (128 KiB at the 2^20-bit default)
+    * ships to executors as a plan literal, the Bloom analogue of a
+    * broadcast. False positives are possible and DETERMINISTIC given
+    * (seeds, mBits, k) — FPR ≈ (1−e^(−k·n/m))^k, ~1e-4 at n=35k eval
+    * grams with the defaults; false negatives are impossible, so nothing
+    * contaminated ever slips through.
+    */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val gramsCol = array_distinct(wordGrams(split(col("text"), " ", -1), n))
+    def h1(hex: Column): Column =
+      conv(substring(hex, 1, 15), 16, 10).cast("bigint") % mBits
+    def h2(hex: Column): Column =
+      conv(substring(hex, 16, 15), 16, 10).cast("bigint") % mBits * 2 + 1
+    def probe(hex: Column, i: Column): Column = (h1(hex) + i * h2(hex)) % mBits
+    // eval build: distinct grams → k probe positions → ≤ mBits/64 bitmap
+    // words via one bounded aggregation; the driver only assembles the
+    // fixed-size long[] (the same role a broadcast build plays)
+    val wordRows = evalDocs
+      .select(explode(gramsCol).as("gram")).distinct()
+      .select(md5(col("gram")).as("hx"))
+      .select(explode(transform(sequence(lit(0), lit(k - 1)),
+        i => probe(col("hx"), i.cast("bigint")))).as("pos"))
+      .distinct()
+      .groupBy(shiftright(col("pos"), 6).as("w"))
+      .agg(bit_or(
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")))
+        .as("bits"))
+      .collect()
+    val bitmap = new Array[Long](mBits / 64)
+    wordRows.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+    val wl = lit(bitmap)
+    def bitSet(pos: Column): Column =
+      element_at(wl, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
+    def bloomHit(hex: Column): Column =
+      (0 until k).map(i => bitSet(probe(hex, lit(i.toLong)))).reduce(_ && _)
+    val nHits = size(filter(col("__hx"), hx => bloomHit(hx)))
+    graft.Tables.fanOut(docs)
+      .withColumn("__hx", transform(gramsCol, g => md5(g)))
+      .select(col("doc_id"), col("lang"),
+        nHits.cast("bigint").as("n_hits"),
+        (nHits > 0).as("contaminated"))
+  }
+
   /** Corpus-level TF-IDF top terms: for each document, the k terms with
     * the highest tf·(N/df) weight. The idf is spelled WITHOUT a logarithm
     * (score = tf·N/df as one double division) so independent engines agree

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
@@ -230,5 +230,27 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3: cherry tf=2 df=2 → 3.0 beats common tf=1 df=3 → 1.0
     assert(out(4).getString(2) === "cherry" && out(4).getDouble(3) === 3.0)
     assert(out(5).getString(2) === "common" && out(5).getDouble(3) === 1.0)
+  }
+
+  test("decontaminateBloom: no false negatives vs exact; corpus side never shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val eval5 = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val exact = TextAnalysis.decontaminate(corpus, eval5)
+      .select(col("doc_id"), col("contaminated").as("exact_c"))
+    val bloom = TextAnalysis.decontaminateBloom(corpus, eval5)
+      .select(col("doc_id"), col("contaminated").as("bloom_c"))
+    val joined = exact.join(bloom, "doc_id").cache()
+    // Bloom never misses: everything the exact check flags, it flags
+    assert(joined.filter(col("exact_c") && !col("bloom_c")).count() === 0)
+    // and at 2^20 bits / 5 probes the FP count on this corpus is zero
+    assert(joined.filter(col("bloom_c") && !col("exact_c")).count() === 0)
+    joined.unpersist()
+    // corpus side is scan→project: no hash shuffle, no join — the only
+    // allowed exchange is fanOut's round-robin parallelism spread
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bloom corpus side hash-shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"bloom corpus side joined:\n$plan")
   }
 }

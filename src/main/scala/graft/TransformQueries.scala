@@ -444,8 +444,48 @@ object TransformQueries {
       ) ORDER BY event_id, sub
     """))
 
+  /** No-template re-serialize (transformer.go:99-108): a transformer with
+    * defines+actions but NO template emits the MUTATED data re-rendered as
+    * the body. The data body is enriched with nested structure so the
+    * round-trip is observable: array deletion, nested in-place string
+    * mutation, appended members — preserved member order and value types
+    * all sit under the hash (the last §2.4-2.6 row without an oracle,
+    * VERDICT r6 #7).
+    */
+  private val templateNone = Q(
+    "template_none",
+    (s, d) => {
+      val k = get_json_object(col("data"), "$.k")
+      val view = EventView.fromEventsTable(events(s, d))
+        .withColumn("data", concat(
+          lit("{\"k\": "), k,
+          lit(", \"tags\": [\"a\", \"b\"], \"nested\": {\"s\": \"x"), k,
+          lit("\"}}")))
+      val spec = """{
+        "define": {"kv": "$.data.k"},
+        "pipeline": [
+          {"command": ["delete", "$.data.tags"]},
+          {"command": ["upper_case", "$.data.nested.s"]},
+          {"command": ["create", "$.data.note", "ok"]},
+          {"command": ["math_add", "$.data.k2", "$.data.k", 10]}
+        ]
+      }"""
+      TransformRunner(view, spec)
+        .select(col("sequence_number").as("event_id"), col("body"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             '{"k":' || json_extract_string(props, '$.k')
+               || ',"nested":{"s":"X' || json_extract_string(props, '$.k')
+               || '"},"note":"ok","k2":'
+               || (CAST(json_extract_string(props, '$.k') AS BIGINT) + 10)
+               || '}' AS body
+      FROM events ORDER BY event_id
+    """))
+
   val all: Seq[Q] = Seq(structPipeline, templateJson, templateText, templateSniff,
-    debezium,
+    templateNone, debezium,
     mathQ, datetimeQ, caseQ, affixQ, joinQ, replaceQ, spliceQ, delimsQ, checkQ,
     conditionQ, lengthQ, splitQ, splitPosQ, foreachQ, renderQ, unfoldQ)
 }

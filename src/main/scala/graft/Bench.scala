@@ -109,8 +109,13 @@ object Bench {
     // block caps, salted two-stage cuts, hash-keyed passage blocks):
     // 26× (the ScaleData rotation cap) separates "sublinear because the
     // caps bound the work" from "sublinear because fixed overhead dominates
-    // at sf0.1". Disable with SPARK_GRAFT_SCALE26=1 (or 0).
-    val factor26 = sys.env.getOrElse("SPARK_GRAFT_SCALE26", "26").toInt
+    // at sf0.1". Disable with SPARK_GRAFT_SCALE26=1 (or 0) — and the
+    // documented SPARK_GRAFT_SCALE=1 kill-switch disables ALL scale
+    // benching, this section included (ADVICE r6: a run setting only the
+    // documented knob must not pay 26× synthesis)
+    val factor26 =
+      if (factor <= 1) 1
+      else sys.env.getOrElse("SPARK_GRAFT_SCALE26", "26").toInt
     val cappedSet = Seq(
       "dedup_ngram_jaccard", "dedup_embedding_neardup", "dedup_passages",
       "sim_int8_topk", "sim_pq_topk", "sim_ivfpq_topk",

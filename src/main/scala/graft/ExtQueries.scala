@@ -1281,15 +1281,18 @@ object ExtQueries {
 
   /** Approx-distinct (HLL) — SURVEY §7.7's approx_count_distinct promise.
     * The HLL sketch value itself is engine-specific (Spark vs DuckDB use
-    * different registers), so the oracle-able contract is the error BOUND.
-    * Spark's default rsd=0.05 is a relative STANDARD DEVIATION, not a hard
-    * bound — a correct sketch can legitimately exceed 5% at some
-    * cardinalities — so the gate is 3×rsd (=15%): tight enough that a
-    * systematically-off sketch (10-15% bias, zeroed, overflowed) flips
-    * `approx_ok` and hash-mismatches. No flake risk despite rsd being a
-    * std-dev: the sketch is seedless/deterministic, so for the fixed
-    * driver corpus the observed error is a constant (verified ≤ the gate
-    * at sf0.01 and sf0.001).
+    * different registers), so the oracle-able contract is the error BOUND,
+    * and the bound is CARDINALITY-AWARE (VERDICT r6 #3 — a flat 3×rsd
+    * gate would pass a sketch that's systematically 10-15% off): in the
+    * low-cardinality regime (n ≤ 2·512 registers at the default
+    * rsd=0.05), the estimator's linear-counting branch is near-exact —
+    * measured 0.67% at sf0.01, 0% at sf0.001 — so the gate there is
+    * max(2%, 2 absolute), which a biased/zeroed/overflowed sketch flips
+    * immediately. Past that regime the raw-HLL rsd applies (measured
+    * 6.67% at sf0.1's 1500 users/type) and 3×rsd (15%) is the honest
+    * contract for a relative STANDARD DEVIATION. No flake risk: the
+    * sketch is seedless/deterministic, so for a fixed corpus the observed
+    * error is a constant.
     */
   private val approxDistinctQ = Q(
     "approx_distinct",
@@ -1300,7 +1303,9 @@ object ExtQueries {
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx_users") - col("exact_users"))
-          <= col("exact_users") * 0.15).as("approx_ok"))
+          <= when(col("exact_users") <= 1024,
+            greatest(col("exact_users") * 0.02, lit(2.0)))
+            .otherwise(col("exact_users") * 0.15)).as("approx_ok"))
       .orderBy(col("event_type")),
     Some("""
       SELECT event_type,

@@ -202,6 +202,13 @@ final class GcpIdTokenProvider(
         require(resp.statusCode() >= 200 && resp.statusCode() < 300,
           s"token exchange failed: HTTP ${resp.statusCode()}")
         val tok = GcpAuth.parseIdToken(resp.body())
+        // sweep expired entries before inserting (ADVICE r6): the map is
+        // JVM-static and keyed by the full credential JSON, so without
+        // eviction a long-lived executor serving churning subscriptions /
+        // rotated credentials accumulates dead keys forever — each one
+        // retaining a private-key PEM copy as key material
+        val it = GcpIdTokenProvider.cache.entrySet().iterator()
+        while (it.hasNext) if (now >= it.next().getValue._2) it.remove()
         GcpIdTokenProvider.cache.put(key, (tok, now + cacheTtl))
         tok
       }

@@ -145,14 +145,20 @@ object SubscriptionRunner {
     // per-subscription ordering) — repartition, not coalesce, so the
     // upstream filter/transform keep their scan parallelism, and sort so
     // the single task walks events in offset order. The parallel path
-    // repartitions to exactly the core count: delivery is network-bound
-    // (the shuffle is one micro-batch of already-transformed rows), sends
-    // parallelize even when the batch arrived as one scan partition, and
-    // the per-task rate budget above sums to the configured rate no matter
-    // how many splits the source produced.
+    // repartitions to exactly the core count only when it has to
+    // (ADVICE r6 — this path was unconditional and shuffled every
+    // transformed body even with no rate limit configured):
+    //  - a rate limit NEEDS the exact partition count, because the
+    //    per-task budget above is rate/cores and only sums to the
+    //    configured rate when exactly `cores` tasks deliver;
+    //  - an un-rate-limited batch only needs *enough* fan-out for the
+    //    network-bound sends — the same metadata probe Tables.fanOut
+    //    uses (inputFiles, pure plan metadata) spreads a few-split scan
+    //    and leaves an already-parallel batch alone, zero shuffle.
     val toDeliver =
       if (ordered) transformed.repartition(1).sortWithinPartitions(col("sequence_number"))
-      else transformed.repartition(cores)
+      else if (spec.config.rateLimitPerSec > 0) transformed.repartition(cores)
+      else graft.Tables.fanOut(transformed)
     val deliveryMode = delivery
     // rows inside mapPartitions carry no schema; resolve indices driver-side
     val schema = toDeliver.schema

@@ -410,11 +410,17 @@ object ExtQueries {
   // vec_id < IdStride) so the 26× scale bench grows the clustered corpus
   // instead of re-selecting copy 0 — the MinK cell cap and the blocked
   // pair join are what the scale section is there to prove
+  // maxCell = 400: never binds at the correctness SF (300 vectors total,
+  // so no cell can reach it — the oracle needs no cap CTE), but at the
+  // 26× scale corpus (~7800 vectors, ~2k/cell) it bounds the candidate
+  // side the way a real deployment would — SemDeDup's in-cluster pair
+  // work is quadratic in cell size, and the MinK cap is the documented
+  // mechanism that keeps it bounded when k doesn't scale with the corpus
   private val semanticDedupQ = Q(
     "dedup_semantic",
     (s, d) => Similarity.semanticDedup(
       Tables.embeddings(s, d).filter(col("vec_id") % ScaleData.IdStride < 300),
-      k = 4, iters = 2, dim = 64, threshold = 0.3)
+      k = 4, iters = 2, dim = 64, threshold = 0.3, maxCell = 400)
       .orderBy(col("vec_id")),
     Some(s"""
       WITH ${lloydChainOver(s"vec_id % ${ScaleData.IdStride} < 300")},

@@ -442,10 +442,12 @@ object CEL {
             s"CEL: has() requires a variable argument, got $other")
         }
       // cel-spec comprehension macros over list values: recv.exists(x, p),
-      // recv.all(x, p), recv.filter(x, p), recv.map(x, e). Each maps 1:1
-      // onto Spark's codegen'd higher-order functions with the iteration
-      // variable bound as the lambda argument.
-      case ("exists" | "all" | "filter" | "map", Some(r)) =>
+      // recv.exists_one(x, p), recv.all(x, p), recv.filter(x, p),
+      // recv.map(x, e). Each maps 1:1 onto Spark's codegen'd higher-order
+      // functions with the iteration variable bound as the lambda argument
+      // (exists_one = exactly one element satisfies p — size of the
+      // filtered list equals 1, the macro's expansion in the spec).
+      case ("exists" | "exists_one" | "all" | "filter" | "map", Some(r)) =>
         arity(2)
         val (v, body) = args match {
           case List(Ident(x), b) => (x, b)
@@ -456,6 +458,7 @@ object CEL {
         def bodyCol(x: Column): Column = toColumn(body, env + (v -> x))
         name match {
           case "exists" => exists(list, bodyCol)
+          case "exists_one" => size(filter(list, (x: Column) => bodyCol(x))) === 1
           case "all" => forall(list, bodyCol)
           case "filter" => filter(list, (x: Column) => bodyCol(x))
           case "map" => transform(list, (x: Column) => bodyCol(x))

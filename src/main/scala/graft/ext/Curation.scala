@@ -44,14 +44,17 @@ object Curation {
   def cleanText(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
 
-  /** Column form of [[TextAnalysis.gopherQuality]]'s gate verdict over a
-    * pre-split word array (bind the split once — the interpreted HOF
-    * lambdas re-evaluate their input per element visit).
+  /** Column form of [[TextAnalysis.gopherQuality]]'s gate verdict. Every
+    * subtree is a native/codegen expression ([[TextAnalysis.topWordFreq]]
+    * is one GramStats pass), so even when predicate pushdown substitutes
+    * the clean+split into this predicate (it has no cost model and will),
+    * codegen's common-subexpression elimination still evaluates the
+    * split once per row — interpreted HOF lambdas get no CSE and turned
+    * the pushed-down gate into O(words·distinct) re-splits per row.
     */
   def passesGopher(ws: Column): Column = {
     val nWords = size(ws)
-    val topFreq = array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w))))
+    val topFreq = TextAnalysis.topWordFreq(ws)
     nWords >= 50 && nWords <= 100000 &&
       topFreq.cast("double") / nWords <= 0.2
   }

@@ -177,6 +177,19 @@ object TextAnalysis {
     * repetition signal (top word frequency) folds over the distinct-word
     * array — O(words·distinct) per doc, still partition-local.
     */
+  /** Top word frequency (the Gopher repetition signal) as ONE hashed
+    * native pass: [[graft.functions.GramStats]] over 1-grams — bestCnt of
+    * the 1-gram histogram IS the most frequent word's count. The
+    * interpreted spelling it replaces (array_max over per-distinct-word
+    * size(filter(ws, _ === w)) lambdas) was O(words·distinct) per doc
+    * with NO subexpression elimination inside the lambdas — when a
+    * downstream filter substituted the split into the predicate
+    * (predicate pushdown has no cost model), the split+clean re-ran per
+    * distinct word per row, the r7 pipeline_curation scale cliff.
+    */
+  def topWordFreq(words: Column): Column =
+    graft.functions.GramStats(words, 1).getField("bestCnt")
+
   def gopherQuality(docs: DataFrame): DataFrame = {
     // bound as a column: the interpreted HOF lambdas below would otherwise
     // re-split the document per element visit (see [[repetition]])
@@ -185,9 +198,7 @@ object TextAnalysis {
     val shortW = size(filter(words, w => length(w) <= 3))
     val longW = size(filter(words, w => length(w) >= 8))
     val symbols = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-    val topFreq = array_max(transform(array_distinct(words),
-      w => size(filter(words, x => x === w))))
-    // O(words·distinct) interpreted HOF per doc — redistribute few-split inputs
+    val topFreq = topWordFreq(words)
     graft.Tables.fanOut(docs)
       .withColumn("__ws", split(col("text"), " ", -1))
       .select(
@@ -429,11 +440,20 @@ object TextAnalysis {
     def bitSet(pos: Column): Column =
       element_at(wl, shiftright(pos, 6).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
-    def bloomHit(hex: Column): Column =
-      (0 until k).map(i => bitSet(probe(hex, lit(i.toLong)))).reduce(_ && _)
-    val nHits = size(filter(col("__hx"), hx => bloomHit(hx)))
+    // stage (h1, h2) once per gram: higher-order-function lambdas are
+    // interpreted with no subexpression elimination, so probing straight
+    // off the hex would re-run the conv(substring(md5)) pair per probe —
+    // 2k interpreted digests/convs per gram instead of 2
+    def bloomHit(hs: Column): Column =
+      (0 until k).map { i =>
+        bitSet((hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
+      }.reduce(_ && _)
+    val nHits = size(filter(col("__hs"), hs => bloomHit(hs)))
     graft.Tables.fanOut(docs)
-      .withColumn("__hx", transform(gramsCol, g => md5(g)))
+      .withColumn("__hs", transform(gramsCol, g => {
+        val hex = md5(g)
+        struct(h1(hex).as("h1"), h2(hex).as("h2"))
+      }))
       .select(col("doc_id"), col("lang"),
         nHits.cast("bigint").as("n_hits"),
         (nHits > 0).as("contaminated"))

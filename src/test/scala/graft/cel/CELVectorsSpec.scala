@@ -181,6 +181,9 @@ class CELVectorsSpec extends SparkSpec {
       "[1, 2, 3].exists(x, $k.(int64) % x == 0)" -> true, // k = 12
       "['ab', 'c'].exists(s, s.size() == 2)" -> true,
       "['ab', 'c'].map(s, s + '!').all(s, s.endsWith('!'))" -> true,
+      "[1, 2, 3].exists_one(x, x > 2)" -> true,
+      "[1, 2, 3].exists_one(x, x > 1)" -> false, // two satisfy: not ONE
+      "[1, 2, 3].exists_one(x, x > 9)" -> false,
       // nesting: inner macro sees both iteration variables
       "[1, 2].exists(a, [2, 3].exists(b, a == b))" -> true,
       "[1, 4].exists(a, [2, 3].exists(b, a == b))" -> false)

@@ -454,14 +454,39 @@ object CEL {
           case _ => throw new IllegalArgumentException(
             s"CEL: $name(x, e) requires a bare identifier as the iteration variable")
         }
-        val list = toColumn(r, env)
         def bodyCol(x: Column): Column = toColumn(body, env + (v -> x))
-        name match {
-          case "exists" => exists(list, bodyCol)
-          case "exists_one" => size(filter(list, (x: Column) => bodyCol(x))) === 1
-          case "all" => forall(list, bodyCol)
-          case "filter" => filter(list, (x: Column) => bodyCol(x))
-          case "map" => transform(list, (x: Column) => bodyCol(x))
+        // Spark's higher-order functions evaluate interpreted
+        // (CodegenFallback) — for the common macro-over-literal-list shape
+        // the quantifiers unroll at COMPILE time into plain boolean
+        // chains, which stay inside whole-stage codegen and cost zero
+        // lambda dispatch per row. Element expressions are literals, so
+        // duplication across the unrolled arms is free. Semantics match
+        // the HOF path: empty exists → false, empty all → true (vacuous),
+        // and Spark's &&/|| carry CEL's commutative error absorption.
+        (name, r) match {
+          case ("exists", LList(items)) if items.size <= 16 =>
+            if (items.isEmpty) lit(false)
+            else items.map(it => bodyCol(toColumn(it, env))).reduce(_ || _)
+          case ("all", LList(items)) if items.size <= 16 =>
+            if (items.isEmpty) lit(true)
+            else items.map(it => bodyCol(toColumn(it, env))).reduce(_ && _)
+          case ("exists_one", LList(items)) if items.size <= 16 =>
+            // coalesce: filter() drops null-predicate elements, so the
+            // unrolled count must treat null as not-satisfied too
+            if (items.isEmpty) lit(false)
+            else items.map(it =>
+              coalesce(bodyCol(toColumn(it, env)).cast("int"), lit(0)))
+              .reduce(_ + _) === 1
+          case _ =>
+            val list = toColumn(r, env)
+            name match {
+              case "exists" => exists(list, bodyCol)
+              case "exists_one" =>
+                size(filter(list, (x: Column) => bodyCol(x))) === 1
+              case "all" => forall(list, bodyCol)
+              case "filter" => filter(list, (x: Column) => bodyCol(x))
+              case "map" => transform(list, (x: Column) => bodyCol(x))
+            }
         }
       case ("split", Some(r)) =>
         // cel string-extension split: LITERAL separator (quoted before it

@@ -1605,6 +1605,93 @@ object ExtQueries {
       ORDER BY media_id
     """))
 
+  /** Shared oracle fragments for the pixel-depth entries: the generative
+    * channel formula at (x, y) for seed doc_id, and the stats fold
+    * (per-channel sums + row-major top-down Horner checksum).
+    */
+  private def sqlPixelStruct(sx: String, sy: String): String =
+    s"""struct_pack(
+          r := ($sx * 3 + $sy * 13 + doc_id) % 256,
+          g := ($sx * 5 + $sy * 3 + doc_id * 7) % 256,
+          b := ($sx * 7 + $sy * 11 + doc_id * 3) % 256)"""
+
+  private val sqlPixelStats: String =
+    """CAST(list_sum(list_transform(ps, p -> p.r)) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(ps, p -> p.g)) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(ps, p -> p.b)) AS BIGINT) AS sum_b,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(ps, p -> p.r * 65536 + p.g * 256 + p.b)),
+         (a, v) -> (a * 31 + v) % 1000000007) AS pix_checksum"""
+
+  /** REAL pixel decode through the whole container round trip: the Spark
+    * side writes each doc's generative test pattern as an actual
+    * uncompressed 24-bit BMP (bottom-up BGR rows, 4-byte padding) and
+    * parses it back byte-by-byte; the oracle computes the SAME statistics
+    * straight from the generative formula, never touching the container.
+    * A pass proves encoder and parser agree on every byte of layout — the
+    * row-major top-down checksum catches a forgotten bottom-up flip or
+    * swapped channel order that channel sums alone would miss.
+    */
+  private val pixelStatsQ = Q(
+    "multimodal_pixel_stats",
+    (s, d) => Multimodal.pixelStats(
+      Multimodal.bmpMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+               CAST(doc_id % 12 + 4 AS INT) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h,
+               flatten(list_transform(range(0, h), y ->
+                 list_transform(range(0, w), x ->
+                   ${sqlPixelStruct("x", "y")}))) AS ps
+        FROM dims
+      )
+      SELECT doc_id AS media_id, w AS width, h AS height,
+             $sqlPixelStats
+      FROM px ORDER BY media_id
+    """))
+
+  /** REAL pixel resample: decode the BMP, fit-within-(8,8) nearest
+    * neighbor, stats of the RESAMPLED image. The oracle replays the
+    * fit-within integer arithmetic AND the source-index mapping
+    * (sx = x·W/TW floor division) over the generative formula — decode,
+    * resize plan, and resample all under one hash.
+    */
+  private val resizePixelsQ = Q(
+    "multimodal_resize_pixels",
+    (s, d) => Multimodal.resizePixels(
+      Multimodal.bmpMediaFromDocuments(Tables.documents(s, d)), 8, 8)
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+               CAST(doc_id % 12 + 4 AS INT) AS h
+        FROM documents
+      ), rs AS (
+        SELECT doc_id, w, h,
+               CAST(CASE WHEN w <= 8 AND h <= 8 THEN w
+                    WHEN w * 8 >= h * 8 THEN 8
+                    ELSE (w * 8) // h END AS INT) AS tw,
+               CAST(CASE WHEN w <= 8 AND h <= 8 THEN h
+                    WHEN w * 8 >= h * 8 THEN (h * 8) // w
+                    ELSE 8 END AS INT) AS th
+        FROM dims
+      ), px AS (
+        SELECT doc_id, w, h, tw, th,
+               flatten(list_transform(range(0, th), y ->
+                 list_transform(range(0, tw), x ->
+                   ${sqlPixelStruct("(x * w // tw)", "(y * h // th)")}))) AS ps
+        FROM rs
+      )
+      SELECT doc_id AS media_id, w AS width, h AS height,
+             tw AS target_width, th AS target_height,
+             $sqlPixelStats
+      FROM px ORDER BY media_id
+    """))
+
   /** The composed end-to-end curation pipeline ([[graft.ext.Curation]]):
     * clean → Gopher gate → exact-dedup (keep smallest id, carry group
     * size) → decontaminate vs the eval set. Dirt is synthesized so every
@@ -1831,5 +1918,6 @@ object ExtQueries {
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
-    approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ)
+    approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
+    pixelStatsQ, resizePixelsQ)
 }

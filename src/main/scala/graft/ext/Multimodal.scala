@@ -214,4 +214,101 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Media table of REAL uncompressed BMP blobs (small generative test
+    * pattern — dims and pixels are pure functions of the id, see
+    * [[Pixels.genR]]), the pixel-depth counterpart of
+    * [[mediaFromDocuments]]'s header-only containers.
+    */
+  def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("media_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 16 + 4).toInt
+        val h = (id % 12 + 4).toInt
+        Row(id, "image", Pixels.bmpBytes(w, h, id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  private val pixelStatsSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("pix_checksum", LongType)))
+
+  /** REAL pixel decode + per-channel statistics, per-partition batch
+    * shape: parse each BMP (bottom-up rows, BGR, padded — the actual
+    * container layout), then fold sums and a row-major top-down Horner
+    * checksum over the decoded pixels. The checksum pins pixel ORDER, so
+    * a decoder that misread row order or channel order hash-mismatches.
+    * Undecodable bytes yield null stats rather than lies.
+    */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Pixels.decodeBmp(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(img) =>
+            val (sr, sg, sb, acc) = Pixels.stats(img)
+            Row(id, img.width, img.height, sr, sg, sb, acc)
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(pixelStatsSchema))
+  }
+
+  /** REAL pixel resample: decode each BMP, nearest-neighbor it into the
+    * fit-within-(maxW,maxH) box computed by the same integer arithmetic
+    * as [[resizePlan]], and report the RESAMPLED image's stats — the
+    * whole decode→plan→resample chain runs on actual pixels, one
+    * partition-local pass, no shuffle.
+    */
+  def resizePixels(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("target_width", IntegerType),
+      StructField("target_height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("pix_checksum", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Pixels.decodeBmp(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(img) =>
+            val fits = img.width <= maxW && img.height <= maxH
+            val widthLimited = img.width.toLong * maxH >= img.height.toLong * maxW
+            val tw =
+              if (fits) img.width
+              else if (widthLimited) maxW
+              else (img.width.toLong * maxH / img.height).toInt
+            val th =
+              if (fits) img.height
+              else if (widthLimited) (img.height.toLong * maxW / img.width).toInt
+              else maxH
+            val out = Pixels.resizeNearest(img, tw, th)
+            val (sr, sg, sb, acc) = Pixels.stats(out)
+            Row(id, img.width, img.height, tw, th, sr, sg, sb, acc)
+          case None =>
+            Row(id, null, null, null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ext
+
+class PixelsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("bmp layout: header fields and padded bottom-up BGR rows by hand") {
+    // 2x2, seed 0: gen r/g/b at (x,y) — r=3x+13y, g=5x+3y, b=7x+11y (mod 256)
+    val b = Pixels.bmpBytes(2, 2, 0L)
+    // row stride = (2*3+3)/4*4 = 8 bytes; file = 54 + 16
+    assert(b.length === 70)
+    assert(b(0) === 'B'.toByte && b(1) === 'M'.toByte)
+    assert((b(10) & 0xff) === 54)        // data offset
+    assert((b(18) & 0xff) === 2)         // width
+    assert((b(22) & 0xff) === 2)         // height (positive: bottom-up)
+    assert((b(28) & 0xff) === 24)        // bpp
+    // FIRST stored row is the BOTTOM visual row (y=1):
+    //   (0,1): b=11 g=3 r=13 ; (1,1): b=18 g=8 r=16
+    assert((b(54) & 0xff) === 11 && (b(55) & 0xff) === 3 && (b(56) & 0xff) === 13)
+    assert((b(57) & 0xff) === 18 && (b(58) & 0xff) === 8 && (b(59) & 0xff) === 16)
+    // second stored row = visual top (y=0): (0,0): b=0 g=0 r=0 ; (1,0): 7,5,3
+    assert((b(62) & 0xff) === 0 && (b(63) & 0xff) === 0 && (b(64) & 0xff) === 0)
+    assert((b(65) & 0xff) === 7 && (b(66) & 0xff) === 5 && (b(67) & 0xff) === 3)
+  }
+
+  test("decode inverts encode, top-down packed order") {
+    val img = Pixels.decodeBmp(Pixels.bmpBytes(5, 3, 42L)).get
+    assert(img.width === 5 && img.height === 3)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val p = img.pix(y * 5 + x)
+      assert(((p >> 16) & 0xff) === Pixels.genR(x, y, 42L))
+      assert(((p >> 8) & 0xff) === Pixels.genG(x, y, 42L))
+      assert((p & 0xff) === Pixels.genB(x, y, 42L))
+    }
+  }
+
+  test("decode rejects non-BMP, truncated, and unsupported depths") {
+    assert(Pixels.decodeBmp(null).isEmpty)
+    assert(Pixels.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Pixels.decodeBmp("not a bitmap at all, just text!".getBytes ++
+      new Array[Byte](60)).isEmpty)
+    val good = Pixels.bmpBytes(4, 4, 1L)
+    assert(Pixels.decodeBmp(good.dropRight(5)).isEmpty)  // truncated pixels
+    val bad = good.clone(); bad(28) = 8                  // 8bpp unsupported
+    assert(Pixels.decodeBmp(bad).isEmpty)
+  }
+
+  test("nearest-neighbor mapping and identity resize") {
+    val img = Pixels.decodeBmp(Pixels.bmpBytes(6, 4, 7L)).get
+    val same = Pixels.resizeNearest(img, 6, 4)
+    assert(same.pix.toSeq === img.pix.toSeq)             // identity map
+    val half = Pixels.resizeNearest(img, 3, 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(half.pix(y * 3 + x) === img.pix((y * 4 / 2) * 6 + (x * 6 / 3)))
+  }
+
+  test("stats checksum is order-sensitive (catches a missing bottom-up flip)") {
+    val img = Pixels.decodeBmp(Pixels.bmpBytes(4, 3, 9L)).get
+    val flipped = Pixels.Image(4, 3,
+      (0 until 3).flatMap(y => (0 until 4).map(x => img.pix((2 - y) * 4 + x))).toArray)
+    val (r1, g1, b1, c1) = Pixels.stats(img)
+    val (r2, g2, b2, c2) = Pixels.stats(flipped)
+    assert(r1 === r2 && g1 === g2 && b1 === b2) // sums are order-blind
+    assert(c1 !== c2)                           // the checksum is not
+  }
+}

@@ -59,6 +59,26 @@ class PlanSpec extends SparkSpec {
       s"broadcast lost:\n$plan")
   }
 
+  test("ivfPqTopK scores codes against a BROADCAST probe side, never a sort-merge join") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val df = ext.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+      kNeighbors = 5, kCells = 4, cellIters = 1, nprobe = 2,
+      m = 4, kCodes = 4, pqIters = 1, dim = 64)
+    val plan = executedPlan(df)
+    // the (query, probed cell, LUT) side is tiny by construction and
+    // explicitly hinted — the CELL-keyed scoring join must be broadcast
+    // so the codes scan stays fanned out. Corpus-side equi-joins
+    // (codes⋈cells on vec_id, PQ training on (vec_id, sub)) and
+    // query-side joins (probes⋈luts on query_id) may legitimately
+    // sort-merge; a cell-keyed SMJ would mean the broadcast hint was
+    // lost and the whole codes frame shuffles per probe.
+    assert(plan.contains("BroadcastExchange"), s"probe broadcast lost:\n$plan")
+    val smjKeys = "SortMergeJoin \\[([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(!smjKeys.contains("cell"),
+      s"cell-keyed sort-merge join crept in ($smjKeys):\n$plan")
+  }
+
   test("cesql/cel filter DSLs are callable from SQL and still push down") {
     model.EventView.fromEventsTable(Tables.events(spark, sf))
       .createOrReplaceTempView("ce_events")

@@ -104,7 +104,7 @@ object Bench {
       "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
-      "sim_ivfpq_topk")
+      "sim_ivfpq_topk", "sim_ivfpq_res_topk")
     // One data point well past 10× for the CAPPED operators only (MinK
     // block caps, salted two-stage cuts, hash-keyed passage blocks):
     // 26× (the ScaleData rotation cap) separates "sublinear because the
@@ -118,7 +118,7 @@ object Bench {
       else sys.env.getOrElse("SPARK_GRAFT_SCALE26", "26").toInt
     val cappedSet = Seq(
       "dedup_ngram_jaccard", "dedup_embedding_neardup", "dedup_passages",
-      "sim_int8_topk", "sim_pq_topk", "sim_ivfpq_topk",
+      "sim_int8_topk", "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_res_topk",
       "dedup_semantic", "pipeline_curation")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +

@@ -444,18 +444,23 @@ object ExtQueries {
     * rows for queries matching `queryPred` over es$s alias `e`). Shared by
     * sim_pq_topk and sim_ivfpq_topk.
     */
+  /** Sub-slice squared-L2 fold between `$e.emb` and `$c.centroid` — the
+    * per-subspace distance every PQ CTE shares.
+    */
+  private def sqlL2Sub(subdim: Int)(e: String, c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(range(1, ${subdim + 1}),
+           i -> (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i])
+                * (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i]))),
+         (x, y) -> x + y)"""
+
   private def pqSubCtes(m: Int, kCodes: Int, subdim: Int,
-      queryPred: String): String = {
-    def dist(e: String, c: String) =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(range(1, ${subdim + 1}),
-             i -> (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i])
-                  * (CAST($e.emb[i] AS DOUBLE) - $c.centroid[i]))),
-           (x, y) -> x + y)"""
+      queryPred: String, src: String = "e"): String = {
+    val dist = sqlL2Sub(subdim) _
     (0 until m).map { s =>
       val lo = s * subdim + 1; val hi = (s + 1) * subdim
       s"""es$s AS (
-          SELECT vec_id, embedding[$lo:$hi] AS emb FROM e
+          SELECT vec_id, embedding[$lo:$hi] AS emb FROM $src
         ), c0_$s AS (
           SELECT CAST(vec_id AS INT) AS cell,
                  list_transform(emb, x -> CAST(x AS DOUBLE)) AS centroid
@@ -592,6 +597,98 @@ object ExtQueries {
         FROM adc a
         JOIN a3 n ON n.vec_id = a.neighbor_id
         JOIN probe p ON p.query_id = a.query_id AND p.cell = n.cell
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM pruned
+      )
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell,
+             adc_dist
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    })
+
+  /** Residual IVF-PQ — the refinement the IVFADC paper actually ships
+    * (Jégou et al. 2011 §IV.B): PQ trains and encodes on x − centroid(cell)
+    * instead of raw vectors, and each (query, probed cell) gets its own
+    * LUT from the query's residual against THAT cell's centroid. The
+    * oracle replays everything sim_ivfpq_topk replays PLUS the residual
+    * arithmetic: double subtraction rounded to float (CAST(.. AS FLOAT)
+    * rounds identically to Spark's array<float> cast), per-cell query
+    * residuals, per-(query, cell) LUTs, and the pairing restricted to
+    * the neighbor's own coarse cell.
+    */
+  private val ivfPqResTopKQ = Q(
+    "sim_ivfpq_res_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") % ScaleData.IdStride < 300)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), kNeighbors = 5,
+        kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 4, pqIters = 1,
+        dim = 64, residual = true)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cell").cast("int").as("cell"),
+          col("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val subdim = 16
+      val dist = sqlL2Sub(subdim) _
+      val lutrCtes = (0 until 4).map { s =>
+        val lo = s * subdim + 1; val hi = (s + 1) * subdim
+        s"""lutr_$s AS (
+          SELECT q.query_id, q.probe_cell, c.cell, ${dist("q", "c")} AS d
+          FROM (SELECT query_id, probe_cell, emb[$lo:$hi] AS emb FROM qres) q
+          CROSS JOIN c1_$s c
+        )"""
+      }.mkString(",\n      ")
+      val scArms = (0 until 4).map { s =>
+        s"""SELECT l.query_id, l.probe_cell, n.vec_id AS neighbor_id, $s AS sub, l.d
+            FROM enc_$s n JOIN lutr_$s l ON n.code = l.cell
+            WHERE l.query_id != n.vec_id"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH ${lloydChainOver(s"vec_id % ${ScaleData.IdStride} < 300")},
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT e.vec_id AS query_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlL2Full("e", "c")} ASC, c.cell ASC) AS rn
+          FROM e CROSS JOIN c2 c WHERE e.vec_id < 3
+        ) WHERE rn <= 2
+      ),
+      re AS (
+        SELECT e.vec_id, list_transform(range(1, 65),
+          i -> CAST(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i] AS FLOAT))
+          AS embedding
+        FROM e JOIN a3 USING (vec_id) JOIN c2 c ON c.cell = a3.cell
+      ),
+      ${pqSubCtes(m = 4, kCodes = 4, subdim = subdim, queryPred = "1 = 0",
+        src = "re")},
+      qres AS (
+        SELECT p.query_id, p.cell AS probe_cell,
+               list_transform(range(1, 65),
+                 i -> CAST(CAST(q.embedding[i] AS DOUBLE) - c.centroid[i] AS FLOAT))
+               AS emb
+        FROM probe p
+        JOIN e q ON q.vec_id = p.query_id
+        JOIN c2 c ON c.cell = p.cell
+      ),
+      $lutrCtes,
+      sc AS (
+        $scArms
+      ), pair AS (
+        SELECT query_id, probe_cell, neighbor_id, list(d ORDER BY sub) AS ds
+        FROM sc GROUP BY query_id, probe_cell, neighbor_id
+      ), adc AS (
+        SELECT query_id, probe_cell, neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), ds),
+                 (x, y) -> x + y) AS adc_dist
+        FROM pair
+      ), pruned AS (
+        SELECT a.query_id, a.neighbor_id, n.cell, a.adc_dist
+        FROM adc a
+        JOIN a3 n ON n.vec_id = a.neighbor_id AND n.cell = a.probe_cell
       ), r AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
@@ -1914,7 +2011,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
-    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,

@@ -357,29 +357,42 @@ object Similarity {
         transform(col("sc"), s => s.getField("code")).as("codes"))
   }
 
-  /** Per-query dense ADC lookup table: lut[s·k + cell] = squared L2
-    * between the query's subspace slice and that codeword (null for a
-    * codeword the trainer dropped — such cells are never assigned, so the
-    * slot is never read). Broadcast-sized: m·k doubles per query.
+  /** Dense ADC lookup tables keyed by (query_id, probe_cell):
+    * lut[s·k + cell] = squared L2 between the keyed vector's subspace
+    * slice and that codeword (null for a codeword the trainer dropped —
+    * such cells are never assigned, so the slot is never read).
+    * Broadcast-sized: m·k doubles per key. The probe_cell key is what
+    * residual IVFADC needs — each probed cell has its own query residual,
+    * hence its own LUT.
     */
-  def pqLut(queries: DataFrame, codebooks: DataFrame, m: Int, k: Int,
-      dim: Int): DataFrame = {
+  private def pqLutKeyed(keyed: DataFrame, codebooks: DataFrame, m: Int,
+      k: Int, dim: Int): DataFrame = {
     val subdim = dim / m
-    val spark = queries.sparkSession
+    val spark = keyed.sparkSession
     val grid = spark.range(m).select(col("id").cast("int").as("sub"))
       .crossJoin(spark.range(k).select(col("id").cast("int").as("cell")))
     val dense = grid.join(codebooks, Seq("sub", "cell"), "left")
-    queries.select(col("vec_id").as("query_id"), col("embedding"))
+    keyed
       .crossJoin(broadcast(dense))
-      .select(col("query_id"), col("sub"), col("cell"),
+      .select(col("query_id"), col("probe_cell"), col("sub"), col("cell"),
         graft.functions.L2Sq(
           slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)),
           col("centroid")).as("d"))
-      .groupBy(col("query_id"))
+      .groupBy(col("query_id"), col("probe_cell"))
       .agg(sort_array(collect_list(struct(col("sub"), col("cell"), col("d"))))
         .as("scd"))
-      .select(col("query_id"), transform(col("scd"), s => s.getField("d")).as("lut"))
+      .select(col("query_id"), col("probe_cell"),
+        transform(col("scd"), s => s.getField("d")).as("lut"))
   }
+
+  /** One LUT per query from its raw vector (the non-residual path). */
+  def pqLut(queries: DataFrame, codebooks: DataFrame, m: Int, k: Int,
+      dim: Int): DataFrame =
+    pqLutKeyed(
+      queries.select(col("vec_id").as("query_id"),
+        lit(0).as("probe_cell"), col("embedding")),
+      codebooks, m, k, dim)
+      .select(col("query_id"), col("lut"))
 
   /** End-to-end PQ search: train, encode, build LUTs, ADC-score every
     * (query, vector) pair over codes only, salted two-stage top-k by
@@ -427,9 +440,19 @@ object Similarity {
     * lineage would re-train per consumer (the [[semanticDedup]]
     * convention for reused iterative frames).
     */
+  /** Element-wise residual x − centroid, double subtraction rounded back
+    * to float — IEEE round-to-nearest is deterministic, so an independent
+    * engine reproduces every residual bit (CAST(double AS FLOAT) in
+    * DuckDB rounds identically).
+    */
+  private def residualCol(emb: Column, centroid: Column): Column =
+    zip_with(emb, centroid, (x, c) => (x.cast("double") - c))
+      .cast("array<float>")
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kNeighbors: Int,
       kCells: Int, cellIters: Int, nprobe: Int,
-      m: Int, kCodes: Int, pqIters: Int, dim: Int): DataFrame = {
+      m: Int, kCodes: Int, pqIters: Int, dim: Int,
+      residual: Boolean = false): DataFrame = {
     val centroids =
       kmeansCentroids(corpus, kCells, cellIters, dim).localCheckpoint()
     val corpusCells = kmeansAssign(corpus, centroids).select("vec_id", "cell")
@@ -443,15 +466,42 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("cell"))
-    val books = pqTrain(corpus, m, kCodes, pqIters, dim).localCheckpoint()
-    val codes = pqEncode(corpus, books, m, dim).join(corpusCells, "vec_id")
-    val luts = pqLut(queries, books, m, kCodes, dim)
+    // The paper's refinement (Jégou et al. 2011 §IV.B): PQ encodes the
+    // RESIDUAL x − centroid(cell) rather than the raw vector — residual
+    // energy is much lower, so the same m·kCodes budget quantizes finer.
+    // The cost is one LUT per (query, probed cell) instead of per query
+    // (each probed cell subtracts a different centroid from the query);
+    // the LUT side stays nprobe·m·kCodes doubles per query — broadcast.
+    val pqInput =
+      if (!residual) corpus
+      else corpus.join(corpusCells, "vec_id")
+        .join(broadcast(centroids), "cell")
+        .select(col("vec_id"),
+          residualCol(col("embedding"), col("centroid")).as("embedding"))
+        // pqTrain's Lloyd loop re-reads its input per iteration and the
+        // encode pass reads it again — pin the residual frame (the
+        // materialize-the-training-set step a real pipeline runs anyway)
+        .localCheckpoint()
+    val books = pqTrain(pqInput, m, kCodes, pqIters, dim).localCheckpoint()
+    val codes = pqEncode(pqInput, books, m, dim).join(corpusCells, "vec_id")
     // (query, probed cell, lut): nprobe rows per query, broadcast-sized
-    val probeLuts = probes.join(luts, "query_id")
+    val probeLuts =
+      if (!residual)
+        probes.select(col("query_id"), col("cell").as("probe_cell"))
+          .join(pqLut(queries, books, m, kCodes, dim), "query_id")
+      else {
+        val qres = probes
+          .join(queries.select(col("vec_id").as("query_id"), col("embedding")),
+            "query_id")
+          .join(broadcast(centroids), "cell")
+          .select(col("query_id"), col("cell").as("probe_cell"),
+            residualCol(col("embedding"), col("centroid")).as("embedding"))
+        pqLutKeyed(qres, books, m, kCodes, dim)
+      }
     // a corpus vector lives in exactly one cell and probes are distinct
     // (query, cell) rows, so each (query, neighbor) pair scores at most once
     val scored = codes.as("c").join(broadcast(probeLuts.as("q")),
-      col("q.cell") === col("c.cell") && col("q.query_id") =!= col("c.vec_id"))
+      col("q.probe_cell") === col("c.cell") && col("q.query_id") =!= col("c.vec_id"))
       .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
         col("c.cell").as("cell"),
         graft.functions.PqAdc(col("c.codes"), col("q.lut"), kCodes).as("adc_dist"))

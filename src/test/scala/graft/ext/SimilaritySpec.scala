@@ -111,6 +111,31 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("residual ivfPqTopK: valid ranks, probed-cell pairs, residual distances differ from raw") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = Similarity.ivfPqTopK(emb, queries, kNeighbors = 5,
+      kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 4, pqIters = 1,
+      dim = 64, residual = true).cache()
+    assert(res.count() > 0)
+    res.groupBy("query_id").agg(max("rank")).collect()
+      .foreach(r => assert(r.getInt(1) <= 5))
+    res.groupBy("query_id").agg(countDistinct("cell").as("nc")).collect()
+      .foreach(r => assert(r.getLong(1) <= 2))
+    // residual quantization is a different code space: its ADC distances
+    // are not the raw path's (identical values would mean the residual
+    // subtraction silently didn't happen)
+    val raw = Similarity.ivfPqTopK(emb, queries, kNeighbors = 5,
+      kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 4, pqIters = 1,
+      dim = 64)
+    val joined = res.select(col("query_id"), col("neighbor_id"),
+      col("adc_dist").as("d_res"))
+      .join(raw.select(col("query_id"), col("neighbor_id"),
+        col("adc_dist").as("d_raw")), Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("d_res") =!= col("d_raw")).count() > 0)
+    res.unpersist()
+  }
+
   test("trained IVF probe returns ranked neighbors from the query's own cell") {
     val emb = Tables.embeddings(spark, sf)
     val out = Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 3), k = 5,

@@ -101,7 +101,9 @@ object Bench {
       "dedup_passages", "dedup_embedding_neardup", "pipeline_curation",
       "text_gopher_quality", "text_langid", "text_repetition",
       "text_pack_sequences", "sample_mixture",
-      "text_decontaminate", "text_tfidf", "text_lm_score", "dedup_url",
+      "text_decontaminate", "text_decontaminate_bloom", "text_tokens_bpe",
+      "pipeline_curation_fuzzy",
+      "text_tfidf", "text_lm_score", "dedup_url",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
       "sim_ivfpq_topk", "sim_ivfpq_res_topk")

@@ -411,6 +411,20 @@ object TextAnalysis {
     * grams with the defaults; false negatives are impossible, so nothing
     * contaminated ever slips through.
     */
+  /** Bitmap size for a target false-positive rate at `nGrams` distinct
+    * eval grams — the standard m = −n·ln(f)/ln²2 sizing, rounded up to a
+    * multiple of 64 (the bitmap word size). The FPR is a deployment knob:
+    * the [[decontaminateBloom]] default (2^20 bits) is sized for ~1e-4 at
+    * tens of thousands of grams; a 10× eval set at the same bitmap pays
+    * ~30% FPR, so size from the measured gram count instead of guessing.
+    */
+  def bloomBitsFor(nGrams: Long, targetFpr: Double = 1e-4): Int = {
+    require(nGrams > 0 && targetFpr > 0 && targetFpr < 1)
+    val ln2 = math.log(2)
+    val m = math.ceil(-nGrams * math.log(targetFpr) / (ln2 * ln2)).toLong
+    (((m + 63) / 64) * 64).min(1L << 30).toInt
+  }
+
   def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
       mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")

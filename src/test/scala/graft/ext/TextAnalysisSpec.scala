@@ -232,6 +232,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5).getString(2) === "common" && out(5).getDouble(3) === 1.0)
   }
 
+  test("bloomBitsFor: standard sizing, word-aligned, monotone in n and strictness") {
+    // n·ln(1e-4)/ln²2 ≈ 19.17·n
+    val m = TextAnalysis.bloomBitsFor(35000, 1e-4)
+    assert(m % 64 === 0)
+    assert(m > 35000 * 19 && m < 35000 * 20)
+    assert(TextAnalysis.bloomBitsFor(350000, 1e-4) > m)     // more grams
+    assert(TextAnalysis.bloomBitsFor(35000, 1e-6) > m)      // stricter FPR
+    // sizing at the default catalog scale stays near the 2^20 default
+    assert(TextAnalysis.bloomBitsFor(50000, 1e-4) < (1 << 21))
+  }
+
   test("decontaminateBloom: no false negatives vs exact; corpus side never shuffles") {
     val docs = Tables.documents(spark, sf)
     val eval5 = docs.filter(col("doc_id") % 7 === 0)

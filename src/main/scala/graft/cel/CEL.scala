@@ -44,8 +44,80 @@ object CEL {
 
   def compile(expression: String): Column = {
     // missing/error => false via `p IS NOT NULL AND p` (see CESQL.compile)
-    val p = toColumn(new Parser(Lexer.tokenize(expression)).parse())
+    val p = toColumn(normalize(new Parser(Lexer.tokenize(expression)).parse()))
     p.isNotNull && p
+  }
+
+  /** Compile-time macro normalization — rewrites a CEL optimizer can
+    * prove, applied bottom-up before column generation:
+    *
+    *  - `e in L.map(x, m)`        ⇒ `L.exists(x, m == e)` — membership in
+    *    a mapped list is existence of a pre-image;
+    *  - `L.filter(x, p).exists(y, q)` ⇒ `L.exists(x, p && q[y:=x])` — the
+    *    filter predicate folds into the quantifier body (this is exactly
+    *    the cel-spec's own macro expansion composed, where an erroring
+    *    `p` propagates — the `&&` form);
+    *  - same fold for `all`: `L.filter(x, p).all(y, q)` ⇒
+    *    `L.all(x, !p || q[y:=x])` (elements failing the filter are
+    *    vacuously fine).
+    *
+    * The payoff: chains over LITERAL lists collapse into quantifiers the
+    * unroller in [[callColumn]] turns into plain codegen'd boolean arms —
+    * no interpreted HOF lambda dispatch per row. Conservative capture
+    * guards skip any rewrite that would move an expression into a scope
+    * rebinding one of its identifiers; the HOF path stays behind as the
+    * always-correct fallback.
+    */
+  private[cel] def normalize(e: Expr): Expr = {
+    def mentions(x: Expr, name: String): Boolean = x match {
+      case Ident(n) => n == name
+      case Un(_, a) => mentions(a, name)
+      case Bin(_, l, r) => mentions(l, name) || mentions(r, name)
+      case Ternary(c, t, f) =>
+        mentions(c, name) || mentions(t, name) || mentions(f, name)
+      case Call(_, recv, args) =>
+        recv.exists(mentions(_, name)) || args.exists(mentions(_, name))
+      case LList(items) => items.exists(mentions(_, name))
+      case _ => false
+    }
+    def subst(x: Expr, from: String, to: String): Expr = x match {
+      case Ident(n) if n == from => Ident(to)
+      case Un(op, a) => Un(op, subst(a, from, to))
+      case Bin(op, l, r) => Bin(op, subst(l, from, to), subst(r, from, to))
+      case Ternary(c, t, f) =>
+        Ternary(subst(c, from, to), subst(t, from, to), subst(f, from, to))
+      case Call(n, recv, args) =>
+        // a nested macro rebinding `from` shadows it — but the capture
+        // guard below only substitutes when `to` is absent from the whole
+        // body, and equal-name rebinding of `from` keeps meaning (the
+        // inner binder wins either way), so plain traversal is safe
+        Call(n, recv.map(subst(_, from, to)), args.map(subst(_, from, to)))
+      case other => other
+    }
+    def step(x: Expr): Expr = x match {
+      case Bin("in", needle, Call("map", Some(r), List(Ident(v), m)))
+          if !mentions(needle, v) =>
+        step(Call("exists", Some(r), List(Ident(v), Bin("==", m, needle))))
+      case Call(q @ ("exists" | "all"),
+          Some(Call("filter", Some(r2), List(Ident(v2), p))),
+          List(Ident(v), body))
+          if v == v2 || !mentions(body, v2) =>
+        val fused =
+          if (q == "exists") Bin("&&", p, subst(body, v, v2))
+          else Bin("||", Un("!", p), subst(body, v, v2))
+        step(Call(q, Some(r2), List(Ident(v2), fused)))
+      case other => other
+    }
+    e match {
+      case Un(op, a) => step(Un(op, normalize(a)))
+      case Bin(op, l, r) => step(Bin(op, normalize(l), normalize(r)))
+      case Ternary(c, t, f) =>
+        step(Ternary(normalize(c), normalize(t), normalize(f)))
+      case Call(n, recv, args) =>
+        step(Call(n, recv.map(normalize), args.map(normalize)))
+      case LList(items) => LList(items.map(normalize))
+      case other => other
+    }
   }
 
   // ==== AST ====

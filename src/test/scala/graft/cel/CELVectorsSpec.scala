@@ -194,6 +194,35 @@ class CELVectorsSpec extends SparkSpec {
     }
   }
 
+  test("macro normalization: in-over-map and exists/all-over-filter rewrites") {
+    import CEL._
+    def norm(s: String): Expr =
+      CEL.normalize(new Parser(Lexer.tokenize(s)).parse())
+    // in ∘ map ⇒ exists with a pre-image equation
+    norm("1 in [1, 2].map(x, x + 0)") match {
+      case Call("exists", Some(LList(_)), List(Ident("x"), Bin("==", _, LInt(1)))) =>
+      case other => fail(s"in-over-map did not rewrite: $other")
+    }
+    // exists ∘ filter fuses the predicate into the quantifier body
+    norm("[1, 2].filter(x, x > 0).exists(y, y == 2)") match {
+      case Call("exists", Some(LList(_)), List(Ident("x"), Bin("&&", _, _))) =>
+      case other => fail(s"exists-over-filter did not rewrite: $other")
+    }
+    // chains collapse end-to-end and KEEP the HOF semantics
+    vectors(
+      "1 in [0, 1].map(x, x + 0)" -> true,
+      "5 in [0, 1].map(x, x + 0)" -> false,
+      "[1, 2, 3].filter(x, x > 1).exists(y, y == 2)" -> true,
+      "[1, 2, 3].filter(x, x > 1).exists(y, y == 1)" -> false,
+      "[1, 2, 3].filter(x, x > 1).all(y, y >= 2)" -> true,
+      "[1, 2, 3].filter(x, x > 1).all(y, y >= 3)" -> false,
+      "40 in [10, 20, 30].filter(x, x <= $k.(int64)).map(x, x * 2)" -> false, // k=12
+      "24 in [10, 12, 30].filter(x, x <= $k.(int64)).map(x, x * 2)" -> true)
+    // capture guard: a needle mentioning the iteration variable skips the
+    // rewrite but still evaluates correctly via the HOF path
+    vectors("[1, 2].exists(x, x in [2, 3].map(y, y + 0))" -> true)
+  }
+
   test("split (cel string extension) composes with macros and size") {
     vectors(
       "'a,b,c'.split(',').size() == 3" -> true,

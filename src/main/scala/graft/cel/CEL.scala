@@ -53,13 +53,14 @@ object CEL {
     *
     *  - `e in L.map(x, m)`        ⇒ `L.exists(x, m == e)` — membership in
     *    a mapped list is existence of a pre-image;
-    *  - `L.filter(x, p).exists(y, q)` ⇒ `L.exists(x, p && q[y:=x])` — the
-    *    filter predicate folds into the quantifier body (this is exactly
-    *    the cel-spec's own macro expansion composed, where an erroring
-    *    `p` propagates — the `&&` form);
+    *  - `L.filter(x, p).exists(y, q)` ⇒ `L.exists(x, p ? q[y:=x] : false)`
+    *    — the filter predicate folds into the quantifier body;
     *  - same fold for `all`: `L.filter(x, p).all(y, q)` ⇒
-    *    `L.all(x, !p || q[y:=x])` (elements failing the filter are
-    *    vacuously fine).
+    *    `L.all(x, p ? q[y:=x] : true)` (elements failing the filter are
+    *    vacuously fine). The ternary spelling — not a bare `&&`/`!∥` —
+    *    keeps null-p (eval-error) elements on the HOF path's
+    *    drop-the-element semantics, so the rewrite never changes a
+    *    delivery verdict.
     *
     * The payoff: chains over LITERAL lists collapse into quantifiers the
     * unroller in [[callColumn]] turns into plain codegen'd boolean arms —
@@ -92,8 +93,15 @@ object CEL {
         // body, and equal-name rebinding of `from` keeps meaning (the
         // inner binder wins either way), so plain traversal is safe
         Call(n, recv.map(subst(_, from, to)), args.map(subst(_, from, to)))
+      case LList(items) => LList(items.map(subst(_, from, to)))
       case other => other
     }
+    // fused bodies use the TERNARY form — p ? q : neutral — not a bare
+    // &&/||: filter() treats a null predicate (eval error on that
+    // element) as not-kept, so the fused quantifier must send null-p
+    // elements to the neutral value exactly like the HOF path does
+    // (false for exists, vacuous true for all); && / ¬∨ would yield null
+    // where the HOF path yields the neutral, flipping all() verdicts.
     def step(x: Expr): Expr = x match {
       case Bin("in", needle, Call("map", Some(r), List(Ident(v), m)))
           if !mentions(needle, v) =>
@@ -103,8 +111,8 @@ object CEL {
           List(Ident(v), body))
           if v == v2 || !mentions(body, v2) =>
         val fused =
-          if (q == "exists") Bin("&&", p, subst(body, v, v2))
-          else Bin("||", Un("!", p), subst(body, v, v2))
+          if (q == "exists") Ternary(p, subst(body, v, v2), LBool(false))
+          else Ternary(p, subst(body, v, v2), LBool(true))
         step(Call(q, Some(r2), List(Ident(v2), fused)))
       case other => other
     }
@@ -668,9 +676,19 @@ object CEL {
         if (c == '\\') i += 2
         else { if (c == ']') inClass = false; i += 1 }
       } else if (c == '\\') {
-        if (i + 1 < n && p(i + 1).isDigit) bad("a backreference")
-        if (i + 1 < n && p(i + 1) == 'k') bad("a named backreference")
-        i += 2
+        // \Q..\E quotes everything inside as a literal — skip it whole,
+        // or a quoted '(a+)+' would be misread as live regex syntax
+        if (i + 1 < n && p(i + 1) == 'Q') {
+          val end = p.indexOf("\\E", i + 2)
+          i = if (end < 0) n else end + 2
+        } else {
+          // \1..\9 are backreferences; \0 starts an OCTAL escape (a
+          // literal character), not a backreference
+          if (i + 1 < n && p(i + 1).isDigit && p(i + 1) != '0')
+            bad("a backreference")
+          if (i + 1 < n && p(i + 1) == 'k') bad("a named backreference")
+          i += 2
+        }
       } else c match {
         case '[' => inClass = true; i += 1
         case '(' =>

@@ -40,24 +40,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Column form of [[TextAnalysis.clean]]'s normalization. */
-  def cleanText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
-
-  /** Column form of [[TextAnalysis.gopherQuality]]'s gate verdict. Every
-    * subtree is a native/codegen expression ([[TextAnalysis.topWordFreq]]
-    * is one GramStats pass), so even when predicate pushdown substitutes
-    * the clean+split into this predicate (it has no cost model and will),
-    * codegen's common-subexpression elimination still evaluates the
-    * split once per row — interpreted HOF lambdas get no CSE and turned
-    * the pushed-down gate into O(words·distinct) re-splits per row.
+  /** The normalization and gate expressions are defined ONCE in
+    * [[TextAnalysis]] ([[TextAnalysis.cleanCol]] /
+    * [[TextAnalysis.gopherPass]]) — the composed pipeline and the
+    * standalone operators can't drift apart.
     */
-  def passesGopher(ws: Column): Column = {
-    val nWords = size(ws)
-    val topFreq = TextAnalysis.topWordFreq(ws)
-    nWords >= 50 && nWords <= 100000 &&
-      topFreq.cast("double") / nWords <= 0.2
-  }
+  def cleanText(text: Column): Column = TextAnalysis.cleanCol(text)
+
+  def passesGopher(ws: Column): Column = TextAnalysis.gopherPass(ws)
 
   /** Stages 1-3 fused: clean + gate as Columns, then the one hash-keyed
     * shuffle whose min(struct) carries the keeper row and group size.

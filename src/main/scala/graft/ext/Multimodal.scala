@@ -294,13 +294,17 @@ object Multimodal {
           case Some(img) =>
             val fits = img.width <= maxW && img.height <= maxH
             val widthLimited = img.width.toLong * maxH >= img.height.toLong * maxW
+            // clamp to >= 1: an extreme aspect ratio (100x1 into 8x8)
+            // floor-divides the passive axis to 0, and a 0-height "image"
+            // is not a resample any real pipeline would emit
             val tw =
               if (fits) img.width
               else if (widthLimited) maxW
-              else (img.width.toLong * maxH / img.height).toInt
+              else math.max(1, (img.width.toLong * maxH / img.height).toInt)
             val th =
               if (fits) img.height
-              else if (widthLimited) (img.height.toLong * maxW / img.width).toInt
+              else if (widthLimited)
+                math.max(1, (img.height.toLong * maxW / img.width).toInt)
               else maxH
             val out = Pixels.resizeNearest(img, tw, th)
             val (sr, sg, sb, acc) = Pixels.stats(out)

@@ -82,19 +82,29 @@ object Pixels {
   def decodeBmp(bytes: Array[Byte]): Option[Image] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
-    val offset = u32(bytes, 10).toInt
-    val w = u32(bytes, 18).toInt
-    val h = u32(bytes, 22).toInt
+    // header ints are UNTRUSTED — all arithmetic in Long, all fields
+    // bounded, or a crafted offset/width defeats the bounds check via Int
+    // overflow and turns "return None" into an executor-killing
+    // ArrayIndexOutOfBounds / giant allocation
+    val offset = u32(bytes, 10)
+    val wL = u32(bytes, 18)
+    val hL = u32(bytes, 22)
     val bpp = u16(bytes, 28)
     val compression = u32(bytes, 30)
-    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0L) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (offset.toLong + rowBytes.toLong * h > bytes.length) return None
+    val maxDim = 1 << 14
+    if (wL <= 0 || hL <= 0 || wL > maxDim || hL > maxDim ||
+      wL * hL > (1L << 26) || bpp != 24 || compression != 0L) return None
+    if (offset < 54 || offset > bytes.length) return None
+    val w = wL.toInt
+    val h = hL.toInt
+    val rowBytes = ((wL * 3 + 3) / 4 * 4).toInt
+    if (offset + rowBytes.toLong * h > bytes.length) return None
     val pix = new Array[Int](w * h)
+    val off = offset.toInt
     var stored = 0
     while (stored < h) {
       val y = h - 1 - stored
-      val base = offset + stored * rowBytes
+      val base = off + stored * rowBytes
       var x = 0
       while (x < w) {
         val b = bytes(base + x * 3) & 0xff

@@ -190,6 +190,20 @@ object TextAnalysis {
   def topWordFreq(words: Column): Column =
     graft.functions.GramStats(words, 1).getField("bestCnt")
 
+  /** Column form of [[gopherQuality]]'s gate verdict over a pre-split
+    * word array — the ONE definition of the gate, shared with
+    * [[Curation.passesGopher]] so the composed pipeline's filter can
+    * never desynchronize from the standalone operator's reported column.
+    * Every subtree is native/codegen ([[topWordFreq]] is one GramStats
+    * pass), so even when predicate pushdown substitutes the clean+split
+    * into this predicate, codegen CSE evaluates the split once per row.
+    */
+  def gopherPass(ws: Column): Column = {
+    val nWords = size(ws)
+    nWords >= 50 && nWords <= 100000 &&
+      topWordFreq(ws).cast("double") / nWords <= 0.2
+  }
+
   def gopherQuality(docs: DataFrame): DataFrame = {
     // bound as a column: the interpreted HOF lambdas below would otherwise
     // re-split the document per element visit (see [[repetition]])
@@ -208,8 +222,7 @@ object TextAnalysis {
       (longW.cast("double") / nWords).as("frac_long_words"),
       (symbols.cast("double") / length(col("text"))).as("symbol_ratio"),
       (topFreq.cast("double") / nWords).as("top_word_freq"),
-      (nWords >= 50 && nWords <= 100000 &&
-        (topFreq.cast("double") / nWords) <= 0.2).as("passes_gopher"))
+      gopherPass(words).as("passes_gopher"))
   }
 
   /** Gopher repetition signals (Rae et al. 2021 §A1.1, public paper): the
@@ -271,11 +284,14 @@ object TextAnalysis {
 
   /** Text cleaning: drop control characters, collapse whitespace runs,
     * trim — the normalization pass before tokenize/dedup. Pure regexp
-    * chain, scan speed.
+    * chain, scan speed. [[cleanCol]] is the ONE definition of the chain,
+    * shared with [[Curation.cleanText]].
     */
+  def cleanCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
+
   def clean(docs: DataFrame): DataFrame = {
-    val cleaned = trim(regexp_replace(
-      regexp_replace(col("text"), "[\\x00-\\x1f]", " "), " +", " "))
+    val cleaned = cleanCol(col("text"))
     docs.select(col("doc_id"), cleaned.as("text_clean"),
       (cleaned =!= col("text")).as("was_dirty"))
   }

@@ -203,11 +203,21 @@ class CELVectorsSpec extends SparkSpec {
       case Call("exists", Some(LList(_)), List(Ident("x"), Bin("==", _, LInt(1)))) =>
       case other => fail(s"in-over-map did not rewrite: $other")
     }
-    // exists ∘ filter fuses the predicate into the quantifier body
+    // exists ∘ filter fuses the predicate into the quantifier body via
+    // the ternary (p ? q : false) — null-p keeps HOF drop semantics
     norm("[1, 2].filter(x, x > 0).exists(y, y == 2)") match {
-      case Call("exists", Some(LList(_)), List(Ident("x"), Bin("&&", _, _))) =>
+      case Call("exists", Some(LList(_)),
+        List(Ident("x"), Ternary(_, _, LBool(false)))) =>
       case other => fail(s"exists-over-filter did not rewrite: $other")
     }
+    // the fused body renames the quantifier variable INSIDE list
+    // literals too (the subst/LList bug a review caught: an unrenamed y
+    // silently resolved against an enclosing binder)
+    vectors(
+      "[1, 2].filter(x, x > 0).exists(y, 1 in [y, 2])" -> true,
+      "[3, 4].filter(x, x > 3).exists(y, 1 in [y, 2])" -> false,
+      "[100].exists(y, [1, 2].filter(x, x > 0).exists(y, 2 in [y]))" -> true,
+      "[100].exists(y, [1, 2].filter(x, x > 0).exists(y, 3 in [y]))" -> false)
     // chains collapse end-to-end and KEEP the HOF semantics
     vectors(
       "1 in [0, 1].map(x, x + 0)" -> true,

@@ -91,5 +91,32 @@ object JoinQueries {
       GROUP BY interval_id ORDER BY interval_id
     """))
 
-  val all: Seq[Q] = Seq(asOfQ, rangeQ)
+  /** Salted skew join through the REAL Skew.saltedJoin: the probe side is
+    * the documents table keyed on `lang` — the canonical hot key (a
+    * handful of distinct values over the whole corpus) — spread across
+    * the salt space against a replicated per-lang dimension. The oracle
+    * is the PLAIN join: a pass proves the salt/replicate/drop mechanics
+    * are result-invariant, which is the whole contract of the operator.
+    */
+  private val saltedQ = Q(
+    "join_salted",
+    (s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val langStats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("lang_docs"))
+      graft.ext.Skew.saltedJoin(
+        docs.select("doc_id", "lang", "n_chars"), langStats,
+        key = "lang", rowId = "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_docs"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT d.doc_id, d.lang, d.n_chars, l.lang_docs
+      FROM documents d
+      JOIN (SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang) l
+        ON d.lang = l.lang
+      ORDER BY d.doc_id
+    """))
+
+  val all: Seq[Q] = Seq(asOfQ, rangeQ, saltedQ)
 }

@@ -37,7 +37,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      // release the query's localCheckpoint blocks before the clock of the
+      // NEXT run starts: leaked storage blocks from earlier queries were
+      // r7's ~15 s "regression" on unchanged code (the sweep itself is
+      // non-blocking bookkeeping, not measured work)
+      val sec = (System.nanoTime() - t0) / 1e9
+      GraftSession.sweepPersisted(spark)
+      sec
     }
     def bestOfTwoIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       math.min(onceIn(dir)(fn), onceIn(dir)(fn))
@@ -106,7 +112,7 @@ object Bench {
       "text_tfidf", "text_lm_score", "dedup_url",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
-      "sim_ivfpq_topk", "sim_ivfpq_res_topk")
+      "sim_ivfpq_topk", "sim_ivfpq_res_topk", "sim_ivfpq_rerank_topk")
     // One data point well past 10× for the CAPPED operators only (MinK
     // block caps, salted two-stage cuts, hash-keyed passage blocks):
     // 26× (the ScaleData rotation cap) separates "sublinear because the
@@ -121,7 +127,7 @@ object Bench {
     val cappedSet = Seq(
       "dedup_ngram_jaccard", "dedup_embedding_neardup", "dedup_passages",
       "sim_int8_topk", "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_res_topk",
-      "dedup_semantic", "pipeline_curation")
+      "sim_ivfpq_rerank_topk", "dedup_semantic", "pipeline_curation")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +
         // the capped set reads only documents+embeddings — don't spend

@@ -700,6 +700,78 @@ object ExtQueries {
     """
     })
 
+  /** IVFADC+R through the REAL composed path (Similarity.ivfPqRerankTopK):
+    * everything sim_ivfpq_topk runs — trained coarse quantizer, nprobe=2
+    * probe, PQ train/encode, cell-pruned ADC — but the ADC ranking keeps
+    * kNeighbors·rerankFactor = 10 candidates, and exact float cosine over
+    * ONLY those candidates decides the final top-5. The oracle replays the
+    * whole chain plus the candidate cut and the float rerank — passing
+    * proves the two-stage contract (codes pick, full precision decides)
+    * end to end, not just the ADC stage.
+    */
+  private val ivfPqRerankTopKQ = Q(
+    "sim_ivfpq_rerank_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(col("vec_id") % ScaleData.IdStride < 300)
+      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") < 3),
+        kNeighbors = 5, kCells = 4, cellIters = 2, nprobe = 2, m = 4,
+        kCodes = 4, pqIters = 1, dim = 64, rerankFactor = 2)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cell").cast("int").as("cell"),
+          col("cos"), col("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      s"""
+      WITH ${lloydChainOver(s"vec_id % ${ScaleData.IdStride} < 300")},
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT e.vec_id AS query_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlL2Full("e", "c")} ASC, c.cell ASC) AS rn
+          FROM e CROSS JOIN c2 c WHERE e.vec_id < 3
+        ) WHERE rn <= 2
+      ),
+      ${pqSubCtes(m = 4, kCodes = 4, subdim = 16, queryPred = "e.vec_id < 3")},
+      sc AS (
+        ${pqScArms(4)}
+      ), pair AS (
+        SELECT query_id, neighbor_id, list(d ORDER BY sub) AS ds
+        FROM sc GROUP BY query_id, neighbor_id
+      ), adc AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), ds),
+                 (x, y) -> x + y) AS adc_dist
+        FROM pair
+      ), pruned AS (
+        SELECT a.query_id, a.neighbor_id, n.cell, a.adc_dist
+        FROM adc a
+        JOIN a3 n ON n.vec_id = a.neighbor_id
+        JOIN probe p ON p.query_id = a.query_id AND p.cell = n.cell
+      ), cand AS (
+        SELECT query_id, neighbor_id, cell, adc_dist FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+          FROM pruned
+        ) WHERE rank <= 10
+      ), rr AS (
+        SELECT cd.query_id, cd.neighbor_id, cd.cell, cd.adc_dist,
+               ${sqlCos("q", "n")} AS cos
+        FROM cand cd
+        JOIN e q ON q.vec_id = cd.query_id
+        JOIN e n ON n.vec_id = cd.neighbor_id
+      ), rr2 AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM rr
+      )
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cell,
+             cos, adc_dist
+      FROM rr2 WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    })
+
   /** Normalization + quantization: unit-norm check (post-normalization
     * norm² folds to 1 bit-for-bit via the same sequential reduce) and the
     * int8 codes with their scale.
@@ -2011,7 +2083,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
-    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,

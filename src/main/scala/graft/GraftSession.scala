@@ -27,4 +27,21 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drop every persisted RDD block in the session.
+    *
+    * Operators that reuse an iteratively-trained frame across jobs pin it
+    * with `localCheckpoint` (Similarity/Dedup/Curation) — the checkpoint
+    * RDD is part of the RETURNED plan's lineage, so the operator itself can
+    * never safely unpersist it (the consumer may not have materialized yet,
+    * and a localCheckpoint's blocks ARE its data — unpersisting loses it).
+    * Between independent queries, though, nothing references those blocks;
+    * a long-lived session running many catalog queries (Bench's 110×2,
+    * Verify's 110) must sweep them or MEMORY_AND_DISK blocks accumulate,
+    * shrinking unified execution memory and raising GC pressure for every
+    * later query (r7's ~15 s bench regression on unchanged code).
+    */
+  def sweepPersisted(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
 }

@@ -20,6 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's localCheckpoint blocks — see
+      // [[GraftSession.sweepPersisted]]
+      GraftSession.sweepPersisted(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -215,10 +215,16 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Media table of REAL uncompressed BMP blobs (small generative test
-    * pattern — dims and pixels are pure functions of the id, see
-    * [[Pixels.genR]]), the pixel-depth counterpart of
-    * [[mediaFromDocuments]]'s header-only containers.
+  /** Media table of REAL image blobs (small generative test pattern —
+    * dims and pixels are pure functions of the id, see [[Pixels.genR]]),
+    * the pixel-depth counterpart of [[mediaFromDocuments]]'s header-only
+    * containers. Container format rotates by id — id%3 = 0 uncompressed
+    * 24-bit BMP, 1 PNG RGB (color type 2), 2 PNG RGBA (color type 6) — so
+    * every consumer exercises the BMP parser AND the full PNG path (zlib
+    * inflate + all five scanline filters + both pixel strides) while the
+    * DECODED pixels stay the same pure function of (x, y, id): the oracle
+    * keeps computing stats from the generative formula, never touching
+    * the containers.
     */
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id").as("media_id"))
@@ -231,7 +237,12 @@ object Multimodal {
         val id = r.getLong(0)
         val w = (id % 16 + 4).toInt
         val h = (id % 12 + 4).toInt
-        Row(id, "image", Pixels.bmpBytes(w, h, id))
+        val blob = (id % 3) match {
+          case 0 => Pixels.bmpBytes(w, h, id)
+          case 1 => Pixels.pngBytes(w, h, id, alpha = false)
+          case _ => Pixels.pngBytes(w, h, id, alpha = true)
+        }
+        Row(id, "image", blob)
       }
     }(Encoders.row(schema))
   }
@@ -258,7 +269,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        Pixels.decodeBmp(r.getAs[Array[Byte]](contentIdx)) match {
+        Pixels.decode(r.getAs[Array[Byte]](contentIdx)) match {
           case Some(img) =>
             val (sr, sg, sb, acc) = Pixels.stats(img)
             Row(id, img.width, img.height, sr, sg, sb, acc)
@@ -290,7 +301,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        Pixels.decodeBmp(r.getAs[Array[Byte]](contentIdx)) match {
+        Pixels.decode(r.getAs[Array[Byte]](contentIdx)) match {
           case Some(img) =>
             val fits = img.width <= maxW && img.height <= maxH
             val widthLimited = img.width.toLong * maxH >= img.height.toLong * maxW

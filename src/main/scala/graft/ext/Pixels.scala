@@ -1,14 +1,21 @@
 package graft.ext
 
-/** Real pixel-level codec for the one image family that needs no external
-  * library: uncompressed 24-bit BMP (the public BITMAPFILEHEADER +
-  * BITMAPINFOHEADER layout, BI_RGB). This is the pixel-depth layer under
-  * [[Multimodal]]'s header-only path: BMP blobs round-trip through an
-  * actual encoder and parser — bottom-up row order, BGR channel order,
-  * 4-byte row padding and all — so pixel statistics and resampling run on
-  * REAL decoded bytes. Compressed formats (PNG/JPEG/GIF) still stop at
-  * header metadata: their codecs need libraries this environment doesn't
-  * ship, and they'd slot into the same per-partition batch signature.
+/** Real pixel-level codecs for the image families that need no external
+  * library:
+  *
+  *  - uncompressed 24-bit BMP (the public BITMAPFILEHEADER +
+  *    BITMAPINFOHEADER layout, BI_RGB): bottom-up row order, BGR channel
+  *    order, 4-byte row padding;
+  *  - PNG 8-bit truecolor (color types 2 RGB / 6 RGBA, RFC 2083): real
+  *    zlib DEFLATE via `java.util.zip.Inflater`/`Deflater` (in the JDK,
+  *    zero-dep) and the five public scanline filter types
+  *    (None/Sub/Up/Average/Paeth) applied and reversed byte-for-byte.
+  *
+  * This is the pixel-depth layer under [[Multimodal]]'s header-only path:
+  * blobs round-trip through actual encoders and parsers, so pixel
+  * statistics and resampling run on REAL decoded bytes. JPEG/GIF still
+  * stop at header metadata: their codecs (DCT, LZW) would slot into the
+  * same per-partition batch signature but aren't in scope here.
   */
 object Pixels {
 
@@ -117,6 +124,235 @@ object Pixels {
     }
     Some(Image(w, h, pix))
   }
+
+  // =========================================================================
+  // PNG (RFC 2083): signature + IHDR/IDAT/IEND chunks, zlib DEFLATE, the
+  // five scanline filters. 8-bit truecolor only (color type 2 = RGB,
+  // 6 = RGBA); alpha is carried through the codec but dropped when packing
+  // to 0xRRGGBB (stats are defined over RGB).
+  // =========================================================================
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def putBe32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = ((v >> 24) & 0xff).toByte
+    b(i + 1) = ((v >> 16) & 0xff).toByte
+    b(i + 2) = ((v >> 8) & 0xff).toByte
+    b(i + 3) = (v & 0xff).toByte
+  }
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** The Paeth predictor (RFC 2083 §6.6) — exact spec arithmetic. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    putBe32(len, 0, data.length.toLong)
+    out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    val cb = new Array[Byte](4)
+    putBe32(cb, 0, crc.getValue)
+    out.write(cb)
+  }
+
+  /** A REAL PNG of the generative test pattern: zlib-deflated scanlines,
+    * filter type (y + seed) % 5 per row — every encode exercises all five
+    * filters, so a decoder that mis-reverses any one of them fails the
+    * round trip. `alpha=true` emits color type 6 (RGBA, alpha =
+    * (x + y + seed) % 256) to exercise the 4-byte-per-pixel filter stride.
+    */
+  def pngBytes(w: Int, h: Int, seed: Long, alpha: Boolean = false): Array[Byte] = {
+    val bpp = if (alpha) 4 else 3
+    val stride = w * bpp
+    // raw scanlines, filter byte + filtered bytes per row
+    val raw = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Int](stride)  // this row's unfiltered bytes
+    val prev = new Array[Int](stride) // previous row's unfiltered bytes
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cur(x * bpp) = genR(x, y, seed)
+        cur(x * bpp + 1) = genG(x, y, seed)
+        cur(x * bpp + 2) = genB(x, y, seed)
+        if (alpha) cur(x * bpp + 3) = ((x + y + seed) % 256).toInt
+        x += 1
+      }
+      val f = ((y + seed) % 5).toInt
+      val base = y * (1 + stride)
+      raw(base) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = if (y > 0) prev(i) else 0
+        val upLeft = if (y > 0 && i >= bpp) prev(i - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(base + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    // zlib stream (Deflater default = zlib wrapper)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w.toLong); putBe32(ihdr, 4, h.toLong)
+    ihdr(8) = 8                                  // bit depth
+    ihdr(9) = (if (alpha) 6 else 2).toByte       // color type
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0     // deflate, adaptive, no interlace
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "IDAT", zbuf.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit truecolor PNG (color type 2 or 6, no interlace) into
+    * top-down packed pixels: walk chunks, inflate the concatenated IDAT
+    * zlib stream, reverse the per-scanline filter. Rejects (None)
+    * anything else — other depths/color types, interlaced images, bad
+    * CRCs, truncated or over-long streams. Header ints are UNTRUSTED:
+    * Long arithmetic, bounded dims, and the inflate output is bounded to
+    * exactly the expected scanline total, so a crafted IHDR or a zip-bomb
+    * IDAT can't out-allocate the declared image size.
+    */
+  def decodePng(bytes: Array[Byte]): Option[Image] = {
+    if (bytes == null || bytes.length < PngSig.length + 12) return None
+    var i = 0
+    while (i < PngSig.length) {
+      if (bytes(i) != PngSig(i)) return None
+      i += 1
+    }
+    var pos = PngSig.length
+    var w = 0; var h = 0; var bpp = 0; var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (pos + 8 > bytes.length) return None
+      val len = be32(bytes, pos)
+      if (len < 0 || len > Int.MaxValue - 12 || pos + 12 + len > bytes.length)
+        return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataOff = pos + 8
+      val dataLen = len.toInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + dataLen)
+      if (crc.getValue != be32(bytes, dataOff + dataLen)) return None
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || dataLen != 13) return None
+          seenIhdr = true
+          val wL = be32(bytes, dataOff)
+          val hL = be32(bytes, dataOff + 4)
+          val bitDepth = bytes(dataOff + 8) & 0xff
+          val colorType = bytes(dataOff + 9) & 0xff
+          val interlace = bytes(dataOff + 12) & 0xff
+          val maxDim = 1 << 14
+          if (wL <= 0 || hL <= 0 || wL > maxDim || hL > maxDim ||
+            wL * hL > (1L << 26) || bitDepth != 8 ||
+            (colorType != 2 && colorType != 6) ||
+            (bytes(dataOff + 10) & 0xff) != 0 ||
+            (bytes(dataOff + 11) & 0xff) != 0 || interlace != 0) return None
+          w = wL.toInt; h = hL.toInt
+          bpp = if (colorType == 6) 4 else 3
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, dataOff, dataLen)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk: CRC-checked above, content ignored
+      }
+      pos = dataOff + dataLen + 4
+    }
+    if (!seenIhdr) return None
+    val stride = w * bpp
+    val expected = h * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < expected && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, expected - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != expected) return None
+      // the stream must END here — trailing pixel data beyond the declared
+      // dims means the header lies about the image
+      val probe = new Array[Byte](1)
+      if (!inflater.finished() && inflater.inflate(probe) > 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // reverse the per-scanline filter in place (recon bytes overwrite raw)
+    val pix = new Array[Int](w * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val f = raw(base) & 0xff
+      if (f > 4) return None
+      var j = 0
+      while (j < stride) {
+        val v = raw(base + 1 + j) & 0xff
+        val left = if (j >= bpp) cur(j - bpp) else 0
+        val up = if (y > 0) prev(j) else 0
+        val upLeft = if (y > 0 && j >= bpp) prev(j - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        cur(j) = (v + pred) & 0xff
+        j += 1
+      }
+      var x = 0
+      while (x < w) {
+        pix(y * w + x) =
+          (cur(x * bpp) << 16) | (cur(x * bpp + 1) << 8) | cur(x * bpp + 2)
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(Image(w, h, pix))
+  }
+
+  /** Magic-dispatched decode: BMP ("BM") or PNG (8-byte signature). */
+  def decode(bytes: Array[Byte]): Option[Image] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) decodePng(bytes)
+    else None
 
   /** Nearest-neighbor resample: target (x, y) reads source
     * (x·W / TW, y·H / TH) — integer floor division, so both engines map

@@ -515,6 +515,40 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** IVFADC+R — exact rerank behind [[ivfPqTopK]] (Jégou et al. 2011 §V's
+    * quality knob, the one every production deployment turns first): the
+    * ADC scan picks `kNeighbors·rerankFactor` candidates within the probed
+    * cells, then exact float cosine reranks THOSE CANDIDATES ONLY — the
+    * same two-stage shape as [[int8TopK]] (approximate codes pick, full
+    * precision decides). At 100 TB the full-precision vectors are read for
+    * ≤ kNeighbors·rerankFactor rows per query instead of never (pure ADC)
+    * or always (brute force); the candidate frame is tiny, so the rerank
+    * joins are a per-query broadcast on the query side and an id-keyed
+    * join against the corpus that AQE plans as broadcast once the
+    * candidate set is materialized.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, kNeighbors: Int,
+      kCells: Int, cellIters: Int, nprobe: Int,
+      m: Int, kCodes: Int, pqIters: Int, dim: Int,
+      rerankFactor: Int = 2, residual: Boolean = false): DataFrame = {
+    val candidates = ivfPqTopK(corpus, queries, kNeighbors * rerankFactor,
+      kCells, cellIters, nprobe, m, kCodes, pqIters, dim, residual)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("adc_dist"))
+    val rerank = candidates
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .drop("q_emb", "c_emb")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rerank.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        col("cos"), col("adc_dist"))
+  }
+
   /** Sign-bit LSH bucket key from fixed deterministic hyperplanes:
     * h_j[i] = ((i·31 + j·17) mod 7) − 3. Vectors whose dot products agree
     * in sign across the planes share a bucket; near-dup candidates come

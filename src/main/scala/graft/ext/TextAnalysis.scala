@@ -441,6 +441,28 @@ object TextAnalysis {
     (((m + 63) / 64) * 64).min(1L << 30).toInt
   }
 
+  /** Past this many bitmap BYTES the probe stops embedding the bitmap as
+    * a plan literal (serialized into the expression tree, shipped with
+    * every task binary, inlined into codegen) and rides a real Spark
+    * broadcast variable instead — `bloomBitsFor` caps at 2^30 bits =
+    * 128 MiB, which would blow up plan serialization long before the
+    * Bloom math breaks. 4 MiB keeps the literal path (which whole-stage
+    * codegen inlines) for every realistically-sized eval set and bounds
+    * the plan-tree cost where it is still negligible.
+    */
+  val LiteralBitmapMaxBytes: Int = 4 << 20
+
+  private[ext] def useLiteralBitmap(mBits: Int): Boolean =
+    mBits / 8 <= LiteralBitmapMaxBytes
+
+  /** NOTE: construction is EAGER on the eval side — building the operator
+    * runs the (bounded, ≤ mBits/64 result rows) eval-gram aggregation as
+    * a Spark job to assemble the bitmap, even if the returned frame is
+    * never executed. That is the same contract as a broadcast-hash-join
+    * build and the price of testing grams inside the scan; callers
+    * composing lazily-planned/streaming pipelines should build the
+    * operator once up front, not per micro-batch.
+    */
   def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
       mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
@@ -466,27 +488,60 @@ object TextAnalysis {
       .collect()
     val bitmap = new Array[Long](mBits / 64)
     wordRows.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
-    val wl = lit(bitmap)
-    def bitSet(pos: Column): Column =
-      element_at(wl, shiftright(pos, 6).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
-    // stage (h1, h2) once per gram: higher-order-function lambdas are
-    // interpreted with no subexpression elimination, so probing straight
-    // off the hex would re-run the conv(substring(md5)) pair per probe —
-    // 2k interpreted digests/convs per gram instead of 2
-    def bloomHit(hs: Column): Column =
-      (0 until k).map { i =>
-        bitSet((hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
-      }.reduce(_ && _)
-    val nHits = size(filter(col("__hs"), hs => bloomHit(hs)))
+    // Small bitmap: plan literal, probed by codegen'd Column arithmetic.
+    // Large bitmap: broadcast variable, probed by a deterministic closure
+    // with the IDENTICAL probe arithmetic (pos = (h1 + i·h2) mod m, test
+    // bit pos&63 of word pos>>6) — same bits, different transport.
+    val nHits: Column =
+      if (useLiteralBitmap(mBits)) {
+        val wl = lit(bitmap)
+        def bitSet(pos: Column): Column =
+          element_at(wl, shiftright(pos, 6).cast("int") + 1)
+            .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
+        // stage (h1, h2) once per gram: higher-order-function lambdas are
+        // interpreted with no subexpression elimination, so probing straight
+        // off the hex would re-run the conv(substring(md5)) pair per probe —
+        // 2k interpreted digests/convs per gram instead of 2
+        def bloomHit(hs: Column): Column =
+          (0 until k).map { i =>
+            bitSet((hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
+          }.reduce(_ && _)
+        size(filter(col("__hs"), hs => bloomHit(hs))).cast("bigint")
+      } else {
+        val bc = docs.sparkSession.sparkContext.broadcast(bitmap)
+        val kk = k
+        val m = mBits.toLong
+        val countHits = udf { hs: Seq[org.apache.spark.sql.Row] =>
+          if (hs == null) 0L
+          else {
+            val words = bc.value
+            var hits = 0L
+            val it = hs.iterator
+            while (it.hasNext) {
+              val r = it.next()
+              val a = r.getLong(0); val b = r.getLong(1)
+              var i = 0L; var all = true
+              while (all && i < kk) {
+                val pos = (a + i * b) % m
+                if ((words((pos >>> 6).toInt) & (1L << (pos & 63).toInt)) == 0L)
+                  all = false
+                i += 1
+              }
+              if (all) hits += 1
+            }
+            hits
+          }
+        }
+        countHits(col("__hs"))
+      }
     graft.Tables.fanOut(docs)
       .withColumn("__hs", transform(gramsCol, g => {
         val hex = md5(g)
         struct(h1(hex).as("h1"), h2(hex).as("h2"))
       }))
-      .select(col("doc_id"), col("lang"),
-        nHits.cast("bigint").as("n_hits"),
-        (nHits > 0).as("contaminated"))
+      .withColumn("n_hits", nHits)
+      .select(col("doc_id"), col("lang"), col("n_hits"),
+        (col("n_hits") > 0).as("contaminated"))
   }
 
   /** Corpus-level TF-IDF top terms: for each document, the k terms with

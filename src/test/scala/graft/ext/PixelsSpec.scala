@@ -52,6 +52,76 @@ class PixelsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(half.pix(y * 3 + x) === img.pix((y * 4 / 2) * 6 + (x * 6 / 3)))
   }
 
+  test("png round trip: RGB and RGBA decode back to the generative pattern") {
+    for (alpha <- Seq(false, true); (w, h) <- Seq((1, 1), (5, 3), (16, 11), (19, 7))) {
+      val img = Pixels.decodePng(Pixels.pngBytes(w, h, 42L, alpha)).get
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.pix(y * w + x)
+        assert(((p >> 16) & 0xff) === Pixels.genR(x, y, 42L))
+        assert(((p >> 8) & 0xff) === Pixels.genG(x, y, 42L))
+        assert((p & 0xff) === Pixels.genB(x, y, 42L))
+      }
+    }
+    // height >= 5 guarantees every filter type (filter = (y + seed) % 5)
+    // appears in the stream for any seed
+    for (seed <- 0L to 4L) {
+      val img = Pixels.decodePng(Pixels.pngBytes(8, 5, seed)).get
+      assert((0 until 40).forall { i =>
+        val x = i % 8; val y = i / 8
+        img.pix(i) === ((Pixels.genR(x, y, seed) << 16) |
+          (Pixels.genG(x, y, seed) << 8) | Pixels.genB(x, y, seed))
+      })
+    }
+  }
+
+  test("png decode rejects malformed input") {
+    assert(Pixels.decodePng(null).isEmpty)
+    assert(Pixels.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+    val good = Pixels.pngBytes(6, 4, 3L)
+    assert(Pixels.decodePng(good.dropRight(9)).isEmpty)   // truncated
+    val crcBad = good.clone(); crcBad(20) = (crcBad(20) ^ 1).toByte
+    assert(Pixels.decodePng(crcBad).isEmpty)              // IHDR CRC mismatch
+    // lying header: claim one extra row — the inflated stream is too short
+    val short = {
+      val b = good.clone()
+      // IHDR height field at offset 8 (sig) + 8 (len+type) + 4 = 20..23,
+      // recompute CRC so only the SIZE check can reject it
+      b(23) = (b(23) + 1).toByte
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13)
+      b(29) = ((crc.getValue >> 24) & 0xff).toByte
+      b(30) = ((crc.getValue >> 16) & 0xff).toByte
+      b(31) = ((crc.getValue >> 8) & 0xff).toByte
+      b(32) = (crc.getValue & 0xff).toByte
+      b
+    }
+    assert(Pixels.decodePng(short).isEmpty)
+    // 16-bit depth unsupported (same CRC-fixup so depth is the rejector)
+    val deep = {
+      val b = good.clone()
+      b(24) = 16
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 4 + 13)
+      b(29) = ((crc.getValue >> 24) & 0xff).toByte
+      b(30) = ((crc.getValue >> 16) & 0xff).toByte
+      b(31) = ((crc.getValue >> 8) & 0xff).toByte
+      b(32) = (crc.getValue & 0xff).toByte
+      b
+    }
+    assert(Pixels.decodePng(deep).isEmpty)
+  }
+
+  test("magic dispatch routes BMP and PNG to the right parser") {
+    assert(Pixels.decode(Pixels.bmpBytes(4, 4, 1L)).isDefined)
+    assert(Pixels.decode(Pixels.pngBytes(4, 4, 1L)).isDefined)
+    assert(Pixels.decode("GIF89a trailer".getBytes).isEmpty)
+    // same (w, h, seed) through either container decodes identically
+    val viaBmp = Pixels.decode(Pixels.bmpBytes(9, 6, 5L)).get
+    val viaPng = Pixels.decode(Pixels.pngBytes(9, 6, 5L, alpha = true)).get
+    assert(viaBmp.pix.toSeq === viaPng.pix.toSeq)
+  }
+
   test("stats checksum is order-sensitive (catches a missing bottom-up flip)") {
     val img = Pixels.decodeBmp(Pixels.bmpBytes(4, 3, 9L)).get
     val flipped = Pixels.Image(4, 3,

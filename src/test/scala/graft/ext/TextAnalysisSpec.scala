@@ -264,4 +264,33 @@ class TextAnalysisSpec extends SparkSpec {
       s"bloom corpus side hash-shuffled:\n$plan")
     assert(!plan.contains("Join"), s"bloom corpus side joined:\n$plan")
   }
+
+  test("decontaminateBloom: large bitmap rides a broadcast, same verdicts") {
+    // the literal/broadcast cutoff: 4 MiB of bitmap = 2^25 bits
+    assert(TextAnalysis.useLiteralBitmap(1 << 20))
+    assert(TextAnalysis.useLiteralBitmap(1 << 25))
+    assert(!TextAnalysis.useLiteralBitmap((1 << 25) + 64))
+    assert(!TextAnalysis.useLiteralBitmap(TextAnalysis.bloomBitsFor(3000000, 1e-4)))
+    val docs = Tables.documents(spark, sf)
+    val eval5 = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0).limit(200)
+    // a bloomBitsFor-sized bitmap for a 3M-gram eval set: 7 MiB — past the
+    // literal cutoff, so this exercises the broadcast-probe path end to end
+    val bigBits = TextAnalysis.bloomBitsFor(3000000, 1e-4)
+    val big = TextAnalysis.decontaminateBloom(corpus, eval5, mBits = bigBits)
+      .select(col("doc_id"), col("n_hits").as("big_hits"),
+        col("contaminated").as("big_c"))
+    // at 7 MiB / 5 probes the FPR is ~0 — verdicts AND hit counts must
+    // equal the default literal path's (both equal exact at this scale)
+    val small = TextAnalysis.decontaminateBloom(corpus, eval5)
+      .select(col("doc_id"), col("n_hits").as("small_hits"),
+        col("contaminated").as("small_c"))
+    val joined = big.join(small, "doc_id")
+    assert(joined.filter(col("big_c") =!= col("small_c") ||
+      col("big_hits") =!= col("small_hits")).count() === 0)
+    // and the big bitmap must NOT sit in the plan as a literal: the plan
+    // tree stays small because the words ride a broadcast variable
+    val planLen = big.queryExecution.executedPlan.toString.length
+    assert(planLen < (1 << 20), s"large-bitmap plan is $planLen chars")
+  }
 }

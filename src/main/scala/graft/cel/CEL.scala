@@ -420,6 +420,42 @@ object CEL {
     case _ => false
   }
 
+  /** Statically timestamp-typed subtree: a `timestamp()` conversion or
+    * timestamp ± duration arithmetic (cel-spec temporal operators).
+    */
+  private def isTimestampExpr(e: Expr): Boolean = e match {
+    case Call("timestamp", None, _) => true
+    case Bin("+", l, r) =>
+      (isTimestampExpr(l) && isDurationExpr(r)) ||
+        (isDurationExpr(l) && isTimestampExpr(r))
+    case Bin("-", l, r) => isTimestampExpr(l) && isDurationExpr(r)
+    case Ternary(_, t, f) => isTimestampExpr(t) && isTimestampExpr(f)
+    case _ => false
+  }
+
+  /** Statically duration-typed subtree: a `duration()` conversion,
+    * duration ± duration, or timestamp − timestamp. Durations are carried
+    * as DOUBLE seconds (Go durations are fractional; the arithmetic and
+    * comparisons below are plain numeric ops on that representation).
+    */
+  private def isDurationExpr(e: Expr): Boolean = e match {
+    case Call("duration", None, _) => true
+    case Un("-", x) => isDurationExpr(x)
+    case Bin("+", l, r) => isDurationExpr(l) && isDurationExpr(r)
+    case Bin("-", l, r) =>
+      (isDurationExpr(l) && isDurationExpr(r)) ||
+        (isTimestampExpr(l) && isTimestampExpr(r))
+    case Ternary(_, t, f) => isDurationExpr(t) && isDurationExpr(f)
+    case _ => false
+  }
+
+  /** Seconds-typed duration column → day-time interval for timestamp
+    * arithmetic (make_dt_interval's seconds slot is DECIMAL(18,6) — µs
+    * resolution, matching Spark timestamps).
+    */
+  private def durInterval(c: Column): Column =
+    make_dt_interval(lit(0), lit(0), lit(0), c.cast("decimal(18,6)"))
+
   def toColumn(e: Expr): Column = toColumn(e, Map.empty)
 
   private def toColumn(e: Expr, env: Map[String, Column]): Column = e match {
@@ -433,6 +469,18 @@ object CEL {
     case Un("!", x) => !toColumn(x, env)
     case Un("-", x) => -toColumn(x, env)
     case Un(op, _) => throw new IllegalArgumentException(s"CEL: unknown unary $op")
+    // cel-spec temporal arithmetic — matched BEFORE the numeric arms so a
+    // timestamp never falls into try_add's implicit coercions:
+    //   ts + dur / dur + ts / ts - dur → timestamp; ts - ts → duration
+    case Bin("+", l, r) if isTimestampExpr(l) && isDurationExpr(r) =>
+      toColumn(l, env) + durInterval(toColumn(r, env))
+    case Bin("+", l, r) if isDurationExpr(l) && isTimestampExpr(r) =>
+      toColumn(r, env) + durInterval(toColumn(l, env))
+    case Bin("-", l, r) if isTimestampExpr(l) && isDurationExpr(r) =>
+      toColumn(l, env) - durInterval(toColumn(r, env))
+    case Bin("-", l, r) if isTimestampExpr(l) && isTimestampExpr(r) =>
+      (unix_micros(toColumn(l, env)) - unix_micros(toColumn(r, env)))
+        .cast("double") / 1e6
     case Bin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
       val (lc, rc) = (toColumn(l, env), toColumn(r, env))
       // a macro iteration variable's element type is unknown statically;
@@ -646,7 +694,10 @@ object CEL {
     // per open group: did its body contain an unbounded quantifier?
     val stack = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     var cur = false
-    var inClass = false
+    // depth, not a flag: Java character classes nest ([a[b]] is a union
+    // class), and closing at the FIRST ']' would misparse the remainder
+    // of the pattern as live syntax (ADVICE r7 — false rejects)
+    var classDepth = 0
     var i = 0
     // end index (exclusive) of an UNBOUNDED quantifier at j, else -1
     def unboundedAt(j: Int): Int =
@@ -672,9 +723,13 @@ object CEL {
       }
     while (i < n) {
       val c = p(i)
-      if (inClass) {
+      if (classDepth > 0) {
         if (c == '\\') i += 2
-        else { if (c == ']') inClass = false; i += 1 }
+        else {
+          if (c == '[') classDepth += 1
+          else if (c == ']') classDepth -= 1
+          i += 1
+        }
       } else if (c == '\\') {
         // \Q..\E quotes everything inside as a literal — skip it whole,
         // or a quoted '(a+)+' would be misread as live regex syntax
@@ -690,7 +745,7 @@ object CEL {
           i += 2
         }
       } else c match {
-        case '[' => inClass = true; i += 1
+        case '[' => classDepth = 1; i += 1
         case '(' =>
           if (p.startsWith("(?=", i) || p.startsWith("(?!", i)) bad("lookahead")
           if (p.startsWith("(?<=", i) || p.startsWith("(?<!", i)) bad("lookbehind")

@@ -634,32 +634,24 @@ object PqAdcExpr {
       PqAdcExpr(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), k))
 }
 
-/** Character-level greedy-merge BPE (Sennrich et al. 2016, public paper;
-  * the merge loop is the GPT-2 reference algorithm, also public): start
-  * from a word's code points, repeatedly find the LOWEST-ranked adjacent
-  * symbol pair in the merge table and fuse all of its occurrences
-  * left-to-right, until no listed pair remains. The merge table is a
-  * deterministic fixture in merge-rank order (a real deployment loads a
-  * trained merges.txt; the algorithm is identical), shared verbatim with
-  * the DuckDB oracle so both engines replay the same merges.
+/** A LOADED merge table for character-level greedy-merge BPE (Sennrich
+  * et al. 2016, public paper; the merge loop is the GPT-2 reference
+  * algorithm, also public): start from a word's code points, repeatedly
+  * find the LOWEST-ranked adjacent symbol pair in the table and fuse all
+  * of its occurrences left-to-right, until no listed pair remains.
+  *
+  * Serializable by design: an instance rides the expression tree to
+  * executors (via `addReferenceObj`), so a table loaded from a real
+  * trained merges.txt on the driver works on a 1000-executor cluster
+  * with no shared static state — only the pair list serializes; the
+  * rank index and memo cache rebuild lazily per JVM.
   */
-object BpeUtil {
+final class BpeTable(val merges: IndexedSeq[(String, String)])
+    extends Serializable {
 
-  /** Merge rules in rank order (rank = index) — common English letter
-    * pairs in the shape a trained Sennrich merges table has.
-    */
-  val Merges: Seq[(String, String)] = Seq(
-    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
-    "o" -> "n", "r" -> "e", "e" -> "n", "a" -> "t", "o" -> "r",
-    "e" -> "s", "s" -> "t", "a" -> "r", "t" -> "e", "an" -> "d",
-    "in" -> "g", "o" -> "u", "i" -> "t", "o" -> "f", "i" -> "s",
-    "a" -> "l", "e" -> "d", "l" -> "l", "o" -> "o", "w" -> "h",
-    "c" -> "o", "f" -> "o", "u" -> "r", "p" -> "r", "m" -> "a",
-    "d" -> "e", "v" -> "e")
-
-  private val rank: java.util.HashMap[String, Integer] = {
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    Merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
+    merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
     m
   }
 
@@ -668,7 +660,7 @@ object BpeUtil {
     * skip the merge loop entirely. Bounded — cleared past 50k entries —
     * so a high-cardinality corpus can't grow executor heap unboundedly.
     */
-  private val cache: ThreadLocal[java.util.HashMap[String, Integer]] =
+  @transient private lazy val cache: ThreadLocal[java.util.HashMap[String, Integer]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer]())
 
   def pieceCount(word: String): Int = {
@@ -689,7 +681,7 @@ object BpeUtil {
       }
       if (best == Int.MaxValue) merging = false
       else {
-        val (l, rr) = Merges(best)
+        val (l, rr) = merges(best)
         // fuse ALL occurrences of the best pair, one left-to-right pass
         // over the current symbols (merged output does not re-merge this
         // round — the reference algorithm's single-pass semantics)
@@ -722,24 +714,75 @@ object BpeUtil {
     }
     total
   }
+
+  override def equals(other: Any): Boolean = other match {
+    case t: BpeTable => t.merges == merges
+    case _ => false
+  }
+  override def hashCode(): Int = merges.hashCode()
+}
+
+object BpeUtil {
+
+  /** Parse the public GPT-2 `merges.txt` format: an optional `#version`
+    * header (and any other `#` comment lines), then one
+    * `left<space>right` pair per line, rank = line order. This is how a
+    * real deployment loads a TRAINED tokenizer's merge list; the bundled
+    * fixture ([[Merges]]) is the same format.
+    */
+  def parseMerges(lines: Iterator[String]): IndexedSeq[(String, String)] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ", 2)
+        require(sp.length == 2 && sp(0).nonEmpty && sp(1).nonEmpty,
+          s"malformed merges.txt line: '$l'")
+        (sp(0), sp(1))
+      }.toIndexedSeq
+
+  def parseMerges(text: String): IndexedSeq[(String, String)] =
+    parseMerges(text.linesIterator)
+
+  /** The deterministic fixture table, loaded from the bundled
+    * GPT-2-format `merges.txt` resource — common English letter pairs in
+    * the shape a trained Sennrich merges table has. Swap in a real
+    * trained file via [[parseMerges]] + [[BpeTable]].
+    */
+  val Merges: IndexedSeq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/merges.txt")
+    require(in != null, "bundled /graft/bpe/merges.txt resource missing")
+    try parseMerges(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  val Default: BpeTable = new BpeTable(Merges)
 }
 
 /** bpe_tokens(words): total greedy-merge BPE piece count of an
-  * array<string> column — one codegen'd static call per row.
+  * array<string> column — one codegen'd call per row against the
+  * expression's own [[BpeTable]] (shipped to executors as a codegen
+  * reference object, not static state).
   */
-case class BpeTokensExpr(child: Expression)
+case class BpeTokensExpr(child: Expression,
+    merges: Seq[(String, String)] = BpeUtil.Merges)
   extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val table: BpeTable =
+    if (merges == BpeUtil.Merges) BpeUtil.Default
+    else new BpeTable(merges.toIndexedSeq)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_tokens"
 
   override def nullSafeEval(a: Any): Any =
-    BpeUtil.tokenCount(a.asInstanceOf[ArrayData])
+    table.tokenCount(a.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graftexpr.BpeUtil.tokenCount($a);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.tokenCount($a);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
     copy(child = newChild)
@@ -748,4 +791,6 @@ case class BpeTokensExpr(child: Expression)
 object BpeTokensExpr {
   def column(words: Column): Column =
     ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(words)))
+  def column(words: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(words), merges))
 }

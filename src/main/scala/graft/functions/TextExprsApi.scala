@@ -79,12 +79,29 @@ object PqAdc {
 }
 
 object BpeTokens {
-  /** Total character-level greedy-merge BPE piece count of an
-    * array<string> column (deterministic fixture merge table,
-    * [[org.apache.spark.sql.graftexpr.BpeUtil.Merges]]).
+  /** The default merge table — loaded from the bundled GPT-2-format
+    * `merges.txt` fixture resource
+    * ([[org.apache.spark.sql.graftexpr.BpeUtil.Merges]]).
     */
   val merges: Seq[(String, String)] =
     org.apache.spark.sql.graftexpr.BpeUtil.Merges
+
+  /** Parse a GPT-2-format `merges.txt` (optional `#` header lines, one
+    * `left right` pair per line, rank = line order) into a merge list
+    * for the two-arg apply — how a real trained tokenizer plugs in.
+    */
+  def parseMerges(text: String): Seq[(String, String)] =
+    org.apache.spark.sql.graftexpr.BpeUtil.parseMerges(text)
+
+  /** Total character-level greedy-merge BPE piece count of an
+    * array<string> column, over the default fixture table.
+    */
   def apply(words: Column): Column =
     org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words)
+
+  /** Same, over a caller-supplied merge table (e.g. a loaded trained
+    * merges.txt). The table rides the expression to executors.
+    */
+  def apply(words: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words, merges)
 }

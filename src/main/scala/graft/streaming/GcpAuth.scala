@@ -207,8 +207,11 @@ final class GcpIdTokenProvider(
         // eviction a long-lived executor serving churning subscriptions /
         // rotated credentials accumulates dead keys forever — each one
         // retaining a private-key PEM copy as key material
+        // staleness bound matches the serve path (now < exp - 60 serves):
+        // an entry the reads already treat as dead must not linger one
+        // extra window holding rotated private-key material
         val it = GcpIdTokenProvider.cache.entrySet().iterator()
-        while (it.hasNext) if (now >= it.next().getValue._2) it.remove()
+        while (it.hasNext) if (now >= it.next().getValue._2 - 60) it.remove()
         GcpIdTokenProvider.cache.put(key, (tok, now + cacheTtl))
         tok
       }

@@ -158,7 +158,15 @@ object SubscriptionRunner {
     val toDeliver =
       if (ordered) transformed.repartition(1).sortWithinPartitions(col("sequence_number"))
       else if (spec.config.rateLimitPerSec > 0) transformed.repartition(cores)
-      else graft.Tables.fanOut(transformed)
+      else if (transformed.inputFiles.nonEmpty) graft.Tables.fanOut(transformed)
+      // fanOut's metadata probe no-ops on zero input files (in-memory or
+      // shuffle-derived micro-batch sources, which is what foreachBatch
+      // hands this path) — fall back to the ACTUAL partition count so a
+      // single-partition batch still fans its network-bound sends across
+      // cores (ADVICE r7). The .rdd probe is safe here: the delivery
+      // subtree is narrow per-row work, so no stage executes to answer it.
+      else if (transformed.rdd.getNumPartitions < cores) transformed.repartition(cores)
+      else transformed
     val deliveryMode = delivery
     // rows inside mapPartitions carry no schema; resolve indices driver-side
     val schema = toDeliver.schema

@@ -277,6 +277,15 @@ class CELVectorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CEL.compile("$s.(string).matches($s.(string))")
     }
+    // nested union classes (Java [a[b]]) must NOT confuse the scanner:
+    // the first ']' doesn't end the class (ADVICE r7), so the quantified
+    // suffix is still read correctly on both sides of the verdict
+    CEL.compile("$s.(string).matches('[a[b]]+x')")          // accepted
+    rejects("[a[b]]*([c[d]]+)+")  // nested quantifiers seen THROUGH classes
+    // a ')' inside a nested class is a literal, not a group close — if the
+    // scanner left the class at the first ']', this valid pattern's group
+    // bookkeeping would desync
+    CEL.compile("$s.(string).matches('([a[)b]]x)+')")
   }
 
   test("typed variables over the data body with lenient coercions (cel.go:198-275)") {

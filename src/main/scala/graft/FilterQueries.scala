@@ -180,6 +180,41 @@ object FilterQueries {
       ORDER BY event_id
     """))
 
+  /** cel-spec temporal surface through the REAL compiled filter:
+    * timestamp() conversion of a data-derived RFC 3339 string, timestamp +
+    * duration arithmetic against a timestamp literal, a UTC accessor, and
+    * a constant duration comparison (compile-time Go-grammar parse). The
+    * oracle replays the SAME temporal arithmetic in DuckDB — cast, add
+    * interval, extract — not a precomputed integer shortcut. Rows whose k
+    * builds an invalid timestamp are excluded by the k-range conjunct on
+    * both sides (and the conversion itself is TRY semantics: eval error →
+    * null → filter false).
+    */
+  private val celTime = Q(
+    "filter_cel_time",
+    (s, d) => run(s, d, Cel(
+      "$k.(int64) >= 10 && $k.(int64) < 60 && " +
+        "timestamp('2024-01-01T00:00:' + $k.(string) + 'Z') + duration('30s') " +
+        "<= timestamp('2024-01-01T00:01:05Z') && " +
+        "timestamp('2024-01-01T00:00:' + $k.(string) + 'Z').getSeconds() % 2 == 0 && " +
+        "duration('90s') > duration('1m')")),
+    Some("""
+      WITH kv AS (
+        SELECT event_id, event_type, props,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+      ), ts AS (
+        SELECT *, TRY_CAST('2024-01-01T00:00:' || CAST(k AS VARCHAR) || 'Z'
+                           AS TIMESTAMP) AS t
+        FROM kv
+      )
+      SELECT event_id, event_type, props FROM ts
+      WHERE k >= 10 AND k < 60
+        AND t + INTERVAL 30 SECOND <= TIMESTAMP '2024-01-01 00:01:05'
+        AND EXTRACT(SECOND FROM t) % 2 = 0
+      ORDER BY event_id
+    """))
+
   val all: Seq[Q] = Seq(exact, prefixRawData, suffix, noF, notF, allAny, missingAttr,
-    extensionAttr, timePrefix, cesql, cesqlFns, cel, celMacros)
+    extensionAttr, timePrefix, cesql, cesqlFns, cel, celMacros, celTime)
 }

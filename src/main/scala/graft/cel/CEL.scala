@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * All evaluate null (→ filter false) when the receiver is missing,
   * matching CEL's eval-error semantics.
   *
+  * Plus the cel-spec temporal conversions: `timestamp(s)` (RFC 3339 →
+  * Spark timestamp; unparseable text is an eval error → filter false) and
+  * `duration(s)` (Go duration grammar, parsed at compile time from a
+  * string literal into seconds), with timestamp ± duration arithmetic,
+  * timestamp − timestamp, ordering/equality on both, and the no-timezone
+  * (UTC) accessors `getFullYear`/`getMonth` (0-based)/`getDate`/
+  * `getDayOfMonth` (0-based)/`getDayOfWeek` (0 = Sunday)/`getHours`/
+  * `getMinutes`/`getSeconds` — duration accessors return truncated totals
+  * per cel-go.
+  *
   * And the cel-spec comprehension macros over list values —
   * `list.exists(x, p)`, `list.all(x, p)`, `list.filter(x, p)`,
   * `list.map(x, e)` — each compiled 1:1 onto Spark's codegen'd
@@ -655,10 +665,89 @@ object CEL {
             s"CEL: matches() pattern must be a string literal, got $other")
         }
         regexp_like(toColumn(r, env), toColumn(args.head, env))
+      // cel-spec conversions: timestamp(string) parses RFC 3339 (try_cast:
+      // unparseable text is a CEL eval error → null → filter false);
+      // duration(string) parses the Go duration grammar at COMPILE time
+      // (literal-only, like matches()'s pattern) into double seconds.
+      case ("timestamp", None) =>
+        arity(1)
+        toColumn(args.head, env).try_cast("timestamp")
+      case ("duration", None) =>
+        arity(1)
+        args.head match {
+          case LStr(s) => lit(parseGoDuration(s))
+          case other => throw new IllegalArgumentException(
+            s"CEL: duration() argument must be a string literal, got $other")
+        }
+      // cel-spec temporal accessors (no-timezone forms = UTC, which is the
+      // session timezone; cel pins getMonth/getDayOfMonth 0-based and
+      // getDate 1-based; getDayOfWeek 0 = Sunday)
+      case ("getFullYear", Some(r)) if isTimestampExpr(r) =>
+        arity(0); year(toColumn(r, env)).cast("bigint")
+      case ("getMonth", Some(r)) if isTimestampExpr(r) =>
+        arity(0); (month(toColumn(r, env)) - 1).cast("bigint")
+      case ("getDate", Some(r)) if isTimestampExpr(r) =>
+        arity(0); dayofmonth(toColumn(r, env)).cast("bigint")
+      case ("getDayOfMonth", Some(r)) if isTimestampExpr(r) =>
+        arity(0); (dayofmonth(toColumn(r, env)) - 1).cast("bigint")
+      case ("getDayOfWeek", Some(r)) if isTimestampExpr(r) =>
+        arity(0); (dayofweek(toColumn(r, env)) - 1).cast("bigint")
+      case ("getHours", Some(r)) if isTimestampExpr(r) =>
+        arity(0); hour(toColumn(r, env)).cast("bigint")
+      case ("getMinutes", Some(r)) if isTimestampExpr(r) =>
+        arity(0); minute(toColumn(r, env)).cast("bigint")
+      case ("getSeconds", Some(r)) if isTimestampExpr(r) =>
+        arity(0); second(toColumn(r, env)).cast("bigint")
+      // duration accessors: TOTALS truncated toward zero (cel-go: a 90m
+      // duration getHours() = 1, getMinutes() = 90, getSeconds() = 5400)
+      case ("getHours", Some(r)) if isDurationExpr(r) =>
+        arity(0); (toColumn(r, env) / 3600).cast("bigint")
+      case ("getMinutes", Some(r)) if isDurationExpr(r) =>
+        arity(0); (toColumn(r, env) / 60).cast("bigint")
+      case ("getSeconds", Some(r)) if isDurationExpr(r) =>
+        arity(0); toColumn(r, env).cast("bigint")
       case _ =>
         throw new IllegalArgumentException(
           s"CEL: unsupported function '$name' (receiver: ${recv.isDefined})")
     }
+  }
+
+  /** Go `time.ParseDuration` grammar, compile-time: optional sign, then
+    * one or more `<number><unit>` terms, units h m s ms us µs ns; plain
+    * "0" allowed. Returns total seconds as a double (Go durations are
+    * fractional — "1.5h" is valid).
+    */
+  private[cel] def parseGoDuration(s: String): Double = {
+    val str = s.trim
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"CEL: invalid duration '$s'")
+    if (str.isEmpty) bad()
+    var i = 0
+    var sign = 1.0
+    if (str(0) == '-' || str(0) == '+') {
+      if (str(0) == '-') sign = -1.0
+      i = 1
+    }
+    if (i >= str.length) bad()
+    if (str.substring(i) == "0") return 0.0
+    var total = 0.0
+    while (i < str.length) {
+      val j = i
+      while (i < str.length && (str(i).isDigit || str(i) == '.')) i += 1
+      if (i == j) bad()
+      val num = try str.substring(j, i).toDouble catch { case _: NumberFormatException => bad() }
+      // longest unit first: "ms"/"us"/"µs"/"ns" before bare "m"/"s"
+      val factor =
+        if (str.startsWith("ms", i)) { i += 2; 1e-3 }
+        else if (str.startsWith("us", i) || str.startsWith("µs", i)) { i += 2; 1e-6 }
+        else if (str.startsWith("ns", i)) { i += 2; 1e-9 }
+        else if (i < str.length && str(i) == 'h') { i += 1; 3600.0 }
+        else if (i < str.length && str(i) == 'm') { i += 1; 60.0 }
+        else if (i < str.length && str(i) == 's') { i += 1; 1.0 }
+        else bad()
+      total += num * factor
+    }
+    sign * total
   }
 
   /** Driver-side guard for matches() patterns — runs once at compile()

@@ -288,6 +288,55 @@ class CELVectorsSpec extends SparkSpec {
     CEL.compile("$s.(string).matches('([a[)b]]x)+')")
   }
 
+  test("timestamp()/duration() conversions and temporal arithmetic (cel-spec timestamps)") {
+    vectors(
+      "timestamp('2009-02-13T23:31:30Z') == timestamp('2009-02-13T23:31:30Z')" -> true,
+      "timestamp('2009-02-13T23:31:29Z') < timestamp('2009-02-13T23:31:30Z')" -> true,
+      "timestamp('2009-02-13T23:31:30Z') > timestamp('2009-02-13T23:31:29Z')" -> true,
+      // ts + dur, dur + ts, ts - dur
+      "timestamp('2009-02-13T23:31:30Z') + duration('1m') == timestamp('2009-02-13T23:32:30Z')" -> true,
+      "duration('1h') + timestamp('2009-02-13T23:31:30Z') == timestamp('2009-02-14T00:31:30Z')" -> true,
+      "timestamp('2009-02-13T23:31:30Z') - duration('90s') == timestamp('2009-02-13T23:30:00Z')" -> true,
+      // ts - ts is a duration
+      "timestamp('2009-02-13T23:31:30Z') - timestamp('2009-02-13T23:30:30Z') == duration('60s')" -> true,
+      // duration parsing: compound terms, unit equivalences, fractions
+      "duration('1h') == duration('60m')" -> true,
+      "duration('1h30m') > duration('89m')" -> true,
+      "duration('1.5h') == duration('90m')" -> true,
+      "duration('250ms') + duration('750ms') == duration('1s')" -> true,
+      "duration('-30s') < duration('0s')" -> true,
+      // accessors: cel pins getMonth/getDayOfMonth 0-based, getDate
+      // 1-based, getDayOfWeek 0 = Sunday (2009-02-13 was a Friday)
+      "timestamp('2009-02-13T23:31:30Z').getFullYear() == 2009" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getMonth() == 1" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getDate() == 13" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getDayOfMonth() == 12" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getDayOfWeek() == 5" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getHours() == 23" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getMinutes() == 31" -> true,
+      "timestamp('2009-02-13T23:31:30Z').getSeconds() == 30" -> true,
+      // duration accessors are truncated TOTALS (cel-go)
+      "duration('90m').getHours() == 1" -> true,
+      "duration('90m').getMinutes() == 90" -> true,
+      "duration('90m').getSeconds() == 5400" -> true,
+      // unparseable text = eval error -> filter false (even for ==)
+      "timestamp('not a time') == timestamp('not a time')" -> false,
+      // data-dependent: k=12 builds a valid second field
+      "timestamp('2009-02-13T23:31:' + $k.(string) + 'Z').getSeconds() == 12" -> true)
+    // Go grammar rejects at COMPILE time (subscription create)
+    for (bad <- Seq("", "5", "s", "1x", "1h2x", "--3s"))
+      intercept[IllegalArgumentException] {
+        CEL.compile(s"duration('$bad') == duration('$bad')")
+      }
+    // computed duration strings can't be compile-time parsed -> reject
+    intercept[IllegalArgumentException] {
+      CEL.compile("duration($s.(string)) == duration('1s')")
+    }
+    assert(CEL.parseGoDuration("0") === 0.0)
+    assert(CEL.parseGoDuration("1h2m3s") === 3723.0)
+    assert(CEL.parseGoDuration("100ns") === 100 * 1e-9) // same fold as the parser
+  }
+
   test("typed variables over the data body with lenient coercions (cel.go:198-275)") {
     vectors(
       "$k.(int64) == 12" -> true,

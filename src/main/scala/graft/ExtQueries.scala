@@ -1861,6 +1861,47 @@ object ExtQueries {
       FROM px ORDER BY media_id
     """))
 
+  /** REAL audio sample decode through the whole container round trip: the
+    * Spark side writes each doc's generative test tone as an actual 16-bit
+    * PCM WAV (RIFF chunks, interleaved little-endian frames) and parses it
+    * back byte-by-byte; the oracle computes the SAME statistics straight
+    * from the generative sample formula, never touching the container. A
+    * pass proves encoder and parser agree on every byte of layout — the
+    * interleaved-order checksum catches wrong de-interleaving or a missed
+    * sign extension that the absolute sums alone would not.
+    */
+  private val audioStatsQ = Q(
+    "multimodal_audio_stats",
+    (s, d) => Multimodal.audioStats(
+      Multimodal.wavMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sample_rate,
+               CAST(doc_id % 2 + 1 AS INT) AS ch,
+               CAST(doc_id % 50 + 10 AS INT) AS nf
+        FROM documents
+      ), smp AS (
+        SELECT doc_id, sample_rate, ch, nf,
+               flatten(list_transform(range(0, nf), i ->
+                 list_transform(range(0, ch), c ->
+                   (i * 37 + c * 101 + doc_id * 13) % 4001 - 2000))) AS ss,
+               list_transform(range(0, nf), i ->
+                 (i * 37 + doc_id * 13) % 4001 - 2000) AS ch0
+        FROM dims
+      )
+      SELECT doc_id AS media_id, sample_rate, ch AS channels, nf AS n_frames,
+             CAST(list_sum(list_transform(ss, s -> abs(s))) AS BIGINT) AS sum_abs,
+             CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq,
+             CAST(list_max(list_transform(ss, s -> abs(s))) AS BIGINT) AS peak,
+             CAST(len(list_filter(range(1, nf),
+               j -> (ch0[j] < 0) != (ch0[j + 1] < 0))) AS BIGINT) AS zero_crossings,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ss, s -> CASE WHEN s < 0 THEN s + 65536 ELSE s END)),
+               (a, v) -> (a * 31 + v) % 1000000007) AS pcm_checksum
+      FROM smp ORDER BY media_id
+    """))
+
   /** The composed end-to-end curation pipeline ([[graft.ext.Curation]]):
     * clean → Gopher gate → exact-dedup (keep smallest id, carry group
     * size) → decontaminate vs the eval set. Dirt is synthesized so every
@@ -2088,5 +2129,5 @@ object ExtQueries {
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
-    pixelStatsQ, resizePixelsQ)
+    pixelStatsQ, resizePixelsQ, audioStatsQ)
 }

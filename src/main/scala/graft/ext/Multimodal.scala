@@ -247,6 +247,64 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Media table of REAL 16-bit PCM WAV blobs (generative test tone —
+    * rate/channels/frames and every sample are pure functions of the id,
+    * see [[Samples.genSample]]), the sample-depth counterpart of
+    * [[mediaFromDocuments]]'s header-only WAVs.
+    */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("media_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 + (id % 5).toInt * 8000
+        val ch = (id % 2).toInt + 1
+        val frames = (id % 50).toInt + 10
+        Row(id, "audio", Samples.wavPcmBytes(rate, ch, frames, id))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL sample decode + integer audio statistics, per-partition batch
+    * shape: parse each PCM WAV (RIFF chunks, interleaved LE frames — the
+    * actual container layout), then fold |s| / s² sums, peak, channel-0
+    * zero crossings, and an interleaved-order Horner checksum over the
+    * decoded samples. The checksum pins frame AND channel order, so a
+    * decoder that de-interleaved wrong or byte-swapped hash-mismatches.
+    * Undecodable bytes yield null stats rather than lies.
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sum_abs", LongType),
+      StructField("sum_sq", LongType),
+      StructField("peak", LongType),
+      StructField("zero_crossings", LongType),
+      StructField("pcm_checksum", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Samples.decodeWavPcm(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(a) =>
+            val (sumAbs, sumSq, peak, zc, acc) = Samples.stats(a)
+            Row(id, a.sampleRate, a.channels, a.nFrames, sumAbs, sumSq, peak,
+              zc, acc)
+          case None =>
+            Row(id, null, null, null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private val pixelStatsSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),

@@ -1775,14 +1775,21 @@ object ExtQueries {
     """))
 
   /** Shared oracle fragments for the pixel-depth entries: the generative
-    * channel formula at (x, y) for seed doc_id, and the stats fold
-    * (per-channel sums + row-major top-down Horner checksum).
+    * channel formula at (x, y) for seed doc_id — truecolor containers
+    * (BMP/PNG, doc_id%4 < 3) carry the direct RGB formula; GIF rows
+    * (doc_id%4 = 3) carry the palette curve over the index formula
+    * (Pixels.gifIndex/gifPal*) — and the stats fold (per-channel sums +
+    * row-major top-down Horner checksum).
     */
   private def sqlPixelStruct(sx: String, sy: String): String =
-    s"""struct_pack(
+    s"""CASE WHEN doc_id % 4 = 3 THEN struct_pack(
+          r := ((($sx * 7 + $sy * 11 + doc_id) % 256) * 3 + 29) % 256,
+          g := ((($sx * 7 + $sy * 11 + doc_id) % 256) * 5 + 7) % 256,
+          b := ((($sx * 7 + $sy * 11 + doc_id) % 256) * 7 + 13) % 256)
+        ELSE struct_pack(
           r := ($sx * 3 + $sy * 13 + doc_id) % 256,
           g := ($sx * 5 + $sy * 3 + doc_id * 7) % 256,
-          b := ($sx * 7 + $sy * 11 + doc_id * 3) % 256)"""
+          b := ($sx * 7 + $sy * 11 + doc_id * 3) % 256) END"""
 
   private val sqlPixelStats: String =
     """CAST(list_sum(list_transform(ps, p -> p.r)) AS BIGINT) AS sum_r,

@@ -218,13 +218,16 @@ object Multimodal {
   /** Media table of REAL image blobs (small generative test pattern —
     * dims and pixels are pure functions of the id, see [[Pixels.genR]]),
     * the pixel-depth counterpart of [[mediaFromDocuments]]'s header-only
-    * containers. Container format rotates by id — id%3 = 0 uncompressed
-    * 24-bit BMP, 1 PNG RGB (color type 2), 2 PNG RGBA (color type 6) — so
-    * every consumer exercises the BMP parser AND the full PNG path (zlib
-    * inflate + all five scanline filters + both pixel strides) while the
-    * DECODED pixels stay the same pure function of (x, y, id): the oracle
-    * keeps computing stats from the generative formula, never touching
-    * the containers.
+    * containers. Container format rotates by id — id%4 = 0 uncompressed
+    * 24-bit BMP, 1 PNG RGB (color type 2), 2 PNG RGBA (color type 6),
+    * 3 GIF (LZW + 256-entry palette, interlaced when id%8 = 7) — so every
+    * consumer exercises the BMP parser, the full PNG path (zlib inflate +
+    * all five scanline filters + both pixel strides), AND the GIF LZW/
+    * interlace path. Decoded pixels stay pure functions of (x, y, id) —
+    * truecolor rows use [[Pixels.genR]]; GIF rows use the palette curve
+    * over [[Pixels.gifIndex]] (24-bit truecolor can't ride a GIF) — so
+    * the oracle computes stats from the formulas, never touching the
+    * containers.
     */
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id").as("media_id"))
@@ -237,10 +240,11 @@ object Multimodal {
         val id = r.getLong(0)
         val w = (id % 16 + 4).toInt
         val h = (id % 12 + 4).toInt
-        val blob = (id % 3) match {
+        val blob = (id % 4) match {
           case 0 => Pixels.bmpBytes(w, h, id)
           case 1 => Pixels.pngBytes(w, h, id, alpha = false)
-          case _ => Pixels.pngBytes(w, h, id, alpha = true)
+          case 2 => Pixels.pngBytes(w, h, id, alpha = true)
+          case _ => Pixels.gifBytes(w, h, id, interlaced = id % 8 == 7)
         }
         Row(id, "image", blob)
       }

@@ -9,13 +9,16 @@ package graft.ext
   *  - PNG 8-bit truecolor (color types 2 RGB / 6 RGBA, RFC 2083): real
   *    zlib DEFLATE via `java.util.zip.Inflater`/`Deflater` (in the JDK,
   *    zero-dep) and the five public scanline filter types
-  *    (None/Sub/Up/Average/Paeth) applied and reversed byte-for-byte.
+  *    (None/Sub/Up/Average/Paeth) applied and reversed byte-for-byte;
+  *  - GIF 87a/89a: a real dictionary LZW codec (variable 9..12-bit codes,
+  *    LSB-first packing, clear/EOI, KwKwK case, 4096 reset), 256-entry
+  *    color tables, and 4-pass interlacing.
   *
   * This is the pixel-depth layer under [[Multimodal]]'s header-only path:
   * blobs round-trip through actual encoders and parsers, so pixel
-  * statistics and resampling run on REAL decoded bytes. JPEG/GIF still
-  * stop at header metadata: their codecs (DCT, LZW) would slot into the
-  * same per-partition batch signature but aren't in scope here.
+  * statistics and resampling run on REAL decoded bytes. Only JPEG still
+  * stops at header metadata: a DCT codec would slot into the same
+  * per-partition batch signature but isn't in scope here.
   */
 object Pixels {
 
@@ -347,11 +350,287 @@ object Pixels {
     Some(Image(w, h, pix))
   }
 
-  /** Magic-dispatched decode: BMP ("BM") or PNG (8-byte signature). */
+  // =========================================================================
+  // GIF (87a/89a, public spec): logical screen descriptor + global color
+  // table + image descriptor, pixel indices compressed with GIF-variant
+  // LZW (variable 9..12-bit codes, LSB-first bit packing, clear/EOI
+  // codes), optional 4-pass interlacing. A REAL dictionary encoder and a
+  // spec decoder — the last zero-dep image family (JPEG's DCT stays
+  // header-only).
+  // =========================================================================
+
+  /** GIF test pattern: a palette INDEX per pixel plus a 256-entry
+    * generative palette — 24-bit truecolor can't ride a GIF, so the GIF
+    * rows use their own formula the oracle replays: decoded channel =
+    * palette curve applied to the index.
+    */
+  def gifIndex(x: Int, y: Int, seed: Long): Int =
+    ((x * 7 + y * 11 + seed) % 256).toInt
+  def gifPalR(i: Int): Int = (i * 3 + 29) % 256
+  def gifPalG(i: Int): Int = (i * 5 + 7) % 256
+  def gifPalB(i: Int): Int = (i * 7 + 13) % 256
+
+  /** The four interlace passes' row order (GIF89a appendix E). */
+  private def interlaceRows(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+      out(k) = y; k += 1
+    }
+    out
+  }
+
+  /** LSB-first variable-width bit writer chunked into ≤255-byte GIF data
+    * sub-blocks.
+    */
+  private final class LzwBitSink(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nBits = 0
+    private val block = new Array[Byte](255)
+    private var blockLen = 0
+    private def flushByte(b: Int): Unit = {
+      block(blockLen) = b.toByte; blockLen += 1
+      if (blockLen == 255) { out.write(blockLen); out.write(block, 0, blockLen); blockLen = 0 }
+    }
+    def put(code: Int, width: Int): Unit = {
+      acc |= code.toLong << nBits
+      nBits += width
+      while (nBits >= 8) { flushByte((acc & 0xff).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    def finish(): Unit = {
+      if (nBits > 0) flushByte((acc & 0xff).toInt)
+      if (blockLen > 0) { out.write(blockLen); out.write(block, 0, blockLen) }
+      out.write(0) // block terminator
+    }
+  }
+
+  /** A REAL GIF of the generative index pattern: 256-color global table,
+    * actual dictionary LZW (clear, variable width, reset at 4096),
+    * optionally interlaced (rows stored in the 4-pass order).
+    */
+  def gifBytes(w: Int, h: Int, seed: Long, interlaced: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(w); u16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(gifPalR(i)); out.write(gifPalG(i)); out.write(gifPalB(i))
+      i += 1
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(if (interlaced) 0x40 else 0x00) // no LCT
+    out.write(8) // LZW min code size
+    // pixel indices in stored-row order
+    val rows = if (interlaced) interlaceRows(h) else Array.tabulate(h)(identity)
+    val idx = new Array[Int](w * h)
+    var k = 0
+    for (y <- rows; x <- 0 until w) { idx(k) = gifIndex(x, y, seed); k += 1 }
+    // GIF LZW: dictionary keyed (prefixCode << 8 | byte); width bumps one
+    // add later than the decoder's (the emitted stream interoperates —
+    // see decoder)
+    val Clear = 256; val Eoi = 257
+    val sink = new LzwBitSink(out)
+    var width = 9
+    var next = 258
+    var dict = new java.util.HashMap[Int, Integer]()
+    sink.put(Clear, width)
+    var prev = idx(0)
+    k = 1
+    while (k < idx.length) {
+      val c = idx(k)
+      val key = (prev << 8) | c
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        sink.put(prev, width)
+        if (next == 4096) {
+          sink.put(Clear, width)
+          dict = new java.util.HashMap[Int, Integer]()
+          width = 9; next = 258
+        } else {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        }
+        prev = c
+      }
+      k += 1
+    }
+    sink.put(prev, width)
+    sink.put(Eoi, width)
+    sink.finish()
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Parse a GIF into top-down packed pixels: screen descriptor, global
+    * color table, skip extensions, first image descriptor, full LZW
+    * decode (clear/EOI, variable width, KwKwK case), interlace
+    * de-permutation. Rejects (None) local color tables absent a global
+    * one, truncated streams, over-long streams, and out-of-range codes;
+    * header ints are untrusted (bounded dims, output bounded to w·h).
+    */
+  def decodeGif(bytes: Array[Byte]): Option[Image] = {
+    if (bytes == null || bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val maxDim = 1 << 14
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    // global color table (optional per spec; required by this decoder once
+    // the image descriptor carries no local table)
+    var palette: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val size = 2 << (packed & 7)
+      if (pos + size * 3 > bytes.length) return None
+      palette = Array.tabulate(size) { i =>
+        ((bytes(pos + i * 3) & 0xff) << 16) |
+          ((bytes(pos + i * 3 + 1) & 0xff) << 8) | (bytes(pos + i * 3 + 2) & 0xff)
+      }
+      pos += size * 3
+    }
+    // walk blocks to the first image descriptor
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2 // extension introducer + label
+      while (pos < bytes.length && (bytes(pos) & 0xff) != 0) {
+        pos += 1 + (bytes(pos) & 0xff)
+      }
+      pos += 1 // sub-block terminator
+    }
+    if (pos + 10 > bytes.length || (bytes(pos) & 0xff) != 0x2c) return None
+    val w = u16(pos + 5)
+    val h = u16(pos + 7)
+    val imgPacked = bytes(pos + 9) & 0xff
+    if (w <= 0 || h <= 0 || w > maxDim || h > maxDim ||
+      w.toLong * h > (1L << 26)) return None
+    val interlaced = (imgPacked & 0x40) != 0
+    pos += 10
+    if ((imgPacked & 0x80) != 0) {
+      val size = 2 << (imgPacked & 7)
+      if (pos + size * 3 > bytes.length) return None
+      palette = Array.tabulate(size) { i =>
+        ((bytes(pos + i * 3) & 0xff) << 16) |
+          ((bytes(pos + i * 3 + 1) & 0xff) << 8) | (bytes(pos + i * 3 + 2) & 0xff)
+      }
+      pos += size * 3
+    }
+    if (palette == null || pos >= bytes.length) return None
+    val minCode = bytes(pos) & 0xff
+    pos += 1
+    if (minCode < 2 || minCode > 8) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < bytes.length && (bytes(pos) & 0xff) != 0) {
+      val len = bytes(pos) & 0xff
+      if (pos + 1 + len > bytes.length) return None
+      data.write(bytes, pos + 1, len)
+      pos += 1 + len
+    }
+    val stream = data.toByteArray
+    // LZW decode into index order, bounded to w·h outputs
+    val nPix = w * h
+    val indices = new Array[Int](nPix)
+    var got = 0
+    val Clear = 1 << minCode
+    val Eoi = Clear + 1
+    // dictionary as (prefix code, suffix byte) per entry; literals implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = Eoi + 1
+    var width = minCode + 1
+    var acc = 0L
+    var nBits = 0
+    var bytePos = 0
+    var prevCode = -1
+    val expand = new Array[Int](4096)
+    def emit(code: Int): Boolean = { // writes the code's string; false on overflow
+      var n = 0
+      var c = code
+      while (c >= Clear) { expand(n) = suffix(c); n += 1; c = prefix(c) }
+      expand(n) = c; n += 1
+      if (got + n > nPix) return false
+      var j = n - 1
+      while (j >= 0) { indices(got) = expand(j); got += 1; j -= 1 }
+      true
+    }
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= Clear) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done) {
+      while (nBits < width && bytePos < stream.length) {
+        acc |= (stream(bytePos) & 0xffL) << nBits
+        nBits += 8; bytePos += 1
+      }
+      if (nBits < width) return None // truncated before EOI
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nBits -= width
+      if (code == Clear) {
+        next = Eoi + 1; width = minCode + 1; prevCode = -1
+      } else if (code == Eoi) {
+        done = true
+      } else if (prevCode < 0) {
+        if (code >= Clear) return None // first code must be a literal
+        if (!emit(code)) return None
+        prevCode = code
+      } else {
+        if (code > next) return None
+        val cur =
+          if (code == next) { // KwKwK: prev string + its own first char
+            if (next >= 4096) return None
+            prefix(next) = prevCode; suffix(next) = firstChar(prevCode)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+            if (!emit(code)) return None
+            prevCode = code
+            -1
+          } else code
+        if (cur >= 0) {
+          if (!emit(cur)) return None
+          if (next < 4096) {
+            prefix(next) = prevCode; suffix(next) = firstChar(cur)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prevCode = cur
+        }
+      }
+    }
+    if (got != nPix) return None
+    // map indices through the palette, undoing interlace row permutation
+    val pix = new Array[Int](nPix)
+    val rows = if (interlaced) interlaceRows(h) else Array.tabulate(h)(identity)
+    var k = 0
+    var r = 0
+    while (r < h) {
+      val y = rows(r)
+      var x = 0
+      while (x < w) {
+        val idx = indices(k)
+        if (idx >= palette.length) return None
+        pix(y * w + x) = palette(idx)
+        x += 1; k += 1
+      }
+      r += 1
+    }
+    Some(Image(w, h, pix))
+  }
+
+  /** Magic-dispatched decode: BMP ("BM"), PNG (8-byte signature), or GIF
+    * ("GIF8").
+    */
   def decode(bytes: Array[Byte]): Option[Image] =
-    if (bytes == null || bytes.length < 2) None
+    if (bytes == null || bytes.length < 3) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) decodePng(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') decodeGif(bytes)
     else None
 
   /** Nearest-neighbor resample: target (x, y) reads source

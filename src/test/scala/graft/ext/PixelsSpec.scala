@@ -112,14 +112,50 @@ class PixelsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Pixels.decodePng(deep).isEmpty)
   }
 
-  test("magic dispatch routes BMP and PNG to the right parser") {
+  test("magic dispatch routes BMP, PNG, and GIF to the right parser") {
     assert(Pixels.decode(Pixels.bmpBytes(4, 4, 1L)).isDefined)
     assert(Pixels.decode(Pixels.pngBytes(4, 4, 1L)).isDefined)
-    assert(Pixels.decode("GIF89a trailer".getBytes).isEmpty)
-    // same (w, h, seed) through either container decodes identically
+    assert(Pixels.decode(Pixels.gifBytes(4, 4, 1L)).isDefined)
+    assert(Pixels.decode("JFIF not really".getBytes).isEmpty)
+    // same (w, h, seed) through either truecolor container decodes identically
     val viaBmp = Pixels.decode(Pixels.bmpBytes(9, 6, 5L)).get
     val viaPng = Pixels.decode(Pixels.pngBytes(9, 6, 5L, alpha = true)).get
     assert(viaBmp.pix.toSeq === viaPng.pix.toSeq)
+  }
+
+  test("gif round trip: LZW dictionary codec + palette, plain and interlaced") {
+    for (interlaced <- Seq(false, true); (w, h) <- Seq((1, 1), (5, 3), (16, 11), (19, 15))) {
+      val img = Pixels.decodeGif(Pixels.gifBytes(w, h, 42L, interlaced)).get
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = Pixels.gifIndex(x, y, 42L)
+        val expected = (Pixels.gifPalR(i) << 16) | (Pixels.gifPalG(i) << 8) |
+          Pixels.gifPalB(i)
+        assert(img.pix(y * w + x) === expected,
+          s"($x,$y) interlaced=$interlaced")
+      }
+    }
+    // a large uniform-ish image pushes the code width past 9 bits (the
+    // dictionary grows one entry per emitted code) — decode must track
+    // the width schedule exactly
+    val big = Pixels.decodeGif(Pixels.gifBytes(100, 80, 3L)).get
+    assert(big.width === 100 && big.height === 80)
+    val i0 = Pixels.gifIndex(99, 79, 3L)
+    assert(big.pix(79 * 100 + 99) ===
+      ((Pixels.gifPalR(i0) << 16) | (Pixels.gifPalG(i0) << 8) | Pixels.gifPalB(i0)))
+  }
+
+  test("gif decode rejects malformed input") {
+    assert(Pixels.decodeGif(null).isEmpty)
+    assert(Pixels.decodeGif("GIF89a".getBytes).isEmpty)
+    val good = Pixels.gifBytes(6, 4, 3L)
+    assert(Pixels.decodeGif(good.dropRight(8)).isEmpty)  // truncated LZW
+    // corrupting the LZW min code size to an invalid value rejects; the
+    // image descriptor sits at the fixed offset 6 (sig) + 7 (screen
+    // descriptor) + 768 (global color table), its min-code byte 10 later
+    assert((good(781) & 0xff) === 0x2c)
+    val bad = good.clone(); bad(791) = 1
+    assert(Pixels.decodeGif(bad).isEmpty)
   }
 
   test("stats checksum is order-sensitive (catches a missing bottom-up flip)") {

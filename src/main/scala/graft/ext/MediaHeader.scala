@@ -50,7 +50,11 @@ object MediaHeader {
         if (i + 20 > b.length || size < 12) return None
         fmt = Some((u32le(b, i + 12).toInt, u16le(b, i + 10), u32le(b, i + 16)))
       } else if (id == "data") dataSize = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // advance in LONG space: a crafted 4 GiB size field must not wrap
+      // the cursor negative (a header-only blob whose declared data size
+      // exceeds the buffer legitimately ends the walk here instead)
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length.toLong) b.length else next.toInt
     }
     fmt.map { case (rate, ch, byteRate) =>
       val durMs = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
@@ -67,11 +71,13 @@ object MediaHeader {
 
     def findBox(lo: Int, hi: Int, boxType: String): Option[(Int, Int)] = {
       var i = lo
-      while (i + 8 <= hi) {
-        val size = u32be(b, i).toInt
-        if (size < 8 || i + size > hi) return None
-        if (ascii(b, i + 4, 4) == boxType) return Some((i, size))
-        i += size
+      while (i >= 0 && i + 8 <= hi) {
+        // size in LONG space: a crafted ~2^31 box size must not wrap the
+        // bounds check or the cursor negative
+        val size = u32be(b, i)
+        if (size < 8 || i.toLong + size > hi) return None
+        if (ascii(b, i + 4, 4) == boxType) return Some((i, size.toInt))
+        i += size.toInt
       }
       None
     }

@@ -193,7 +193,7 @@ object Pixels {
         if (alpha) cur(x * bpp + 3) = ((x + y + seed) % 256).toInt
         x += 1
       }
-      val f = ((y + seed) % 5).toInt
+      val f = math.floorMod(y + seed, 5L).toInt
       val base = y * (1 + stride)
       raw(base) = f.toByte
       var i = 0

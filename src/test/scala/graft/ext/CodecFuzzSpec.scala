@@ -1,0 +1,80 @@
+package graft.ext
+
+/** Adversarial-bytes fuzz over every zero-dep binary decoder: media blobs
+  * are UNTRUSTED input at scale, so a decoder must reject (None) — never
+  * throw, never over-allocate — on arbitrary corruption. Deterministic
+  * PRNG (fixed seed): a failure reproduces exactly.
+  */
+class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  private def mutate(src: Array[Byte]): Array[Byte] = {
+    val b = src.clone()
+    val flips = 1 + rnd.nextInt(8)
+    var i = 0
+    while (i < flips) {
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      i += 1
+    }
+    rnd.nextInt(4) match {
+      case 0 if b.length > 4 => b.take(rnd.nextInt(b.length)) // truncate
+      case 1 => b ++ Array.fill(rnd.nextInt(16))(rnd.nextInt(256).toByte)
+      case _ => b
+    }
+  }
+
+  private def fuzz(name: String, valid: => Array[Byte],
+      decode: Array[Byte] => Option[Any]): Unit = {
+    var decoded = 0
+    for (i <- 1 to 300) {
+      val bytes = mutate(valid)
+      // must not throw; may decode (mutation hit a don't-care byte) or reject
+      if (decode(bytes).isDefined) decoded += 1
+    }
+    // pure garbage of assorted sizes must not throw either
+    for (n <- Seq(0, 1, 7, 54, 100, 1000)) {
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      decode(junk)
+    }
+    info(s"$name: $decoded/300 mutants still decoded")
+  }
+
+  test("bmp decoder survives corruption") {
+    fuzz("bmp", Pixels.bmpBytes(9 + rnd.nextInt(8), 7 + rnd.nextInt(6), rnd.nextLong()),
+      Pixels.decodeBmp)
+  }
+
+  test("png decoder survives corruption") {
+    fuzz("png", Pixels.pngBytes(9 + rnd.nextInt(8), 7 + rnd.nextInt(6),
+      rnd.nextLong(), alpha = rnd.nextBoolean()), Pixels.decodePng)
+  }
+
+  test("gif decoder survives corruption") {
+    fuzz("gif", Pixels.gifBytes(9 + rnd.nextInt(8), 7 + rnd.nextInt(6),
+      rnd.nextLong(), interlaced = rnd.nextBoolean()), Pixels.decodeGif)
+  }
+
+  test("wav pcm decoder survives corruption") {
+    fuzz("wav", Samples.wavPcmBytes(8000, 1 + rnd.nextInt(2),
+      10 + rnd.nextInt(40), rnd.nextLong()), Samples.decodeWavPcm)
+  }
+
+  test("header parsers survive corruption") {
+    fuzz("png-header", ImageHeader.pngBytes(1 + rnd.nextInt(640), 1 + rnd.nextInt(480)),
+      ImageHeader.decode)
+    fuzz("jpeg-header", ImageHeader.jpegBytes(1 + rnd.nextInt(640), 1 + rnd.nextInt(480)),
+      ImageHeader.decode)
+    fuzz("wav-header", MediaHeader.wavBytes(8000, 2, dataSeconds = 3),
+      MediaHeader.decodeWav)
+    fuzz("mp4-header", MediaHeader.mp4Bytes(320, 240, durationMs = 5000),
+      MediaHeader.decodeMp4)
+  }
+
+  test("magic dispatch never throws on arbitrary prefixes") {
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Pixels.decode(junk)
+    }
+  }
+}

@@ -215,6 +215,28 @@ object FilterQueries {
       ORDER BY event_id
     """))
 
+  /** cel-spec map literals through the REAL compiled filter: key
+    * membership, indexing by a computed (ternary) key, plus an exists
+    * macro — the oracle replays the same membership/CASE logic.
+    */
+  private val celMap = Q(
+    "filter_cel_map",
+    (s, d) => run(s, d, Cel(
+      "[2, 3, 5].exists(d, $k.(int64) % d == 0) && " +
+        "{'small': 10, 'large': 90}[$k.(int64) < 50 ? 'small' : 'large'] " +
+        "<= $k.(int64) && " +
+        "'small' in {'small': 1, 'large': 2}")),
+    Some("""
+      SELECT event_id, event_type, props FROM events
+      WHERE (CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+          OR CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+          OR CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 = 0)
+        AND CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50
+                 THEN 10 ELSE 90 END
+            <= CAST(json_extract_string(props, '$.k') AS BIGINT)
+      ORDER BY event_id
+    """))
+
   val all: Seq[Q] = Seq(exact, prefixRawData, suffix, noF, notF, allAny, missingAttr,
-    extensionAttr, timePrefix, cesql, cesqlFns, cel, celMacros, celTime)
+    extensionAttr, timePrefix, cesql, cesqlFns, cel, celMacros, celTime, celMap)
 }

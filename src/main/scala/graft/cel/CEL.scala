@@ -39,6 +39,11 @@ import org.apache.spark.sql.functions._
   * `getMinutes`/`getSeconds` — duration accessors return truncated totals
   * per cel-go.
   *
+  * Plus map literals (`{k: v, …}` — `in` tests key membership per the
+  * cel-spec, `m[k]` indexes with no_such_key → filter false; values must
+  * share a Spark type) and list indexing (`l[i]`, 0-based, out-of-range →
+  * filter false).
+  *
   * And the cel-spec comprehension macros over list values —
   * `list.exists(x, p)`, `list.all(x, p)`, `list.filter(x, p)`,
   * `list.map(x, e)` — each compiled 1:1 onto Spark's codegen'd
@@ -89,6 +94,9 @@ object CEL {
       case Call(_, recv, args) =>
         recv.exists(mentions(_, name)) || args.exists(mentions(_, name))
       case LList(items) => items.exists(mentions(_, name))
+      case LMap(items) =>
+        items.exists { case (k, v) => mentions(k, name) || mentions(v, name) }
+      case Index(t, k) => mentions(t, name) || mentions(k, name)
       case _ => false
     }
     def subst(x: Expr, from: String, to: String): Expr = x match {
@@ -104,6 +112,9 @@ object CEL {
         // inner binder wins either way), so plain traversal is safe
         Call(n, recv.map(subst(_, from, to)), args.map(subst(_, from, to)))
       case LList(items) => LList(items.map(subst(_, from, to)))
+      case LMap(items) => LMap(items.map { case (k, v) =>
+        (subst(k, from, to), subst(v, from, to)) })
+      case Index(t, k) => Index(subst(t, from, to), subst(k, from, to))
       case other => other
     }
     // fused bodies use the TERNARY form — p ? q : neutral — not a bare
@@ -134,6 +145,9 @@ object CEL {
       case Call(n, recv, args) =>
         step(Call(n, recv.map(normalize), args.map(normalize)))
       case LList(items) => LList(items.map(normalize))
+      case LMap(items) => LMap(items.map { case (k, v) =>
+        (normalize(k), normalize(v)) })
+      case Index(t, k) => Index(normalize(t), normalize(k))
       case other => other
     }
   }
@@ -152,6 +166,14 @@ object CEL {
   final case class Call(name: String, receiver: Option[Expr], args: List[Expr]) extends Expr
   /** `[e1, e2, …]` — list literal, usable as the right side of `in`. */
   final case class LList(items: List[Expr]) extends Expr
+  /** `{k1: v1, …}` — map literal; `in` tests KEY membership (cel-spec),
+    * `m[k]` indexes (missing key = eval error → filter false). Values
+    * must share a Spark type (cel's fully-heterogeneous maps would need
+    * variant typing Spark columns don't have).
+    */
+  final case class LMap(items: List[(Expr, Expr)]) extends Expr
+  /** `e[i]` — list (0-based) or map indexing. */
+  final case class Index(target: Expr, key: Expr) extends Expr
   /** Bare identifier — only meaningful as a comprehension-macro iteration
     * variable (`list.exists(x, x > 1)`); unbound use rejects at compile.
     */
@@ -338,6 +360,22 @@ object CEL {
           expect("]")
           LList(items.result())
         }
+      // map literal: {k1: v1, k2: v2, …}
+      case TOp("{") =>
+        next()
+        if (peek == TOp("}")) { next(); LMap(Nil) }
+        else {
+          val items = List.newBuilder[(Expr, Expr)]
+          def entry(): Unit = {
+            val k = parseTernary()
+            expect(":")
+            items += ((k, parseTernary()))
+          }
+          entry()
+          while (peek == TOp(",")) { next(); entry() }
+          expect("}")
+          LMap(items.result())
+        }
       case t => throw new IllegalArgumentException(s"CEL: unexpected token $t")
     }
 
@@ -352,13 +390,20 @@ object CEL {
         args.result()
       }
 
-    /** Postfix method calls: recv.name(args), left-associative chains. */
+    /** Postfix method calls and indexing: recv.name(args) / recv[key],
+      * left-associative chains.
+      */
     private def parsePostfix(e: Expr): Expr = peek match {
       case TOp(".") if toks(pos + 1).isInstanceOf[TIdent] && toks(pos + 2) == TOp("(") =>
         next()
         val TIdent(name) = next(): @unchecked
         next() // "("
         parsePostfix(Call(name, Some(e), parseArgs()))
+      case TOp("[") =>
+        next()
+        val key = parseTernary()
+        expect("]")
+        parsePostfix(Index(e, key))
       case _ => e
     }
   }
@@ -413,6 +458,13 @@ object CEL {
     case _: LList => true
     case Call("filter" | "map" | "split", Some(_), _) => true
     case Ternary(_, t, f) => isListExpr(t) && isListExpr(f)
+    case _ => false
+  }
+
+  /** Statically map-typed subtree — `in` over it tests key membership. */
+  private def isMapExpr(e: Expr): Boolean = e match {
+    case _: LMap => true
+    case Ternary(_, t, f) => isMapExpr(t) && isMapExpr(f)
     case _ => false
   }
 
@@ -530,11 +582,28 @@ object CEL {
     case Bin("in", l, r) if isListExpr(r) =>
       // membership over a computed list (split/filter/map result)
       array_contains(toColumn(r, env), toColumn(l, env))
+    case Bin("in", l, r) if isMapExpr(r) =>
+      // cel-spec: `k in map` tests KEY membership
+      array_contains(map_keys(toColumn(r, env)), toColumn(l, env))
     case Bin("in", _, r) => throw new IllegalArgumentException(
-      s"CEL: right side of 'in' must be a list, got $r")
+      s"CEL: right side of 'in' must be a list or map, got $r")
     case LList(items) =>
       // first-class list value: macro receiver, size() argument, …
       array(items.map(toColumn(_, env)): _*)
+    case LMap(items) =>
+      map(items.flatMap { case (k, v) =>
+        Seq(toColumn(k, env), toColumn(v, env))
+      }: _*)
+    case Index(t, k) if isListExpr(t) =>
+      // cel lists are 0-based; try_element_at is 1-based and yields null
+      // (eval error → filter false) out of range, matching cel's
+      // invalid_argument error semantics under compile()'s coalesce
+      try_element_at(toColumn(t, env), toColumn(k, env).cast("int") + 1)
+    case Index(t, k) if isMapExpr(t) =>
+      // missing key → null → filter false (cel: no_such_key error)
+      try_element_at(toColumn(t, env), toColumn(k, env))
+    case Index(t, _) => throw new IllegalArgumentException(
+      s"CEL: indexing requires a list or map, got $t")
     case Bin(op, l, r) =>
       // comparisons: numeric context if either side is numeric
       val (lc, rc) =
@@ -640,12 +709,13 @@ object CEL {
         }
       case ("size", None) =>
         arity(1)
-        if (isListExpr(args.head)) size(toColumn(args.head, env)).cast("bigint")
+        if (isListExpr(args.head) || isMapExpr(args.head))
+          size(toColumn(args.head, env)).cast("bigint")
         else length(toColumn(args.head, env)).cast("bigint")
       case ("size", Some(r)) =>
-        // receiver form: s.size() / list.size()
+        // receiver form: s.size() / list.size() / map.size()
         arity(0)
-        if (isListExpr(r)) size(toColumn(r, env)).cast("bigint")
+        if (isListExpr(r) || isMapExpr(r)) size(toColumn(r, env)).cast("bigint")
         else length(toColumn(r, env)).cast("bigint")
       case ("contains", Some(r)) =>
         arity(1); toColumn(r, env).contains(toColumn(args.head, env))

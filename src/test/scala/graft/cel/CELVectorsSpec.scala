@@ -288,6 +288,33 @@ class CELVectorsSpec extends SparkSpec {
     CEL.compile("$s.(string).matches('([a[)b]]x)+')")
   }
 
+  test("map literals, key membership, and indexing (cel-spec maps/lists)") {
+    vectors(
+      "'a' in {'a': 1, 'b': 2}" -> true,
+      "'c' in {'a': 1, 'b': 2}" -> false,
+      "$s.(string) in {'abc': 1, 'xyz': 2}" -> true,   // s = "abc"
+      "{'a': 1, 'b': 2}['b'] == 2" -> true,
+      "{'a': 1}['missing'] == 1" -> false,  // no_such_key -> filter false
+      "{'a': 1, 'b': 2}.size() == 2" -> true,
+      "size({'a': 1}) == 1" -> true,
+      "{}.size() == 0" -> true,
+      // list indexing is 0-based; out of range -> filter false
+      "[10, 20, 30][1] == 20" -> true,
+      "[10, 20][5] == 10" -> false,
+      "[10, 20][$k.(int64) - 12] == 10" -> true,        // k = 12 -> index 0
+      // indexing composes with arithmetic and membership
+      "{'a': 10, 'b': 20}['a'] + [1, 2][1] == 12" -> true,
+      // a map value keyed by a data variable
+      "{'abc': 7}[$s.(string)] == 7" -> true)
+    // maps/lists are the only indexable values
+    intercept[IllegalArgumentException](CEL.compile("'abc'[0] == 'a'"))
+    // macro iteration variables reach through indexing and map values
+    // (subst/mentions traverse the new nodes)
+    vectors(
+      "[0, 1].exists(i, [10, 20][i] == 20)" -> true,
+      "[1, 2].all(x, {'a': 1, 'b': 2}['b'] >= x)" -> true)
+  }
+
   test("timestamp()/duration() conversions and temporal arithmetic (cel-spec timestamps)") {
     vectors(
       "timestamp('2009-02-13T23:31:30Z') == timestamp('2009-02-13T23:31:30Z')" -> true,

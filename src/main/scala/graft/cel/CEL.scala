@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * All evaluate null (→ filter false) when the receiver is missing,
   * matching CEL's eval-error semantics.
   *
+  * Plus the cel-spec scalar conversions `int(x)` (truncation toward zero;
+  * epoch seconds for a timestamp), `double(x)`, `string(x)` — a failed
+  * parse is an eval error → filter false.
+  *
   * Plus the cel-spec temporal conversions: `timestamp(s)` (RFC 3339 →
   * Spark timestamp; unparseable text is an eval error → filter false) and
   * `duration(s)` (Go duration grammar, parsed at compile time from a
@@ -436,6 +440,7 @@ object CEL {
       Set("+", "-", "*", "/", "%")(op) && !isStringExpr(b) // string + string concatenates
     case Ternary(_, t, f) => isNumeric(t) || isNumeric(f)
     case Call("size", _, _) => true
+    case Call("int" | "double", None, _) => true
     case _ => false
   }
 
@@ -448,6 +453,7 @@ object CEL {
     case VarRef(_, t) => t == "string"
     case Bin("+", l, r) => isStringExpr(l) && isStringExpr(r)
     case Ternary(_, t, f) => isStringExpr(t) && isStringExpr(f)
+    case Call("string", None, _) => true
     case _ => false
   }
 
@@ -479,6 +485,7 @@ object CEL {
     case Bin(op, l, r) => Set("+", "-", "*", "/", "%")(op) && isIntExpr(l) && isIntExpr(r)
     case Ternary(_, t, f) => isIntExpr(t) && isIntExpr(f)
     case Call("size", _, _) => true // cel-spec: size() returns int
+    case Call("int", None, _) => true
     case _ => false
   }
 
@@ -742,6 +749,23 @@ object CEL {
       case ("timestamp", None) =>
         arity(1)
         toColumn(args.head, env).try_cast("timestamp")
+      // cel-spec numeric/string conversions: int() truncates toward zero
+      // (the bigint cast of a double truncates identically; int64 text
+      // parses via the same double staging varColumn uses); int(timestamp)
+      // is epoch SECONDS floored (cel-go t.Unix()); a failed parse is an
+      // eval error → null → filter false.
+      case ("int", None) =>
+        arity(1)
+        if (isTimestampExpr(args.head))
+          floor(unix_micros(toColumn(args.head, env)).cast("double") / 1e6)
+            .cast("bigint")
+        else toColumn(args.head, env).try_cast("double").try_cast("bigint")
+      case ("double", None) =>
+        arity(1)
+        toColumn(args.head, env).try_cast("double")
+      case ("string", None) =>
+        arity(1)
+        toColumn(args.head, env).cast("string")
       case ("duration", None) =>
         arity(1)
         args.head match {

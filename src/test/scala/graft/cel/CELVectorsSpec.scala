@@ -288,6 +288,21 @@ class CELVectorsSpec extends SparkSpec {
     CEL.compile("$s.(string).matches('([a[)b]]x)+')")
   }
 
+  test("int()/double()/string() conversions (cel-spec conversions)") {
+    vectors(
+      "int('42') == 42" -> true,
+      "int(3.9) == 3" -> true,      // truncation toward zero
+      "int(-3.9) == -3" -> true,
+      "int($f.(double)) == 1" -> true,   // f = 1.5
+      "int(timestamp('1970-01-01T00:01:30Z')) == 90" -> true,
+      "double('1.5') == 1.5" -> true,
+      "double(3) == 3.0" -> true,
+      "string(42) == '42'" -> true,
+      "string(42) + 'x' == '42x'" -> true,  // statically string-typed
+      "int('abc') == int('abc')" -> false,  // parse error -> filter false
+      "int('7') / int('2') == 3" -> true)   // int()-typed -> truncating div
+  }
+
   test("map literals, key membership, and indexing (cel-spec maps/lists)") {
     vectors(
       "'a' in {'a': 1, 'b': 2}" -> true,

@@ -45,8 +45,9 @@ import org.apache.spark.sql.functions._
   *
   * Plus map literals (`{k: v, …}` — `in` tests key membership per the
   * cel-spec, `m[k]` indexes with no_such_key → filter false; values must
-  * share a Spark type) and list indexing (`l[i]`, 0-based, out-of-range →
-  * filter false).
+  * share a Spark type), list indexing (`l[i]`, 0-based, out-of-range →
+  * filter false), and bytes literals (`b'…'`, the UTF-8 encoding of the
+  * quoted text; equality and size() = byte count).
   *
   * And the cel-spec comprehension macros over list values —
   * `list.exists(x, p)`, `list.all(x, p)`, `list.filter(x, p)`,
@@ -162,6 +163,10 @@ object CEL {
   final case class LInt(v: Long) extends Expr
   final case class LDouble(v: Double) extends Expr
   final case class LStr(s: String) extends Expr
+  /** `b'…'` — bytes literal: the UTF-8 encoding of the quoted text
+    * (cel-spec bytes). Equality/inequality and size() (byte count) apply.
+    */
+  final case class LBytes(s: String) extends Expr
   final case class LBool(b: Boolean) extends Expr
   final case class Un(op: String, e: Expr) extends Expr
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
@@ -346,6 +351,11 @@ object CEL {
       case TStr(s) => next(); LStr(s)
       case TIdent("true") => next(); LBool(true)
       case TIdent("false") => next(); LBool(false)
+      // bytes literal: b'…' lexes as the identifier `b` + a string token
+      case TIdent("b") if toks(pos + 1).isInstanceOf[TStr] =>
+        next()
+        val TStr(s) = next(): @unchecked
+        LBytes(s)
       // global function call: size(expr)
       case TIdent(name) if toks(pos + 1) == TOp("(") =>
         next(); next()
@@ -532,6 +542,7 @@ object CEL {
     case LInt(v) => lit(v)
     case LDouble(v) => lit(v)
     case LStr(s) => lit(s)
+    case LBytes(s) => lit(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case LBool(b) => lit(b)
     case Ident(n) => env.getOrElse(n, throw new IllegalArgumentException(
       s"CEL: unbound identifier '$n' (only macro iteration variables may appear bare)"))
@@ -601,11 +612,38 @@ object CEL {
       map(items.flatMap { case (k, v) =>
         Seq(toColumn(k, env), toColumn(v, env))
       }: _*)
+    // Literal target + literal key folds at compile time (like the macro
+    // unrolling): Spark's GetArrayItem/GetMapValue nullability fold over a
+    // foldable array emits broken codegen (undeclared isNull assignment)
+    // and silently drops the whole predicate to the interpreter.
+    case Index(LList(items), LInt(i)) =>
+      if (i >= 0 && i < items.length) toColumn(items(i.toInt), env)
+      else lit(null) // cel invalid_argument → filter false
+    case Index(LMap(items), k @ (LStr(_) | LInt(_) | LBool(_))) =>
+      items.collectFirst { case (`k`, v) => toColumn(v, env) }
+        .getOrElse(lit(null)) // cel no_such_key → filter false
+    // Literal target + COMPUTED key (the unrolled-macro shape,
+    // `[0, 1].exists(i, [10, 20][i] == 1)`): a when-chain over the items
+    // stays inside codegen where get/element_at over a foldable array
+    // does not (same undeclared-isNull bug as above).
+    case Index(LList(items), k) =>
+      val kc = toColumn(k, env).cast("int")
+      items.zipWithIndex.foldRight(lit(null)) { case ((it, i), acc) =>
+        when(kc === lit(i), toColumn(it, env)).otherwise(acc)
+      }
+    case Index(LMap(items), k) =>
+      val kc = toColumn(k, env)
+      items.foldRight(lit(null)) { case ((ke, v), acc) =>
+        when(toColumn(ke, env) === kc, toColumn(v, env)).otherwise(acc)
+      }
     case Index(t, k) if isListExpr(t) =>
-      // cel lists are 0-based; try_element_at is 1-based and yields null
-      // (eval error → filter false) out of range, matching cel's
-      // invalid_argument error semantics under compile()'s coalesce
-      try_element_at(toColumn(t, env), toColumn(k, env).cast("int") + 1)
+      // cel lists are 0-based like `get`; out-of-range yields null (eval
+      // error → filter false), matching cel's invalid_argument error
+      // semantics under compile()'s coalesce. (try_element_at's 1-based
+      // `i + 1` form trips a Spark codegen bug — ANSI addExact inside
+      // ElementAt's split function — and silently falls back to the
+      // interpreter, so `get` is also the fast path.)
+      get(toColumn(t, env), toColumn(k, env).cast("int"))
     case Index(t, k) if isMapExpr(t) =>
       // missing key → null → filter false (cel: no_such_key error)
       try_element_at(toColumn(t, env), toColumn(k, env))

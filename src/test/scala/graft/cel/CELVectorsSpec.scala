@@ -288,6 +288,16 @@ class CELVectorsSpec extends SparkSpec {
     CEL.compile("$s.(string).matches('([a[)b]]x)+')")
   }
 
+  test("bytes literals (cel-spec basic)") {
+    vectors(
+      "b'abc' == b'abc'" -> true,
+      "b'abc' != b'abd'" -> true,
+      "size(b'abc') == 3" -> true,
+      "b'é'.size() == 2" -> true) // UTF-8 encodes é as two bytes
+    // a bare identifier `b` still parses as a macro variable, not bytes
+    vectors("[1, 2].exists(b, b == 2)" -> true)
+  }
+
   test("int()/double()/string() conversions (cel-spec conversions)") {
     vectors(
       "int('42') == 42" -> true,

@@ -1868,6 +1868,66 @@ object ExtQueries {
       FROM px ORDER BY media_id
     """))
 
+  private def sqlJpegY(sx: String, sy: String): String =
+    s"((($sx) // 8) * 17 + (($sy) // 8) * 29 + doc_id) % 256"
+  private def sqlJpegCb(sx: String, sy: String): String =
+    s"((($sx) // 16) * 23 + (($sy) // 16) * 31 + doc_id * 5) % 256"
+  private def sqlJpegCr(sx: String, sy: String): String =
+    s"((($sx) // 16) * 13 + (($sy) // 16) * 37 + doc_id * 11) % 256"
+
+  /** The decoded-JPEG pixel formula: flat 8×8 luma / 16×16 chroma blocks
+    * plus [[graft.ext.Jpeg.ycbcrToRgb]]'s 16.16 fixed-point conversion —
+    * floor((k·c + 32768) / 65536) is exactly the decoder's (… >> 16).
+    */
+  private def sqlJpegPixelStruct(sx: String, sy: String): String = {
+    val yv = sqlJpegY(sx, sy)
+    val cb = sqlJpegCb(sx, sy)
+    val cr = sqlJpegCr(sx, sy)
+    s"""CASE WHEN doc_id % 3 = 0 THEN struct_pack(r := $yv, g := $yv, b := $yv)
+        ELSE struct_pack(
+          r := LEAST(255, GREATEST(0, $yv +
+            CAST(floor((91881 * (($cr) - 128) + 32768) / 65536.0) AS BIGINT))),
+          g := LEAST(255, GREATEST(0, $yv -
+            CAST(floor((22554 * (($cb) - 128) + 46802 * (($cr) - 128) + 32768)
+              / 65536.0) AS BIGINT))),
+          b := LEAST(255, GREATEST(0, $yv +
+            CAST(floor((116130 * (($cb) - 128) + 32768) / 65536.0) AS BIGINT))))
+        END"""
+  }
+
+  /** REAL baseline JPEG decode through the whole compressed round trip:
+    * the Spark side writes each doc's block-flat generative pattern as an
+    * actual JFIF file (Annex K Huffman tables, quant step 8, grayscale /
+    * 4:4:4 / 4:2:0 rotating by id, restart intervals on id%7=0) and
+    * decodes it back through Huffman, dequant, IDCT, upsample, and
+    * fixed-point color conversion; the oracle computes the SAME statistics
+    * straight from the generative formula — exact because a block-flat
+    * image's DCT round trip at DC quant 8 is lossless. The top-down
+    * checksum catches wrong MCU order, a predictor that fails to reset at
+    * a restart marker, or swapped chroma planes.
+    */
+  private val jpegStatsQ = Q(
+    "multimodal_jpeg_stats",
+    (s, d) => Multimodal.pixelStats(
+      Multimodal.jpegMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
+               CAST(doc_id % 20 + 8 AS INT) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, w, h,
+               flatten(list_transform(range(0, h), y ->
+                 list_transform(range(0, w), x ->
+                   ${sqlJpegPixelStruct("x", "y")}))) AS ps
+        FROM dims
+      )
+      SELECT doc_id AS media_id, w AS width, h AS height,
+             $sqlPixelStats
+      FROM px ORDER BY media_id
+    """))
+
   /** REAL audio sample decode through the whole container round trip: the
     * Spark side writes each doc's generative test tone as an actual 16-bit
     * PCM WAV (RIFF chunks, interleaved little-endian frames) and parses it
@@ -2136,5 +2196,5 @@ object ExtQueries {
     langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
-    pixelStatsQ, resizePixelsQ, audioStatsQ)
+    pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ)
 }

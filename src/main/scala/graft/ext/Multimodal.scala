@@ -251,6 +251,31 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Media table of REAL baseline JPEG blobs (block-flat generative
+    * pattern — flat 8×8 luma blocks, flat 16×16 chroma regions, quant
+    * step 8, so the lossy DCT round trip is EXACT; see [[Jpeg]]). Mode
+    * rotates by id%3 — 0 grayscale, 1 YCbCr 4:4:4, 2 YCbCr 4:2:0 — and
+    * id%7 = 0 adds a restart interval, so consumers exercise Huffman
+    * decode, dequant, IDCT, chroma upsampling, fixed-point color
+    * conversion, AND the DRI/RSTn path. Dims are NOT multiples of 8/16
+    * (w = id%24+8, h = id%20+8), so edge-MCU cropping runs too.
+    */
+  def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("media_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 20 + 8).toInt
+        Row(id, "image", Jpeg.jpegBytes(w, h, id))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Media table of REAL 16-bit PCM WAV blobs (generative test tone —
     * rate/channels/frames and every sample are pure functions of the id,
     * see [[Samples.genSample]]), the sample-depth counterpart of

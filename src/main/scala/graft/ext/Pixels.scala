@@ -623,14 +623,15 @@ object Pixels {
     Some(Image(w, h, pix))
   }
 
-  /** Magic-dispatched decode: BMP ("BM"), PNG (8-byte signature), or GIF
-    * ("GIF8").
+  /** Magic-dispatched decode: BMP ("BM"), PNG (8-byte signature), GIF
+    * ("GIF8"), or baseline JPEG (FFD8 — see [[Jpeg.decode]]).
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     if (bytes == null || bytes.length < 3) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) decodePng(bytes)
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') decodeGif(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) Jpeg.decode(bytes)
     else None
 
   /** Nearest-neighbor resample: target (x, y) reads source

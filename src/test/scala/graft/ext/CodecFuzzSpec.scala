@@ -55,6 +55,11 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       rnd.nextLong(), interlaced = rnd.nextBoolean()), Pixels.decodeGif)
   }
 
+  test("jpeg decoder survives corruption") {
+    fuzz("jpeg", Jpeg.jpegBytes(9 + rnd.nextInt(24), 9 + rnd.nextInt(20),
+      rnd.nextLong()), Jpeg.decode)
+  }
+
   test("wav pcm decoder survives corruption") {
     fuzz("wav", Samples.wavPcmBytes(8000, 1 + rnd.nextInt(2),
       10 + rnd.nextInt(40), rnd.nextLong()), Samples.decodeWavPcm)

@@ -984,6 +984,70 @@ object ExtQueries {
       FROM w ORDER BY doc_id
     """))
 
+  /** The TRAINED quality classifier ([[TextAnalysis.qualityClassifier]]):
+    * weak-rule labels → 6 rounds of full-batch gradient descent over five
+    * shape features → per-doc quasi-sigmoid score. The oracle replays the
+    * ENTIRE training run — feature extraction, each iteration's
+    * fixed-point-quantized gradient sums (order-independent integer
+    * arithmetic, so Spark's partitioned sum and DuckDB's serial sum agree
+    * exactly), the weight updates, and final scoring. A pass means an
+    * independent engine reproduces the trained model AND every score
+    * bit-for-bit.
+    */
+  private val qualityModelQ = Q(
+    "text_quality_model",
+    (s, d) => TextAnalysis.qualityClassifier(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
+    Some {
+      val stopSql = sqlStopCount(TextAnalysis.langWords.head._2)
+        .replace("string_split(text, ' ')", "words")
+      val S = "1048576.0"
+      val lr = "4.0"
+      def z(g: String) =
+        s"$g.w0 + $g.w1 * f.x1 + $g.w2 * f.x2 + $g.w3 * f.x3 + $g.w4 * f.x4"
+      val iterCtes = (1 to 6).map { t =>
+        val prev = s"g${t - 1}"
+        def qd(x: String) =
+          s"sum(CAST(floor((p - y) $x * $S + 0.5) AS BIGINT))"
+        s"""s$t AS (
+          SELECT ${qd("")} AS q0, ${qd("* x1")} AS q1, ${qd("* x2")} AS q2,
+                 ${qd("* x3")} AS q3, ${qd("* x4")} AS q4
+          FROM (SELECT zf.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+                FROM (SELECT f.*, ${z("g")} AS z FROM feats f, $prev g) zf)
+        ), g$t AS (
+          SELECT g.w0 - $lr * (s.q0 / $S / n.n) AS w0,
+                 g.w1 - $lr * (s.q1 / $S / n.n) AS w1,
+                 g.w2 - $lr * (s.q2 / $S / n.n) AS w2,
+                 g.w3 - $lr * (s.q3 / $S / n.n) AS w3,
+                 g.w4 - $lr * (s.q4 / $S / n.n) AS w4
+          FROM $prev g, s$t s, n
+        )"""
+      }.mkString(", ")
+      s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), feats AS (
+        SELECT doc_id,
+               LEAST(len(words) / 100.0, 1.0) AS x1,
+               CAST($stopSql AS DOUBLE) / len(words) AS x2,
+               CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS x3,
+               LEAST(CAST(list_sum(list_transform(words, x -> length(x)))
+                 AS DOUBLE) / len(words) / 10.0, 1.0) AS x4,
+               CASE WHEN len(words) >= 40
+                     AND CAST($stopSql AS DOUBLE) / len(words) >= 0.02
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM w
+      ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+      g0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+      $iterCtes
+      SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+             CAST(floor(0.5 * (1.0 + (${z("g6")}) / (1.0 + abs(${z("g6")})))
+               * $S + 0.5) AS BIGINT) AS score_fp,
+             (${z("g6")}) >= 0.0 AS keep
+      FROM feats f, g6 ORDER BY f.doc_id
+    """
+    })
+
   private val tokensQ = Q(
     "text_tokens",
     (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id")),
@@ -2193,7 +2257,7 @@ object ExtQueries {
     simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
-    langIdQ, qualityQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
+    langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ)

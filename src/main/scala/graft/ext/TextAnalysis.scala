@@ -171,6 +171,78 @@ object TextAnalysis {
         .otherwise("ok").as("quality_flag"))
   }
 
+  /** A TRAINED quality classifier, the CCNet/fastText-filter pattern
+    * (Wenzek et al. 2020 — public paper): distill a rule into a linear
+    * model over cheap shape features, then score every document with the
+    * model. Weak-supervision labels come from a deterministic rule
+    * (n_words ≥ 40 AND stopword_ratio ≥ 0.02); features are the [[quality]]
+    * ratios (normalized length, stopword ratio, type-token ratio, capped
+    * mean word length) plus a bias. Training is `iters` rounds of
+    * full-batch gradient descent.
+    *
+    * Built to be BOTH distributed and bit-reproducible — the two usually
+    * conflict (a parallel double sum has nondeterministic order):
+    *  - each document's per-dimension gradient contribution is quantized
+    *    to 16.16 fixed point (floor(g·2^20 + ½) as a long), so the global
+    *    gradient is an INTEGER sum — exact under any partitioning, any
+    *    order, with map-side partials; the driver folds 5 longs per
+    *    iteration, never rows;
+    *  - the link is the algebraic quasi-sigmoid ½·(1 + z/(1+|z|)) — no
+    *    exp(), whose last-ulp behavior differs between libm
+    *    implementations; every op here (+,·,/,abs,floor) is an IEEE-exact
+    *    primitive an independent engine reproduces bit-for-bit.
+    *
+    * At scale: features are extracted once into a narrow 5-double frame
+    * and localCheckpoint'd; each iteration is one scan of that frame with
+    * a 5-long partial-aggregate shuffle. NOTE construction is eager — it
+    * runs the count + `iters` aggregation jobs to fit the model before
+    * returning the scored plan (same contract as a broadcast build).
+    *
+    * Output: doc_id, label (the rule), score_fp (the final model's
+    * quasi-sigmoid score in 16.16 fixed point), keep (score ≥ ½, i.e.
+    * z ≥ 0). The oracle replays feature extraction, every GD iteration,
+    * and scoring in SQL.
+    */
+  def qualityClassifier(docs: DataFrame, iters: Int = 6, lr: Double = 4.0): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val nW = size(words).cast("double")
+    val nUniq = size(array_distinct(words)).cast("double")
+    val stops = stopCount(words, langWords.head._2).cast("double")
+    val totalLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val feats = docs.select(
+      col("doc_id"),
+      least(nW / 100.0, lit(1.0)).as("x1"),
+      (stops / nW).as("x2"),
+      (nUniq / nW).as("x3"),
+      least(totalLen / nW / 10.0, lit(1.0)).as("x4"),
+      when(nW >= 40.0 && stops / nW >= 0.02, 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val n = feats.count().toDouble
+    val S = 1048576.0 // 2^20: the fixed-point gradient scale
+    var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    def zOf(wt: Array[Double]): Column =
+      lit(wt(0)) + lit(wt(1)) * col("x1") + lit(wt(2)) * col("x2") +
+        lit(wt(3)) * col("x3") + lit(wt(4)) * col("x4")
+    def pOf(z: Column): Column = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+    var it = 0
+    while (it < iters) {
+      val err = pOf(zOf(w)) - col("y")
+      def q(x: Column): Column = floor(err * x * S + 0.5)
+      val r = feats.agg(
+        sum(floor(err * S + 0.5)).as("q0"), sum(q(col("x1"))).as("q1"),
+        sum(q(col("x2"))).as("q2"), sum(q(col("x3"))).as("q3"),
+        sum(q(col("x4"))).as("q4")).head()
+      w = Array.tabulate(5)(d => w(d) - lr * (r.getLong(d).toDouble / S / n))
+      it += 1
+    }
+    val z = zOf(w)
+    feats.select(
+      col("doc_id"),
+      col("y").cast("bigint").as("label"),
+      floor(pOf(z) * S + 0.5).as("score_fp"),
+      (z >= 0.0).as("keep"))
+  }
+
   /** Gopher-style heuristic quality gates (Rae et al. 2021 §A1.1 — public
     * paper): word-length shape, symbol load, and repetition, the standard
     * pre-training corpus filters. One codegen'd pass per document; the

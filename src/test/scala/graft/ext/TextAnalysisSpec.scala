@@ -26,6 +26,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) !== out(2L))
   }
 
+  test("qualityClassifier: training is bit-identical across partitionings") {
+    val docs = Tables.documents(spark, sf).limit(120)
+    // fixed-point gradient quantization makes the distributed sum an exact
+    // integer sum — so the trained model (hence every score) must be
+    // bit-identical no matter how the corpus is partitioned
+    val a = TextAnalysis.qualityClassifier(docs.repartition(1), iters = 3)
+      .orderBy(col("doc_id")).collect()
+    val b = TextAnalysis.qualityClassifier(docs.repartition(13), iters = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // the model must actually separate: scores vary and keep is non-constant
+    val keeps = a.map(_.getBoolean(3)).toSet
+    val scores = a.map(_.getLong(2)).toSet
+    assert(scores.size > 10)
+    assert(keeps.size == 2 || a.map(_.getLong(1)).toSet.size == 1)
+  }
+
   test("bigramLmScore: hand-computed Laplace bigram probabilities") {
     import spark.implicits._
     // corpus: doc1 "a b a b", doc2 "a b"

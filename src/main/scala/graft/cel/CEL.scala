@@ -58,7 +58,11 @@ import org.apache.spark.sql.functions._
   * precedence level, as the cel-spec grammar associates them.
   *
   * Compiled once per subscription; evaluates as a single codegen'd
-  * expression with `get_json_object` doing the per-row path lookup.
+  * expression with [[graft.functions.JsonPathText]] doing the per-row
+  * path lookups — one memoized document parse per row no matter how many
+  * times the predicate references `$data` paths (FilterExec performs no
+  * subexpression elimination, so naive per-reference `get_json_object`
+  * cost multiplied with the reference count).
   */
 object CEL {
 
@@ -429,7 +433,12 @@ object CEL {
     * to int64 (double→long cast truncates toward zero, matching Go).
     */
   private def varColumn(v: VarRef): Column = {
-    val raw = get_json_object(col("data"), "$." + v.path)
+    // memoized whole-doc parse: FilterExec has no subexpression
+    // elimination, so a predicate referencing N paths would otherwise
+    // parse the document N times (get_json_object is CodegenFallback on
+    // top) — JsonPathText parses once per (thread, row) and every
+    // further reference is a hash probe
+    val raw = graft.functions.JsonPathText(col("data"), v.path)
     // try_cast: a failed coercion is a CEL eval error, which fails the
     // filter (NULL -> coalesce false) rather than aborting the job as
     // Spark 4's default ANSI cast would.
@@ -689,7 +698,7 @@ object CEL {
         // works for missing paths.
         arity(1)
         args.head match {
-          case v: VarRef => get_json_object(col("data"), "$." + v.path).isNotNull
+          case v: VarRef => graft.functions.JsonPathText(col("data"), v.path).isNotNull
           case other => throw new IllegalArgumentException(
             s"CEL: has() requires a variable argument, got $other")
         }

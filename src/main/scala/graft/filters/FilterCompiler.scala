@@ -33,7 +33,9 @@ object FilterCompiler {
   def attr(key: String): Column = key match {
     case "data" => col("data")
     case k if k.startsWith("data.") =>
-      get_json_object(col("data"), "$." + k.stripPrefix("data."))
+      // memoized one-parse-per-row path read (see JsonDocMemo) — a filter
+      // list addressing several data.* keys parses the body once
+      graft.functions.JsonPathText(col("data"), k.stripPrefix("data."))
     case "time" =>
       // CE attribute formatting is RFC3339 UTC (types.Format via
       // filter/common.go:128-135). Sub-second parts are dropped; divergence

@@ -105,3 +105,13 @@ object BpeTokens {
   def apply(words: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words, merges)
 }
+
+object JsonPathText {
+  /** Memoized whole-document JSON path read — one parse per (thread, doc)
+    * shared across every path reference in the same predicate; see
+    * [[org.apache.spark.sql.graftexpr.JsonDocMemo]] for the
+    * get_json_object text-form parity contract.
+    */
+  def apply(doc: Column, path: String): Column =
+    org.apache.spark.sql.graftexpr.JsonPathTextExpr.column(doc, path)
+}

@@ -1126,6 +1126,138 @@ object ExtQueries {
       """))
   }
 
+  /** Distributed BPE merge training ([[TextAnalysis.bpeTrain]]): the
+    * oracle replays the WHOLE training run in unrolled CTEs — word
+    * frequencies, every iteration's freq-weighted adjacent-pair counts,
+    * the (count DESC, lhs, rhs) argmax, and the merge-all replace on the
+    * delimited symbol strings (one non-regex replace = one left-to-right
+    * fuse pass in both engines). A pass means an independent engine
+    * learns the identical merge table in the identical order.
+    */
+  private val BpeTrainIters = 8
+  private val bpeTrainQ = Q(
+    "text_bpe_train",
+    (s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d), BpeTrainIters)
+      .orderBy(col("merge_rank")),
+    Some {
+      val U = "chr(31)"
+      val iterCtes = (1 to BpeTrainIters).map { t =>
+        val prev = s"v${t - 1}"
+        s"""p$t AS (
+          SELECT l, r, SUM(freq) AS cnt FROM (
+            SELECT freq, arr[i] AS l, arr[i + 1] AS r
+            FROM (SELECT freq,
+                    string_split(substr(s, 2, length(s) - 2), $U || $U) AS arr
+                  FROM $prev),
+                 UNNEST(range(1, len(arr))) AS t(i)
+          ) GROUP BY l, r
+        ), b$t AS (
+          SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1
+        ), v$t AS (
+          SELECT freq,
+                 replace(s, $U || b.l || $U || $U || b.r || $U,
+                         $U || b.l || b.r || $U) AS s
+          FROM $prev, b$t b
+        )"""
+      }.mkString(", ")
+      val rows = (1 to BpeTrainIters).map { t =>
+        s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$t"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH v0 AS (
+        SELECT freq,
+               $U || array_to_string(
+                 list_transform(range(1, length(word) + 1), i -> word[i]),
+                 $U || $U) || $U AS s
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE word <> '' GROUP BY word)
+      ), $iterCtes
+      SELECT * FROM (
+        $rows
+      ) ORDER BY merge_rank
+    """
+    })
+
+  /** HTML visible-text extraction ([[TextAnalysis.htmlExtract]]): both
+    * engines build the SAME deterministic HTML page per document (corpus
+    * text sanitized of raw markup chars, every 7th word wrapped in a
+    * link, a script/style/comment/entity gauntlet around it), then each
+    * extracts independently — Spark through the one-pass
+    * [[graft.functions.HtmlText]] state machine, DuckDB through the
+    * regex-chain spelling (strip scripts → styles → comments → tags,
+    * decode entities, collapse whitespace). A hash match means the
+    * single-pass kernel is indistinguishable from the reference chain on
+    * well-formed pages, link counts included.
+    */
+  private val htmlExtractQ = Q(
+    "text_html_extract",
+    (s, d) => {
+      val clean = regexp_replace(col("text"), "[<>&]", "")
+      val words = split(clean, " ")
+      val wrapped = when(size(words) > 0, array_join(
+        transform(sequence(lit(1), size(words)),
+          i => when(i % 7 === 0,
+            concat(lit("<a href=\"/l\">"), element_at(words, i), lit("</a>")))
+            .otherwise(element_at(words, i))), " ")).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>T</title><script>var x=1<2;//</head></script>"),
+        lit("<style>.c{color:red}</style></head><body><h1>"),
+        coalesce(try_element_at(words, lit(1)), lit("")),
+        lit("</h1><p>"), wrapped,
+        lit("</p><p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>"),
+        lit("<!-- footer --></body></html>"))
+      TextAnalysis.htmlExtract(
+        Tables.documents(s, d).select(col("doc_id"), html.as("html")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT doc_id, regexp_replace(text, '[<>&]', '', 'g') AS ctext
+        FROM documents
+      ), built AS (
+        SELECT doc_id,
+          '<html><head><title>T</title><script>var x=1<2;//</head></script>'
+          || '<style>.c{color:red}</style></head><body><h1>'
+          || COALESCE(string_split(ctext, ' ')[1], '')
+          || '</h1><p>'
+          || array_to_string(list_transform(
+               range(1, len(string_split(ctext, ' ')) + 1),
+               i -> CASE WHEN i % 7 = 0
+                    THEN '<a href="/l">' || string_split(ctext, ' ')[i] || '</a>'
+                    ELSE string_split(ctext, ' ')[i] END), ' ')
+          || '</p><p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>'
+          || '<!-- footer --></body></html>' AS html
+        FROM src
+      ), stripped AS (
+        SELECT doc_id,
+          len(string_split(html, '<a ')) - 1 AS n_links,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html, '(?s)<script.*?</script[^>]*>', ' ', 'g'),
+                    '(?s)<style.*?</style[^>]*>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+            '\s+', ' ', 'g')) AS clean_text
+        FROM built
+      )
+      SELECT doc_id, clean_text,
+             CAST(n_links AS BIGINT) AS n_links,
+             CASE WHEN length(clean_text) = 0 THEN 0
+                  ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT)
+             END AS n_words,
+             CASE WHEN length(clean_text) = 0 THEN 0.0
+                  ELSE CAST(n_links AS DOUBLE)
+                       / len(string_split(clean_text, ' '))
+             END AS link_density
+      FROM stripped ORDER BY doc_id
+    """))
+
   private val fingerprintQ = Q(
     "text_fingerprint",
     (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id")),
@@ -2259,6 +2391,6 @@ object ExtQueries {
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
-    approxDistinctQ, tokensQ, tokensBpeQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
+    approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ)
 }

@@ -243,6 +243,94 @@ object TextAnalysis {
       (z >= 0.0).as("keep"))
   }
 
+  /** Distributed BPE merge TRAINING (Sennrich et al. 2016 §3, public
+    * paper) — the learning side of the [[bpeTokenCounts]] apply kernel:
+    * count adjacent symbol pairs over the corpus vocabulary, fuse the
+    * most frequent pair everywhere, repeat. Returns the learned merge
+    * table (rank, lhs, rhs, pair_count) — the exact artifact a
+    * `merges.txt` ships, so the output feeds straight into
+    * [[graft.functions.BpeTokens]]'s loaded-table form.
+    *
+    * Scale shape: the corpus is read ONCE (word-frequency aggregation,
+    * map-side partials); every training iteration then runs over the
+    * DISTINCT-WORD table only — one pair-count shuffle (sum of longs,
+    * order-independent) plus a single-row argmax collect, and the merge
+    * application is a narrow map. At 100 TB the vocabulary is millions of
+    * rows, not terabytes, so k iterations cost k small jobs. The evolving
+    * vocabulary frame is localCheckpoint'd per iteration (else iteration
+    * t re-executes t-1 replace lineages per consumer); the harness sweeps
+    * the blocks between queries.
+    *
+    * Determinism: pair counts are integer sums; the argmax tie-breaks on
+    * (count DESC, lhs ASC, rhs ASC) — a total order, so training is
+    * reproducible across partitionings. Symbols ride a U+001F-delimited
+    * string (each symbol wrapped as U·sym·U) so "fuse all occurrences,
+    * left-to-right, non-overlapping" is exactly one non-regex replace —
+    * the same trick the [[graft.ExtQueries]] BPE oracle uses, making the
+    * DuckDB replay symmetric by construction.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val U = "\u001f"
+    val vocab0 = graft.Tables.fanOut(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(U),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), U + U), lit(U)).as("s"))
+    var vocab = vocab0.localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      // adjacent pairs of the current symbol arrays, freq-weighted
+      // (overlapping positions both count — the reference counting rule)
+      val arr = split(col("s").substr(lit(2), length(col("s")) - 2), U + U)
+      val best = vocab
+        .filter(size(arr) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(1), size(arr) - 1),
+          i => struct(element_at(arr, i).as("l"), element_at(arr, i + 1).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((rank, l, r, cnt))
+        vocab = vocab.withColumn("s",
+          replace(col("s"), lit(U + l + U + U + r + U), lit(U + l + r + U)))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** HTML visible-text extraction ([[graft.functions.HtmlText]] — the
+    * WET-extraction step of a web-corpus pipeline, upstream of every
+    * curation gate): per document, the stripped text, the `<a`-tag count,
+    * the extracted word count, and the link density (links per word, the
+    * signal boilerplate classifiers gate on). One codegen'd pass per row
+    * — no shuffle; at 100 TB this runs at scan speed, where the
+    * regex-chain spelling re-reads each document once per pattern.
+    */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = graft.functions.HtmlText(col(htmlCol))
+    graft.Tables.fanOut(docs).select(
+      col("doc_id"),
+      h.getField("text").as("clean_text"),
+      h.getField("n_links").as("n_links"))
+      .withColumn("n_words",
+        when(length(col("clean_text")) === 0, 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("bigint")))
+      .withColumn("link_density",
+        when(col("n_words") === 0, 0.0)
+          .otherwise(col("n_links").cast("double") / col("n_words")))
+  }
+
   /** Gopher-style heuristic quality gates (Rae et al. 2021 §A1.1 — public
     * paper): word-length shape, symbol load, and repetition, the standard
     * pre-training corpus filters. One codegen'd pass per document; the

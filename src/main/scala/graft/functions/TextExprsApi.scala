@@ -106,6 +106,16 @@ object BpeTokens {
     org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words, merges)
 }
 
+object HtmlText {
+  /** One-pass HTML visible-text extraction: struct(text, n_links) —
+    * scripts/styles/comments/tags stripped, the six common entities
+    * decoded, whitespace collapsed; `n_links` counts `<a` open tags.
+    * See [[org.apache.spark.sql.graftexpr.HtmlTextUtil]].
+    */
+  def apply(html: Column): Column =
+    org.apache.spark.sql.graftexpr.HtmlTextExpr.column(html)
+}
+
 object JsonPathText {
   /** Memoized whole-document JSON path read — one parse per (thread, doc)
     * shared across every path reference in the same predicate; see

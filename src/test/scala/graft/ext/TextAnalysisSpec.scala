@@ -311,4 +311,35 @@ class TextAnalysisSpec extends SparkSpec {
     val planLen = big.queryExecution.executedPlan.toString.length
     assert(planLen < (1 << 20), s"large-bitmap plan is $planLen chars")
   }
+
+  test("bpeTrain: learns the hand-computable merges, partition-invariant") {
+    import spark.implicits._
+    // "low low low lower lowest": pairs (l,o) and (o,w) both appear 5x —
+    // tie-break picks (l,o) (lex-smaller lhs); then (lo,w) 5x wins; then
+    // (low,e) 2x ties nothing; freq weighting makes "low" dominate.
+    val docs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, 3)
+      .orderBy("merge_rank").as[(Long, String, String, Long)].collect()
+    assert(m(0) === ((1L, "l", "o", 5L)))
+    assert(m(1) === ((2L, "lo", "w", 5L)))
+    // after lo+w: "low"(3x, fused to one symbol), "lower" -> low|e|r,
+    // "lowest" -> low|e|s|t; (low,e) count 2 beats (e,r)/(e,s)/(s,t) at 1
+    assert(m(2) === ((3L, "low", "e", 2L)))
+    // training is partitioning-invariant: integer pair counts sum in any
+    // order and the argmax tie-break is a total order
+    val repart = TextAnalysis.bpeTrain(docs.repartition(7), 3)
+      .orderBy("merge_rank").as[(Long, String, String, Long)].collect()
+    assert(repart.toSeq === m.toSeq)
+    // the learned table plugs straight into the apply kernel:
+    // "low low low" = 3 pieces under the learned merges
+    val merges = m.map(r => (r._2, r._3)).toSeq
+    val counted = docs.select(col("doc_id"),
+      graft.functions.BpeTokens(split(col("text"), " "), merges).as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(counted(0) === ((1L, 3L)))
+    // "lower lowest" = lowe|r + lowe|s|t = 5 pieces (all three learned
+    // merges apply, incl. low+e)
+    assert(counted(1) === ((2L, 5L)))
+  }
 }

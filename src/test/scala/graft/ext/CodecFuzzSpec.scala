@@ -82,4 +82,55 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       Pixels.decode(junk)
     }
   }
+
+  test("html extractor survives corruption and garbage") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val valid = ("<html><head><script>var x=1<2;</script><style>.a{}</style>" +
+      "</head><body><h1>T</h1><p>a &amp; b <a href=\"/x\">l</a></p>" +
+      "<!-- c --></body></html>").getBytes("UTF-8")
+    var ok = 0
+    for (_ <- 1 to 300) {
+      val b = mutate(valid)
+      // arbitrary (possibly invalid-UTF-8) bytes: must not throw, output
+      // text must stay bounded by input length
+      val row = HtmlTextUtilBridge.extract(UTF8String.fromBytes(b))
+      assert(row.getUTF8String(0).numBytes() <= b.length)
+      if (row.getLong(1) >= 0) ok += 1
+    }
+    for (n <- Seq(0, 1, 7, 54, 1000)) {
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      HtmlTextUtilBridge.extract(UTF8String.fromBytes(junk))
+    }
+    info(s"html: $ok/300 mutants extracted")
+  }
+
+  test("json path memo survives corruption and garbage") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val valid = """{"k": 1, "o": {"x": "y"}, "a": [1, 2], "s": "t"}"""
+      .getBytes("UTF-8")
+    for (_ <- 1 to 300) {
+      val b = mutate(valid)
+      // malformed JSON must read as absent, never throw
+      JsonDocMemoBridge.lookup(UTF8String.fromBytes(b), "o.x")
+      JsonDocMemoBridge.lookup(UTF8String.fromBytes(b), "k")
+    }
+    for (n <- Seq(0, 1, 7, 54, 1000)) {
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      JsonDocMemoBridge.lookup(UTF8String.fromBytes(junk), "k")
+    }
+  }
+}
+
+/** The kernels live under org.apache.spark.sql.graftexpr (private[sql]
+  * bridge); these forwarders keep the fuzz harness in one place.
+  */
+private object HtmlTextUtilBridge {
+  def extract(s: org.apache.spark.unsafe.types.UTF8String) =
+    org.apache.spark.sql.graftexpr.HtmlTextUtil.extract(s)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+}
+
+private object JsonDocMemoBridge {
+  def lookup(doc: org.apache.spark.unsafe.types.UTF8String, path: String) =
+    org.apache.spark.sql.graftexpr.JsonDocMemo.lookup(doc, path)
 }

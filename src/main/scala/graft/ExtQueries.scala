@@ -1978,10 +1978,14 @@ object ExtQueries {
     * row-major top-down Horner checksum).
     */
   private def sqlPixelStruct(sx: String, sy: String): String =
-    s"""CASE WHEN doc_id % 4 = 3 THEN struct_pack(
+    s"""CASE WHEN doc_id % 6 IN (3, 4) THEN struct_pack(
           r := ((($sx * 7 + $sy * 11 + doc_id) % 256) * 3 + 29) % 256,
           g := ((($sx * 7 + $sy * 11 + doc_id) % 256) * 5 + 7) % 256,
           b := ((($sx * 7 + $sy * 11 + doc_id) % 256) * 7 + 13) % 256)
+        WHEN doc_id % 6 = 5 THEN struct_pack(
+          r := ($sx * 3 + $sy * 13 + doc_id) % 256,
+          g := ($sx * 3 + $sy * 13 + doc_id) % 256,
+          b := ($sx * 3 + $sy * 13 + doc_id) % 256)
         ELSE struct_pack(
           r := ($sx * 3 + $sy * 13 + doc_id) % 256,
           g := ($sx * 5 + $sy * 3 + doc_id * 7) % 256,
@@ -1996,10 +2000,11 @@ object ExtQueries {
          (a, v) -> (a * 31 + v) % 1000000007) AS pix_checksum"""
 
   /** REAL pixel decode through the whole container round trip: the Spark
-    * side writes each doc's generative test pattern as an actual
-    * uncompressed 24-bit BMP (bottom-up BGR rows, 4-byte padding) and
-    * parses it back byte-by-byte; the oracle computes the SAME statistics
-    * straight from the generative formula, never touching the container.
+    * side writes each doc's generative test pattern as an actual container
+    * rotating by id%6 (uncompressed 24-bit BMP; PNG in RGB, RGBA, palette,
+    * and grayscale forms; GIF with LZW + interlacing) and parses it back
+    * byte-by-byte; the oracle computes the SAME statistics straight from
+    * the generative formulas, never touching the containers.
     * A pass proves encoder and parser agree on every byte of layout — the
     * row-major top-down checksum catches a forgotten bottom-up flip or
     * swapped channel order that channel sums alone would miss.
@@ -2026,7 +2031,7 @@ object ExtQueries {
       FROM px ORDER BY media_id
     """))
 
-  /** REAL pixel resample: decode the BMP, fit-within-(8,8) nearest
+  /** REAL pixel resample: decode the rotated container, fit-within-(8,8) nearest
     * neighbor, stats of the RESAMPLED image. The oracle replays the
     * fit-within integer arithmetic AND the source-index mapping
     * (sx = x·W/TW floor division) over the generative formula — decode,

@@ -218,14 +218,17 @@ object Multimodal {
   /** Media table of REAL image blobs (small generative test pattern —
     * dims and pixels are pure functions of the id, see [[Pixels.genR]]),
     * the pixel-depth counterpart of [[mediaFromDocuments]]'s header-only
-    * containers. Container format rotates by id — id%4 = 0 uncompressed
+    * containers. Container format rotates by id — id%6 = 0 uncompressed
     * 24-bit BMP, 1 PNG RGB (color type 2), 2 PNG RGBA (color type 6),
-    * 3 GIF (LZW + 256-entry palette, interlaced when id%8 = 7) — so every
-    * consumer exercises the BMP parser, the full PNG path (zlib inflate +
-    * all five scanline filters + both pixel strides), AND the GIF LZW/
-    * interlace path. Decoded pixels stay pure functions of (x, y, id) —
-    * truecolor rows use [[Pixels.genR]]; GIF rows use the palette curve
-    * over [[Pixels.gifIndex]] (24-bit truecolor can't ride a GIF) — so
+    * 3 GIF (LZW + 256-entry palette, interlaced when id%8 = 7), 4 PNG
+    * palette (color type 3 over a PLTE), 5 PNG grayscale (color type 0)
+    * — so every consumer exercises the BMP parser, the full PNG path
+    * (zlib inflate + all five scanline filters + 1/3/4-byte pixel strides
+    * + PLTE resolution + gray widening), AND the GIF LZW/interlace path.
+    * Decoded pixels stay pure functions of (x, y, id) — truecolor rows
+    * use [[Pixels.genR]]; GIF AND palette-PNG rows share one palette
+    * curve over [[Pixels.gifIndex]] (indexed color can't ride 24-bit
+    * truecolor); grayscale rows widen [[Pixels.genR]] to r = g = b — so
     * the oracle computes stats from the formulas, never touching the
     * containers.
     */
@@ -240,11 +243,13 @@ object Multimodal {
         val id = r.getLong(0)
         val w = (id % 16 + 4).toInt
         val h = (id % 12 + 4).toInt
-        val blob = (id % 4) match {
+        val blob = (id % 6) match {
           case 0 => Pixels.bmpBytes(w, h, id)
           case 1 => Pixels.pngBytes(w, h, id, alpha = false)
           case 2 => Pixels.pngBytes(w, h, id, alpha = true)
-          case _ => Pixels.gifBytes(w, h, id, interlaced = id % 8 == 7)
+          case 3 => Pixels.gifBytes(w, h, id, interlaced = id % 8 == 7)
+          case 4 => Pixels.pngPalBytes(w, h, id)
+          case _ => Pixels.pngGrayBytes(w, h, id)
         }
         Row(id, "image", blob)
       }

@@ -129,10 +129,11 @@ object Pixels {
   }
 
   // =========================================================================
-  // PNG (RFC 2083): signature + IHDR/IDAT/IEND chunks, zlib DEFLATE, the
-  // five scanline filters. 8-bit truecolor only (color type 2 = RGB,
-  // 6 = RGBA); alpha is carried through the codec but dropped when packing
-  // to 0xRRGGBB (stats are defined over RGB).
+  // PNG (RFC 2083): signature + IHDR/[PLTE]/IDAT/IEND chunks, zlib
+  // DEFLATE, the five scanline filters. 8-bit depth, color types 0
+  // (grayscale), 2 (RGB), 3 (palette indices over PLTE), 6 (RGBA); alpha
+  // is carried through the codec but dropped when packing to 0xRRGGBB
+  // (stats are defined over RGB).
   // =========================================================================
 
   private val PngSig: Array[Byte] =
@@ -178,13 +179,7 @@ object Pixels {
     */
   def pngBytes(w: Int, h: Int, seed: Long, alpha: Boolean = false): Array[Byte] = {
     val bpp = if (alpha) 4 else 3
-    val stride = w * bpp
-    // raw scanlines, filter byte + filtered bytes per row
-    val raw = new Array[Byte](h * (1 + stride))
-    val cur = new Array[Int](stride)  // this row's unfiltered bytes
-    val prev = new Array[Int](stride) // previous row's unfiltered bytes
-    var y = 0
-    while (y < h) {
+    pngEncode(w, h, bpp, if (alpha) 6 else 2, seed, null, (y, cur) => {
       var x = 0
       while (x < w) {
         cur(x * bpp) = genR(x, y, seed)
@@ -193,6 +188,52 @@ object Pixels {
         if (alpha) cur(x * bpp + 3) = ((x + y + seed) % 256).toInt
         x += 1
       }
+    })
+  }
+
+  /** A REAL palette PNG (color type 3): 8-bit indices over a 256-entry
+    * PLTE. Index formula and palette curves are SHARED with the GIF
+    * fixture ([[gifIndex]], [[gifPalR]]/G/B), so the one oracle arm
+    * replays both containers' decoded channels.
+    */
+  def pngPalBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val plte = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      plte(i * 3) = gifPalR(i).toByte
+      plte(i * 3 + 1) = gifPalG(i).toByte
+      plte(i * 3 + 2) = gifPalB(i).toByte
+      i += 1
+    }
+    pngEncode(w, h, 1, 3, seed, plte, (y, cur) => {
+      var x = 0
+      while (x < w) { cur(x) = gifIndex(x, y, seed); x += 1 }
+    })
+  }
+
+  /** A REAL grayscale PNG (color type 0): gray = [[genR]], decoded as
+    * r = g = b = gray.
+    */
+  def pngGrayBytes(w: Int, h: Int, seed: Long): Array[Byte] =
+    pngEncode(w, h, 1, 0, seed, null, (y, cur) => {
+      var x = 0
+      while (x < w) { cur(x) = genR(x, y, seed); x += 1 }
+    })
+
+  /** Shared PNG writer: fill each scanline, filter with type
+    * (y + seed) % 5 — every encode exercises all five filters — deflate,
+    * and emit signature + IHDR [+ PLTE] + IDAT + IEND.
+    */
+  private def pngEncode(w: Int, h: Int, bpp: Int, colorType: Int, seed: Long,
+      plte: Array[Byte], fill: (Int, Array[Int]) => Unit): Array[Byte] = {
+    val stride = w * bpp
+    // raw scanlines, filter byte + filtered bytes per row
+    val raw = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Int](stride)  // this row's unfiltered bytes
+    val prev = new Array[Int](stride) // previous row's unfiltered bytes
+    var y = 0
+    while (y < h) {
+      fill(y, cur)
       val f = math.floorMod(y + seed, 5L).toInt
       val base = y * (1 + stride)
       raw(base) = f.toByte
@@ -229,19 +270,22 @@ object Pixels {
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, w.toLong); putBe32(ihdr, 4, h.toLong)
     ihdr(8) = 8                                  // bit depth
-    ihdr(9) = (if (alpha) 6 else 2).toByte       // color type
+    ihdr(9) = colorType.toByte
     ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0     // deflate, adaptive, no interlace
     chunk(out, "IHDR", ihdr)
+    if (plte != null) chunk(out, "PLTE", plte)
     chunk(out, "IDAT", zbuf.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
-  /** Parse an 8-bit truecolor PNG (color type 2 or 6, no interlace) into
-    * top-down packed pixels: walk chunks, inflate the concatenated IDAT
-    * zlib stream, reverse the per-scanline filter. Rejects (None)
-    * anything else — other depths/color types, interlaced images, bad
-    * CRCs, truncated or over-long streams. Header ints are UNTRUSTED:
+  /** Parse an 8-bit PNG (color type 0 grayscale, 2 RGB, 3 palette, or
+    * 6 RGBA; no interlace) into top-down packed pixels: walk chunks,
+    * inflate the concatenated IDAT zlib stream, reverse the per-scanline
+    * filter, and resolve palette indices / widen gray. Rejects (None)
+    * anything else — other depths, interlaced images, bad CRCs, a missing
+    * or over-long PLTE, an index past the palette, truncated or over-long
+    * streams. Header ints are UNTRUSTED:
     * Long arithmetic, bounded dims, and the inflate output is bounded to
     * exactly the expected scanline total, so a crafted IHDR or a zip-bomb
     * IDAT can't out-allocate the declared image size.
@@ -254,7 +298,9 @@ object Pixels {
       i += 1
     }
     var pos = PngSig.length
-    var w = 0; var h = 0; var bpp = 0; var seenIhdr = false; var seenIend = false
+    var w = 0; var h = 0; var bpp = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (pos + 8 > bytes.length) return None
@@ -274,16 +320,24 @@ object Pixels {
           val wL = be32(bytes, dataOff)
           val hL = be32(bytes, dataOff + 4)
           val bitDepth = bytes(dataOff + 8) & 0xff
-          val colorType = bytes(dataOff + 9) & 0xff
+          colorType = bytes(dataOff + 9) & 0xff
           val interlace = bytes(dataOff + 12) & 0xff
           val maxDim = 1 << 14
           if (wL <= 0 || hL <= 0 || wL > maxDim || hL > maxDim ||
             wL * hL > (1L << 26) || bitDepth != 8 ||
-            (colorType != 2 && colorType != 6) ||
+            (colorType != 0 && colorType != 2 &&
+              colorType != 3 && colorType != 6) ||
             (bytes(dataOff + 10) & 0xff) != 0 ||
             (bytes(dataOff + 11) & 0xff) != 0 || interlace != 0) return None
           w = wL.toInt; h = hL.toInt
-          bpp = if (colorType == 6) 4 else 3
+          bpp = colorType match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4
+          }
+        case "PLTE" =>
+          // spec: before IDAT, 1..256 RGB triples, at most one chunk
+          if (!seenIhdr || palette != null || idat.size() > 0 ||
+            dataLen == 0 || dataLen % 3 != 0 || dataLen > 768) return None
+          palette = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen)
         case "IDAT" =>
           if (!seenIhdr) return None
           idat.write(bytes, dataOff, dataLen)
@@ -293,6 +347,11 @@ object Pixels {
       pos = dataOff + dataLen + 4
     }
     if (!seenIhdr) return None
+    // indexed-color REQUIRES a palette; the other types must not carry
+    // indices (a stray PLTE on truecolor is a legal suggested palette —
+    // ignored — but on grayscale it is an error per the spec)
+    if (colorType == 3 && palette == null) return None
+    if (colorType == 0 && palette != null) return None
     val stride = w * bpp
     val expected = h * (1 + stride)
     val raw = new Array[Byte](expected)
@@ -340,8 +399,20 @@ object Pixels {
       }
       var x = 0
       while (x < w) {
-        pix(y * w + x) =
-          (cur(x * bpp) << 16) | (cur(x * bpp + 1) << 8) | cur(x * bpp + 2)
+        pix(y * w + x) = colorType match {
+          case 0 =>
+            val g = cur(x)
+            (g << 16) | (g << 8) | g
+          case 3 =>
+            val idx = cur(x)
+            // an index past the palette is a hard error per the spec
+            if (idx * 3 + 2 >= palette.length) return None
+            ((palette(idx * 3) & 0xff) << 16) |
+              ((palette(idx * 3 + 1) & 0xff) << 8) |
+              (palette(idx * 3 + 2) & 0xff)
+          case _ =>
+            (cur(x * bpp) << 16) | (cur(x * bpp + 1) << 8) | cur(x * bpp + 2)
+        }
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)

@@ -50,6 +50,13 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       rnd.nextLong(), alpha = rnd.nextBoolean()), Pixels.decodePng)
   }
 
+  test("png palette and grayscale decoders survive corruption") {
+    fuzz("png-pal", Pixels.pngPalBytes(9 + rnd.nextInt(8), 7 + rnd.nextInt(6),
+      rnd.nextLong()), Pixels.decodePng)
+    fuzz("png-gray", Pixels.pngGrayBytes(9 + rnd.nextInt(8), 7 + rnd.nextInt(6),
+      rnd.nextLong()), Pixels.decodePng)
+  }
+
   test("gif decoder survives corruption") {
     fuzz("gif", Pixels.gifBytes(9 + rnd.nextInt(8), 7 + rnd.nextInt(6),
       rnd.nextLong(), interlaced = rnd.nextBoolean()), Pixels.decodeGif)

@@ -75,6 +75,59 @@ class PixelsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("png palette and grayscale round trips") {
+    for ((w, h) <- Seq((1, 1), (5, 3), (16, 11), (19, 7)); seed <- Seq(3L, 42L)) {
+      val pal = Pixels.decodePng(Pixels.pngPalBytes(w, h, seed)).get
+      assert(pal.width === w && pal.height === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = Pixels.gifIndex(x, y, seed)
+        assert(pal.pix(y * w + x) === ((Pixels.gifPalR(i) << 16) |
+          (Pixels.gifPalG(i) << 8) | Pixels.gifPalB(i)))
+      }
+      val gray = Pixels.decodePng(Pixels.pngGrayBytes(w, h, seed)).get
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = Pixels.genR(x, y, seed)
+        assert(gray.pix(y * w + x) === ((g << 16) | (g << 8) | g))
+      }
+    }
+    // palette-PNG and GIF of the same (w,h,seed) decode IDENTICALLY —
+    // the shared-formula contract the oracle arm relies on
+    val viaPng = Pixels.decodePng(Pixels.pngPalBytes(9, 6, 7L)).get
+    val viaGif = Pixels.decodeGif(Pixels.gifBytes(9, 6, 7L)).get
+    assert(viaPng.pix.toSeq === viaGif.pix.toSeq)
+  }
+
+  test("png palette decode rejects spec violations") {
+    val good = Pixels.pngPalBytes(6, 4, 3L)
+    // strip the PLTE chunk: indexed color without a palette must reject.
+    // chunk layout: 8 sig + (25 IHDR) then PLTE (12 + 768)
+    val noPlte = good.take(8 + 25) ++ good.drop(8 + 25 + 12 + 768)
+    assert(Pixels.decodePng(noPlte).isEmpty)
+    // truncate the palette to 16 entries (48 bytes): the 6x4/seed=3
+    // fixture's indices reach 71, so decode must reject on the first
+    // index past the palette
+    val shortPlte = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 8 + 25) // sig + IHDR
+      val data = java.util.Arrays.copyOfRange(good, 8 + 25 + 8, 8 + 25 + 8 + 48)
+      val len = Array[Byte](0, 0, 0, 48)
+      out.write(len)
+      out.write("PLTE".getBytes("US-ASCII"))
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update("PLTE".getBytes("US-ASCII")); crc.update(data)
+      val cb = new Array[Byte](4)
+      cb(0) = ((crc.getValue >> 24) & 0xff).toByte
+      cb(1) = ((crc.getValue >> 16) & 0xff).toByte
+      cb(2) = ((crc.getValue >> 8) & 0xff).toByte
+      cb(3) = (crc.getValue & 0xff).toByte
+      out.write(cb)
+      out.write(good, 8 + 25 + 12 + 768, good.length - (8 + 25 + 12 + 768))
+      out.toByteArray
+    }
+    assert(Pixels.decodePng(shortPlte).isEmpty)
+  }
+
   test("png decode rejects malformed input") {
     assert(Pixels.decodePng(null).isEmpty)
     assert(Pixels.decodePng(Array[Byte](1, 2, 3)).isEmpty)

@@ -2107,6 +2107,26 @@ object ExtQueries {
     * checksum catches wrong MCU order, a predictor that fails to reset at
     * a restart marker, or swapped chroma planes.
     */
+  /** Gzip text round trip with a corruption path: Spark compresses each
+    * document's text, truncates every 53rd blob (REAL corruption), then
+    * decodes inside the scan with the bounded NULL-on-malformed kernel.
+    * The oracle never sees a compressed byte — it asserts intact rows
+    * recover the EXACT original text (length + md5) and corrupted rows
+    * answer NULL, pinning both the codec and its failure contract.
+    */
+  private val gzipTextQ = Q(
+    "multimodal_gzip_text",
+    (s, d) => Multimodal.gzipText(
+      Multimodal.gzipMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some("""
+      SELECT doc_id AS media_id,
+             doc_id % 53 <> 0 AS ok,
+             CASE WHEN doc_id % 53 = 0 THEN NULL ELSE length(text) END AS text_len,
+             CASE WHEN doc_id % 53 = 0 THEN NULL ELSE md5(text) END AS text_md5
+      FROM documents ORDER BY media_id
+    """))
+
   private val jpegStatsQ = Q(
     "multimodal_jpeg_stats",
     (s, d) => Multimodal.pixelStats(
@@ -2397,5 +2417,5 @@ object ExtQueries {
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
-    pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ)
+    pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ, gzipTextQ)
 }

@@ -256,6 +256,43 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Media table of gzip-compressed document text ([[Gzip.gzip]] — web
+    * corpora ship documents compressed, and the pipeline must decode
+    * inside the scan). Rows with id%53 = 0 are truncated to half their
+    * compressed length: a REAL corruption the decoder must answer with
+    * NULL, not an exception — giving the oracle a negative path to pin.
+    */
+  def gzipMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("media_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val gz = Gzip.gzip(r.getString(1).getBytes("UTF-8"))
+        val blob = if (id % 53 == 0) java.util.Arrays.copyOf(gz, gz.length / 2)
+        else gz
+        Row(id, "text/gzip", blob)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Decode gzip text blobs inside the scan ([[graft.functions.GzipText]]
+    * — bounded, NULL on corruption) and report per-blob text length and
+    * content digest. Scan-shaped: no shuffle; at 100 TB decompression
+    * rides the same codegen stage as any downstream gate.
+    */
+  def gzipText(media: DataFrame, maxBytes: Int = 1 << 24): DataFrame = {
+    val txt = graft.functions.GzipText(col("content"), maxBytes)
+    graft.Tables.fanOut(media).select(
+      col("media_id"),
+      txt.isNotNull.as("ok"),
+      length(txt).as("text_len"),
+      md5(encode(txt, "UTF-8")).as("text_md5"))
+  }
+
   /** Media table of REAL baseline JPEG blobs (block-flat generative
     * pattern — flat 8×8 luma blocks, flat 16×16 chroma regions, quant
     * step 8, so the lossy DCT round trip is EXACT; see [[Jpeg]]). Mode

@@ -1,0 +1,54 @@
+// Hosted under org.apache.spark.sql so the expression can use the
+// private[sql] ExpressionUtils surface — same pattern as VecDot.scala.
+// Public API re-exported from graft.functions (TextExprsApi.scala).
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `gunzip_text(bin)`: decode a gzip-compressed binary column to its UTF-8
+  * text, inside the scan — NULL on malformed, truncated, CRC-failing, or
+  * over-`maxBytes` input ([[graft.ext.Gzip.gunzip]]'s zip-bomb guard).
+  * Codegens to one static call so a downstream filter or tokenizer over
+  * compressed documents stays in whole-stage codegen.
+  */
+object GzipTextUtil {
+  def gunzip(bin: Array[Byte], maxBytes: Int): UTF8String =
+    graft.ext.Gzip.gunzip(bin, maxBytes) match {
+      case Some(b) => UTF8String.fromBytes(b)
+      case None => null
+    }
+}
+
+final case class GzipTextExpr(child: Expression, maxBytes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(maxBytes > 0, "gunzip_text requires maxBytes > 0")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gunzip_text"
+
+  override def nullSafeEval(in: Any): Any =
+    GzipTextUtil.gunzip(in.asInstanceOf[Array[Byte]], maxBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        ${ev.value} = org.apache.spark.sql.graftexpr.GzipTextUtil.gunzip($c, $maxBytes);
+        ${ev.isNull} = ${ev.value} == null;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GzipTextExpr =
+    copy(child = newChild)
+}
+
+object GzipTextExpr {
+  def column(bin: Column, maxBytes: Int): Column =
+    ExpressionUtils.column(GzipTextExpr(ExpressionUtils.expression(bin), maxBytes))
+}

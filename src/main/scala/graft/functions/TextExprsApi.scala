@@ -106,6 +106,15 @@ object BpeTokens {
     org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words, merges)
 }
 
+object GzipText {
+  /** Decode a gzip binary column to UTF-8 text inside the scan — NULL on
+    * malformed/truncated/CRC-failing input, bounded output (zip-bomb
+    * guard). See [[org.apache.spark.sql.graftexpr.GzipTextUtil]].
+    */
+  def apply(bin: Column, maxBytes: Int = 1 << 24): Column =
+    org.apache.spark.sql.graftexpr.GzipTextExpr.column(bin, maxBytes)
+}
+
 object HtmlText {
   /** One-pass HTML visible-text extraction: struct(text, n_links) —
     * scripts/styles/comments/tags stripped, the six common entities

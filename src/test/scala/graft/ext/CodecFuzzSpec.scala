@@ -90,6 +90,11 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("gzip decoder survives corruption") {
+    fuzz("gzip", Gzip.gzip(("fuzz corpus text " * (1 + rnd.nextInt(20)))
+      .getBytes("UTF-8")), (b: Array[Byte]) => Gzip.gunzip(b, 1 << 20))
+  }
+
   test("html extractor survives corruption and garbage") {
     import org.apache.spark.unsafe.types.UTF8String
     val valid = ("<html><head><script>var x=1<2;</script><style>.a{}</style>" +

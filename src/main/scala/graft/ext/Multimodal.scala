@@ -256,11 +256,14 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Media table of gzip-compressed document text ([[Gzip.gzip]] — web
-    * corpora ship documents compressed, and the pipeline must decode
-    * inside the scan). Rows with id%53 = 0 are truncated to half their
-    * compressed length: a REAL corruption the decoder must answer with
-    * NULL, not an exception — giving the oracle a negative path to pin.
+  /** Media table of compressed document text — web corpora ship documents
+    * compressed, and the pipeline must decode inside the scan. Codec
+    * rotates by id%2 (gzip / zstd — [[Gzip.gzip]]/[[Gzip.zstd]], the two
+    * frames real corpora mix), so the consumer's magic dispatch is
+    * exercised every run. Rows with id%53 = 0 are truncated to half
+    * their compressed length: a REAL corruption the decoder must answer
+    * with NULL, not an exception — giving the oracle a negative path to
+    * pin.
     */
   def gzipMediaFromDocuments(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id").as("media_id"), col("text"))
@@ -271,21 +274,26 @@ object Multimodal {
     base.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val gz = Gzip.gzip(r.getString(1).getBytes("UTF-8"))
-        val blob = if (id % 53 == 0) java.util.Arrays.copyOf(gz, gz.length / 2)
-        else gz
-        Row(id, "text/gzip", blob)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val (kind, packed) =
+          if (id % 2 == 0) ("text/gzip", Gzip.gzip(bytes))
+          else ("text/zstd", Gzip.zstd(bytes))
+        val blob =
+          if (id % 53 == 0) java.util.Arrays.copyOf(packed, packed.length / 2)
+          else packed
+        Row(id, kind, blob)
       }
     }(Encoders.row(schema))
   }
 
-  /** Decode gzip text blobs inside the scan ([[graft.functions.GzipText]]
-    * — bounded, NULL on corruption) and report per-blob text length and
+  /** Decode compressed text blobs inside the scan
+    * ([[graft.functions.DecompressText]] — magic-dispatched gzip/zstd,
+    * bounded, NULL on corruption) and report per-blob text length and
     * content digest. Scan-shaped: no shuffle; at 100 TB decompression
     * rides the same codegen stage as any downstream gate.
     */
   def gzipText(media: DataFrame, maxBytes: Int = 1 << 24): DataFrame = {
-    val txt = graft.functions.GzipText(col("content"), maxBytes)
+    val txt = graft.functions.DecompressText(col("content"), maxBytes)
     graft.Tables.fanOut(media).select(
       col("media_id"),
       txt.isNotNull.as("ok"),

@@ -10,45 +10,47 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `gunzip_text(bin)`: decode a gzip-compressed binary column to its UTF-8
-  * text, inside the scan — NULL on malformed, truncated, CRC-failing, or
-  * over-`maxBytes` input ([[graft.ext.Gzip.gunzip]]'s zip-bomb guard).
-  * Codegens to one static call so a downstream filter or tokenizer over
-  * compressed documents stays in whole-stage codegen.
+/** `decompress_text(bin)`: decode a compressed binary column to its UTF-8
+  * text, inside the scan, dispatching on the frame magic — gzip (1f 8b)
+  * and zstd (28 b5 2f fd), the two codecs real corpora ship. NULL on
+  * unknown magic, malformed, truncated, CRC-failing, or over-`maxBytes`
+  * input ([[graft.ext.Gzip.decompress]]'s zip-bomb guard). Codegens to
+  * one static call so a downstream filter or tokenizer over compressed
+  * documents stays in whole-stage codegen.
   */
-object GzipTextUtil {
-  def gunzip(bin: Array[Byte], maxBytes: Int): UTF8String =
-    graft.ext.Gzip.gunzip(bin, maxBytes) match {
+object DecompressTextUtil {
+  def decompress(bin: Array[Byte], maxBytes: Int): UTF8String =
+    graft.ext.Gzip.decompress(bin, maxBytes) match {
       case Some(b) => UTF8String.fromBytes(b)
       case None => null
     }
 }
 
-final case class GzipTextExpr(child: Expression, maxBytes: Int)
+final case class DecompressTextExpr(child: Expression, maxBytes: Int)
   extends UnaryExpression with ExpectsInputTypes {
-  require(maxBytes > 0, "gunzip_text requires maxBytes > 0")
+  require(maxBytes > 0, "decompress_text requires maxBytes > 0")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def prettyName: String = "gunzip_text"
+  override def prettyName: String = "decompress_text"
 
   override def nullSafeEval(in: Any): Any =
-    GzipTextUtil.gunzip(in.asInstanceOf[Array[Byte]], maxBytes)
+    DecompressTextUtil.decompress(in.asInstanceOf[Array[Byte]], maxBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-        ${ev.value} = org.apache.spark.sql.graftexpr.GzipTextUtil.gunzip($c, $maxBytes);
+        ${ev.value} = org.apache.spark.sql.graftexpr.DecompressTextUtil.decompress($c, $maxBytes);
         ${ev.isNull} = ${ev.value} == null;
       """
     })
 
-  override protected def withNewChildInternal(newChild: Expression): GzipTextExpr =
+  override protected def withNewChildInternal(newChild: Expression): DecompressTextExpr =
     copy(child = newChild)
 }
 
-object GzipTextExpr {
+object DecompressTextExpr {
   def column(bin: Column, maxBytes: Int): Column =
-    ExpressionUtils.column(GzipTextExpr(ExpressionUtils.expression(bin), maxBytes))
+    ExpressionUtils.column(DecompressTextExpr(ExpressionUtils.expression(bin), maxBytes))
 }

@@ -106,13 +106,14 @@ object BpeTokens {
     org.apache.spark.sql.graftexpr.BpeTokensExpr.column(words, merges)
 }
 
-object GzipText {
-  /** Decode a gzip binary column to UTF-8 text inside the scan — NULL on
-    * malformed/truncated/CRC-failing input, bounded output (zip-bomb
-    * guard). See [[org.apache.spark.sql.graftexpr.GzipTextUtil]].
+object DecompressText {
+  /** Decode a compressed binary column (gzip or zstd, dispatched on the
+    * frame magic) to UTF-8 text inside the scan — NULL on unknown magic
+    * or malformed/truncated/CRC-failing input, bounded output (zip-bomb
+    * guard). See [[org.apache.spark.sql.graftexpr.DecompressTextUtil]].
     */
   def apply(bin: Column, maxBytes: Int = 1 << 24): Column =
-    org.apache.spark.sql.graftexpr.GzipTextExpr.column(bin, maxBytes)
+    org.apache.spark.sql.graftexpr.DecompressTextExpr.column(bin, maxBytes)
 }
 
 object HtmlText {

@@ -127,6 +127,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"), plan)
   }
 
+  test("htmlExtract and compressed-text decode stay scan-shaped") {
+    // both are per-row kernels: the only legal exchange is fanOut's
+    // round-robin parallelism spread — never a hash shuffle, never a join
+    val htmlPlan = executedPlan(ext.TextAnalysis.htmlExtract(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text").as("html"))))
+    assert(!htmlPlan.contains("Exchange hashpartitioning"),
+      s"htmlExtract hash-shuffled:\n$htmlPlan")
+    assert(!htmlPlan.contains("Join"), htmlPlan)
+    assert(htmlPlan.contains("html_text"), htmlPlan)
+    val gzPlan = executedPlan(ext.Multimodal.gzipText(
+      ext.Multimodal.gzipMediaFromDocuments(Tables.documents(spark, sf))))
+    assert(!gzPlan.contains("Exchange hashpartitioning"),
+      s"gzipText hash-shuffled:\n$gzPlan")
+    assert(!gzPlan.contains("Join"), gzPlan)
+    assert(gzPlan.contains("decompress_text"), gzPlan)
+  }
+
   test("packSequences shuffles once, keyed by the pack stream") {
     val plan = executedPlan(
       ext.TextAnalysis.packSequences(Tables.documents(spark, sf), 512, 4))

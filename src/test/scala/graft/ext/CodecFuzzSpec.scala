@@ -95,6 +95,15 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       .getBytes("UTF-8")), (b: Array[Byte]) => Gzip.gunzip(b, 1 << 20))
   }
 
+  test("zstd decoder and magic dispatch survive corruption") {
+    fuzz("zstd", Gzip.zstd(("fuzz corpus text " * (1 + rnd.nextInt(20)))
+      .getBytes("UTF-8")), (b: Array[Byte]) => Gzip.unzstd(b, 1 << 20))
+    fuzz("decompress", {
+      val b = ("fuzz corpus text " * (1 + rnd.nextInt(20))).getBytes("UTF-8")
+      if (rnd.nextBoolean()) Gzip.gzip(b) else Gzip.zstd(b)
+    }, (b: Array[Byte]) => Gzip.decompress(b, 1 << 20))
+  }
+
   test("html extractor survives corruption and garbage") {
     import org.apache.spark.unsafe.types.UTF8String
     val valid = ("<html><head><script>var x=1<2;</script><style>.a{}</style>" +

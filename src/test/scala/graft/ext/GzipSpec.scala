@@ -24,5 +24,32 @@ class GzipSpec extends org.scalatest.funsuite.AnyFunSuite {
     val big = Gzip.gzip(Array.fill(1 << 20)(7.toByte)) // ~1 KiB compressed
     assert(Gzip.gunzip(big, 1 << 20).isDefined)
     assert(Gzip.gunzip(big, (1 << 20) - 1).isEmpty)
+    val bigZ = Gzip.zstd(Array.fill(1 << 20)(7.toByte))
+    assert(Gzip.unzstd(bigZ, 1 << 20).isDefined)
+    assert(Gzip.unzstd(bigZ, (1 << 20) - 1).isEmpty)
+  }
+
+  test("zstd round trip and rejection") {
+    for (s <- Seq("", "a", "hello world", "héllo wörld 北京 — ok")) {
+      val b = s.getBytes("UTF-8")
+      assert(Gzip.unzstd(Gzip.zstd(b), 1 << 24).map(_.toSeq) === Some(b.toSeq))
+    }
+    val z = Gzip.zstd(("some document text " * 20).getBytes("UTF-8"))
+    assert(Gzip.unzstd(z.take(z.length / 2), 1 << 20).isEmpty)
+    assert(Gzip.unzstd(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9), 1 << 20).isEmpty)
+  }
+
+  test("magic dispatch routes gzip and zstd, rejects everything else") {
+    val b = "dispatch me".getBytes("UTF-8")
+    assert(Gzip.decompress(Gzip.gzip(b), 1 << 20).map(_.toSeq) === Some(b.toSeq))
+    assert(Gzip.decompress(Gzip.zstd(b), 1 << 20).map(_.toSeq) === Some(b.toSeq))
+    assert(Gzip.decompress(b, 1 << 20).isEmpty)         // plain text
+    assert(Gzip.decompress(Array[Byte](), 1 << 20).isEmpty)
+    assert(Gzip.decompress(null, 1 << 20).isEmpty)
+    // a lone magic prefix with garbage behind it must reject, not decode
+    assert(Gzip.decompress(Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5, 6,
+      7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18), 1 << 20).isEmpty)
+    assert(Gzip.decompress(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
+      1, 2, 3, 4, 5), 1 << 20).isEmpty)
   }
 }

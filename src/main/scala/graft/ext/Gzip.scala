@@ -67,11 +67,12 @@ object Gzip {
   }
 
   private def boundedRead(mkIn: => java.io.InputStream, inLen: Int,
-      maxBytes: Int): Option[Array[Byte]] =
+      maxBytes: Int): Option[Array[Byte]] = {
+    // stream construction goes INSIDE the guard: both codecs' constructors
+    // already parse (and throw on) malformed headers
+    var in: java.io.InputStream = null
     try {
-      // stream construction goes INSIDE the try: both codecs' constructors
-      // already parse (and throw on) malformed headers
-      val in = mkIn
+      in = mkIn
       val out = new java.io.ByteArrayOutputStream(math.min(inLen * 4, 65536))
       val buf = new Array[Byte](8192)
       var total = 0
@@ -82,10 +83,14 @@ object Gzip {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      in.close()
       Some(out.toByteArray)
     } catch {
       case _: java.io.IOException => None
       case _: ArrayIndexOutOfBoundsException => None
+    } finally {
+      // always release (ZstdInputStream holds NATIVE buffers — waiting on
+      // finalization would bloat executor RSS on a corrupt-heavy corpus)
+      if (in != null) try in.close() catch { case _: java.io.IOException => () }
     }
+  }
 }

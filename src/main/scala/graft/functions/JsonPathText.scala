@@ -121,10 +121,12 @@ final case class JsonPathTextExpr(child: Expression, path: String)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.addReferenceObj("jsonPath", path, "java.lang.String")
-    val memo = JsonDocMemo.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // static forwarder of the top-level object — `X.MODULE$` does NOT
+    // resolve under Janino (the field lives on class `X$`), and a failed
+    // compile silently drops the whole stage to interpreted eval
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-        ${ev.value} = $memo.lookup($c, $p);
+        ${ev.value} = org.apache.spark.sql.graftexpr.JsonDocMemo.lookup($c, $p);
         ${ev.isNull} = ${ev.value} == null;
       """
     })

@@ -7,4 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("4").getOrCreate()
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with the given SQL confs set, restoring prior values after. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

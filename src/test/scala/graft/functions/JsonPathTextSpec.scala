@@ -49,6 +49,20 @@ class JsonPathTextSpec extends SparkSpec {
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
   }
 
+  test("codegen actually compiles (no silent interpreted fallback)") {
+    import spark.implicits._
+    // fallback=false turns a Janino compile failure from a logged WARN +
+    // interpreted eval into a hard error — guards the static-call form of
+    // doGenCode (a bad class reference otherwise only costs performance)
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val df = Seq((1L, """{"k": 5, "t": "x"}"""), (2L, """{"k": 9}"""))
+        .toDF("id", "data")
+      val n = df.filter(JsonPathText(col("data"), "k").cast("long") > 4 &&
+        JsonPathText(col("data"), "t").isNotNull).count()
+      assert(n == 1)
+    }
+  }
+
   test("memo is value-keyed: many distinct rows through one task") {
     import spark.implicits._
     // one partition forces every row through the same thread's memo; a

@@ -108,9 +108,10 @@ object Bench {
       "text_gopher_quality", "text_langid", "text_repetition",
       "text_pack_sequences", "sample_mixture",
       "text_decontaminate", "text_decontaminate_bloom", "text_tokens_bpe",
+      "text_c4_lines", "text_chunk_windows",
       "text_bpe_train", "text_html_extract", "filter_cel", "filter_cel_macros",
       "pipeline_curation_fuzzy",
-      "text_tfidf", "text_lm_score", "dedup_url",
+      "text_tfidf", "text_lm_score", "dedup_url", "sample_domain_cap",
       "multimodal_pixel_stats", "multimodal_audio_stats",
       "multimodal_jpeg_stats", "multimodal_gzip_text",
       "join_asof", "join_range",

@@ -1271,6 +1271,131 @@ object ExtQueries {
       FROM documents ORDER BY doc_id
     """))
 
+  private val nfcQ = Q(
+    "text_nfc",
+    // synthesize decomposed sequences (e + U+0301, n + U+0303) so the
+    // composition pass is actually exercised; the corpus itself is ASCII
+    (s, d) => TextAnalysis.nfcNormalize(
+      Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" cafe\u0301 nin\u0303o")))
+          .otherwise(col("text"))))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'
+                 ELSE text END AS text
+        FROM documents
+      )
+      SELECT doc_id, nfc_normalize(text) AS text_nfc,
+             nfc_normalize(text) != text AS changed
+      FROM dirty ORDER BY doc_id
+    """))
+
+  /** Both engines BUILD the identical multi-line page from corpus text
+    * (same-construction fixture): a javascript banner on every 3rd doc, a
+    * newsletter template line on every even doc (passes prose checks,
+    * falls to the corpus-frequency cut), a too-short "ok" line on
+    * doc_id%4=1, a cookie notice on doc_id%7=2, and the body line itself
+    * keeps its terminal period only when doc_id%5!=4 — so every rule
+    * (min-words, punctuation, keywords, global frequency) provably
+    * engages.
+    */
+  private val lineCurateQ = {
+    val boiler = Seq(
+      ("doc_id % 3 = 0", "Please enable javascript to continue.", true),
+      ("doc_id % 2 = 0", "Subscribe to our newsletter today.", false),
+      ("doc_id % 4 = 1", "ok", false),
+      ("doc_id % 7 = 2", "We use cookies on this site.", false))
+    Q(
+      "text_c4_lines",
+      (s, d) => {
+        val page = concat(
+          when(col("doc_id") % 3 === 0,
+            lit("Please enable javascript to continue.\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 =!= 4, lit(".")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            lit("\nSubscribe to our newsletter today.")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, lit("\nok")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 2,
+            lit("\nWe use cookies on this site.")).otherwise(lit("")))
+        TextAnalysis.lineCurate(
+          Tables.documents(s, d).withColumn("text", page))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val cases = boiler.map { case (cond, ln, pre) =>
+          if (pre) s"CASE WHEN $cond THEN '$ln' || chr(10) ELSE '' END"
+          else s"CASE WHEN $cond THEN chr(10) || '$ln' ELSE '' END"
+        }
+        s"""
+        WITH multi AS (
+          SELECT doc_id,
+                 ${cases.head}
+                 || text
+                 || CASE WHEN doc_id % 5 != 4 THEN '.' ELSE '' END
+                 || ${cases(1)}
+                 || ${cases(2)}
+                 || ${cases(3)} AS text
+          FROM documents
+        ), lines AS (
+          SELECT doc_id,
+                 unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
+                 unnest(string_split(text, chr(10))) AS ln
+          FROM multi
+        ), kept AS (
+          SELECT doc_id, idx, ln FROM lines
+          WHERE len(string_split_regex(trim(ln), ' +')) >= 3
+            AND regexp_matches(ln, '[.!?"]$$')
+            AND NOT contains(lower(ln), 'javascript')
+            AND NOT contains(lower(ln), 'cookie')
+        ), freq AS (
+          SELECT md5(ln) AS lh FROM kept GROUP BY md5(ln) HAVING count(*) > 30
+        ), pruned AS (
+          SELECT doc_id, idx, ln FROM kept
+          WHERE md5(ln) NOT IN (SELECT lh FROM freq)
+        ), rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(ln, chr(10) ORDER BY idx) AS text_kept
+          FROM pruned GROUP BY doc_id
+        )
+        SELECT m.doc_id,
+               CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(r.text_kept, '') AS text_kept
+        FROM multi m LEFT JOIN rebuilt r ON m.doc_id = r.doc_id
+        ORDER BY m.doc_id
+      """
+      })
+  }
+
+  private val chunkQ = Q(
+    "text_chunk_windows",
+    (s, d) => TextAnalysis.chunkWindows(Tables.documents(s, d),
+      chunkWords = 20, overlapWords = 5)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      ), n AS (
+        SELECT doc_id, words,
+               1 + CAST(floor((greatest(0, len(words) - 20) + 14) / 15.0) AS BIGINT)
+                 AS n_starts
+        FROM w
+      ), c AS (
+        SELECT doc_id, unnest(range(0, n_starts)) AS chunk_idx, words FROM n
+      )
+      SELECT doc_id, chunk_idx,
+             CAST(len(words[chunk_idx*15 + 1 : chunk_idx*15 + 20]) AS BIGINT)
+               AS n_words,
+             array_to_string(words[chunk_idx*15 + 1 : chunk_idx*15 + 20], ' ')
+               AS chunk_text
+      FROM c ORDER BY doc_id, chunk_idx
+    """))
+
   private val gopherQ = Q(
     "text_gopher_quality",
     (s, d) => TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy(col("doc_id")),
@@ -1893,6 +2018,41 @@ object ExtQueries {
       FROM c GROUP BY canonical_url ORDER BY canonical_url
     """))
 
+  private val domainCapQ = Q(
+    "sample_domain_cap",
+    (s, d) => {
+      // 20 synthetic domains (one per source), mixed-case scheme/www and
+      // an explicit port on some rows so host extraction is exercised;
+      // ~25 docs/domain at sf0.01 against a cap of 10
+      val url = concat(
+        when(col("doc_id") % 5 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), col("doc_id").cast("string"))
+      Urls.domainCap(Tables.documents(s, d), url, k = 10)
+        .select(col("doc_id"), col("domain"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, source,
+               lower(CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+                 || source || '.example.com'
+                 || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+                 || '/page/' || CAST(doc_id AS VARCHAR)) AS url
+        FROM documents
+      ), h AS (
+        SELECT doc_id, source,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://(?:www\.)?([^/?#:]+)', 1) AS domain,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM u
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rn
+        FROM h
+      )
+      SELECT doc_id, domain, source FROM r WHERE rn <= 10 ORDER BY doc_id
+    """))
+
   /** Codec-free byte features (histogram Horner checksum / entropy /
     * ASCII ratio) over a binary column. The catalog input is the ASCII
     * projection of the document TEXT bytes — BOTH engines strip non-ASCII
@@ -2414,8 +2574,8 @@ object ExtQueries {
     simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
-    langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, piiQ, splitQ, mixtureQ, packQ,
-    decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ,
+    langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, mixtureQ, packQ,
+    decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ, gzipTextQ)
 }

@@ -791,4 +791,95 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.functions.RollingFingerprint(split(col("text"), " ", -1))
         .as("fingerprint"))
+
+  /** Sliding-window chunking with overlap — the context-window splitter
+    * every RAG / pretraining pipeline runs: word windows of `chunkWords`
+    * advancing by `chunkWords - overlapWords`, so consecutive chunks share
+    * `overlapWords` words and no boundary sentence is lost to a hard cut.
+    * The last chunk may be short; a doc never emits a chunk that adds no
+    * new words. One row per (doc, chunk).
+    *
+    * Scale shape: pure per-row expressions (sequence + slice under an
+    * explode) — scan-speed, no shuffle, output rows ≈ input words / step.
+    * Token-budgeted variants can swap the word count for
+    * [[graft.functions.BpeTokens]] on the chunk.
+    */
+  def chunkWindows(docs: DataFrame, chunkWords: Int = 20,
+      overlapWords: Int = 5): DataFrame = {
+    require(overlapWords >= 0 && overlapWords < chunkWords,
+      "need 0 <= overlapWords < chunkWords")
+    val step = chunkWords - overlapWords
+    val words = split(col("text"), " ", -1)
+    // ceil((len - chunkWords) / step) extra chunks past the first; `/` is
+    // double division, cast-to-int truncation = floor for non-negatives
+    val extra = greatest(lit(0), size(words) - lit(chunkWords))
+    val nStarts = lit(1) + ((extra + lit(step - 1)) / lit(step)).cast("int")
+    docs
+      .select(col("doc_id"), words.as("w"),
+        explode(sequence(lit(0), nStarts - lit(1))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("w"), col("chunk_idx") * step + 1, lit(chunkWords)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_words"),
+        array_join(col("cw"), " ").as("chunk_text"))
+  }
+
+  /** NFC Unicode normalization of the text column — the canonicalization
+    * every ingest pipeline runs BEFORE content hashing (decomposed
+    * `e`+U+0301 and precomposed U+00E9 must dedup together). One codegen'd
+    * pass ([[graft.functions.NfcNormalize]]); already-normalized rows (the
+    * overwhelming majority at scale) take an allocation-free fast path.
+    * Scan-shaped: no shuffle, scales linearly.
+    */
+  def nfcNormalize(docs: DataFrame): DataFrame = {
+    val nfc = graft.functions.NfcNormalize(col("text"))
+    docs.select(col("doc_id"), nfc.as("text_nfc"),
+      (nfc =!= col("text")).as("changed"))
+  }
+
+  /** C4-style line-level curation (Raffel et al. 2020 §2.2, RefinedWeb):
+    * split each document into lines, keep a line only if it looks like
+    * prose (≥ `minWords` words AND ends in terminal punctuation AND no
+    * boilerplate keyword), then drop lines that repeat more than
+    * `maxLineOcc` times ACROSS the corpus (site-template boilerplate —
+    * "subscribe to our newsletter" — survives per-line quality checks but
+    * not a corpus-frequency one), and reassemble survivors in original
+    * order.
+    *
+    * Scale shape: explode is linear; the frequency count is one shuffle on
+    * md5(line) with map-side partials (count(*), not countDistinct — the
+    * same template line rarely repeats within one document, and the
+    * threshold replays identically either way); the anti-join repartitions
+    * on the same 32-hex key (no wide rows on the build side — frequent-line
+    * hashes only); the rebuild is one shuffle on doc_id. No all-pairs work,
+    * no driver-side state, hot lines bounded by the HAVING cut.
+    */
+  def lineCurate(docs: DataFrame, minWords: Int = 3,
+      maxLineOcc: Int = 30): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("idx", "ln")))
+    val prose =
+      (size(split(trim(col("ln")), " +", -1)) >= minWords) &&
+        col("ln").rlike("[.!?\"]$") &&
+        !lower(col("ln")).contains("javascript") &&
+        !lower(col("ln")).contains("cookie")
+    val kept = lines.where(prose).withColumn("lh", md5(col("ln")))
+    val frequent = kept.groupBy(col("lh"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxLineOcc)
+      .select(col("lh"))
+    val pruned = kept.join(frequent, Seq("lh"), "left_anti")
+    val rebuilt = pruned.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("ln")))),
+          s => s.getField("ln")), "\n").as("text_kept"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

@@ -57,4 +57,28 @@ object Urls {
     docs.select(col("doc_id"), canonicalizeUrl(url).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** The host of a URL, lowercased, `www.` and port stripped — the
+    * domain key for per-domain policies. RE2-safe (the DuckDB oracle
+    * replays it verbatim); empty string when the input is not a URL.
+    */
+  def hostOf(u: Column): Column =
+    regexp_extract(lower(u),
+      "^[a-z][a-z0-9+.-]*://(?:www\\.)?([^/?#:]+)", 1)
+
+  /** Per-domain document cap (the RefinedWeb-style domain balancing
+    * pass): keep at most `k` documents per host, chosen by the
+    * deterministic min-hash draw of [[Sampling.reservoir]] — a uniform
+    * without-replacement sample per domain, so one crawl-heavy site
+    * cannot dominate the corpus mix.
+    *
+    * Scale shape: host extraction is scan-speed; selection is ONE MinK
+    * aggregation with map-side partials plus a left-semi join — a
+    * million-page domain costs a bounded k-slot accumulator per partial,
+    * never a million-row sort partition (the `row_number` window
+    * spelling would).
+    */
+  def domainCap(docs: DataFrame, url: Column, k: Int): DataFrame =
+    Sampling.reservoir(docs.withColumn("domain", hostOf(url)),
+      col("domain"), col("doc_id"), k)
 }

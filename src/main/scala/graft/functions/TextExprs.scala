@@ -794,3 +794,41 @@ object BpeTokensExpr {
   def column(words: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(words), merges))
 }
+
+/** NFC Unicode normalization (canonical composition) of a string column —
+  * the normalization pass every ingest pipeline runs before hashing or
+  * dedup (decomposed `e`+U+0301 and composed U+00E9 must compare equal).
+  * Fast path: `Normalizer.isNormalized` is an allocation-free scan that
+  * short-circuits for already-NFC text — the overwhelming majority of a
+  * real corpus — so the common row costs one pass and zero copies.
+  */
+object NfcUtil {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(a: Any): Any =
+    NfcUtil.nfc(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.NfcUtil.nfc($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}
+
+object NfcExpr {
+  def column(text: Column): Column =
+    ExpressionUtils.column(NfcExpr(ExpressionUtils.expression(text)))
+}

@@ -126,6 +126,16 @@ object HtmlText {
     org.apache.spark.sql.graftexpr.HtmlTextExpr.column(html)
 }
 
+object NfcNormalize {
+  /** NFC (canonical composition) Unicode normalization of a string
+    * column, one codegen'd pass per row with an allocation-free fast path
+    * for already-normalized text. See
+    * [[org.apache.spark.sql.graftexpr.NfcExpr]].
+    */
+  def apply(text: Column): Column =
+    org.apache.spark.sql.graftexpr.NfcExpr.column(text)
+}
+
 object JsonPathText {
   /** Memoized whole-document JSON path read — one parse per (thread, doc)
     * shared across every path reference in the same predicate; see

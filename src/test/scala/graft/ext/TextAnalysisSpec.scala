@@ -26,6 +26,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) !== out(2L))
   }
 
+  test("chunkWindows: hand-computed boundaries, overlap, short tail") {
+    import spark.implicits._
+    val w12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w12), // 12 words, chunk 5 step 3 -> starts 0,3,6,9 (ceil(7/3)=3 extra)
+      (2L, "a b c"), // fits one chunk
+      (3L, "")) // empty -> [''] one chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(docs, chunkWords = 5, overlapWords = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out((1L, 0L)) === ((5L, "w1 w2 w3 w4 w5")))
+    assert(out((1L, 1L)) === ((5L, "w4 w5 w6 w7 w8")))
+    assert(out((1L, 2L)) === ((5L, "w7 w8 w9 w10 w11")))
+    assert(out((1L, 3L)) === ((3L, "w10 w11 w12"))) // short tail
+    assert(!out.contains((1L, 4L)))
+    assert(out((2L, 0L)) === ((3L, "a b c")))
+    assert(out((3L, 0L)) === ((1L, "")))
+    // consecutive chunks overlap by exactly overlapWords
+    assert(out((1L, 1L))._2.split(" ").take(2).toSeq === Seq("w4", "w5"))
+  }
+
+  test("nfcNormalize: composes decomposed sequences, fast-paths clean text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafe\u0301 plain"), // decomposed e+acute -> e-acute
+      (2L, "café plain"), // already composed
+      (3L, "ascii only"),
+      (4L, "nin\u0303o")) // n+tilde -> n-tilde
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.nfcNormalize(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === (("café plain", true)))
+    assert(out(2L) === (("café plain", false)))
+    assert(out(3L) === (("ascii only", false)))
+    assert(out(4L) === (("niño", true)))
+    // normalized forms of the two spellings now hash/dedup together
+    assert(out(1L)._1 === out(2L)._1)
+  }
+
+  test("lineCurate: every rule engages; reassembly preserves line order") {
+    import spark.implicits._
+    val template = "Repeated template line number one."
+    val base = Seq(
+      (1L, s"First real sentence here.\nok\n$template\nSecond real line stays!"),
+      (2L, "Please enable JavaScript to view.\nA fine prose line indeed."),
+      (3L, "We use cookies here.\nNo terminal punctuation line"),
+      (4L, ""))
+    // 40 extra docs carrying only the template line push it past the
+    // frequency cut (threshold 30) without touching the others
+    val bulk = (10L until 50L).map(i => (i, template))
+    val docs = (base ++ bulk).toDF("doc_id", "text")
+    val out = TextAnalysis.lineCurate(docs, minWords = 3, maxLineOcc = 30)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: "ok" (min words) and template (global frequency) dropped;
+    // survivors keep original order
+    assert(out(1L) === ((4L, 2L,
+      "First real sentence here.\nSecond real line stays!")))
+    // doc 2: javascript keyword line dropped, prose survives
+    assert(out(2L) === ((2L, 1L, "A fine prose line indeed.")))
+    // doc 3: cookie keyword + missing terminal punctuation -> nothing kept
+    assert(out(3L) === ((2L, 0L, "")))
+    // doc 4: empty doc -> one empty line, nothing kept
+    assert(out(4L) === ((1L, 0L, "")))
+    // bulk docs: only line was the over-frequent template
+    assert(out(20L) === ((1L, 0L, "")))
+  }
+
   test("qualityClassifier: training is bit-identical across partitionings") {
     val docs = Tables.documents(spark, sf).limit(120)
     // fixed-point gradient quantization makes the distributed sum an exact

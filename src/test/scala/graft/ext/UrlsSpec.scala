@@ -37,6 +37,35 @@ class UrlsSpec extends SparkSpec {
       === Seq("https://example.com:8443/x"))
   }
 
+  test("hostOf: lowercases, strips www and port, empty on non-URLs") {
+    import spark.implicits._
+    val rows = Seq("HTTPS://WWW.Ex.COM:443/a?b#c", "http://ex.com/x",
+      "ftp://files.ex.com", "not a url", "")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = rows.select(col("id"), Urls.hostOf(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "ex.com")
+    assert(out(1L) === "ex.com")
+    assert(out(2L) === "files.ex.com")
+    assert(out(3L) === "")
+    assert(out(4L) === "")
+  }
+
+  test("domainCap keeps at most k per host, deterministically") {
+    import spark.implicits._
+    // domain a: 30 docs, domain b: 3 — cap 5 trims only a
+    val docs = ((1L to 30L).map(i => (i, s"https://a.com/$i")) ++
+      (31L to 33L).map(i => (i, s"https://b.com/$i"))).toDF("doc_id", "url")
+    val once = Urls.domainCap(docs, col("url"), k = 5)
+      .select("doc_id", "domain").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(once.count(_._2 == "a.com") === 5)
+    assert(once.count(_._2 == "b.com") === 3)
+    // partition-invariant selection (hash draw, not arrival order)
+    val again = Urls.domainCap(docs.repartition(7), col("url"), k = 5)
+      .select("doc_id", "domain").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(once.toSet === again.toSet)
+  }
+
   test("dedupByUrl groups doc variants of one canonical form") {
     import spark.implicits._
     val docs = Seq(

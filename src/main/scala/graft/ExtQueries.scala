@@ -2287,6 +2287,66 @@ object ExtQueries {
       FROM documents ORDER BY media_id
     """))
 
+  /** WARC container round trip with a corruption path (the Common-Crawl
+    * ingestion shape): the Spark side BUILDS real concatenated WARC/1.0
+    * records per document — a fixed warcinfo record then a response record
+    * whose payload is the document text — truncates every 41st blob
+    * mid-payload (REAL corruption: text is ≥ 2 chars, so the cut of
+    * half-the-payload + the 4-byte separator always lands inside the
+    * response payload), and parses the bytes back with the bounded
+    * one-pass kernel. The oracle never sees a WARC byte — it derives the
+    * expected record list straight from the construction: intact docs
+    * yield both records field-exact (type, uri, length, payload md5),
+    * truncated docs yield ONLY the complete warcinfo record.
+    */
+  private val warcQ = Q(
+    "multimodal_warc_records",
+    (s, d) => {
+      val uri = concat(lit("https://"), col("source"),
+        lit(".example.com/page/"), col("doc_id").cast("string"))
+      val full = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nisPartOf!\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+        lit("\r\nContent-Length: "), length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+      val blob = when(col("doc_id") % 41 === 0,
+        full.substr(lit(1),
+          length(full) - (floor(length(col("text")) / 2) + lit(4)).cast("int")))
+        .otherwise(full)
+        .cast("binary")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.WarcRecords(blob)).as(Seq("rec_idx", "rec")))
+        .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+          col("rec.rec_type").as("rec_type"), col("rec.uri").as("uri"),
+          col("rec.content_length").as("content_length"),
+          length(col("rec.payload")).cast("long").as("payload_len"),
+          md5(col("rec.payload")).as("payload_md5"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text,
+               'https://' || source || '.example.com/page/' ||
+                 CAST(doc_id AS VARCHAR) AS uri
+        FROM documents
+      ), r AS (
+        SELECT doc_id, unnest(range(0, 2)) AS rec_idx, text, uri FROM base
+      ), keep AS (
+        SELECT * FROM r WHERE rec_idx = 0 OR doc_id % 41 != 0
+      )
+      SELECT doc_id, rec_idx,
+             CASE WHEN rec_idx = 0 THEN 'warcinfo' ELSE 'response' END AS rec_type,
+             CASE WHEN rec_idx = 0 THEN NULL ELSE uri END AS uri,
+             CAST(CASE WHEN rec_idx = 0 THEN 9 ELSE length(text) END AS BIGINT)
+               AS content_length,
+             CAST(CASE WHEN rec_idx = 0 THEN 9 ELSE length(text) END AS BIGINT)
+               AS payload_len,
+             CASE WHEN rec_idx = 0 THEN md5('isPartOf!') ELSE md5(text) END
+               AS payload_md5
+      FROM keep ORDER BY doc_id, rec_idx
+    """))
+
   private val jpegStatsQ = Q(
     "multimodal_jpeg_stats",
     (s, d) => Multimodal.pixelStats(
@@ -2577,5 +2637,5 @@ object ExtQueries {
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
-    pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ, gzipTextQ)
+    pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ, gzipTextQ, warcQ)
 }

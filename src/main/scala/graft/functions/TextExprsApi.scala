@@ -126,6 +126,16 @@ object HtmlText {
     org.apache.spark.sql.graftexpr.HtmlTextExpr.column(html)
 }
 
+object WarcRecords {
+  /** Parse concatenated uncompressed WARC/1.x records from a binary
+    * column: array of struct(rec_type, uri, content_length, payload),
+    * complete records only, bounded and throw-free on hostile input. See
+    * [[org.apache.spark.sql.graftexpr.WarcUtil]].
+    */
+  def apply(bin: Column): Column =
+    org.apache.spark.sql.graftexpr.WarcRecordsExpr.column(bin)
+}
+
 object NfcNormalize {
   /** NFC (canonical composition) Unicode normalization of a string
     * column, one codegen'd pass per row with an allocation-free fast path

@@ -140,6 +140,31 @@ class CodecFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       JsonDocMemoBridge.lookup(UTF8String.fromBytes(junk), "k")
     }
   }
+  test("warc walker survives corruption") {
+    val valid = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n" +
+      "isPartOf!\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.com/1\r\n" +
+      "Content-Length: 11\r\n\r\nhello world\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var parsedSome = 0
+    for (_ <- 1 to 300) {
+      val b = mutate(valid)
+      // must not throw; complete-prefix records may still parse
+      if (WarcBridge.records(b).numElements() > 0) parsedSome += 1
+    }
+    for (n <- Seq(0, 1, 4, 7, 54, 1000)) {
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      WarcBridge.records(junk)
+    }
+    // a hostile Content-Length (huge / negative / non-numeric) must stop
+    // the walk, not allocate or wrap
+    for (cl <- Seq("99999999999999999999", "-7", s"${Long.MaxValue}", "zzz")) {
+      val b = s"WARC/1.0\r\nContent-Length: $cl\r\n\r\nx"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(WarcBridge.records(b).numElements() === 0)
+    }
+    info(s"warc: $parsedSome/300 mutants still yielded a record")
+  }
 }
 
 /** The kernels live under org.apache.spark.sql.graftexpr (private[sql]
@@ -154,4 +179,9 @@ private object HtmlTextUtilBridge {
 private object JsonDocMemoBridge {
   def lookup(doc: org.apache.spark.unsafe.types.UTF8String, path: String) =
     org.apache.spark.sql.graftexpr.JsonDocMemo.lookup(doc, path)
+}
+
+private object WarcBridge {
+  def records(b: Array[Byte]) =
+    org.apache.spark.sql.graftexpr.WarcUtil.records(b)
 }

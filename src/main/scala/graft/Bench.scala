@@ -112,7 +112,7 @@ object Bench {
       "text_bpe_train", "text_html_extract", "filter_cel", "filter_cel_macros",
       "pipeline_curation_fuzzy",
       "text_tfidf", "text_lm_score", "dedup_url", "sample_domain_cap",
-      "multimodal_pixel_stats", "multimodal_audio_stats",
+      "multimodal_pixel_stats", "multimodal_audio_stats", "multimodal_audio_frames",
       "multimodal_jpeg_stats", "multimodal_gzip_text", "multimodal_warc_records",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",

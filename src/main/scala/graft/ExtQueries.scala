@@ -2410,6 +2410,46 @@ object ExtQueries {
       FROM smp ORDER BY media_id
     """))
 
+  /** Frame-windowed audio energy over the same real WAV fixtures as
+    * `multimodal_audio_stats`: the Spark side decodes actual PCM bytes
+    * and windows them; the oracle computes every window's Σ s² straight
+    * from the generative tone formula (never touching the container) and
+    * replays the integer-division mean-square voiced verdict. The ±2000
+    * tone's mean square sits near the 1.33e6 theoretical mean, so the
+    * 1.3e6 threshold splits windows both ways — `voiced` is non-vacuous.
+    */
+  private val audioFramesQ = Q(
+    "multimodal_audio_frames",
+    (s, d) => Multimodal.audioFrames(
+      Multimodal.wavMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id"), col("win_idx")),
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+               CAST(doc_id % 50 + 10 AS INT) AS nf
+        FROM documents
+      ), w AS (
+        SELECT doc_id, ch, nf,
+               unnest(range(0, CAST(ceil(nf / 16.0) AS BIGINT))) AS win_idx
+        FROM dims
+      ), e AS (
+        SELECT doc_id, ch, win_idx,
+               least(CAST(nf AS BIGINT), (win_idx + 1) * 16) - win_idx * 16
+                 AS win_frames,
+               CAST(list_sum(flatten(
+                 list_transform(range(win_idx * 16,
+                     least(CAST(nf AS BIGINT), (win_idx + 1) * 16)), i ->
+                   list_transform(range(0, ch), c ->
+                     ((i * 37 + c * 101 + doc_id * 13) % 4001 - 2000)
+                     * ((i * 37 + c * 101 + doc_id * 13) % 4001 - 2000)))))
+                 AS BIGINT) AS energy
+        FROM w
+      )
+      SELECT doc_id AS media_id, win_idx, win_frames, energy,
+             energy // (win_frames * ch) >= 1300000 AS voiced
+      FROM e ORDER BY media_id, win_idx
+    """))
+
   /** The composed end-to-end curation pipeline ([[graft.ext.Curation]]):
     * clean → Gopher gate → exact-dedup (keep smallest id, carry group
     * size) → decontaminate vs the eval set. Dirt is synthesized so every
@@ -2637,5 +2677,5 @@ object ExtQueries {
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
-    pixelStatsQ, resizePixelsQ, audioStatsQ, jpegStatsQ, gzipTextQ, warcQ)
+    pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ)
 }

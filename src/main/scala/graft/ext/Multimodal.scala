@@ -384,6 +384,60 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Frame-windowed audio energy — the primitive under voice-activity
+    * detection / silence trimming (a speech-corpus pipeline trims
+    * non-voiced spans before training): per window of `winFrames` frames,
+    * the integer energy Σ s² over all channels, and a `voiced` verdict by
+    * mean-square threshold (integer division, replayable exactly). One
+    * row per (media, window); the short tail window keeps its true frame
+    * count. Undecodable media emit no windows — compose with
+    * [[audioStats]]'s null row to audit decode failures.
+    *
+    * Scale shape: per-partition batch decode, no shuffle; output rows =
+    * total frames / winFrames.
+    */
+  def audioFrames(media: DataFrame, winFrames: Int = 16,
+      voicedMeanSq: Long = 1300000L): DataFrame = {
+    require(winFrames > 0, "winFrames must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("win_idx", LongType),
+      StructField("win_frames", LongType),
+      StructField("energy", LongType),
+      StructField("voiced", BooleanType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        Samples.decodeWavPcm(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(a) if a.channels > 0 && a.nFrames > 0 =>
+            val ch = a.channels
+            val nf = a.nFrames
+            val nw = (nf + winFrames - 1) / winFrames
+            (0 until nw).iterator.map { w =>
+              val f0 = w * winFrames
+              val f1 = math.min(nf, f0 + winFrames)
+              var e = 0L
+              var f = f0
+              while (f < f1) {
+                var c = 0
+                while (c < ch) {
+                  val s = a.pcm(f * ch + c).toLong
+                  e += s * s
+                  c += 1
+                }
+                f += 1
+              }
+              val frames = (f1 - f0).toLong
+              Row(id, w.toLong, frames, e, e / (frames * ch) >= voicedMeanSq)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private val pixelStatsSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),

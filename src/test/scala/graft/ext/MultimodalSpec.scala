@@ -99,4 +99,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("target_width") === 75L)   // 100*360/480
     assert(out(3L).getAs[Long]("target_height") === 360L)
   }
+
+  test("audioFrames: hand-computed window energies, tail, voiced, skip") {
+    val media = mediaDf(Seq(
+      (1L, "audio", Samples.wavPcmBytes(8000, 2, 5, 9L)), // 5 frames stereo
+      (2L, "audio", Array.fill(32)(0x41.toByte))))        // undecodable
+    val out = Multimodal.audioFrames(media, winFrames = 2,
+        voicedMeanSq = 1300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // windows [0,1] [2,3] [4]; energies recomputed from the formula
+    def e(f0: Int, f1: Int): Long =
+      (for (f <- f0 until f1; c <- 0 until 2)
+        yield { val s = Samples.genSample(f, c, 9L).toLong; s * s }).sum
+    assert(out.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L)))
+    assert(out((1L, 0L)).getAs[Long]("energy") === e(0, 2))
+    assert(out((1L, 1L)).getAs[Long]("energy") === e(2, 4))
+    assert(out((1L, 2L)).getAs[Long]("energy") === e(4, 5))
+    assert(out((1L, 2L)).getAs[Long]("win_frames") === 1L)
+    for (((_, w), r) <- out) {
+      val expect = r.getAs[Long]("energy") /
+        (r.getAs[Long]("win_frames") * 2) >= 1300000L
+      assert(r.getAs[Boolean]("voiced") === expect, s"win $w")
+    }
+  }
 }

@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A long catalog session (Bench/Verify: 125+ queries × whole-stage-codegen
+  // stages) JIT-compiles thousands of generated classes; the JDK 17 default
+  // 240 MB reserved code cache fills mid-session, the JVM disables the JIT
+  // ("CodeCache is full. Compiler has been disabled."), and every later
+  // query runs interpreted — the r8 5-12× per-query inflation on unchanged
+  // code. Same class of fix for class metadata: generated classes each get
+  // their own classloader and are only unloaded on full GC.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").toSeq)
+  .getOrElse(Seq.empty)

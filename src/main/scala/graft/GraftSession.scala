@@ -20,6 +20,22 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Long-lived-session hardening (r8→r9). A catalog session runs 125+
+      // distinct queries; the generated-class cache default (100 entries)
+      // thrashes across queries, recompiling shared scan/exchange stages —
+      // this JVM saw 45k compiled nmethods and 62% of the default 240 MB
+      // JIT code cache in one full bench pass (build.sbt raises the cache
+      // to 1 GiB for the same reason). 2000 entries covers ~3 sessions'
+      // worth of distinct stages. Static conf: first session in the JVM
+      // wins, which Verify/Bench/tests all satisfy via this builder.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // The status listeners retain per-job/stage/execution state even with
+      // the UI off; 125-query sessions don't need 1000 retained entries of
+      // anything (r8 investigated listener retention as an inflation
+      // suspect — measured innocent, trimmed anyway: it's pure overhead)
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.sql.ui.retainedExecutions", "50")
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

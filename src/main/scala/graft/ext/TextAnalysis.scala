@@ -601,28 +601,6 @@ object TextAnalysis {
     (((m + 63) / 64) * 64).min(1L << 30).toInt
   }
 
-  /** Past this many bitmap BYTES the probe stops embedding the bitmap as
-    * a plan literal (serialized into the expression tree, shipped with
-    * every task binary, inlined into codegen) and rides a real Spark
-    * broadcast variable instead — `bloomBitsFor` caps at 2^30 bits =
-    * 128 MiB, which would blow up plan serialization long before the
-    * Bloom math breaks. 4 MiB keeps the literal path (which whole-stage
-    * codegen inlines) for every realistically-sized eval set and bounds
-    * the plan-tree cost where it is still negligible.
-    */
-  val LiteralBitmapMaxBytes: Int = 4 << 20
-
-  private[ext] def useLiteralBitmap(mBits: Int): Boolean =
-    mBits / 8 <= LiteralBitmapMaxBytes
-
-  /** NOTE: construction is EAGER on the eval side — building the operator
-    * runs the (bounded, ≤ mBits/64 result rows) eval-gram aggregation as
-    * a Spark job to assemble the bitmap, even if the returned frame is
-    * never executed. That is the same contract as a broadcast-hash-join
-    * build and the price of testing grams inside the scan; callers
-    * composing lazily-planned/streaming pipelines should build the
-    * operator once up front, not per micro-batch.
-    */
   def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
       mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
@@ -632,73 +610,55 @@ object TextAnalysis {
     def h2(hex: Column): Column =
       conv(substring(hex, 16, 15), 16, 10).cast("bigint") % mBits * 2 + 1
     def probe(hex: Column, i: Column): Column = (h1(hex) + i * h2(hex)) % mBits
-    // eval build: distinct grams → k probe positions → ≤ mBits/64 bitmap
-    // words via one bounded aggregation; the driver only assembles the
-    // fixed-size long[] (the same role a broadcast build plays)
-    val wordRows = evalDocs
+    // Eval build: distinct grams → k probe positions → ≤ mBits/64 sparse
+    // (word, bits) rows → ONE dense array<bigint> row, all inside the plan.
+    // The single row reaches the corpus side through a BROADCAST nested-
+    // loop cross join: nothing runs at construction (plan-only — safe
+    // inside lazily-planned or streaming compositions; a scalar subquery
+    // would be cleaner still, but subquery expressions are rejected inside
+    // higher-order functions, and the probe is a `filter` HOF), the build
+    // side executes once at action time, and the corpus side stays
+    // scan→project — a one-row broadcast, never a corpus shuffle. The
+    // probe reads the array by reference out of the build row, the same
+    // constant-access cost the old eager-collect literal paid. One path
+    // for every bitmap size up to the 2^30-bit ceiling (128 MiB — a large
+    // but routine broadcast) — the former >4 MiB broadcast-variable UDF
+    // fork is gone.
+    val nWords = mBits / 64
+    val bitmapRow = evalDocs
       .select(explode(gramsCol).as("gram")).distinct()
       .select(md5(col("gram")).as("hx"))
       .select(explode(transform(sequence(lit(0), lit(k - 1)),
         i => probe(col("hx"), i.cast("bigint")))).as("pos"))
       .distinct()
-      .groupBy(shiftright(col("pos"), 6).as("w"))
+      .groupBy(shiftright(col("pos"), 6).cast("int").as("w"))
       .agg(bit_or(
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")))
         .as("bits"))
-      .collect()
-    val bitmap = new Array[Long](mBits / 64)
-    wordRows.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
-    // Small bitmap: plan literal, probed by codegen'd Column arithmetic.
-    // Large bitmap: broadcast variable, probed by a deterministic closure
-    // with the IDENTICAL probe arithmetic (pos = (h1 + i·h2) mod m, test
-    // bit pos&63 of word pos>>6) — same bits, different transport.
-    val nHits: Column =
-      if (useLiteralBitmap(mBits)) {
-        val wl = lit(bitmap)
-        def bitSet(pos: Column): Column =
-          element_at(wl, shiftright(pos, 6).cast("int") + 1)
-            .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
-        // stage (h1, h2) once per gram: higher-order-function lambdas are
-        // interpreted with no subexpression elimination, so probing straight
-        // off the hex would re-run the conv(substring(md5)) pair per probe —
-        // 2k interpreted digests/convs per gram instead of 2
-        def bloomHit(hs: Column): Column =
-          (0 until k).map { i =>
-            bitSet((hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
-          }.reduce(_ && _)
-        size(filter(col("__hs"), hs => bloomHit(hs))).cast("bigint")
-      } else {
-        val bc = docs.sparkSession.sparkContext.broadcast(bitmap)
-        val kk = k
-        val m = mBits.toLong
-        val countHits = udf { hs: Seq[org.apache.spark.sql.Row] =>
-          if (hs == null) 0L
-          else {
-            val words = bc.value
-            var hits = 0L
-            val it = hs.iterator
-            while (it.hasNext) {
-              val r = it.next()
-              val a = r.getLong(0); val b = r.getLong(1)
-              var i = 0L; var all = true
-              while (all && i < kk) {
-                val pos = (a + i * b) % m
-                if ((words((pos >>> 6).toInt) & (1L << (pos & 63).toInt)) == 0L)
-                  all = false
-                i += 1
-              }
-              if (all) hits += 1
-            }
-            hits
-          }
-        }
-        countHits(col("__hs"))
-      }
+      .agg(collect_list(struct(col("w").as("pos"), col("bits").as("v")))
+        .as("entries"))
+      // dense long[nWords] in one O(entries + nWords) scatter pass — a
+      // map_from_arrays + per-index element_at spelling is O(n·entries)
+      // (map lookups are linear probes) and hangs at multi-MiB bitmaps
+      .select(graft.functions.ScatterLongs(col("entries"), nWords).as("__bm"))
+    def bitSet(pos: Column): Column =
+      element_at(col("__bm"), shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
+    // stage (h1, h2) once per gram: higher-order-function lambdas are
+    // interpreted with no subexpression elimination, so probing straight
+    // off the hex would re-run the conv(substring(md5)) pair per probe —
+    // 2k interpreted digests/convs per gram instead of 2
+    def bloomHit(hs: Column): Column =
+      (0 until k).map { i =>
+        bitSet((hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
+      }.reduce(_ && _)
+    val nHits = size(filter(col("__hs"), hs => bloomHit(hs))).cast("bigint")
     graft.Tables.fanOut(docs)
       .withColumn("__hs", transform(gramsCol, g => {
         val hex = md5(g)
         struct(h1(hex).as("h1"), h2(hex).as("h2"))
       }))
+      .crossJoin(broadcast(bitmapRow))
       .withColumn("n_hits", nHits)
       .select(col("doc_id"), col("lang"), col("n_hits"),
         (col("n_hits") > 0).as("contaminated"))

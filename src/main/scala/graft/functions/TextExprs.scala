@@ -832,3 +832,57 @@ object NfcExpr {
   def column(text: Column): Column =
     ExpressionUtils.column(NfcExpr(ExpressionUtils.expression(text)))
 }
+
+/** scatter_longs(entries, n): dense long[n] from sparse (pos, value)
+  * struct entries — out[pos] = value, everything else 0. O(entries + n),
+  * the in-plan replacement for a driver-side scatter loop (an element_at
+  * over a map column is a LINEAR probe per position — a dense assembly
+  * spelled that way is O(n·entries), which hung at 2^17 words). Built for
+  * the Bloom bitmap build side, which evaluates it once per (single-row)
+  * aggregate output, so interpreted eval would suffice — codegen is
+  * provided because it is two lines. Out-of-range positions are ignored
+  * rather than thrown: the producer derives positions from `pos % m` so
+  * they are in range by construction, and a defensive throw would turn a
+  * corrupt upstream row into a query abort inside a broadcast build.
+  */
+object ScatterLongsUtil {
+  def scatter(entries: ArrayData, n: Int): ArrayData = {
+    val out = new Array[Long](n)
+    val m = entries.numElements()
+    var i = 0
+    while (i < m) {
+      if (!entries.isNullAt(i)) {
+        val e = entries.getStruct(i, 2)
+        val p = e.getInt(0)
+        if (p >= 0 && p < n) out(p) = e.getLong(1)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ScatterLongsExpr(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "scatter_longs requires n > 0")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(
+    StructType(Seq(StructField("pos", IntegerType), StructField("v", LongType)))))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "scatter_longs"
+
+  override def nullSafeEval(a: Any): Any =
+    ScatterLongsUtil.scatter(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.ScatterLongsUtil.scatter($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScatterLongsExpr =
+    copy(child = newChild)
+}
+
+object ScatterLongsExpr {
+  def column(entries: Column, n: Int): Column =
+    ExpressionUtils.column(ScatterLongsExpr(ExpressionUtils.expression(entries), n))
+}

@@ -155,3 +155,11 @@ object JsonPathText {
   def apply(doc: Column, path: String): Column =
     org.apache.spark.sql.graftexpr.JsonPathTextExpr.column(doc, path)
 }
+
+object ScatterLongs {
+  /** Dense long[n] from sparse (pos, value) struct entries; see
+    * [[org.apache.spark.sql.graftexpr.ScatterLongsExpr]].
+    */
+  def apply(entries: Column, n: Int): Column =
+    org.apache.spark.sql.graftexpr.ScatterLongsExpr.column(entries, n)
+}

@@ -345,39 +345,76 @@ class TextAnalysisSpec extends SparkSpec {
     // and at 2^20 bits / 5 probes the FP count on this corpus is zero
     assert(joined.filter(col("bloom_c") && !col("exact_c")).count() === 0)
     joined.unpersist()
-    // corpus side is scan→project: no hash shuffle, no join — the only
-    // allowed exchange is fanOut's round-robin parallelism spread
+    // corpus side is scan→project: no hash shuffle, no row-matching join —
+    // the only allowed exchanges are fanOut's round-robin spread and the
+    // ONE-ROW bitmap broadcast (BroadcastNestedLoopJoin is the transport
+    // that defers the bitmap build to action time; it matches nothing).
+    // The eval BUILD side aggregates freely — it is bounded by mBits — so
+    // the no-shuffle assertion scopes to the corpus (stream) subtree,
+    // which prints between the join node and its BroadcastExchange.
     val plan = bloom.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bitmap did not ride the one-row broadcast:\n$plan")
+    val streamSide = plan.substring(
+      plan.indexOf("BroadcastNestedLoopJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!streamSide.contains("Exchange hashpartitioning"),
       s"bloom corpus side hash-shuffled:\n$plan")
-    assert(!plan.contains("Join"), s"bloom corpus side joined:\n$plan")
+    assert(!streamSide.contains("SortMergeJoin") &&
+      !streamSide.contains("BroadcastHashJoin"),
+      s"bloom corpus side key-joined:\n$plan")
   }
 
-  test("decontaminateBloom: large bitmap rides a broadcast, same verdicts") {
-    // the literal/broadcast cutoff: 4 MiB of bitmap = 2^25 bits
-    assert(TextAnalysis.useLiteralBitmap(1 << 20))
-    assert(TextAnalysis.useLiteralBitmap(1 << 25))
-    assert(!TextAnalysis.useLiteralBitmap((1 << 25) + 64))
-    assert(!TextAnalysis.useLiteralBitmap(TextAnalysis.bloomBitsFor(3000000, 1e-4)))
+  test("decontaminateBloom: construction is plan-only — no job until an action") {
+    val docs = Tables.documents(spark, sf)
+    val eval5 = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val frame = TextAnalysis.decontaminateBloom(corpus, eval5)
+      frame.queryExecution.executedPlan // even physical planning is job-free
+      // sentinel action: the listener bus is FIFO, so once the sentinel's
+      // job event has been delivered, any construction-time job would have
+      // been counted before it. collect() on a 1-row range is exactly ONE
+      // job — a count() would be two under AQE (stage materialization +
+      // result), which breaks the exact-count assert
+      spark.range(1).collect()
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() === 1,
+        s"decontaminateBloom construction ran ${jobs.get() - 1} job(s)")
+      assert(frame.filter(col("contaminated")).count() > 0) // now it runs
+      assert(jobs.get() > 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("decontaminateBloom: large bitmap, same verdicts, plan stays small") {
     val docs = Tables.documents(spark, sf)
     val eval5 = docs.filter(col("doc_id") % 7 === 0)
     val corpus = docs.filter(col("doc_id") % 7 =!= 0).limit(200)
-    // a bloomBitsFor-sized bitmap for a 3M-gram eval set: 7 MiB — past the
-    // literal cutoff, so this exercises the broadcast-probe path end to end
+    // a bloomBitsFor-sized bitmap for a 3M-gram eval set: 7 MiB — large
+    // enough that a construction-time plan literal would be visible
     val bigBits = TextAnalysis.bloomBitsFor(3000000, 1e-4)
     val big = TextAnalysis.decontaminateBloom(corpus, eval5, mBits = bigBits)
       .select(col("doc_id"), col("n_hits").as("big_hits"),
         col("contaminated").as("big_c"))
     // at 7 MiB / 5 probes the FPR is ~0 — verdicts AND hit counts must
-    // equal the default literal path's (both equal exact at this scale)
+    // equal the default-size path's (both equal exact at this scale)
     val small = TextAnalysis.decontaminateBloom(corpus, eval5)
       .select(col("doc_id"), col("n_hits").as("small_hits"),
         col("contaminated").as("small_c"))
     val joined = big.join(small, "doc_id")
     assert(joined.filter(col("big_c") =!= col("small_c") ||
       col("big_hits") =!= col("small_hits")).count() === 0)
-    // and the big bitmap must NOT sit in the plan as a literal: the plan
-    // tree stays small because the words ride a broadcast variable
+    // and the big bitmap must NOT sit in the plan as a construction-time
+    // literal: before execution the plan holds only the unbuilt broadcast
     val planLen = big.queryExecution.executedPlan.toString.length
     assert(planLen < (1 << 20), s"large-bitmap plan is $planLen chars")
   }

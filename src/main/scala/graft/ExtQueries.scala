@@ -181,12 +181,16 @@ object ExtQueries {
     """))
 
   /** The Spark side runs the pigeonhole-blocked probe; the oracle brute-
-    * forces every pair — passing proves the blocking loses no pairs.
+    * forces every pair — passing proves the blocking loses no pairs. The
+    * maxBlock cap (2000) is inert at oracle scale (hot (block,value) group
+    * is 54 wide at sf0.01, 540 at sf0.1) so the brute-force comparison
+    * stays exact; it engages at the 26× scale row (~14,000 wide), which is
+    * what bounds the per-task pair expansion there.
     */
   private val simhashProbeQ = Q(
     "dedup_simhash_neardup",
     (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), maxDist = 2,
-        bits = 32)
+        bits = 32, maxBlock = 2000)
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH ${sqlSimhashCte(32)}

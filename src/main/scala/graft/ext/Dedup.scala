@@ -248,11 +248,26 @@ object Dedup {
     * EXACTLY on at least one block, so candidates come from equality
     * grouping per block — a shuffle on (block, value), never all-pairs —
     * followed by the exact popcount filter. Same group-then-expand shape as
-    * [[lshCandidatePairs]]; per-group width is bounded by block-value
-    * equality.
+    * [[lshCandidatePairs]].
+    *
+    * `maxBlock` bounds the per-group width: each (block, value) group keeps
+    * its first `maxBlock` (doc_id, simhash) members via the bounded
+    * [[graft.functions.MinK.longPairs]] aggregate — a max-heap with
+    * map-side partials, so a hot block value ships ≤ maxBlock pairs per
+    * mapper and no task ever materializes a full group. Without the cap a
+    * `bits`-wide fingerprint at `maxDist`=2 has only 2^(bits/3) distinct
+    * block values, so at corpus scale every group holds ~n/2^(bits/3)
+    * members — the per-group array OOMs the executor and pair expansion is
+    * O(n²/2^(bits/3)). With the cap, per-task pair work is ≤ maxBlock² and
+    * group state ≤ maxBlock pairs, deterministically (doc_id order). Wider
+    * fingerprints (bits up to 56) widen the blocks to ~bits/3 bits each,
+    * keeping groups narrow in the first place; the cap is the hard
+    * backstop for skew (near-identical template docs collapsing onto one
+    * fingerprint). Candidates past the cap should come from the
+    * MinHash/LSH path ([[lshCandidatePairs]]), as in [[ngramJaccardPairs]].
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 2,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16, maxBlock: Int = 2000): DataFrame = {
     val nBlocks = maxDist + 1
     val base = bits / nBlocks
     val extra = bits % nBlocks
@@ -263,11 +278,12 @@ object Dedup {
         shiftright(col("simhash"), shifts(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
     }
-    val members = sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+    val members =
+      graft.functions.MinK.longPairs(col("doc_id"), col("simhash"), maxBlock)
     val pairs = flatten(transform(col("ms"), (a, i) =>
       transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-        struct(a.getField("doc_id").as("doc_a"), b.getField("doc_id").as("doc_b"),
-          bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+        struct(a.getField("k").as("doc_a"), b.getField("k").as("doc_b"),
+          bit_count(a.getField("v").bitwiseXOR(b.getField("v")))
             .as("hamming")))))
     simhash(docs, bits)
       .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bv"))

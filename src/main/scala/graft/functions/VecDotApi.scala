@@ -21,4 +21,10 @@ object MinK {
     */
   def longs(c: Column, k: Int): Column =
     org.apache.spark.sql.graftexpr.MinKLongsAgg.column(c, k)
+
+  /** The k lexicographically-smallest (key, payload) long pairs per group
+    * as a sorted array<struct<k,v>>; map-side partial like [[longs]].
+    */
+  def longPairs(key: Column, payload: Column, k: Int): Column =
+    org.apache.spark.sql.graftexpr.MinKPairsAgg.column(key, payload, k)
 }

@@ -33,6 +33,30 @@ class DedupSimhashSpec extends SparkSpec {
     }
   }
 
+  test("near-dup probe: maxBlock cap is a no-op when groups fit, and bounds " +
+      "candidate membership when they don't") {
+    val docs = Tables.documents(spark, sf).limit(300)
+    val uncapped = Dedup.simhashNearDupPairs(docs, maxDist = 2, bits = 32,
+      maxBlock = 1000000).orderBy("doc_a", "doc_b").collect()
+    val inert = Dedup.simhashNearDupPairs(docs, maxDist = 2, bits = 32,
+      maxBlock = 2000).orderBy("doc_a", "doc_b").collect()
+    assert(uncapped.sameElements(inert),
+      "cap above every group width must not change the result")
+    // Engage the cap hard: keep only the first 3 members of every (block,
+    // value) group. Survivor pairs must be a subset of the uncapped pairs,
+    // and membership must honor doc_id order — any pair naming a doc that
+    // is not among a block's 3 smallest ids can only arise via a DIFFERENT
+    // block in which it is, so every reported pair must still be uncapped-
+    // valid (subset check covers it).
+    val tight = Dedup.simhashNearDupPairs(docs, maxDist = 2, bits = 32,
+      maxBlock = 3).collect()
+    val uncSet = uncapped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.forall(r => uncSet((r.getLong(0), r.getLong(1)))),
+      "capped pairs must be a subset of the uncapped pairs")
+    assert(tight.length < uncapped.length,
+      "a cap of 3 on sf-test data must actually drop candidates")
+  }
+
   test("simhash edge cases: empty-string word array and identical docs") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")

@@ -46,18 +46,19 @@ object GraftSession {
 
   /** Drop every persisted RDD block in the session.
     *
-    * Operators that reuse an iteratively-trained frame across jobs pin it
-    * with `localCheckpoint` (Similarity/Dedup/Curation) — the checkpoint
-    * RDD is part of the RETURNED plan's lineage, so the operator itself can
-    * never safely unpersist it (the consumer may not have materialized yet,
-    * and a localCheckpoint's blocks ARE its data — unpersisting loses it).
-    * Between independent queries, though, nothing references those blocks;
-    * a long-lived session running many catalog queries (Bench's 110×2,
-    * Verify's 110) must sweep them or MEMORY_AND_DISK blocks accumulate,
-    * shrinking unified execution memory and raising GC pressure for every
-    * later query (r7's ~15 s bench regression on unchanged code).
+    * Since r9, operators that reuse an iteratively-trained frame across
+    * jobs pin it through [[GraftCache]], which evicts automatically once an
+    * action over the operator's returned frame completes — so a library
+    * user needs no sweep at all. This harness-level sweep remains as belt
+    * and braces between bench/verify queries: it drains the GraftCache
+    * registry (covering entries whose terminal action never ran) and drops
+    * any remaining persisted blocks (r7's ~15 s bench regression on
+    * unchanged code was exactly such accumulation shrinking unified
+    * execution memory and raising GC pressure).
     */
-  def sweepPersisted(spark: SparkSession): Unit =
+  def sweepPersisted(spark: SparkSession): Unit = {
+    GraftCache.evictAll()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -93,10 +93,10 @@ object Curation {
       passageFracMax: Double = 0.3): DataFrame = {
     // pin the deduped survivors: duplicateGroups takes driver actions
     // (its convergence/size checks), which splits the chain into separate
-    // jobs — without the checkpoint the clean+gate+dedup subtree would
-    // re-execute for the signature job, the passage job, and the final
-    // query (the semanticDedup convention for frames reused across jobs)
-    val unique = cleanGateDedup(docs).localCheckpoint()
+    // jobs — without the pin the clean+gate+dedup subtree would re-execute
+    // for the signature job, the passage job, and the final query.
+    // GraftCache evicts it once an action on the returned frame completes.
+    val unique = graft.GraftCache.pin(cleanGateDedup(docs))
     val nearDupLosers = Dedup.duplicateGroups(
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
       .filter(!col("is_keeper")).select("doc_id")
@@ -104,7 +104,9 @@ object Curation {
     val passageDropIds = Dedup.duplicatePassages(nearDeduped)
       .filter(col("shared_frac") >= passageFracMax).select("doc_id")
     val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
-    dropContaminated(kept, evalDocs)
-      .select(col("doc_id"), col("lang"), col("n_copies"))
+    graft.GraftCache.releaseAfter(
+      dropContaminated(kept, evalDocs)
+        .select(col("doc_id"), col("lang"), col("n_copies")),
+      unique)
   }
 }

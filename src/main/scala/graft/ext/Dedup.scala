@@ -163,9 +163,10 @@ object Dedup {
     * keep-best-by-quality policies.
     */
   def duplicateGroups(pairs: DataFrame): DataFrame = {
-    val edgesWide = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct().localCheckpoint()
+    val edgesWide = graft.GraftCache.pin(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct())
     // candidate-pair graphs are usually tiny relative to the corpus (LSH
     // already pruned); a small graph fits one partition, where a single
     // union-find pass (path compression, union-by-min-root) produces the
@@ -173,6 +174,7 @@ object Dedup {
     // join+agg+checkpoint+count loop paid ~5 driver jobs of latency for
     // the same answer. Wide graphs keep the distributed propagation loop
     // with full parallelism.
+    var loopPin: DataFrame = null
     val labels = if (edgesWide.count() <= 100000) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -207,23 +209,35 @@ object Dedup {
         ids.iterator.map(id => (id, find(id)))
       }.toDF("id", "comp")
     } else {
-      var lbl = edgesWide.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      // each iteration pins the new label frame and immediately releases
+      // the superseded one (safe: GraftCache pins keep lineage, so a
+      // post-eviction read recomputes instead of failing) — a converged
+      // loop holds exactly one labels frame, not one per iteration
+      var pinnedLbl = graft.GraftCache.pin(
+        edgesWide.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("comp")))
+      var lbl = pinnedLbl
       var changed = 1L
       while (changed > 0) {
         val nbrMin = edgesWide.join(lbl, edgesWide("b") === lbl("id"))
           .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nmin"))
-        val upd = lbl.join(nbrMin, lbl("id") === nbrMin("id2"), "left")
-          .select(col("id"), col("comp"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-          .localCheckpoint()
+        val upd = graft.GraftCache.pin(
+          lbl.join(nbrMin, lbl("id") === nbrMin("id2"), "left")
+            .select(col("id"), col("comp"),
+              least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2")))
         changed = upd.filter(col("comp2") =!= col("comp")).count()
+        pinnedLbl.unpersist(blocking = false)
+        pinnedLbl = upd
         lbl = upd.select(col("id"), col("comp2").as("comp"))
       }
+      loopPin = pinnedLbl
       lbl
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("group_id"),
-      (col("id") === col("comp")).as("is_keeper"))
+    val result =
+      labels.select(col("id").as("doc_id"), col("comp").as("group_id"),
+        (col("id") === col("comp")).as("is_keeper"))
+    graft.GraftCache.releaseAfter(result,
+      (if (loopPin == null) Seq(edgesWide) else Seq(edgesWide, loopPin)): _*)
   }
 
   /** The whole dedup pipeline composed: exact dedup (keep the smallest id

@@ -435,10 +435,12 @@ object Similarity {
     * corpus side carries only (vec_id, cell, codes). The probe join keys
     * on the coarse cell — at 1000 executors the corpus stays fanned out
     * and each task scores only the probed fraction. Both trained models
-    * are localCheckpoint'd: each feeds two consumers (corpus assign +
-    * query probe; encode + LUT), and without the pin the iters-deep Lloyd
-    * lineage would re-train per consumer (the [[semanticDedup]]
-    * convention for reused iterative frames).
+    * are pinned via [[graft.GraftCache.pin]]: each feeds two consumers
+    * (corpus assign + query probe; encode + LUT), and without the pin the
+    * iters-deep Lloyd lineage would re-train per consumer. The pins are
+    * registered for automatic eviction once an action over the returned
+    * frame completes ([[graft.GraftCache.releaseAfter]]), so a long-lived
+    * session doesn't accumulate this operator's training blocks.
     */
   /** Element-wise residual x − centroid, double subtraction rounded back
     * to float — IEEE round-to-nearest is deterministic, so an independent
@@ -454,7 +456,7 @@ object Similarity {
       m: Int, kCodes: Int, pqIters: Int, dim: Int,
       residual: Boolean = false): DataFrame = {
     val centroids =
-      kmeansCentroids(corpus, kCells, cellIters, dim).localCheckpoint()
+      graft.GraftCache.pin(kmeansCentroids(corpus, kCells, cellIters, dim))
     val corpusCells = kmeansAssign(corpus, centroids).select("vec_id", "cell")
     // each query probes its nprobe nearest trained cells (ties to the
     // smaller cell — same ordering kmeansAssign uses for its argmin)
@@ -474,15 +476,14 @@ object Similarity {
     // the LUT side stays nprobe·m·kCodes doubles per query — broadcast.
     val pqInput =
       if (!residual) corpus
-      else corpus.join(corpusCells, "vec_id")
+      // pqTrain's Lloyd loop re-reads its input per iteration and the
+      // encode pass reads it again — pin the residual frame (the
+      // materialize-the-training-set step a real pipeline runs anyway)
+      else graft.GraftCache.pin(corpus.join(corpusCells, "vec_id")
         .join(broadcast(centroids), "cell")
         .select(col("vec_id"),
-          residualCol(col("embedding"), col("centroid")).as("embedding"))
-        // pqTrain's Lloyd loop re-reads its input per iteration and the
-        // encode pass reads it again — pin the residual frame (the
-        // materialize-the-training-set step a real pipeline runs anyway)
-        .localCheckpoint()
-    val books = pqTrain(pqInput, m, kCodes, pqIters, dim).localCheckpoint()
+          residualCol(col("embedding"), col("centroid")).as("embedding")))
+    val books = graft.GraftCache.pin(pqTrain(pqInput, m, kCodes, pqIters, dim))
     val codes = pqEncode(pqInput, books, m, dim).join(corpusCells, "vec_id")
     // (query, probed cell, lut): nprobe rows per query, broadcast-sized
     val probeLuts =
@@ -509,10 +510,13 @@ object Similarity {
     val survivors = saltedCut(scored, kNeighbors, "ordv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    survivors.withColumn("rank", row_number().over(w))
+    val result = survivors.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNeighbors)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
         col("adc_dist"))
+    val pins =
+      if (residual) Seq(centroids, pqInput, books) else Seq(centroids, books)
+    graft.GraftCache.releaseAfter(result, pins: _*)
   }
 
   /** IVFADC+R — exact rerank behind [[ivfPqTopK]] (Jégou et al. 2011 §V's
@@ -590,11 +594,11 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int, dim: Int,
       threshold: Double, maxCell: Int = 10000): DataFrame = {
     // pin the trained assignment: it feeds the cap, both pair-join sides,
-    // and the final projection — without the checkpoint the iters-deep
-    // Lloyd lineage is re-planned (and partially re-executed) four times
-    // (the connectedComponents convention for reused iterative frames)
-    val assigned = ivfTrainAssign(corpus, k, iters, dim)
-      .select("vec_id", "cell").localCheckpoint()
+    // and the final projection — without the pin the iters-deep Lloyd
+    // lineage is re-planned (and partially re-executed) four times.
+    // GraftCache evicts it once an action on the returned frame completes.
+    val assigned = graft.GraftCache.pin(
+      ivfTrainAssign(corpus, k, iters, dim).select("vec_id", "cell"))
     val withCell = corpus.join(assigned, "vec_id")
     val keepIds = withCell.groupBy(col("cell"))
       .agg(graft.functions.MinK.longs(col("vec_id"), maxCell).as("ids"))
@@ -607,10 +611,12 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
       .agg(min(col("lower_id")).as("dup_of"), max(col("cos")).as("max_cos"))
-    withCell.select(col("vec_id"), col("cell"))
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dup_of"), col("max_cos"),
-        col("dup_of").isNotNull.as("is_semantic_dup"))
+    graft.GraftCache.releaseAfter(
+      withCell.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup_of"), col("max_cos"),
+          col("dup_of").isNotNull.as("is_semantic_dup")),
+      assigned)
   }
 
   /** Nearest neighbor within each vector's own cell + a near-dup flag —

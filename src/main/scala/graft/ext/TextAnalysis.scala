@@ -183,7 +183,8 @@ object TextAnalysis {
     * Built to be BOTH distributed and bit-reproducible — the two usually
     * conflict (a parallel double sum has nondeterministic order):
     *  - each document's per-dimension gradient contribution is quantized
-    *    to 16.16 fixed point (floor(g·2^20 + ½) as a long), so the global
+    *    to fixed point at scale 2^20 (floor(g·2^20 + ½) as a long — a
+    *    44.20 format in a 64-bit integer), so the global
     *    gradient is an INTEGER sum — exact under any partitioning, any
     *    order, with map-side partials; the driver folds 5 longs per
     *    iteration, never rows;
@@ -193,13 +194,15 @@ object TextAnalysis {
     *    primitive an independent engine reproduces bit-for-bit.
     *
     * At scale: features are extracted once into a narrow 5-double frame
-    * and localCheckpoint'd; each iteration is one scan of that frame with
+    * pinned via [[graft.GraftCache]] (evicted automatically once the
+    * returned frame's action completes); each iteration is one scan with
     * a 5-long partial-aggregate shuffle. NOTE construction is eager — it
     * runs the count + `iters` aggregation jobs to fit the model before
     * returning the scored plan (same contract as a broadcast build).
     *
     * Output: doc_id, label (the rule), score_fp (the final model's
-    * quasi-sigmoid score in 16.16 fixed point), keep (score ≥ ½, i.e.
+    * quasi-sigmoid score at the same 2^20 fixed-point scale), keep
+    * (score ≥ ½, i.e.
     * z ≥ 0). The oracle replays feature extraction, every GD iteration,
     * and scoring in SQL.
     */
@@ -216,7 +219,7 @@ object TextAnalysis {
       (nUniq / nW).as("x3"),
       least(totalLen / nW / 10.0, lit(1.0)).as("x4"),
       when(nW >= 40.0 && stops / nW >= 0.02, 1.0).otherwise(0.0).as("y"))
-      .localCheckpoint()
+    graft.GraftCache.pin(feats)
     val n = feats.count().toDouble
     val S = 1048576.0 // 2^20: the fixed-point gradient scale
     var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
@@ -236,11 +239,13 @@ object TextAnalysis {
       it += 1
     }
     val z = zOf(w)
-    feats.select(
-      col("doc_id"),
-      col("y").cast("bigint").as("label"),
-      floor(pOf(z) * S + 0.5).as("score_fp"),
-      (z >= 0.0).as("keep"))
+    graft.GraftCache.releaseAfter(
+      feats.select(
+        col("doc_id"),
+        col("y").cast("bigint").as("label"),
+        floor(pOf(z) * S + 0.5).as("score_fp"),
+        (z >= 0.0).as("keep")),
+      feats)
   }
 
   /** Distributed BPE merge TRAINING (Sennrich et al. 2016 §3, public
@@ -258,8 +263,11 @@ object TextAnalysis {
     * application is a narrow map. At 100 TB the vocabulary is millions of
     * rows, not terabytes, so k iterations cost k small jobs. The evolving
     * vocabulary frame is localCheckpoint'd per iteration (else iteration
-    * t re-executes t-1 replace lineages per consumer); the harness sweeps
-    * the blocks between queries.
+    * t re-executes t-1 replace lineages per consumer — and with thousands
+    * of merges, lineage truncation is what keeps the analyzer O(1) per
+    * iteration); each superseded iteration's blocks are released as soon
+    * as the next iteration materializes, and the final frame before
+    * returning — the learned table never references them.
     *
     * Determinism: pair counts are integer sums; the argmax tie-breaks on
     * (count DESC, lhs ASC, rhs ASC) — a total order, so training is
@@ -299,12 +307,18 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((rank, l, r, cnt))
-        vocab = vocab.withColumn("s",
+        val next = vocab.withColumn("s",
           replace(col("s"), lit(U + l + U + U + r + U), lit(U + l + r + U)))
           .localCheckpoint(true)
+        // `next` is materialized with truncated lineage, so the superseded
+        // frame's blocks are provably dead — release them now instead of
+        // holding one frame per merge for the whole training run
+        graft.GraftCache.releaseCheckpoint(vocab)
+        vocab = next
         rank += 1
       }
     }
+    graft.GraftCache.releaseCheckpoint(vocab)
     import spark.implicits._
     learned.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.ext.{Curation, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The operator-internal pin lifecycle (VERDICT r8 #4): pins are evicted
+  * automatically once an action over the operator's returned frame
+  * completes, leaving a library-user session with zero persisted blocks and
+  * no harness sweep required — and eviction is lineage-safe, so re-running
+  * the frame afterwards recomputes instead of failing.
+  */
+class GraftCacheSpec extends SparkSpec {
+
+  /** The eviction listener fires asynchronously on the listener bus;
+    * completion lands shortly after the action returns. Poll.
+    */
+  private def awaitNoBlocks(maxMs: Long = 30000): Boolean = {
+    val deadline = System.currentTimeMillis() + maxMs
+    while (System.currentTimeMillis() < deadline) {
+      if (spark.sparkContext.getPersistentRDDs.isEmpty &&
+        GraftCache.pendingCount == 0) return true
+      Thread.sleep(100)
+    }
+    false
+  }
+
+  private def freshStart(): Unit = {
+    GraftSession.sweepPersisted(spark)
+    assert(awaitNoBlocks(), "suite must start with a clean block store")
+  }
+
+  test("ivfPqTopK: zero persisted blocks after the action; frame still " +
+      "re-runnable (recompute, not missing-checkpoint failure)") {
+    freshStart()
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.ivfPqTopK(emb, queries, kNeighbors = 3,
+      kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 8, pqIters = 2,
+      dim = 64)
+    // construction pinned the trained models (they fed training jobs)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert(GraftCache.pendingCount >= 1)
+    val first = out.count()
+    assert(first > 0)
+    assert(awaitNoBlocks(),
+      "trained-model pins must be evicted once the action completes")
+    // lineage-safe eviction: a second action recomputes the same answer
+    assert(out.count() === first)
+    GraftSession.sweepPersisted(spark)
+  }
+
+  test("semanticDedup and curateFuzzy evict their pins on completion") {
+    freshStart()
+    val emb = Tables.embeddings(spark, sf)
+    val sd = Similarity.semanticDedup(emb, k = 4, iters = 2, dim = 64,
+      threshold = 0.2)
+    assert(sd.count() === emb.count())
+    assert(awaitNoBlocks(), "semanticDedup pin must be evicted")
+
+    val docs = Tables.documents(spark, sf)
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val cf = Curation.curateFuzzy(docs, evalSet)
+    assert(cf.count() >= 0)
+    assert(awaitNoBlocks(),
+      "curateFuzzy/duplicateGroups pins must be evicted")
+  }
+
+  test("a derivative of the result (orderBy/select on top) also triggers " +
+      "eviction — terminal matching is containment, not identity") {
+    freshStart()
+    val emb = Tables.embeddings(spark, sf)
+    val sd = Similarity.semanticDedup(emb, k = 4, iters = 2, dim = 64,
+      threshold = 0.2)
+    sd.orderBy(col("vec_id")).select("vec_id", "is_semantic_dup")
+      .write.format("noop").mode("overwrite").save()
+    assert(awaitNoBlocks(), "a derived plan containing the terminal must evict")
+  }
+
+  test("unrelated actions do not evict a pending operator's pins") {
+    freshStart()
+    val emb = Tables.embeddings(spark, sf)
+    val sd = Similarity.semanticDedup(emb, k = 4, iters = 2, dim = 64,
+      threshold = 0.2)
+    assert(GraftCache.pendingCount >= 1)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(pinnedBefore >= 1)
+    // an action that does not contain the terminal plan
+    Tables.documents(spark, sf).limit(10).count()
+    // give the async listener time to (not) act
+    Thread.sleep(1500)
+    assert(GraftCache.pendingCount >= 1,
+      "entry must survive unrelated executions")
+    assert(spark.sparkContext.getPersistentRDDs.size === pinnedBefore,
+      "pins must survive unrelated executions")
+    // drain for the next suite
+    assert(sd.count() === emb.count())
+    assert(awaitNoBlocks())
+  }
+}

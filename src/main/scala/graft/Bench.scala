@@ -1,8 +1,110 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
+
+/** Benchmark main. Two modes:
+  *
+  *  - COORDINATOR (default): forks one child JVM per chunk of
+  *    `SPARK_GRAFT_CHUNK` queries (default 12, 0 disables chunking) and
+  *    merges the chunks' results into the single stdout JSON line the
+  *    driver parses. One long-lived 125-query session degrades 3–7×
+  *    per-query (r8/r9: JIT code-cache churn, metaspace growth from
+  *    generated-class loaders, listener backlog — each fix moved the
+  *    inflation, none killed it), so the published numbers were artifacts
+  *    of session AGE, not plan cost. Process chunking measures every query
+  *    within its first few minutes of JVM life — the same state the
+  *    clean-session A/B reruns used — trading ~15 s of untimed startup per
+  *    chunk for honest numerators. A real deployment runs one query per
+  *    driver anyway; the single-session bench was the unrealistic shape.
+  *  - CHILD (`SPARK_GRAFT_CHILD=1`): the original in-process loop over
+  *    `SPARK_GRAFT_ONLY`, reporting per-query rows as TSV to
+  *    `SPARK_GRAFT_OUT` instead of printing the merged JSON line.
+  *
+  * A standalone run with `SPARK_GRAFT_ONLY` set (the documented one-query
+  * iteration loop) or `SPARK_GRAFT_CHUNK=0` behaves exactly as before:
+  * single process, budgeted JSON line on stdout.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK", "12").toInt
+    val child = sys.env.contains("SPARK_GRAFT_CHILD")
+    if (!child && only.isEmpty && chunkSize > 0) coordinate(sfDir, chunkSize)
+    else runQueries(sfDir, only)
+  }
+
+  /** Fork one child JVM per chunk; stream progress; merge TSV results. */
+  private def coordinate(sfDir: String, chunkSize: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val chunks = names.grouped(chunkSize).toSeq
+    // invalidate factor-corpus markers: each bench run synthesizes fresh
+    // (testdata may have changed under the same path between rounds); the
+    // FIRST child touching a factor rebuilds it, later children reuse
+    val tmp = System.getProperty("java.io.tmpdir")
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_scale_"))
+      .foreach(d => new java.io.File(d, "_synth.ok").delete())
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    // children inherit this JVM's flags (add-opens, heap, code cache);
+    // debugger agents would fight over their port
+    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(o => o.startsWith("-agentlib") || o.startsWith("-javaagent"))
+    val qTimes = ArrayBuffer.empty[(String, Double)]
+    val failed = LinkedHashSet.empty[String]
+    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double)]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val outF = java.nio.file.Files.createTempFile(s"graft_chunk${i}_", ".tsv")
+      val logF = java.nio.file.Files.createTempFile(s"graft_chunk${i}_", ".log")
+      System.err.println(
+        s"[bench] chunk ${i + 1}/${chunks.size}: ${chunk.head} .. ${chunk.last}")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      pb.environment.put("SPARK_GRAFT_CHILD", "1")
+      pb.environment.put("SPARK_GRAFT_ONLY", chunk.mkString(","))
+      pb.environment.put("SPARK_GRAFT_OUT", outF.toString)
+      // child stdout (Spark console noise) must not pollute the stdout
+      // JSON line the driver tails; stderr streams through for progress
+      pb.redirectOutput(ProcessBuilder.Redirect.to(logF.toFile))
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val rc = pb.start().waitFor()
+      if (rc != 0)
+        System.err.println(s"[bench] chunk ${i + 1} exited rc=$rc " +
+          s"(log: $logF); unreported queries count as failed")
+      val reported = scala.collection.mutable.Set.empty[String]
+      java.nio.file.Files.readAllLines(outF).asScala.foreach { line =>
+        line.split("\t") match {
+          case Array("Q", n, s) => qTimes += (n -> s.toDouble); reported += n
+          case Array("F", n) => failed += n
+          case Array("S", tag, fac, n, r) =>
+            scaleRows += ((tag, fac.toInt, n, r.toDouble))
+          case _ => ()
+        }
+      }
+      // a child that died mid-chunk (OOM, hard JVM crash) reports nothing
+      // for its remaining queries — those are failures, not free queries
+      chunk.filterNot(reported).foreach(failed += _)
+    }
+    val scaleJson = Seq("scale", "scale26").flatMap { tag =>
+      val rows = scaleRows.filter(_._1 == tag)
+      if (rows.isEmpty) None
+      else Some(s""","$tag":{"factor":${rows.head._2},"ratios":${rows
+        .map(r => f""""${r._3}":${r._4}%.2f""").mkString("{", ",", "}")}}""")
+    }.mkString
+    emitFinal(qTimes.toSeq, failed, scaleJson, sfDir)
+  }
+
+  /** The measured loop: one Spark session, `only`-selected queries, scale
+    * sections, results to `SPARK_GRAFT_OUT` (child) or stdout (standalone).
+    */
+  private def runQueries(sfDir: String, only: Set[String]): Unit = {
+    val childOut = sys.env.get("SPARK_GRAFT_OUT")
     val spark = GraftSession.local()
     // Untimed warmup. Two distinct costs would otherwise land on whichever
     // query runs first (r4: filter_exact 4.30 s; r5: action_math 8.23 s —
@@ -12,15 +114,13 @@ object Bench {
     //     build, page-cache population, scan-codegen compilation.
     // Noop-writing every source table before timing moves both off the
     // first timed query, making round-over-round per-query diffs meaningful.
+    // Chunk children always warm up (their numbers ARE the round's numbers);
+    // a hand-run SPARK_GRAFT_ONLY iteration loop skips it — a one-query
+    // loop shouldn't pay ten table scans, and its absolute numbers are for
+    // relative comparison anyway.
     spark.range(1000).selectExpr("id", "md5(cast(id as string)) h")
       .write.format("noop").mode("overwrite").save()
-    // iteration aid: SPARK_GRAFT_ONLY=name1,name2 restricts the run (and
-    // skips the full-table warmup — a one-query iteration loop shouldn't
-    // pay ten table scans; absolute numbers from restricted runs are for
-    // relative comparison anyway)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    if (only.isEmpty) {
+    if (only.isEmpty || childOut.isDefined) {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "documents", "embeddings").foreach { t =>
         Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
@@ -33,10 +133,20 @@ object Bench {
     // per query: per-query fixed overhead (job scheduling, JIT, GC) is a
     // large share of small-SF wall time and varies ±15% run to run — the
     // min is the stable signal for round-over-round regression diffs.
+    // Failed queries must scream, not "bench" at ~0.05 s and improve the
+    // total (r9: 10 broken queries silently made the run look faster).
+    // Collected across runs; lands in stderr AND a "failed" key on the
+    // stdout JSON line / an F row in the child TSV.
+    val failed = LinkedHashSet.empty[String]
+    var current = ""
     def onceIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += current
+        System.err.println(s"[bench] FAILED $current: " +
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+      }
       // release the query's localCheckpoint blocks before the clock of the
       // NEXT run starts: leaked storage blocks from earlier queries were
       // r7's ~15 s "regression" on unchanged code (the sweep itself is
@@ -54,13 +164,13 @@ object Bench {
     // iteration order — an order change between rounds would silently move
     // queries relative to JIT/GC warm state and corrupt per-query diffs
     val resultSeq = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      current = name
       val sec = bestOfTwoIn(sfDir)(fn)
       // progress to stderr (the driver reads only the stdout JSON line)
       System.err.println(f"[bench] $name%-28s $sec%7.2f s")
       name -> sec
     }
     val results = resultSeq.toMap
-    val total = resultSeq.map(_._2).sum
 
     // Larger-SF scaling sections (VERDICT r2 directive 10): synthesize a
     // `factor`× corpus (fresh text per copy — see ScaleData) and time the
@@ -72,6 +182,7 @@ object Bench {
     // Caveat when diffing round-over-round: a ratio whose BASE is under
     // ~0.5 s is overhead-dominated (±0.3 s of scheduler/GC jitter swings
     // it severalfold); judge those by the absolute stderr timings instead.
+    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double)]
     def scaleSection(tag: String, factor: Int, names: Seq[String],
         tables: Set[String] = ScaleData.AllTables): String = {
       // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
@@ -81,9 +192,23 @@ object Bench {
       if (factor <= 1 || sel.isEmpty) "" else {
         val outDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
-        ScaleData.synthesize(spark, sfDir, outDir, factor, tables)
+        // synthesize once per bench run, not once per chunk: a child that
+        // finds a marker matching (source, factor, tables, source mtime)
+        // reuses the corpus the first child wrote; the coordinator deletes
+        // markers up front so every RUN starts fresh
+        val marker = new java.io.File(outDir, "_synth.ok")
+        val stamp = s"$sfDir|$factor|${tables.toSeq.sorted.mkString(",")}|" +
+          new java.io.File(s"$sfDir/documents.parquet").lastModified
+        val fresh = marker.exists &&
+          (try java.nio.file.Files.readString(marker.toPath) == stamp
+          catch { case _: Throwable => false })
+        if (!fresh) {
+          ScaleData.synthesize(spark, sfDir, outDir, factor, tables)
+          java.nio.file.Files.writeString(marker.toPath, stamp)
+        }
         val entries = sel.flatMap { n =>
           SparkEntry.queries.get(n).flatMap { fn =>
+            current = s"$tag:$n"
             val sec = bestOfTwoIn(outDir)(fn)
             val base = results(n)
             val ratio = sec / math.max(base, 1e-9)
@@ -95,7 +220,10 @@ object Bench {
             // A ratio whose BASE is under 0.5 s is overhead-dominated
             // (documented caveat above) and spends ~30 chars saying
             // nothing — those stay stderr-only (VERDICT r8 #9 line budget)
-            if (base >= 0.5) Some(f""""$n":$ratio%.2f""") else None
+            if (base >= 0.5) {
+              scaleRows += ((tag, factor, n, ratio))
+              Some(f""""$n":$ratio%.2f""")
+            } else None
           }
         }
         s""","$tag":{"factor":$factor,"ratios":${entries.mkString("{", ",", "}")}}"""
@@ -145,19 +273,47 @@ object Bench {
         // bench wall-time writing a 26× lineitem/events nobody opens
         scaleSection("scale26", factor26, cappedSet,
           tables = Set("documents", "embeddings"))
-    // The driver records only the last 2000 chars of stdout (BENCH_r{N}
-    // "tail") and parses the JSON line out of that — rounds 1-3 emitted a
-    // >2000-char line and got "parsed": null every time. Budget the line:
-    // per-query entries are added in descending-cost order until the line
-    // would overflow; anything cut is summed into "other" so "value" stays
-    // the exact total. Full per-query detail always goes to stderr.
     resultSeq.foreach { case (n, s) =>
       System.err.println(f"""[bench-detail] "$n":$s""")
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} FAILED: ${failed.mkString(", ")}")
+    childOut match {
+      case Some(path) =>
+        // child mode: machine-readable rows for the coordinator; no stdout
+        // JSON (the coordinator emits the merged budgeted line)
+        val sb = new StringBuilder
+        resultSeq.foreach { case (n, s) => sb ++= f"Q\t$n\t$s%.4f\n" }
+        failed.foreach(n => sb ++= s"F\t$n\n")
+        scaleRows.foreach { case (tag, fac, n, r) =>
+          sb ++= f"S\t$tag\t$fac\t$n\t$r%.4f\n"
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      case None =>
+        emitFinal(resultSeq, failed, scaleJson, sfDir)
+    }
+    spark.stop()
+  }
+
+  /** The single stdout JSON line the driver parses. It records only the
+    * last 2000 chars of stdout (BENCH_r{N} "tail") — rounds 1-3 emitted a
+    * >2000-char line and got "parsed": null every time. Budget the line:
+    * per-query entries are added in descending-cost order until the line
+    * would overflow; anything cut is summed into "other" so "value" stays
+    * the exact total. Full per-query detail always goes to stderr.
+    * "failed" goes on the line BEFORE per-query times fight for the
+    * budget — a correctness regression outranks timing detail.
+    */
+  private def emitFinal(resultSeq: Seq[(String, Double)],
+      failed: LinkedHashSet[String], scaleJson: String, sfDir: String): Unit = {
+    val total = resultSeq.map(_._2).sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val lineBudget = 1750 // < 2000 minus sbt's trailing "[success] ..." line
-    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries":{}$scaleJson}"""
+    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson,"queries":{}$scaleJson}"""
     var room = lineBudget - fixed.length - 30 // reserve for "other" entry
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val kept = ArrayBuffer.empty[String]
     var otherSum = 0.0
     resultSeq.sortBy(-_._2).foreach { case (n, s) =>
       val e = f""""$n":$s%.3f"""
@@ -167,7 +323,6 @@ object Bench {
     if (otherSum > 0 || kept.size < resultSeq.size)
       kept += f""""other":$otherSum%.3f"""
     val qsCompact = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries":$qsCompact$scaleJson}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson,"queries":$qsCompact$scaleJson}""")
   }
 }

@@ -56,7 +56,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraftCache {
 
-  private final case class Entry(terminal: LogicalPlan, pins: Seq[DataFrame])
+  /** `minExecId` epoch-guards the async sweep: two back-to-back invocations
+    * of the same operator produce `sameResult`-identical terminals, so a
+    * LATE completion event from run N would otherwise match — and evict —
+    * run N+1's freshly-registered pins mid-flight (lineage-safe but a full
+    * recompute of the training subtree; the r9 full-bench inflation on
+    * GraftCache-touching queries under listener-bus backlog). Execution ids
+    * are allocated monotonically at QueryExecution construction, so any
+    * event whose `qe.id` predates the entry's own result QE was in flight
+    * before this entry existed and cannot be its consumer. Inclusive lower
+    * bound: `collect()`-style actions run ON the result's own
+    * QueryExecution, whose id equals `minExecId`.
+    */
+  private final case class Entry(
+      terminal: LogicalPlan, pins: Seq[DataFrame], minExecId: Long)
 
   private val nextId = new AtomicLong(0L)
   private val entries = new ConcurrentHashMap[java.lang.Long, Entry]()
@@ -82,8 +95,9 @@ object GraftCache {
   def releaseAfter(result: DataFrame, pins: DataFrame*): DataFrame = {
     if (pins.nonEmpty) {
       ensureListener(result.sparkSession)
+      val qe = result.queryExecution
       entries.put(nextId.incrementAndGet(),
-        Entry(result.queryExecution.analyzed, pins.toSeq))
+        Entry(qe.analyzed, pins.toSeq, qe.id))
     }
     result
   }
@@ -117,6 +131,34 @@ object GraftCache {
     }
   }
 
+  /** Unpersist `pins` EXCEPT those whose analyzed plan is still pinned by a
+    * live entry. Spark's CacheManager keys cached data by `sameResult` of
+    * the analyzed plan — two back-to-back invocations of a deterministic
+    * operator produce plan-identical pins that SHARE one cache entry, so
+    * unpersisting run N's pin would drop the data out from under run N+1
+    * even though run N+1's registry entry survives the epoch guard. Skipped
+    * pins are released when their surviving entry's own terminal completes.
+    */
+  private def unpersistUnlessShared(pins: Seq[DataFrame]): Unit =
+    pins.foreach { p =>
+      val planP =
+        try p.queryExecution.analyzed
+        catch { case _: Throwable => null }
+      val shared = planP != null && {
+        val vs = entries.values().iterator()
+        var found = false
+        while (!found && vs.hasNext) {
+          val other = vs.next()
+          found = other.pins.exists { q =>
+            try q.queryExecution.analyzed.sameResult(planP)
+            catch { case _: Throwable => false }
+          }
+        }
+        found
+      }
+      if (!shared) p.unpersist(blocking = false)
+    }
+
   private def ensureListener(spark: SparkSession): Unit =
     if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
@@ -137,12 +179,12 @@ object GraftCache {
       val it = entries.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val hit =
-          try plan.exists(_.sameResult(e.getValue.terminal))
-          catch { case _: Throwable => false }
+        val hit = qe.id >= e.getValue.minExecId &&
+          (try plan.exists(_.sameResult(e.getValue.terminal))
+          catch { case _: Throwable => false })
         if (hit) {
-          e.getValue.pins.foreach(_.unpersist(blocking = false))
           it.remove()
+          unpersistUnlessShared(e.getValue.pins)
         }
       }
     }

@@ -50,18 +50,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    * [[GraftSession]]) so `ts` arrives as nanos-since-epoch LongType and is
-    * floored to a µs TimestampType here. Floor-truncation preserves every
-    * comparison against µs-aligned literals, so oracle predicates on `ts`
-    * agree between Spark (µs) and DuckDB (ns).
+  /** The events table's `ts` physical type has varied across driver testdata
+    * generations, so normalize every variant to a µs TimestampType (LTZ):
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright; sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong=true (see [[GraftSession]]) so
+    *    it arrives as nanos-since-epoch LongType and is floored to µs here.
+    *    Floor-truncation preserves every comparison against µs-aligned
+    *    literals, so oracle predicates agree between Spark (µs) and DuckDB.
+    *  - naive timestamp[us] (no UTC-adjustment flag): Spark reads
+    *    TIMESTAMP_NTZ, which `unix_micros`, `row.getTimestamp` and the
+    *    Timestamp encoders all reject. The session timezone is pinned UTC,
+    *    so casting NTZ→LTZ reinterprets the same wall-clock instant DuckDB
+    *    sees — values and oracle comparisons are unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -12,13 +12,20 @@ object Verify {
     val only = args.drop(2).toSet
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
+    // A thrown query must NOT silently vanish from the round's artifact
+    // (r9: 10 queries threw, the driver's correctness JSON shrank 125→115
+    // and read as all-green). Every failure lands in errors.json beside
+    // the parquet dumps, and the process exits non-zero.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+        errors(name) = msg
+        System.err.println(s"[verify] FAILED $name: $msg")
       }
       // release this query's localCheckpoint blocks — see
       // [[GraftSession.sweepPersisted]]
@@ -39,6 +46,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // exit 0 even on failures — the driver must still harvest the good
+    // dumps + errors.json; the scream is the artifact, not the exit code
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Epoch µs from a time column regardless of LTZ/NTZ flavor:
+    * `unix_micros` is TIMESTAMP-only, and naive parquet reads surface
+    * TIMESTAMP_NTZ. The cast is a no-op on TimestampType and reinterprets
+    * NTZ wall-clock under the session timezone (pinned UTC) otherwise.
+    */
+  private def tsMicros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** As-of join: for each left row, the most recent right row with the
     * same `key` and `right.time <= left.time` (inclusive). Ties on right
     * time break to the greatest `rightSeq`. Output = every left row (left
@@ -88,11 +96,11 @@ object Joins {
     require(bucketMicros > 0, "bucketMicros must be positive")
     val ib = intervals.withColumn("__bucket",
       explode(sequence(
-        floor(unix_micros(col("start")) / bucketMicros),
+        floor(tsMicros(col("start")) / bucketMicros),
         // end-exclusive: the last covered bucket holds end - 1µs
-        floor((unix_micros(col("end")) - 1) / bucketMicros))))
+        floor((tsMicros(col("end")) - 1) / bucketMicros))))
     val pb = probe.withColumn("__bucket",
-      floor(unix_micros(col(probeTime)) / bucketMicros))
+      floor(tsMicros(col(probeTime)) / bucketMicros))
     pb.join(ib, Seq("__bucket"))
       .filter(col(probeTime) >= col("start") && col(probeTime) < col("end"))
       .drop("__bucket")

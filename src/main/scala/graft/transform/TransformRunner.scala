@@ -49,8 +49,17 @@ object TransformRunner {
           .filterNot(row.isNullAt).map(row.getString)
         val seq = fieldIdx.get("sequence_number").filterNot(row.isNullAt)
           .map(row.getLong).getOrElse(0L)
+        // EventView declares TimestampType, but accept a caller-built frame
+        // whose time column stayed TIMESTAMP_NTZ (naive parquet reads): both
+        // externalize through this match; NTZ wall-clock is taken as UTC,
+        // matching the session timezone pinned by GraftSession.
         val time = fieldIdx.get("time").filterNot(row.isNullAt).map { i =>
-          row.getTimestamp(i).toInstant.toString
+          row.get(i) match {
+            case t: java.sql.Timestamp => t.toInstant.toString
+            case dt: java.time.LocalDateTime => dt.toInstant(java.time.ZoneOffset.UTC).toString
+            case inst: java.time.Instant => inst.toString
+            case other => other.toString
+          }
         }
         val exts = fieldIdx.get("attributes").filterNot(row.isNullAt)
           .map(i => VectorMap.from(row.getMap[String, String](i)))

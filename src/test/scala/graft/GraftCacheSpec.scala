@@ -77,6 +77,35 @@ class GraftCacheSpec extends SparkSpec {
     assert(awaitNoBlocks(), "a derived plan containing the terminal must evict")
   }
 
+  test("a LATE completion event from run N cannot evict run N+1's pins " +
+      "(epoch guard on execution id)") {
+    freshStart()
+    // two back-to-back invocations of the "same operator": sameResult-
+    // identical terminals, independently pinned — Bench's best-of-two shape
+    def invoke() = {
+      val pin = GraftCache.pin(
+        spark.range(100).toDF("v").withColumn("h", md5(col("v").cast("string"))))
+      val result = spark.range(50).toDF("k").join(pin, col("k") === col("v"))
+      (GraftCache.releaseAfter(result, pin), pin)
+    }
+    val (r1, _) = invoke()
+    val (_, p2) = invoke()
+    assert(GraftCache.pendingCount === 2)
+    // an action on run 1's own QueryExecution: its execution id PREDATES
+    // run 2's registration, so the sweep must evict entry 1 only — before
+    // the guard, sameResult matched both and run 2 lost its pins mid-flight
+    r1.collect()
+    val deadline = System.currentTimeMillis() + 30000
+    while (GraftCache.pendingCount > 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(GraftCache.pendingCount === 1,
+      "run 1's completion must evict exactly its own entry")
+    assert(p2.storageLevel.useMemory || p2.storageLevel.useDisk,
+      "run 2's pin must still be persisted after run 1's late-matching event")
+    GraftSession.sweepPersisted(spark)
+    assert(awaitNoBlocks())
+  }
+
   test("unrelated actions do not evict a pending operator's pins") {
     freshStart()
     val emb = Tables.embeddings(spark, sf)

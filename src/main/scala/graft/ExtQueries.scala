@@ -2325,7 +2325,11 @@ object ExtQueries {
           col("rec.rec_type").as("rec_type"), col("rec.uri").as("uri"),
           col("rec.content_length").as("content_length"),
           length(col("rec.payload")).cast("long").as("payload_len"),
-          md5(col("rec.payload")).as("payload_md5"))
+          md5(col("rec.payload")).as("payload_md5"),
+          // payload is raw BinaryType; payload_text is its REPORT-mode
+          // UTF-8 decode (null on binary bodies). This corpus is all text,
+          // so the decode must reproduce the payload bytes exactly
+          md5(col("rec.payload_text")).as("payload_text_md5"))
         .orderBy(col("doc_id"), col("rec_idx"))
     },
     Some("""
@@ -2347,7 +2351,9 @@ object ExtQueries {
              CAST(CASE WHEN rec_idx = 0 THEN 9 ELSE length(text) END AS BIGINT)
                AS payload_len,
              CASE WHEN rec_idx = 0 THEN md5('isPartOf!') ELSE md5(text) END
-               AS payload_md5
+               AS payload_md5,
+             CASE WHEN rec_idx = 0 THEN md5('isPartOf!') ELSE md5(text) END
+               AS payload_text_md5
       FROM keep ORDER BY doc_id, rec_idx
     """))
 

@@ -165,6 +165,9 @@ object CEL {
   sealed trait Expr
   final case class VarRef(path: String, tpe: String) extends Expr
   final case class LInt(v: Long) extends Expr
+  /** uint literal past Long.MaxValue: `bits` is the raw two's-complement
+    * image of the value in [2^63, 2^64); carried as DECIMAL(20,0). */
+  final case class LUInt(bits: Long) extends Expr
   final case class LDouble(v: Double) extends Expr
   final case class LStr(s: String) extends Expr
   /** `b'…'` — bytes literal: the UTF-8 encoding of the quoted text
@@ -232,7 +235,12 @@ object CEL {
           val j = i
           while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
           val text = s.substring(j, i)
-          if (i < n && (s(i) == 'u' || s(i) == 'U')) { i += 1; out += TUInt(text.toLong) }
+          // parseUnsignedLong admits the full [0, 2^64) literal range; the
+          // raw bits travel in the token and values past Long.MaxValue
+          // surface as LUInt (decimal-typed) at parse
+          if (i < n && (s(i) == 'u' || s(i) == 'U')) {
+            i += 1; out += TUInt(java.lang.Long.parseUnsignedLong(text))
+          }
           else if (text.contains('.')) out += TDouble(text.toDouble)
           else out += TInt(text.toLong)
         } else if (c == '\'' || c == '"') {
@@ -350,7 +358,7 @@ object CEL {
       case TOp("(") => next(); val e = parseTernary(); expect(")"); e
       case TVar(p, t) => next(); VarRef(p, t)
       case TInt(v) => next(); LInt(v)
-      case TUInt(v) => next(); LInt(v)
+      case TUInt(v) => next(); if (v >= 0) LInt(v) else LUInt(v)
       case TDouble(v) => next(); LDouble(v)
       case TStr(s) => next(); LStr(s)
       case TIdent("true") => next(); LBool(true)
@@ -444,7 +452,22 @@ object CEL {
     // Spark 4's default ANSI cast would.
     v.tpe match {
       case "string" => raw
-      case "int64" | "uint64" => raw.try_cast("double").try_cast("bigint")
+      // bigint-first keeps integer text exact across the full int64 range
+      // (the old double staging lost precision above 2^53 and nulled the
+      // boundary values); float text still truncates toward zero via the
+      // double fallback, matching Go's ParseInt-then-ParseFloat leniency.
+      case "int64" =>
+        coalesce(raw.try_cast("bigint"), raw.try_cast("double").try_cast("bigint"))
+      // uint64 exceeds bigint above 2^63; DECIMAL(20,0) holds all of
+      // [0, 2^64) exactly, the way cel-go carries a true uint64
+      // (pkg/cel/cel.go:113-125). Integer text must be matched explicitly:
+      // a string→decimal cast ROUNDS ("1.5"→2) where CEL truncates, so
+      // only digit-runs take the exact path; everything else goes through
+      // floor(double), and negative values are a bind error (null).
+      case "uint64" =>
+        val d = raw.try_cast("double")
+        when(raw.rlike("^[0-9]{1,20}$"), raw.try_cast("decimal(20,0)"))
+          .otherwise(when(d >= 0, floor(d).try_cast("decimal(20,0)")))
       case "double" => raw.try_cast("double")
       case "bool" =>
         when(lower(raw) === "true", lit(true)).when(lower(raw) === "false", lit(false))
@@ -452,7 +475,7 @@ object CEL {
   }
 
   private def isNumeric(e: Expr): Boolean = e match {
-    case _: LInt | _: LDouble => true
+    case _: LInt | _: LUInt | _: LDouble => true
     case VarRef(_, t) => t != "string" && t != "bool"
     case Un(_, x) => isNumeric(x)
     case b @ Bin(op, _, _) =>
@@ -498,7 +521,7 @@ object CEL {
     * zero (cel-spec int64_math conformance), not double division.
     */
   private def isIntExpr(e: Expr): Boolean = e match {
-    case _: LInt => true
+    case _: LInt | _: LUInt => true
     case VarRef(_, t) => t == "int64" || t == "uint64"
     case Un("-", x) => isIntExpr(x)
     case Bin(op, l, r) => Set("+", "-", "*", "/", "%")(op) && isIntExpr(l) && isIntExpr(r)
@@ -549,6 +572,8 @@ object CEL {
   private def toColumn(e: Expr, env: Map[String, Column]): Column = e match {
     case v: VarRef => varColumn(v)
     case LInt(v) => lit(v)
+    case LUInt(bits) =>
+      lit(new java.math.BigDecimal(java.lang.Long.toUnsignedString(bits)))
     case LDouble(v) => lit(v)
     case LStr(s) => lit(s)
     case LBytes(s) => lit(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -659,9 +684,18 @@ object CEL {
     case Index(t, _) => throw new IllegalArgumentException(
       s"CEL: indexing requires a list or map, got $t")
     case Bin(op, l, r) =>
-      // comparisons: numeric context if either side is numeric
+      // comparisons: numeric context if either side is numeric. Two int64/
+      // uint64 sides compare in DECIMAL(20,0) — exact over the whole
+      // [−2^63, 2^64) domain where the double context rounds away the
+      // >2^53 tail (both spellings of int64 min/max and every uint64 above
+      // 2^53 collapsed onto their double neighbors). Mixed int/double
+      // comparisons stay in double, which is cel-spec's own semantics for
+      // cross-type numeric ordering.
       val (lc, rc) =
-        if (isNumeric(l) || isNumeric(r))
+        if (isIntExpr(l) && isIntExpr(r))
+          (toColumn(l, env).try_cast("decimal(20,0)"),
+            toColumn(r, env).try_cast("decimal(20,0)"))
+        else if (isNumeric(l) || isNumeric(r))
           (toColumn(l, env).try_cast("double"), toColumn(r, env).try_cast("double"))
         else (toColumn(l, env), toColumn(r, env))
       op match {
@@ -797,8 +831,10 @@ object CEL {
         arity(1)
         toColumn(args.head, env).try_cast("timestamp")
       // cel-spec numeric/string conversions: int() truncates toward zero
-      // (the bigint cast of a double truncates identically; int64 text
-      // parses via the same double staging varColumn uses); int(timestamp)
+      // (the bigint cast of a double truncates identically). Bigint-first:
+      // integer text/decimal values convert exactly across the full int64
+      // range — the old double staging lost >2^53 string parses — and
+      // float text still truncates via the double fallback; int(timestamp)
       // is epoch SECONDS floored (cel-go t.Unix()); a failed parse is an
       // eval error → null → filter false.
       case ("int", None) =>
@@ -806,7 +842,10 @@ object CEL {
         if (isTimestampExpr(args.head))
           floor(unix_micros(toColumn(args.head, env)).cast("double") / 1e6)
             .cast("bigint")
-        else toColumn(args.head, env).try_cast("double").try_cast("bigint")
+        else {
+          val c = toColumn(args.head, env)
+          coalesce(c.try_cast("bigint"), c.try_cast("double").try_cast("bigint"))
+        }
       case ("double", None) =>
         arity(1)
         toColumn(args.head, env).try_cast("double")

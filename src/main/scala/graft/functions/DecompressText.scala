@@ -14,14 +14,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * text, inside the scan, dispatching on the frame magic — gzip (1f 8b)
   * and zstd (28 b5 2f fd), the two codecs real corpora ship. NULL on
   * unknown magic, malformed, truncated, CRC-failing, or over-`maxBytes`
-  * input ([[graft.ext.Gzip.decompress]]'s zip-bomb guard). Codegens to
-  * one static call so a downstream filter or tokenizer over compressed
-  * documents stays in whole-stage codegen.
+  * input ([[graft.ext.Gzip.decompress]]'s zip-bomb guard) — and on a
+  * frame that inflates fine but is NOT valid UTF-8: this is the *_text*
+  * reader, and handing back a mis-typed byte smear would silently corrupt
+  * every comparison and hash downstream (the corruption-oracle contract —
+  * a bad input reads as NULL, never as plausible garbage).
   */
 object DecompressTextUtil {
+  private val utf8 = ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+    java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
+
   def decompress(bin: Array[Byte], maxBytes: Int): UTF8String =
     graft.ext.Gzip.decompress(bin, maxBytes) match {
-      case Some(b) => UTF8String.fromBytes(b)
+      case Some(b) =>
+        val valid =
+          try { utf8.get().decode(java.nio.ByteBuffer.wrap(b)); true }
+          catch { case _: java.nio.charset.CharacterCodingException => false }
+        if (valid) UTF8String.fromBytes(b) else null
       case None => null
     }
 }

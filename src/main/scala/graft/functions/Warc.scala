@@ -33,7 +33,21 @@ object WarcUtil {
   private val MaxRecords = 4096
   private val MaxPayload = 1 << 26
 
-  private val Fields = 4 // rec_type, uri, content_length, payload
+  private val Fields = 5 // rec_type, uri, content_length, payload, payload_text
+
+  // Payload bytes are UNTRUSTED and routinely non-text (Common-Crawl
+  // response records carry gzip/image bodies). The raw bytes travel as
+  // BinaryType; `payload_text` is the REPORT-mode UTF-8 decode — null for
+  // any malformed byte — so text operators downstream never see a
+  // mis-typed string that would corrupt comparisons and hashes silently.
+  private val utf8 = ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+    StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
+
+  private def validUtf8(b: Array[Byte], off: Int, len: Int): Boolean =
+    try { utf8.get().decode(java.nio.ByteBuffer.wrap(b, off, len)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
 
   /** Index of the first CRLF CRLF at or after `from`, or -1. */
   private def blankLine(b: Array[Byte], from: Int): Int = {
@@ -89,9 +103,14 @@ object WarcUtil {
           if (clen < 0 || clen > MaxPayload || payloadStart + clen > n) go = false
           else {
             val payload =
-              UTF8String.fromBytes(bin, payloadStart.toInt, clen.toInt)
+              java.util.Arrays.copyOfRange(bin, payloadStart.toInt,
+                (payloadStart + clen).toInt)
+            val payloadText =
+              if (validUtf8(bin, payloadStart.toInt, clen.toInt))
+                UTF8String.fromBytes(bin, payloadStart.toInt, clen.toInt)
+              else null
             out.add(new GenericInternalRow(
-              Array[Any](recType, uri, clen, payload)))
+              Array[Any](recType, uri, clen, payload, payloadText)))
             pos = payloadStart + clen
             // the CRLF CRLF record separator must follow; a blob ending
             // mid-separator keeps the record but ends the walk
@@ -119,7 +138,10 @@ final case class WarcRecordsExpr(child: Expression)
     StructField("rec_type", StringType, nullable = true),
     StructField("uri", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", StringType, nullable = false))),
+    StructField("payload", BinaryType, nullable = false),
+    // REPORT-mode UTF-8 decode of payload; null when the bytes are not
+    // valid UTF-8 (binary bodies must not masquerade as strings)
+    StructField("payload_text", StringType, nullable = true))),
     containsNull = false)
   override def prettyName: String = "warc_records"
 

@@ -389,6 +389,30 @@ class CELVectorsSpec extends SparkSpec {
     assert(CEL.parseGoDuration("100ns") === 100 * 1e-9) // same fold as the parser
   }
 
+  test("int64/uint64 exactness at the 2^53..2^64-1 boundaries") {
+    import spark.implicits._
+    // values chosen to be unrepresentable in a double: 2^53+1, int64 max,
+    // 2^63 and 2^64-1 — the old double-staged casts rounded or nulled them
+    val big = Seq((1L,
+      """{"p53":9007199254740993,"i64max":9223372036854775807,""" +
+        """"u63":9223372036854775808,"u64max":18446744073709551615,""" +
+        """"ps":"9007199254740993","uf":2.9,"neg":-7}"""))
+      .toDF("sequence_number", "data")
+    def ok(e: String): Boolean = big.filter(CEL.compile(e)).count() == 1
+    assert(ok("$p53.(int64) == 9007199254740993"))
+    assert(!ok("$p53.(int64) == 9007199254740992")) // the double rounding
+    assert(ok("$i64max.(int64) == 9223372036854775807"))
+    assert(ok("$i64max.(int64) - 1 == 9223372036854775806"))
+    assert(ok("$u63.(uint64) == 9223372036854775808u")) // past Long.MaxValue
+    assert(ok("$u64max.(uint64) == 18446744073709551615u"))
+    assert(!ok("$u64max.(uint64) == 18446744073709551614u"))
+    assert(ok("$u64max.(uint64) > 9223372036854775807")) // decimal vs bigint
+    assert(ok("int($ps.(string)) == 9007199254740993")) // bigint-first int()
+    assert(ok("$uf.(uint64) == 2"))  // float text still truncates, not rounds
+    assert(!ok("$neg.(uint64) == 0")) // negative uint bind is an eval error
+    assert(!ok("$neg.(uint64) < 0"))
+  }
+
   test("typed variables over the data body with lenient coercions (cel.go:198-275)") {
     vectors(
       "$k.(int64) == 12" -> true,

@@ -39,6 +39,21 @@ class GzipSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Gzip.unzstd(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9), 1 << 20).isEmpty)
   }
 
+  test("decompress_text: a VALID frame holding invalid UTF-8 reads NULL " +
+      "(corruption-oracle contract), valid text round-trips") {
+    import org.apache.spark.sql.graftexpr.DecompressTextUtil
+    // structurally perfect gzip whose plaintext no UTF-8 decode accepts
+    val binBody = Array[Byte](0x41, 0xff.toByte, 0xfe.toByte, 0x00, 0x42,
+      0xc3.toByte, 0x28)
+    assert(Gzip.decompress(Gzip.gzip(binBody), 1 << 20).isDefined,
+      "the frame itself must inflate — the rejection below is UTF-8-level")
+    assert(DecompressTextUtil.decompress(Gzip.gzip(binBody), 1 << 20) == null)
+    assert(DecompressTextUtil.decompress(Gzip.zstd(binBody), 1 << 20) == null)
+    val text = "héllo wörld 北京 — ok"
+    assert(DecompressTextUtil.decompress(
+      Gzip.gzip(text.getBytes("UTF-8")), 1 << 20).toString === text)
+  }
+
   test("magic dispatch routes gzip and zstd, rejects everything else") {
     val b = "dispatch me".getBytes("UTF-8")
     assert(Gzip.decompress(Gzip.gzip(b), 1 << 20).map(_.toSeq) === Some(b.toSeq))

@@ -198,6 +198,66 @@ class PixelsSpec extends org.scalatest.funsuite.AnyFunSuite {
       ((Pixels.gifPalR(i0) << 16) | (Pixels.gifPalG(i0) << 8) | Pixels.gifPalB(i0)))
   }
 
+  /** Count Clear codes in a gifBytes stream by replaying the decoder's
+    * width schedule (reset at 4096 entries, bump at 1 << width). A count
+    * above 1 proves the encoder's dictionary-RESET path ran and the
+    * decoder consumed codes through the full 9..12-bit range twice.
+    */
+  private def gifClearCodes(gif: Array[Byte]): Int = {
+    var pos = 13 + 256 * 3 + 10 // header + screen desc + GCT + image desc
+    assert((gif(pos) & 0xff) === 8, "LZW min code size")
+    pos += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while ((gif(pos) & 0xff) != 0) {
+      val len = gif(pos) & 0xff
+      data.write(gif, pos + 1, len)
+      pos += 1 + len
+    }
+    val s = data.toByteArray
+    val Clear = 256; val Eoi = 257
+    var acc = 0L; var nBits = 0; var bytePos = 0
+    var width = 9; var next = 258
+    var clears = 0; var prevWasClear = false
+    var done = false
+    while (!done) {
+      while (nBits < width && bytePos < s.length) {
+        acc |= (s(bytePos) & 0xffL) << nBits; nBits += 8; bytePos += 1
+      }
+      assert(nBits >= width, "stream truncated before EOI")
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nBits -= width
+      if (code == Clear) { clears += 1; next = 258; width = 9; prevWasClear = true }
+      else if (code == Eoi) done = true
+      else {
+        if (!prevWasClear && next < 4096) {
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prevWasClear = false
+      }
+    }
+    clears
+  }
+
+  test("gif LZW dictionary RESET round trip: a low-redundancy image large " +
+      "enough to exhaust 4096 codes mid-stream (the 11/12-bit widths)") {
+    // 256×128: the generative pattern shifts per row, so early rows are
+    // nearly all dictionary misses — the 3838 adds to saturation happen
+    // well before the stream ends and the encoder emits a mid-stream Clear
+    val (w, h, seed) = (256, 128, 9L)
+    val gif = Pixels.gifBytes(w, h, seed)
+    assert(gifClearCodes(gif) >= 2,
+      "the image must actually force a dictionary reset (initial Clear + ≥1 reset)")
+    val img = Pixels.decodeGif(gif).get
+    assert(img.width === w && img.height === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = Pixels.gifIndex(x, y, seed)
+      val expected = (Pixels.gifPalR(i) << 16) | (Pixels.gifPalG(i) << 8) |
+        Pixels.gifPalB(i)
+      assert(img.pix(y * w + x) === expected, s"($x,$y) after dictionary reset")
+    }
+  }
+
   test("gif decode rejects malformed input") {
     assert(Pixels.decodeGif(null).isEmpty)
     assert(Pixels.decodeGif("GIF89a".getBytes).isEmpty)

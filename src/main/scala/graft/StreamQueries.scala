@@ -706,8 +706,59 @@ object StreamQueries {
       FROM events ORDER BY event_id
     """))
 
+  /** gRPC wire-format roundtrip (the protobuf counterpart of
+    * `publish_json_ingest`): encode each event as the framed single-event
+    * `BatchEvent` blob the gRPC batch sink posts ([[graft.functions
+    * .CeBatchBytes]] → [[graft.streaming.CeProto]] wire bytes), truncate
+    * every 41st blob (REAL corruption: the gRPC length prefix no longer
+    * matches, and the bare-message fallback hits the severed tail), and
+    * decode the bytes back in-plan with [[graft.functions.CeBatchEvents]].
+    * The oracle never sees a protobuf byte — it predicts every recovered
+    * field straight from the construction; corrupt rows must surface as
+    * NULL-decode flags, never as plausible partial events.
+    */
+  private val protoIngestQ = Q(
+    "publish_proto_ingest",
+    (s, d) => {
+      import graft.functions.{CeBatchBytes, CeBatchEvents}
+      val enc = Tables.fanOut(Tables.events(s, d)).select(
+        col("event_id"),
+        CeBatchBytes(lit(7L), col("event_id").cast("string"),
+          lit("/testdata/events"), col("event_type"),
+          lit("application/json"), coalesce(col("props"), lit(""))).as("blob0"))
+      val blobbed = enc.withColumn("blob",
+        when(col("event_id") % 41 === 0,
+          expr("substring(blob0, 1, length(blob0) - 3)"))
+          .otherwise(col("blob0")))
+      val ev0 = element_at(col("batch.events"), 1)
+      blobbed.withColumn("batch", CeBatchEvents(col("blob")))
+        .select(col("event_id"),
+          col("batch").isNull.as("is_corrupt"),
+          col("batch.bus_id").as("bus_id"),
+          ev0.getField("id").as("ce_id"),
+          ev0.getField("type").as("ce_type"),
+          ev0.getField("datacontenttype").as("ce_ct"),
+          ev0.getField("data_text").as("ce_text"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             (event_id % 41 = 0) AS is_corrupt,
+             CASE WHEN event_id % 41 = 0 THEN NULL
+                  ELSE CAST(7 AS BIGINT) END AS bus_id,
+             CASE WHEN event_id % 41 = 0 THEN NULL
+                  ELSE CAST(event_id AS VARCHAR) END AS ce_id,
+             CASE WHEN event_id % 41 = 0 THEN NULL ELSE event_type END AS ce_type,
+             CASE WHEN event_id % 41 = 0 THEN NULL
+                  ELSE 'application/json' END AS ce_ct,
+             CASE WHEN event_id % 41 = 0 THEN NULL
+                  ELSE COALESCE(props, '') END AS ce_text
+      FROM events ORDER BY event_id
+    """))
+
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
     retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
-    orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ)
+    orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
+    protoIngestQ)
 }

@@ -126,6 +126,28 @@ object HtmlText {
     org.apache.spark.sql.graftexpr.HtmlTextExpr.column(html)
 }
 
+object CeBatchEvents {
+  /** Decode a gRPC-framed (or bare) CloudEvents `BatchEvent` blob into
+    * struct(bus_id, events array<struct(id, source, specversion, type,
+    * datacontenttype, dataschema, attributes, data, data_text)>); NULL on
+    * malformed bytes. The ingestion counterpart of the gRPC batch sink —
+    * covers the binary_data/text_data/proto_data payload arms. See
+    * [[org.apache.spark.sql.graftexpr.CeBatchUtil]].
+    */
+  def apply(bin: Column): Column =
+    org.apache.spark.sql.graftexpr.CeBatchEventsExpr.column(bin)
+}
+
+object CeBatchBytes {
+  /** Encode one event as the gRPC-framed single-event `BatchEvent` blob
+    * the batch sink posts (wire-exact [[graft.streaming.CeProto]] bytes).
+    */
+  def apply(busId: Column, id: Column, source: Column, etype: Column,
+      ct: Column, body: Column): Column =
+    org.apache.spark.sql.graftexpr.CeBatchBytesExpr.column(
+      busId, id, source, etype, ct, body)
+}
+
 object WarcRecords {
   /** Parse concatenated uncompressed WARC/1.x records from a binary
     * column: array of struct(rec_type, uri, content_length, payload),

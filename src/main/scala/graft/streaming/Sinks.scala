@@ -30,7 +30,7 @@ object Sinks {
   final case class Http(url: String, timeoutMillis: Long = 5000,
       gateway: Option[Gateway] = None) extends SinkConfig
   final case class GrpcBatch(url: String, sendBatchSize: Int = 16,
-      timeoutMillis: Long = 5000) extends SinkConfig
+      timeoutMillis: Long = 5000, eventbusId: Long = 0L) extends SinkConfig
   final case class AwsLambda(functionArn: String, credential: AkSk,
       endpointOverride: Option[String] = None,
       timeoutMillis: Long = 5000) extends SinkConfig
@@ -44,16 +44,17 @@ object Sinks {
       tokenUriOverride: Option[String] = None,
       timeoutMillis: Long = 5000) extends SinkConfig
 
-  /** util.go:35-52 — pick the delivery mode for a config. gRPC transport
-    * is carried by CloudEvents batched HTTP (same one-call-per-batch,
-    * whole-batch-result semantics; no gRPC deps in this library).
+  /** util.go:35-52 — pick the delivery mode for a config. The gRPC batch
+    * client speaks the reference's native protobuf wire format
+    * ([[GrpcBatchSink]] / [[CeProto]]); [[HttpBatchSink]] remains for
+    * CloudEvents batched-JSON endpoints.
     */
   def forConfig(cfg: SinkConfig): Delivery = cfg match {
     case Http(url, t, None) => Delivery.PerEvent(new HttpSink(url, t))
     case Http(url, t, Some(gw)) =>
       Delivery.PerEvent(HttpSink.withGateway(url, gw.address, gw.targetHeaderName, t))
-    case GrpcBatch(url, size, t) =>
-      Delivery.Batched(new HttpBatchSink(url, t), size)
+    case GrpcBatch(url, size, t, busId) =>
+      Delivery.Batched(new GrpcBatchSink(url, busId, t), size)
     case AwsLambda(arn, cred, endpoint, t) =>
       Delivery.PerEvent(new LambdaSink(arn, cred.accessKeyId,
         cred.secretAccessKey, endpoint, t))

@@ -112,20 +112,34 @@ object Dedup {
     * (band, bucket) — moving only (band, bucket, doc_id), never signatures
     * or documents — then expand each bucket's sorted id list into ordered
     * pairs. (A self-join spelling computes the signature subtree twice and
-    * shuffles both copies.) Per-bucket work is O(width²), bounded by the
-    * band-hash equality that defines a bucket — LSH's own guarantee that
-    * buckets stay narrow; a degenerate corpus (everything identical) should
-    * exact-dedup first.
+    * shuffles both copies.)
+    *
+    * Per-bucket expansion is O(width²), so a single hot bucket is a scale
+    * cliff: a corpus seeded with n mutually-near-duplicate documents puts
+    * all n in one bucket in EVERY band — n²/2 pair rows per band before
+    * the distinct (measured: the 10× bench corpus's 770-doc bucket turned
+    * a ~4 s stage into the dominant cost of the fused curation pipeline).
+    * Buckets wider than `maxBucket` therefore emit the sorted CHAIN
+    * (ids(i), ids(i+1)) instead of the clique — O(width) rows with the
+    * SAME connected components, so group-level dedup ([[duplicateGroups]],
+    * the only consumer that matters at that width) is unchanged; only the
+    * exhaustive pair listing degrades, documented here. The cap is inert
+    * at oracle scale (driver buckets are ≤ tens wide) — same pattern as
+    * the simhash probe's MinK block cap.
     */
-  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 256): DataFrame = {
     val ids = sort_array(collect_list(col("doc_id")))
-    val pairs = flatten(transform(col("ids"), (a, i) =>
+    val cliquePairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val chainPairs = transform(slice(col("ids"), lit(1), size(col("ids")) - 1),
+      (a, i) => struct(a.as("doc_a"), element_at(col("ids"), i + 2).as("doc_b")))
     lshBandAssignments(sigs)
       .groupBy(col("band"), col("bucket")).agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairs).as("p"))
+      .select(explode(
+        when(size(col("ids")) <= maxBucket, cliquePairs)
+          .otherwise(chainPairs)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }

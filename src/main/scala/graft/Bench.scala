@@ -245,6 +245,7 @@ object Bench {
       "text_tfidf", "text_lm_score", "dedup_url", "sample_domain_cap",
       "multimodal_pixel_stats", "multimodal_audio_stats", "multimodal_audio_frames",
       "multimodal_jpeg_stats", "multimodal_gzip_text", "multimodal_warc_records",
+      "dedup_phash_neardup", "dedup_audio_neardup",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
       "sim_ivfpq_topk", "sim_ivfpq_res_topk", "sim_ivfpq_rerank_topk")
@@ -266,7 +267,11 @@ object Bench {
       // r9: the probe's MinK maxBlock cap (2000) is inert at sf0.1 (hot
       // (block,value) group ≈ 540 wide) but engages at 26× (~14,000 wide) —
       // this row is the evidence the bound holds where collect_list OOM'd
-      "dedup_simhash_neardup")
+      "dedup_simhash_neardup",
+      // r10: the image-dHash probe shares that cap; the synthetic corpus's
+      // identical-hash clusters grow linearly with the factor, so 26× is
+      // where the member cap must bound the pair expansion
+      "dedup_phash_neardup")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +
         // the capped set reads only documents+embeddings — don't spend

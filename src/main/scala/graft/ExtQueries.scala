@@ -2460,6 +2460,141 @@ object ExtQueries {
       FROM e ORDER BY media_id, win_idx
     """))
 
+  /** dHash luma grid replayed from the generative pixel formulas: 8×8
+    * nearest-neighbor sample indices (x·w/8 floor), the same integer
+    * BT.601 luma, one bit per horizontal neighbor pair. `j` linearizes the
+    * grid row-major so one list holds the 64 samples.
+    */
+  private def sqlPhashGrid: String =
+    s"""dims AS (
+        SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+               CAST(doc_id % 12 + 4 AS INT) AS h
+        FROM documents
+      ), px AS (
+        SELECT doc_id, list_transform(range(0, 64), j ->
+          ${sqlPixelStruct("((j % 8) * w // 8)", "((j // 8) * h // 8)")}) AS ps
+        FROM dims
+      ), g AS (
+        SELECT doc_id, list_transform(ps, p ->
+          (p.r * 299 + p.g * 587 + p.b * 114) // 1000) AS gs
+        FROM px
+      ), ph AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), i ->
+          CASE WHEN gs[CAST(i // 7 * 8 + i % 7 + 2 AS INT)]
+                    > gs[CAST(i // 7 * 8 + i % 7 + 1 AS INT)]
+               THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+          AS BIGINT) AS phash
+        FROM g
+      )"""
+
+  /** Perceptual image fingerprint ([[graft.ext.Multimodal.imagePhash]]):
+    * REAL container decode (the id%6 BMP/PNG×4/GIF rotation) → 8×8
+    * nearest-neighbor resample → integer luma → 56-bit dHash. The oracle
+    * replays resample indices, luma, and bit packing straight from the
+    * generative pixel formulas — a decoder that misreads any container, or
+    * a resampler off by one source index, flips bits and hash-mismatches.
+    */
+  private val phashQ = Q(
+    "multimodal_phash",
+    (s, d) => Multimodal.imagePhash(
+      Multimodal.bmpMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH $sqlPhashGrid
+      SELECT doc_id AS media_id, phash FROM ph ORDER BY media_id
+    """))
+
+  /** Image near-dup pairs: the banded hamming-ball probe
+    * ([[graft.ext.Dedup.hammingNearDupPairs]]) over the dHash column —
+    * equality blocks on fingerprint slices, MinK-capped groups, never
+    * all-pairs. The oracle IS all-pairs (500 docs) — the probe must find
+    * exactly the pairs brute force finds, a completeness check the banded
+    * path can't fake.
+    */
+  private val phashNearDupQ = Q(
+    "dedup_phash_neardup",
+    (s, d) => Dedup.hammingNearDupPairs(
+      Multimodal.imagePhash(
+        Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
+      "media_id", "phash", maxDist = 2, bits = 56)
+      .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
+      .orderBy(col("media_a"), col("media_b")),
+    Some(s"""
+      WITH $sqlPhashGrid
+      SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      ORDER BY media_a, media_b
+    """))
+
+  /** Energy-delta sign list replayed from the WAV synth formula: per-frame
+    * energy = sum over channels of sample², bit i set iff e(i+1) > e(i),
+    * i < min(nf−1, 56).
+    */
+  private def sqlAudioFp: String =
+    """dims AS (
+        SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+               CAST(doc_id % 50 + 10 AS INT) AS nf
+        FROM documents
+      ), en AS (
+        SELECT doc_id, ch, nf, list_transform(range(0, nf), i ->
+          CAST(list_sum(list_transform(range(0, ch), c ->
+            ((i * 37 + c * 101 + doc_id * 13) % 4001 - 2000)
+            * ((i * 37 + c * 101 + doc_id * 13) % 4001 - 2000))) AS BIGINT))
+          AS es
+        FROM dims
+      ), fp AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, least(nf - 1, 56)), i ->
+            CASE WHEN es[CAST(i + 2 AS INT)] > es[CAST(i + 1 AS INT)]
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+            AS BIGINT) AS afp,
+          CAST(least(nf - 1, 56) AS INT) AS n_bits
+        FROM en
+      )"""
+
+  /** Acoustic fingerprint ([[graft.ext.Multimodal.audioFingerprint]],
+    * Haitsma–Kalker-shaped energy-delta signs over REAL WAV PCM decode).
+    * The oracle replays frame energies and bit packing from the synth
+    * formula — a decoder that misreads channel interleaving or frame
+    * boundaries flips sign bits.
+    */
+  private val audioFpQ = Q(
+    "multimodal_audio_fp",
+    (s, d) => Multimodal.audioFingerprint(
+      Multimodal.wavMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH $sqlAudioFp
+      SELECT doc_id AS media_id, afp, n_bits FROM fp ORDER BY media_id
+    """))
+
+  /** Audio near-dup pairs: the hamming probe with a HARD blocking key —
+    * fingerprints only pair within the same bit-length (clips of very
+    * different durations never collide, and a 9-bit fingerprint's hamming
+    * distance to a 56-bit one is meaningless). Exercises
+    * [[graft.ext.Dedup.hammingNearDupPairs]]'s `blockBy` path; the oracle
+    * is the brute-force equivalent with the same length-equality join key.
+    */
+  private val audioNearDupQ = Q(
+    "dedup_audio_neardup",
+    (s, d) => Dedup.hammingNearDupPairs(
+      Multimodal.audioFingerprint(
+        Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
+      "media_id", "afp", maxDist = 2, bits = 56, blockBy = Seq("n_bits"))
+      .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
+      .orderBy(col("media_a"), col("media_b")),
+    Some(s"""
+      WITH $sqlAudioFp
+      SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             bit_count(xor(a.afp, b.afp)) AS hamming
+      FROM fp a JOIN fp b
+        ON a.doc_id < b.doc_id AND a.n_bits = b.n_bits
+      WHERE bit_count(xor(a.afp, b.afp)) <= 2
+      ORDER BY media_a, media_b
+    """))
+
   /** The composed end-to-end curation pipeline ([[graft.ext.Curation]]):
     * clean → Gopher gate → exact-dedup (keep smallest id, carry group
     * size) → decontaminate vs the eval set. Dirt is synthesized so every
@@ -2687,5 +2822,6 @@ object ExtQueries {
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
-    pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ)
+    pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
+    phashQ, phashNearDupQ, audioFpQ, audioNearDupQ)
 }

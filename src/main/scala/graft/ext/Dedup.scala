@@ -295,7 +295,29 @@ object Dedup {
     * MinHash/LSH path ([[lshCandidatePairs]]), as in [[ngramJaccardPairs]].
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 2,
-      bits: Int = 16, maxBlock: Int = 2000): DataFrame = {
+      bits: Int = 16, maxBlock: Int = 2000): DataFrame =
+    hammingNearDupPairs(simhash(docs, bits), "doc_id", "simhash",
+      maxDist, bits, maxBlock)
+      .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b"))
+
+  /** Generic hamming-ball near-dup probe over any (id, fingerprint) frame —
+    * the shared lookup kernel behind [[simhashNearDupPairs]] (text SimHash),
+    * [[Multimodal.imagePhash]] (image dHash), and
+    * [[Multimodal.audioFingerprint]] (audio energy-delta fingerprints).
+    * Same pigeonhole/cap design as documented above; `hashCol` rows that
+    * are NULL (undecodable media) are excluded up front — a corrupt blob
+    * must never pair with anything. Emits (id_a, id_b, hamming) with
+    * id_a < id_b.
+    *
+    * `blockBy` adds hard blocking keys on top of the pigeonhole blocks —
+    * candidates must match them EXACTLY (fingerprint bit-length, language,
+    * source domain, length bucket). At 100 TB this is how a probe keeps hot
+    * fingerprint values from cross-pairing unrelated cohorts, and it
+    * narrows every (block, value) group before the cap even engages.
+    */
+  def hammingNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bits: Int, maxBlock: Int = 2000,
+      blockBy: Seq[String] = Nil): DataFrame = {
     val nBlocks = maxDist + 1
     val base = bits / nBlocks
     val extra = bits % nBlocks
@@ -303,25 +325,42 @@ object Dedup {
     val shifts = widths.scanLeft(0)(_ + _).init
     val blockCols = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
-        shiftright(col("simhash"), shifts(b))
+        shiftright(col(hashCol), shifts(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
     }
     val members =
-      graft.functions.MinK.longPairs(col("doc_id"), col("simhash"), maxBlock)
+      graft.functions.MinK.longPairs(col(idCol), col(hashCol), maxBlock)
+    // First-match-block emission: a pair within distance maxDist agrees on
+    // t ≥ 1 blocks and would be generated from each — t copies shuffled
+    // into a distinct(). Instead each group emits a pair ONLY if no
+    // EARLIER block's slices also agree (recomputable from the full
+    // fingerprints carried in the member structs), so every pair
+    // materializes exactly once and the distinct() shuffle disappears —
+    // at 26× corpus scale that shuffle was the probe's dominant cost.
+    def blockSlice(v: Column, b: Int): Column =
+      shiftright(v, shifts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    def firstMatch(a: Column, b: Column): Column =
+      (0 until nBlocks).map { bp =>
+        when(lit(bp) >= col("blk"), lit(true))
+          .otherwise(blockSlice(a, bp) =!= blockSlice(b, bp))
+      }.reduce(_ && _)
     val pairs = flatten(transform(col("ms"), (a, i) =>
       transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-        struct(a.getField("k").as("doc_a"), b.getField("k").as("doc_b"),
+        struct(a.getField("k").as("id_a"), b.getField("k").as("id_b"),
           bit_count(a.getField("v").bitwiseXOR(b.getField("v")))
-            .as("hamming")))))
-    simhash(docs, bits)
-      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bv"))
-      .select(col("doc_id"), col("simhash"), col("bv.blk"), col("bv.v"))
-      .groupBy(col("blk"), col("v")).agg(members.as("ms"))
+            .as("hamming"),
+          firstMatch(a.getField("v"), b.getField("v")).as("first")))))
+    val keyCols = blockBy.map(col) ++ Seq(col("blk"), col("v"))
+    hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol) +: col(hashCol) +: blockBy.map(col) :+
+        explode(array(blockCols: _*)).as("bv"): _*)
+      .select(col(idCol) +: col(hashCol) +: blockBy.map(col) :+
+        col("bv.blk") :+ col("bv.v"): _*)
+      .groupBy(keyCols: _*).agg(members.as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(pairs).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
+      .filter(col("p.first") && col("p.hamming") <= maxDist)
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
   }
 
   /** N-gram Jaccard near-dup pairs within blocking keys (lang, source,

@@ -517,4 +517,101 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Integer BT.601-style luma both engines reproduce exactly:
+    * (299·r + 587·g + 114·b) / 1000, floor division.
+    */
+  private def luma(p: Int): Int =
+    (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+
+  /** Perceptual image fingerprint (dHash, public technique: Krawetz
+    * "Kind of Like That", hackerfactor 2013): decode, nearest-neighbor
+    * resample to 8×8, integer luma, then one bit per horizontally adjacent
+    * pair — bit (y·7+x) set iff gray(x+1,y) > gray(x,y) — 56 bits in a
+    * BIGINT (56 keeps the sign bit clear on both engines and matches the
+    * hamming probe's widest block layout). Near-identical images (resize,
+    * recompress, small edits) land within a few bits; pair lookup is
+    * [[Dedup.hammingNearDupPairs]] — banded equality blocks, never
+    * all-pairs, so image corpus dedup scales exactly like text SimHash.
+    * Undecodable blobs fingerprint as NULL (and never pair).
+    * Scan-shaped: per-partition decode, no shuffle.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Pixels.decode(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(img) =>
+            val g = Pixels.resizeNearest(img, 8, 8)
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 7) {
+                if (luma(g.pix(y * 8 + x + 1)) > luma(g.pix(y * 8 + x)))
+                  hash |= 1L << (y * 7 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, hash)
+          case None => Row(id, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Acoustic fingerprint in the Haitsma–Kalker (2002, public paper) shape
+    * reduced to one band: per-frame energy (sum over channels of sample²),
+    * one sign bit per consecutive-frame energy delta — bit i set iff
+    * e(i+1) > e(i), i < min(nFrames−1, 56). Re-encoded/level-shifted copies
+    * of a recording keep the delta signs; pair lookup is the same
+    * [[Dedup.hammingNearDupPairs]] banded probe. Short clips leave high
+    * bits zero — clips of very different lengths rarely collide, which is
+    * the behavior a dedup pipeline wants. NULL on undecodable bytes.
+    */
+  def audioFingerprint(media: DataFrame, maxBits: Int = 56): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType),
+      StructField("n_bits", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Samples.decodeWavPcm(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(a) if a.channels > 0 && a.nFrames > 1 =>
+            val ch = a.channels
+            def energy(f: Int): Long = {
+              var e = 0L
+              var c = 0
+              while (c < ch) {
+                val s = a.pcm(f * ch + c).toLong
+                e += s * s
+                c += 1
+              }
+              e
+            }
+            val nBits = math.min(a.nFrames - 1, maxBits)
+            var hash = 0L
+            var prev = energy(0)
+            var i = 0
+            while (i < nBits) {
+              val cur = energy(i + 1)
+              if (cur > prev) hash |= 1L << i
+              prev = cur
+              i += 1
+            }
+            Row(id, hash, nBits)
+          case _ => Row(id, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Multimodal fingerprint dedup: image dHash + audio energy-delta
+  * fingerprints, and the generalized hamming-ball probe they share with
+  * text SimHash ([[Dedup.hammingNearDupPairs]]).
+  *
+  * The probe's contract is COMPLETENESS under the pigeonhole banding:
+  * below the member cap it must find exactly the pairs brute force finds —
+  * pinned here against an in-test brute-force join, the same shape the
+  * DuckDB oracle uses at sf0.01.
+  */
+class FingerprintSpec extends SparkSpec {
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+  }
+
+  private def bruteForce(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, blockBy: Seq[String] = Nil): Set[(Long, Long, Int)] = {
+    val a = hashed.filter(col(hashCol).isNotNull).select(
+      col(idCol).as("ia") +: col(hashCol).as("ha") +:
+        blockBy.map(c => col(c).as(s"${c}_a")): _*)
+    val b = hashed.filter(col(hashCol).isNotNull).select(
+      col(idCol).as("ib") +: col(hashCol).as("hb") +:
+        blockBy.map(c => col(c).as(s"${c}_b")): _*)
+    val cond = blockBy.foldLeft(col("ia") < col("ib")) {
+      case (c, k) => c && col(s"${k}_a") === col(s"${k}_b")
+    }
+    a.join(b, cond)
+      .select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("d"))
+      .filter(col("d") <= maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("image dHash matches the generative formula on a known vector") {
+    // doc_id 5: w=9, h=9, id%6=5 → grayscale, gray(x,y)=(3x+13y+5)%256.
+    // Sample grid sx = x*9/8, sy = y*9/8; luma of (v,v,v) is v (299+587+114
+    // = 1000). Replay exactly and compare.
+    val id = 5L
+    def gray(x: Int, y: Int): Int = (x * 3 + y * 13 + 5) % 256
+    var expect = 0L
+    for (y <- 0 until 8; x <- 0 until 7) {
+      val sy = y * 9 / 8
+      if (gray((x + 1) * 9 / 8, sy) > gray(x * 9 / 8, sy))
+        expect |= 1L << (y * 7 + x)
+    }
+    val got = Multimodal.imagePhash(
+      Multimodal.bmpMediaFromDocuments(docs(10).filter(col("doc_id") === id)))
+      .collect()
+    assert(got.length === 1 && got(0).getLong(1) === expect)
+  }
+
+  test("probe finds exactly the brute-force image pairs") {
+    val hashed = Multimodal.imagePhash(
+      Multimodal.bmpMediaFromDocuments(docs(150)))
+    val probe = Dedup.hammingNearDupPairs(hashed, "media_id", "phash",
+      maxDist = 2, bits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = bruteForce(hashed, "media_id", "phash", 2)
+    assert(brute.nonEmpty, "test corpus must contain near-dup images")
+    assert(probe === brute)
+  }
+
+  test("audio fingerprints pair only within the same bit-length") {
+    val hashed = Multimodal.audioFingerprint(
+      Multimodal.wavMediaFromDocuments(docs(150)))
+    val probe = Dedup.hammingNearDupPairs(hashed, "media_id", "afp",
+      maxDist = 2, bits = 56, blockBy = Seq("n_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = bruteForce(hashed, "media_id", "afp", 2, Seq("n_bits"))
+    assert(brute.nonEmpty, "test corpus must contain near-dup clips")
+    assert(probe === brute)
+    // the UNBLOCKED probe would cross-pair clips of different lengths
+    // (short fingerprints share zero high bits); blocking must remove them
+    val unblocked = bruteForce(hashed, "media_id", "afp", 2)
+    assert(unblocked.size > brute.size,
+      "blocking by n_bits must prune cross-length pairs")
+  }
+
+  test("undecodable media fingerprint as NULL and never pair") {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    val good = Multimodal.bmpMediaFromDocuments(docs(4))
+    val corrupt = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(100L, "image", Array[Byte](1, 2, 3)),
+        Row(101L, "image", null)),
+      schema)
+    val hashed = Multimodal.imagePhash(good.unionByName(corrupt))
+    val nulls = hashed.filter(col("phash").isNull)
+      .collect().map(_.getLong(0)).toSet
+    assert(nulls === Set(100L, 101L))
+    val pairs = Dedup.hammingNearDupPairs(hashed, "media_id", "phash",
+      maxDist = 10, bits = 56)
+    assert(pairs.filter(col("id_a") >= 100 || col("id_b") >= 100).count() === 0)
+  }
+}

@@ -2513,10 +2513,15 @@ object ExtQueries {
     */
   private val phashNearDupQ = Q(
     "dedup_phash_neardup",
+    // maxBlock 256: the synthetic corpus's identical-hash clusters grow
+    // linearly with corpus size (the hash is periodic in doc_id), so
+    // candidate pairs grow quadratically — the cap bounds per-group pair
+    // work while staying inert at oracle scale (widest (block, value)
+    // group at sf0.01 is 139 members; 1384 at sf0.1 where it engages)
     (s, d) => Dedup.hammingNearDupPairs(
       Multimodal.imagePhash(
         Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
-      "media_id", "phash", maxDist = 2, bits = 56)
+      "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256)
       .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
       .orderBy(col("media_a"), col("media_b")),
     Some(s"""

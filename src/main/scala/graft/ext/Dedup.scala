@@ -344,12 +344,21 @@ object Dedup {
         when(lit(bp) >= col("blk"), lit(true))
           .otherwise(blockSlice(a, bp) =!= blockSlice(b, bp))
       }.reduce(_ && _)
+    // The qualifying-pair gate runs INSIDE the array lambda (higher-order
+    // `filter` before the flatten/explode): candidate pairs that fail the
+    // hamming or first-match test are dropped while still codegen-local
+    // array elements — they never materialize as exploded rows. At 26×
+    // corpus scale candidates outnumber qualifying pairs by orders of
+    // magnitude, so gating pre-explode is the difference between streaming
+    // through a task and allocating hundreds of millions of rows.
     val pairs = flatten(transform(col("ms"), (a, i) =>
-      transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-        struct(a.getField("k").as("id_a"), b.getField("k").as("id_b"),
-          bit_count(a.getField("v").bitwiseXOR(b.getField("v")))
-            .as("hamming"),
-          firstMatch(a.getField("v"), b.getField("v")).as("first")))))
+      filter(
+        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
+          struct(a.getField("k").as("id_a"), b.getField("k").as("id_b"),
+            bit_count(a.getField("v").bitwiseXOR(b.getField("v")))
+              .as("hamming"),
+            firstMatch(a.getField("v"), b.getField("v")).as("first"))),
+        p => p.getField("first") && p.getField("hamming") <= maxDist)))
     val keyCols = blockBy.map(col) ++ Seq(col("blk"), col("v"))
     hashed.filter(col(hashCol).isNotNull)
       .select(col(idCol) +: col(hashCol) +: blockBy.map(col) :+
@@ -359,7 +368,6 @@ object Dedup {
       .groupBy(keyCols: _*).agg(members.as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(pairs).as("p"))
-      .filter(col("p.first") && col("p.hamming") <= maxDist)
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
   }
 

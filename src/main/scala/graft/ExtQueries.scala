@@ -93,6 +93,51 @@ object ExtQueries {
       ORDER BY doc_a, doc_b
     """))
 
+  /** Cross-corpus dedup ([[graft.ext.Dedup.dedupAgainst]]): the new corpus
+    * (doc_id % 3 ≠ 0) deduplicated against the reference corpus
+    * (doc_id % 3 = 0) — digest membership for exact, LSH-bucket membership
+    * for near, no pair expansion anywhere. The oracle replays both
+    * membership tests over the shared signature CTEs. Docs with
+    * doc_id % 41 = 7 carry a shared constant text (41 and 3 are coprime,
+    * so the constant lands on both sides of the split) — the exact arm
+    * provably engages; the corpus's organic near-dups straddling the
+    * split drive the near arm.
+    */
+  private val crossCorpusQ = {
+    val dupText = "cross snapshot boilerplate " +
+      (1 to 40).map(i => s"xdup$i").mkString(" ")
+    val dirtied = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("text",
+        when(col("doc_id") % 41 === 7, lit(dupText)).otherwise(col("text")))
+    val sqlDirty =
+      s"""(SELECT * REPLACE (
+           CASE WHEN doc_id % 41 = 7 THEN '$dupText' ELSE text END AS text)
+           FROM documents)"""
+    Q(
+      "dedup_cross_corpus",
+      (s, d) => Dedup.dedupAgainst(
+        dirtied(Tables.documents(s, d)).filter(col("doc_id") % 3 =!= 0),
+        dirtied(Tables.documents(s, d)).filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH ${sqlSigCtes(sqlDirty)}, $sqlBandsCte,
+        refh AS (SELECT DISTINCT md5(text) AS h FROM $sqlDirty WHERE doc_id % 3 = 0),
+        refb AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 3 = 0),
+        near AS (
+          SELECT DISTINCT b.doc_id FROM bands b
+          JOIN refb r ON b.band = r.band AND b.bucket = r.bucket
+          WHERE b.doc_id % 3 <> 0
+        ), newd AS (
+          SELECT doc_id, md5(text) IN (SELECT h FROM refh) AS exact_dup,
+                 doc_id IN (SELECT doc_id FROM near) AS near_dup
+          FROM $sqlDirty WHERE doc_id % 3 <> 0
+        )
+        SELECT doc_id, exact_dup, near_dup,
+               NOT exact_dup AND NOT near_dup AS keep
+        FROM newd ORDER BY doc_id
+      """))
+  }
+
   /** Connected components over the LSH candidate pairs through the REAL
     * iterative propagation; the oracle computes the same components with a
     * recursive transitive closure — passing proves the fixpoint labeling
@@ -2828,5 +2873,5 @@ object ExtQueries {
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
-    phashQ, phashNearDupQ, audioFpQ, audioNearDupQ)
+    phashQ, phashNearDupQ, audioFpQ, audioNearDupQ, crossCorpusQ)
 }

@@ -269,6 +269,42 @@ object Dedup {
     survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Cross-corpus dedup: flag documents of a NEW corpus that duplicate a
+    * REFERENCE corpus — the incremental-snapshot operator (each new
+    * Common-Crawl dump is deduplicated against the dumps already in the
+    * training set). Verdict per new document: `exact_dup` (content digest
+    * present in the reference), `near_dup` (shares any LSH band bucket
+    * with a reference document), `keep` (neither).
+    *
+    * Scale shape — deliberately NO pair expansion anywhere: exact is a
+    * left-semi join on fixed-width digests (one shuffle each side); near
+    * is a left-semi join of the new corpus's band assignments against the
+    * DISTINCT reference bucket keys — membership, not pairs, so a hot
+    * bucket costs one row, not width². Reference digests/buckets are ~2
+    * short rows per ref doc; for snapshot-vs-snapshot both sides shuffle,
+    * for a small reference set AQE broadcasts the build side.
+    */
+  def dedupAgainst(newDocs: DataFrame, refDocs: DataFrame): DataFrame = {
+    val nd = graft.Tables.fanOut(newDocs)
+    val exactDup = nd.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(refDocs.select(md5(col("text")).as("__h")).distinct(),
+        Seq("__h"), "left_semi")
+      .select(col("doc_id")).withColumn("__e", lit(true))
+    val refBuckets = lshBandAssignments(minhashSignatures(refDocs))
+      .select("band", "bucket").distinct()
+    val nearDup = lshBandAssignments(minhashSignatures(nd))
+      .join(refBuckets, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct().withColumn("__n", lit(true))
+    nd.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__e"), lit(false)).as("exact_dup"),
+        coalesce(col("__n"), lit(false)).as("near_dup"),
+        (!coalesce(col("__e"), lit(false)) && !coalesce(col("__n"), lit(false)))
+          .as("keep"))
+  }
+
   /** SimHash near-dup pairs within hamming distance `maxDist` — the lookup
     * half of the fingerprint (the hamming-ball probe that round 1 left as
     * a comment). Pigeonhole: split the `bits`-wide fingerprint into

@@ -632,6 +632,26 @@ object StreamQueries {
       FROM agg a JOIN last USING (user_id) ORDER BY "userId"
     """))
 
+  /** Ingest-time exact dedup through the REAL flatMapGroupsWithState
+    * update function ([[graft.streaming.StreamDedup]], batch form: state
+    * starts empty, one fold). The oracle replays the verdicts as a
+    * ROW_NUMBER over (digest, event time, id) — rank arithmetic AND the
+    * first-copy choice both under the hash.
+    */
+  private val streamDedupQ = Q(
+    "stream_dedup_ingest",
+    (s, d) => graft.streaming.StreamDedup.verdicts(Tables.events(s, d))
+      .toDF().orderBy(col("eventId")),
+    Some("""
+      SELECT md5(event_type || props) AS digest,
+             event_id AS "eventId",
+             ROW_NUMBER() OVER (PARTITION BY md5(event_type || props)
+               ORDER BY ts, event_id) = 1 AS "isFirst",
+             ROW_NUMBER() OVER (PARTITION BY md5(event_type || props)
+               ORDER BY ts, event_id) AS "nSeen"
+      FROM events ORDER BY "eventId"
+    """))
+
   /** Gap sessionization via the REAL session_window operator; the oracle
     * rebuilds sessions with the islands technique (gap-break flags +
     * running sum).
@@ -760,5 +780,5 @@ object StreamQueries {
     retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
-    protoIngestQ)
+    protoIngestQ, streamDedupQ)
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Exact dedup at INGEST time: drop (or flag) events whose content digest
+  * was already seen, across micro-batches, via flatMapGroupsWithState —
+  * the streaming face of [[graft.ext.Dedup.exact]]. A training-data ingest
+  * keeps the first copy of each document and routes duplicates away; the
+  * per-digest state (first event id, running count) survives restarts via
+  * the checkpoint, and storage is O(distinct content), not O(events).
+  *
+  * Verdict per event: `is_first` (this event is the digest's first
+  * occurrence by event time, ties by id) and `n_seen` (this event's rank
+  * within its digest, 1-based) — so `filter(is_first)` is the deduped
+  * stream and `n_seen` feeds duplicate-rate monitoring.
+  *
+  * Batch form and streaming form share one update function (batch = state
+  * starts empty, one fold), which is what the DuckDB oracle checks: the
+  * verdicts must equal a ROW_NUMBER() OVER (PARTITION BY digest
+  * ORDER BY ts, id) replay.
+  *
+  * At 100 TB-scale ingest the state store is the knob: a real deployment
+  * sets a processing-time timeout (state TTL) so digests age out with the
+  * dedup horizon instead of growing forever; NoTimeout here keeps the
+  * oracle deterministic.
+  */
+object StreamDedup {
+
+  final case class InEvent(digest: String, eventId: Long, atMicros: Long)
+  final case class Verdict(
+      digest: String, eventId: Long, isFirst: Boolean, nSeen: Long)
+  final case class SeenState(firstId: Long, nSeen: Long)
+
+  private def update(
+      key: String, rows: Iterator[InEvent],
+      state: GroupState[SeenState]): Iterator[Verdict] = {
+    var st = state.getOption.getOrElse(SeenState(Long.MinValue, 0L))
+    // fold in event-time order (ties by id) so ranks are deterministic
+    // regardless of shuffle arrival order
+    val out = rows.toSeq.sortBy(e => (e.atMicros, e.eventId)).map { e =>
+      val first = st.nSeen == 0L
+      st = SeenState(if (first) e.eventId else st.firstId, st.nSeen + 1L)
+      Verdict(key, e.eventId, first, st.nSeen)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  private def asKeyed(events: DataFrame): Dataset[InEvent] = {
+    implicit val enc = Encoders.product[InEvent]
+    events.select(
+      md5(concat(col("event_type"), col("props"))).as("digest"),
+      col("event_id").as("eventId"),
+      unix_micros(col("ts")).as("atMicros"))
+      .as[InEvent]
+  }
+
+  /** Batch form: one fold from empty state — the oracle surface. */
+  def verdicts(events: DataFrame): Dataset[Verdict] = {
+    implicit val vEnc = Encoders.product[Verdict]
+    implicit val kEnc = Encoders.STRING
+    implicit val sEnc = Encoders.product[SeenState]
+    asKeyed(events).groupByKey(_.digest)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Streaming form: same update function over a bus; duplicate arrivals in
+    * LATER micro-batches flag is_first = false because the digest's state
+    * persists in the checkpoint.
+    */
+  def verdictsStream(events: DataFrame): Dataset[Verdict] = {
+    implicit val vEnc = Encoders.product[Verdict]
+    implicit val kEnc = Encoders.STRING
+    implicit val sEnc = Encoders.product[SeenState]
+    asKeyed(events).groupByKey(_.digest)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  val outputMode: OutputMode = OutputMode.Append()
+}

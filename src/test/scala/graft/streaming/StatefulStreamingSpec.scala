@@ -148,4 +148,52 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(latest == expected)
     assert(expected.values.sum == 400)
   }
+
+  test("ingest dedup state persists: later micro-batches flag duplicates") {
+    val bus = EventBus(tmp("dbus"))
+    val ckpt = tmp("dck")
+    val raw = Tables.events(spark, sf)
+    val first = raw.filter(col("event_id") < 200)
+    val second = raw.filter(col("event_id") >= 200 && col("event_id") < 400)
+
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Long)]()
+    def runOnce(): Unit = {
+      // the bus streams the EventView shape; map back to the raw-column
+      // contract (type/data carry event_type/props verbatim)
+      val streamed = bus.readStream(spark).select(
+        col("type").as("event_type"), col("data").as("props"),
+        col("time").as("ts"), col("sequence_number").as("event_id"))
+      val q = StreamDedup.verdictsStream(streamed)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamDedup.Verdict], _: Long) =>
+            batch.collect().foreach(v =>
+              acc.put(v.eventId, (v.isFirst, v.nSeen)))
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    bus.append(EventView.fromEventsTable(first))
+    runOnce()
+    bus.append(EventView.fromEventsTable(second))
+    runOnce() // duplicates of first-run digests must NOT flag is_first
+
+    import scala.jdk.CollectionConverters._
+    val got = acc.asScala.toMap
+    // every event got exactly one verdict, equal to the one-shot batch fold
+    // (event time is monotone in event_id, so split order = global order)
+    val expected = StreamDedup.verdicts(first.union(second))
+      .collect().map(v => v.eventId -> ((v.isFirst, v.nSeen))).toMap
+    assert(got == expected)
+    // the dedup is non-vacuous ACROSS the batch boundary: some second-run
+    // event duplicates a first-run digest
+    val crossDups = expected.count { case (id, (f, n)) =>
+      id >= 200 && !f && n <= 200
+    }
+    assert(crossDups > 0, "second batch must contain first-batch duplicates")
+  }
 }

@@ -268,4 +268,30 @@ class PlanSpec extends SparkSpec {
         "array(cast(2.0 as float), cast(3.0 as float))) AS d").head
     assert(row.getDouble(0) == 9.0)
   }
+
+  test("hamming probe shuffles once on the block key — no join, no cartesian") {
+    val hashed = ext.Multimodal.imagePhash(
+      ext.Multimodal.bmpMediaFromDocuments(Tables.documents(spark, sf)))
+    val plan = executedPlan(ext.Dedup.hammingNearDupPairs(
+      hashed, "media_id", "phash", maxDist = 2, bits = 56))
+    // the banding probe is group-then-expand: exactly one exchange (the
+    // (blk, v) groupBy); pair generation happens inside the aggregated
+    // array, so no join node and no cartesian may appear
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"probe must shuffle exactly once:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"probe must not join:\n$plan")
+  }
+
+  test("cross-corpus dedup is membership joins — no pair expansion, no cartesian") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedPlan(ext.Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0)))
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    // both dedup arms are semi joins (digest membership, bucket
+    // membership) — an inner join would materialize pair rows
+    assert(plan.contains("LeftSemi"), s"membership joins lost:\n$plan")
+    assert(!plan.contains("explode(") || !plan.contains("doc_a"),
+      s"pair expansion crept in:\n$plan")
+  }
 }

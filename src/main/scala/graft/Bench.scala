@@ -246,6 +246,7 @@ object Bench {
       "multimodal_pixel_stats", "multimodal_audio_stats", "multimodal_audio_frames",
       "multimodal_jpeg_stats", "multimodal_gzip_text", "multimodal_warc_records",
       "dedup_phash_neardup", "dedup_audio_neardup",
+      "dedup_cross_corpus", "stream_dedup_ingest",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
       "sim_ivfpq_topk", "sim_ivfpq_res_topk", "sim_ivfpq_rerank_topk")

@@ -2578,6 +2578,43 @@ object ExtQueries {
       ORDER BY media_a, media_b
     """))
 
+  /** Transitive image duplicate groups: the phash near-dup pairs through
+    * the REAL [[graft.ext.Dedup.duplicateGroups]] connected-components
+    * labeling (keeper = smallest media_id per component) — the decision
+    * step an image-corpus dedup actually runs (`filter(!is_keeper)` drops).
+    * The oracle recomputes components by recursive transitive closure over
+    * the brute-force pair set.
+    */
+  private val phashGroupsQ = Q(
+    "dedup_phash_groups",
+    (s, d) => Dedup.duplicateGroups(
+      Dedup.hammingNearDupPairs(
+        Multimodal.imagePhash(
+          Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
+        "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256)
+        .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b")))
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH RECURSIVE $sqlPhashGrid,
+      cpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      )
+      SELECT src AS media_id, MIN(dst) AS group_id,
+             src = MIN(dst) AS is_keeper
+      FROM reach GROUP BY src ORDER BY media_id
+    """))
+
   /** Energy-delta sign list replayed from the WAV synth formula: per-frame
     * energy = sum over channels of sample², bit i set iff e(i+1) > e(i),
     * i < min(nf−1, 56).
@@ -2873,5 +2910,5 @@ object ExtQueries {
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
-    phashQ, phashNearDupQ, audioFpQ, audioNearDupQ, crossCorpusQ)
+    phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ)
 }

@@ -2666,10 +2666,19 @@ object ExtQueries {
     */
   private val audioNearDupQ = Q(
     "dedup_audio_neardup",
+    // maxBlock 256: a short fingerprint (n_bits < 19) zeroes the two high
+    // pigeonhole blocks, so its whole same-length cohort shares those
+    // block values and the group width grows linearly with the corpus —
+    // the cap bounds that cohort's pair work (inert at oracle scale:
+    // cohorts are 10 docs at sf0.01). A production audio fingerprint is
+    // fixed-width (pad/truncate to a frame budget), which dissolves the
+    // degenerate blocks entirely; the cap is the guard for this reduced
+    // variable-width shape.
     (s, d) => Dedup.hammingNearDupPairs(
       Multimodal.audioFingerprint(
         Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
-      "media_id", "afp", maxDist = 2, bits = 56, blockBy = Seq("n_bits"))
+      "media_id", "afp", maxDist = 2, bits = 56, maxBlock = 256,
+      blockBy = Seq("n_bits"))
       .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
       .orderBy(col("media_a"), col("media_b")),
     Some(s"""

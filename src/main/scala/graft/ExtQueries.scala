@@ -377,6 +377,54 @@ object ExtQueries {
       WHERE rank <= 5 ORDER BY query_id, rank
     """))
 
+  /** ANN quality measurement ([[graft.ext.Similarity.annRecall]]):
+    * recall@k of the cell-pruned IVF search vs the brute-force ground
+    * truth, per query — the tuning loop an ANN deployment runs before
+    * fixing nprobe/cell count. The oracle recomputes BOTH rankings with
+    * the same tie-breaks and intersects them independently.
+    */
+  private val annRecallQ = Q(
+    "sim_ann_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annRecall(emb, emb.filter(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH bruted AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM bruted
+        ) WHERE rank <= 5
+      ), ivfd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${sqlCos("q", "c")} AS cos
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), approx AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM ivfd
+        ) WHERE rank <= 5
+      ), hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hits
+        FROM approx a JOIN truth t
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY a.query_id
+      )
+      SELECT q.vec_id AS query_id,
+             COALESCE(h.n_hits, 0) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+      FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+      WHERE q.vec_id < 8 ORDER BY query_id
+    """))
+
   /** Full-dim (64) squared-L2 fold between `$e.embedding` and
     * `$c.centroid` — the assign/probe distance the Lloyd chain and the
     * IVF-PQ probe CTE share.
@@ -2913,7 +2961,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ,
-    bruteTopK, ivfTopK, ivfTrain, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
+    bruteTopK, ivfTopK, ivfTrain, annRecallQ, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,

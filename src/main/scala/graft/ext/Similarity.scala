@@ -84,6 +84,29 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
+  /** Per-query recall of the cell-pruned IVF search against the
+    * brute-force ground truth — the measurement a pipeline runs to TUNE
+    * nprobe/cell-count before committing to an index layout (recall@k is
+    * the production quality contract of an ANN deployment). Both arms run
+    * the REAL operators with identical tie-breaks; hits are a left-semi
+    * join on (query, neighbor), so nothing materializes beyond 2·k rows
+    * per query. Queries whose probed cell shares no true neighbor report
+    * recall 0 (the left join keeps them).
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val truth = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** Squared L2 distance as a deterministic left-to-right fold (double
     * widening per element), for oracle bit-parity. Native codegen'd
     * kernel ([[graft.functions.L2Sq]]): the interpreted

@@ -12,9 +12,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the checkpoint, and storage is O(distinct content), not O(events).
   *
   * Verdict per event: `is_first` (this event is the digest's first
-  * occurrence by event time, ties by id) and `n_seen` (this event's rank
-  * within its digest, 1-based) — so `filter(is_first)` is the deduped
-  * stream and `n_seen` feeds duplicate-rate monitoring.
+  * occurrence) and `n_seen` (this event's rank within its digest,
+  * 1-based) — so `filter(is_first)` is the deduped stream and `n_seen`
+  * feeds duplicate-rate monitoring. Ordering semantics: WITHIN a
+  * micro-batch the fold is event-time order (ties by id); ACROSS
+  * micro-batches it is arrival order — first-arrival-wins, the standard
+  * ingest-dedup contract (an exact event-time ordering across batches
+  * would require watermark-delayed emission). Per-invocation group size is
+  * bounded by the micro-batch in streaming; the batch form sees the whole
+  * group, which is what the one-shot oracle replays.
   *
   * Batch form and streaming form share one update function (batch = state
   * starts empty, one fold), which is what the DuckDB oracle checks: the

@@ -145,4 +145,22 @@ class SimilaritySpec extends SparkSpec {
     val maxRank = out.groupBy("query_id").agg(max("rank")).collect()
     maxRank.foreach(r => assert(r.getInt(1) <= 5))
   }
+
+  test("annRecall: every query reports, recall in [0,1], single-cell corpus hits 1.0") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val rec = Similarity.annRecall(emb, queries, k = 3).collect()
+    assert(rec.length === 4, "zero-hit queries must still report")
+    rec.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(2) === r.getLong(1).toDouble / 3)
+    }
+    // when every vector shares one cell, IVF degenerates to brute force
+    // and recall must be exactly 1.0 for every query
+    val oneCell = emb.withColumn("label", lit(0))
+    val full = Similarity.annRecall(oneCell, oneCell.filter(col("vec_id") < 4), 3)
+      .collect()
+    assert(full.forall(_.getDouble(2) == 1.0), "single-cell recall must be 1.0")
+  }
 }

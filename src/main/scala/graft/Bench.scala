@@ -272,7 +272,11 @@ object Bench {
       // r10: the image-dHash probe shares that cap; the synthetic corpus's
       // identical-hash clusters grow linearly with the factor, so 26× is
       // where the member cap must bound the pair expansion
-      "dedup_phash_neardup")
+      "dedup_phash_neardup",
+      // r10: the audio probe's maxBlock=256 engages exactly at 26× (a
+      // same-length cohort is 26×10 = 260 docs) — this row evidences the
+      // short-fingerprint degenerate-block bound holding
+      "dedup_audio_neardup")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +
         // the capped set reads only documents+embeddings — don't spend

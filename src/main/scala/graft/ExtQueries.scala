@@ -2558,11 +2558,11 @@ object ExtQueries {
     * BT.601 luma, one bit per horizontal neighbor pair. `j` linearizes the
     * grid row-major so one list holds the 64 samples.
     */
-  private def sqlPhashGrid: String =
+  private def sqlPhashGrid(where: String = ""): String =
     s"""dims AS (
         SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
                CAST(doc_id % 12 + 4 AS INT) AS h
-        FROM documents
+        FROM documents $where
       ), px AS (
         SELECT doc_id, list_transform(range(0, 64), j ->
           ${sqlPixelStruct("((j % 8) * w // 8)", "((j // 8) * h // 8)")}) AS ps
@@ -2593,7 +2593,7 @@ object ExtQueries {
       Multimodal.bmpMediaFromDocuments(Tables.documents(s, d)))
       .orderBy(col("media_id")),
     Some(s"""
-      WITH $sqlPhashGrid
+      WITH ${sqlPhashGrid()}
       SELECT doc_id AS media_id, phash FROM ph ORDER BY media_id
     """))
 
@@ -2618,7 +2618,7 @@ object ExtQueries {
       .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
       .orderBy(col("media_a"), col("media_b")),
     Some(s"""
-      WITH $sqlPhashGrid
+      WITH ${sqlPhashGrid()}
       SELECT a.doc_id AS media_a, b.doc_id AS media_b,
              bit_count(xor(a.phash, b.phash)) AS hamming
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
@@ -2644,7 +2644,7 @@ object ExtQueries {
       .withColumnsRenamed(Map("doc_id" -> "media_id"))
       .orderBy(col("media_id")),
     Some(s"""
-      WITH RECURSIVE $sqlPhashGrid,
+      WITH RECURSIVE ${sqlPhashGrid()},
       cpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
@@ -2661,6 +2661,52 @@ object ExtQueries {
       SELECT src AS media_id, MIN(dst) AS group_id,
              src = MIN(dst) AS is_keeper
       FROM reach GROUP BY src ORDER BY media_id
+    """))
+
+  /** The composed image-corpus curation pass
+    * ([[graft.ext.Curation.curateMedia]]): decode gate → dHash → banded
+    * near-dup pairs → connected-component groups → keeper verdicts, one
+    * reason per media row. Every 53rd container is truncated to 8 bytes —
+    * a REAL corruption every decoder rejects — so the corrupt arm provably
+    * engages and corrupt rows provably never join a duplicate group. The
+    * oracle replays the fingerprint formula over the intact rows only,
+    * recomputes components by recursive closure, and cases out the same
+    * three verdicts.
+    */
+  private val mediaCurationQ = Q(
+    "pipeline_media_curation",
+    (s, d) => Curation.curateMedia(
+      Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))
+        .withColumn("content",
+          when(col("media_id") % 53 === 0, expr("substring(content, 1, 8)"))
+            .otherwise(col("content"))))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH RECURSIVE ${sqlPhashGrid("WHERE doc_id % 53 <> 0")},
+      cpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), comp AS (
+        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
+      )
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 53 = 0 THEN false
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
+                  ELSE true END AS keep,
+             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
+                  ELSE 'keep' END AS reason
+      FROM documents LEFT JOIN comp ON comp.id = doc_id
+      ORDER BY media_id
     """))
 
   /** Energy-delta sign list replayed from the WAV synth formula: per-frame
@@ -2967,5 +3013,6 @@ object ExtQueries {
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
-    phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ)
+    phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
+    mediaCurationQ)
 }

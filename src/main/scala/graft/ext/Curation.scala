@@ -109,4 +109,32 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("n_copies")),
       unique)
   }
+
+  /** The image-corpus counterpart of [[curate]]: one verdict per media row
+    * through the composed path a multimodal pipeline runs — decode gate
+    * (undecodable bytes → dropped as `corrupt`, they can never pair),
+    * perceptual dHash, banded hamming near-dup pairs, connected-component
+    * grouping, keeper choice (smallest id per group). `keep` = decodable
+    * and not a non-keeper duplicate; `reason` ∈ corrupt / near_dup / keep.
+    * Same scale shape as the pieces: scan-local decode, one block-key
+    * shuffle for pairs, the groups pass — nothing quadratic, nothing
+    * driver-side.
+    */
+  def curateMedia(media: DataFrame, maxDist: Int = 2,
+      maxBlock: Int = 256): DataFrame = {
+    val hashed = Multimodal.imagePhash(media)
+    val pairs = Dedup.hammingNearDupPairs(
+      hashed, "media_id", "phash", maxDist, bits = 56, maxBlock = maxBlock)
+      .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b"))
+    val groups = Dedup.duplicateGroups(pairs)
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+    val keeper = coalesce(col("is_keeper"), lit(true))
+    hashed.join(groups.select(col("media_id"), col("is_keeper")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        (col("phash").isNotNull && keeper).as("keep"),
+        when(col("phash").isNull, "corrupt")
+          .when(!keeper, "near_dup")
+          .otherwise("keep").as("reason"))
+  }
 }

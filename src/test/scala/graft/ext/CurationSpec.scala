@@ -76,4 +76,27 @@ class CurationSpec extends SparkSpec {
       s"LSH stage should collapse near dups: $fuzzyNear vs $exactNear")
     exact.unpersist(); fuzzy.unpersist()
   }
+
+  test("curateMedia: keeper wins, duplicates drop, corrupt twins never group") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    val img = Pixels.bmpBytes(8, 8, 7)
+    // 1 and 2 are bit-identical images (near-dup pair, keeper = 1);
+    // 3 is the SAME image truncated to 8 bytes — corrupt must not ride
+    // its twins' duplicate group (all test images are smooth gradients,
+    // which dHash deliberately judges similar, so distinct-looking
+    // formula images can't serve as a negative control here)
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "image", img), Row(2L, "image", img),
+      Row(3L, "image", java.util.Arrays.copyOf(img, 8))), schema)
+    val got = Curation.curateMedia(media).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) === ((true, "keep")))
+    assert(got(2L) === ((false, "near_dup")))
+    assert(got(3L) === ((false, "corrupt")))
+  }
 }

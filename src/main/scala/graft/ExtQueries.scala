@@ -417,11 +417,16 @@ object ExtQueries {
         FROM approx a JOIN truth t
           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
         GROUP BY a.query_id
+      ), truth_counts AS (
+        SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY query_id
       )
       SELECT q.vec_id AS query_id,
              COALESCE(h.n_hits, 0) AS n_hits,
-             CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5 AS recall
-      FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+             CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+               / GREATEST(COALESCE(tc.n_truth, 0), 1) AS recall
+      FROM embeddings q
+      LEFT JOIN hits h ON h.query_id = q.vec_id
+      LEFT JOIN truth_counts tc ON tc.query_id = q.vec_id
       WHERE q.vec_id < 8 ORDER BY query_id
     """))
 

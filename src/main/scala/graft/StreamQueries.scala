@@ -643,11 +643,11 @@ object StreamQueries {
     (s, d) => graft.streaming.StreamDedup.verdicts(Tables.events(s, d))
       .toDF().orderBy(col("eventId")),
     Some("""
-      SELECT md5(event_type || props) AS digest,
+      SELECT md5(event_type || chr(31) || props) AS digest,
              event_id AS "eventId",
-             ROW_NUMBER() OVER (PARTITION BY md5(event_type || props)
+             ROW_NUMBER() OVER (PARTITION BY md5(event_type || chr(31) || props)
                ORDER BY ts, event_id) = 1 AS "isFirst",
-             ROW_NUMBER() OVER (PARTITION BY md5(event_type || props)
+             ROW_NUMBER() OVER (PARTITION BY md5(event_type || chr(31) || props)
                ORDER BY ts, event_id) AS "nSeen"
       FROM events ORDER BY "eventId"
     """))

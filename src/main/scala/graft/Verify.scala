@@ -49,11 +49,15 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    // exit 0 even on failures — the driver must still harvest the good
-    // dumps + errors.json; the scream is the artifact, not the exit code
-    if (errors.nonEmpty)
+    // All artifacts are written by this point (good dumps + oracle_sql.json
+    // + errors.json), so a red exit code costs the driver nothing and makes
+    // a regression unmissable: scream AND exit non-zero.
+    if (errors.nonEmpty) {
       System.err.println(
         s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

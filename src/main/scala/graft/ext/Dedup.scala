@@ -171,12 +171,20 @@ object Dedup {
     * iterative min-label propagation — each node adopts the smallest label
     * among itself and its neighbors until fixpoint (≤ diameter iterations,
     * O(log n) for typical dup clusters). Every iteration is one shuffle on
-    * the edge key; `localCheckpoint` truncates the growing lineage. The
+    * the edge key; each iteration's frame is re-rooted at an RDD leaf so
+    * the Catalyst plan stays O(1) deep across iterations. The
     * group id is the smallest doc_id in the component — the conventional
     * keeper — so dedup = `filter(!is_keeper)` to drop, or join back for
     * keep-best-by-quality policies.
     */
-  def duplicateGroups(pairs: DataFrame): DataFrame = {
+  def duplicateGroups(pairs: DataFrame): DataFrame =
+    duplicateGroups(pairs, 2000000)
+
+  /** `unionFindMaxEdges` is the single-task union-find cutover (see the
+    * threshold comment below); parameterized so specs can force the
+    * distributed propagation branch on small graphs.
+    */
+  def duplicateGroups(pairs: DataFrame, unionFindMaxEdges: Long): DataFrame = {
     val edgesWide = graft.GraftCache.pin(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -194,7 +202,7 @@ object Dedup {
     // where no single machine holds the node set) take the distributed
     // propagation loop with full parallelism.
     var loopPin: DataFrame = null
-    val labels = if (edgesWide.count() <= 2000000) {
+    val labels = if (edgesWide.count() <= unionFindMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       edgesWide.repartition(1).mapPartitions { it =>
@@ -237,13 +245,24 @@ object Dedup {
           .select(col("id"), col("id").as("comp")))
       var lbl = pinnedLbl
       var changed = 1L
+      val session = pairs.sparkSession
       while (changed > 0) {
         val nbrMin = edgesWide.join(lbl, edgesWide("b") === lbl("id"))
           .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nmin"))
+        val updPlan = lbl.join(nbrMin, lbl("id") === nbrMin("id2"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+        // Re-root each iteration's frame at an RDD leaf: without this the
+        // Catalyst plan nests every prior iteration's join chain, so
+        // analysis/optimization cost grows per iteration — and this branch
+        // is the one that runs at 100 TB, where components can take tens
+        // of iterations. Unlike a localCheckpoint (whose released blocks
+        // are unrecoverable, voiding [[graft.GraftCache]]'s evict-anytime
+        // safety contract), the RDD leaf keeps full recompute lineage
+        // through the persisted parent: evicting any pin at any time still
+        // only costs a recompute, never a failure.
         val upd = graft.GraftCache.pin(
-          lbl.join(nbrMin, lbl("id") === nbrMin("id2"), "left")
-            .select(col("id"), col("comp"),
-              least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2")))
+          session.createDataFrame(updPlan.rdd, updPlan.schema))
         changed = upd.filter(col("comp2") =!= col("comp")).count()
         pinnedLbl.unpersist(blocking = false)
         pinnedLbl = upd
@@ -355,6 +374,19 @@ object Dedup {
     * source domain, length bucket). At 100 TB this is how a probe keeps hot
     * fingerprint values from cross-pairing unrelated cohorts, and it
     * narrows every (block, value) group before the cap even engages.
+    *
+    * Recall caveat when the `maxBlock` cap ENGAGES: first-match-block
+    * emission compounds the cap's documented member drop. If a pair's
+    * first-agreeing block group was capped and dropped one member, every
+    * LATER agreeing group suppresses the pair too (the first-match test
+    * recomputes block agreement from the fingerprints, not group
+    * membership), so the pair is lost even where a later group retains
+    * both members — recall past the cap degrades more than the drop alone.
+    * Inert below the cap (exact vs the brute-force oracle). Lifting it
+    * would need cross-group capped-flags (an extra shuffle on every probe)
+    * for a regime the design already treats as degraded: candidates past
+    * the cap should come from the LSH path, and `blockBy` cohorts are the
+    * first-line fix for cap-engaging degeneracy.
     */
   def hammingNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxDist: Int, bits: Int, maxBlock: Int = 2000,

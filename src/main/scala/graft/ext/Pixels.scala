@@ -16,9 +16,11 @@ package graft.ext
   *
   * This is the pixel-depth layer under [[Multimodal]]'s header-only path:
   * blobs round-trip through actual encoders and parsers, so pixel
-  * statistics and resampling run on REAL decoded bytes. Only JPEG still
-  * stops at header metadata: a DCT codec would slot into the same
-  * per-partition batch signature but isn't in scope here.
+  * statistics and resampling run on REAL decoded bytes. JPEG has its own
+  * real baseline DCT codec in [[Jpeg]] (encode + decode, same
+  * per-partition batch signature); of the supported containers only MP4
+  * remains metadata-plus-sample-table (no video codec), see
+  * [[MediaHeader]].
   */
 object Pixels {
 
@@ -426,8 +428,8 @@ object Pixels {
   // table + image descriptor, pixel indices compressed with GIF-variant
   // LZW (variable 9..12-bit codes, LSB-first bit packing, clear/EOI
   // codes), optional 4-pass interlacing. A REAL dictionary encoder and a
-  // spec decoder — the last zero-dep image family (JPEG's DCT stays
-  // header-only).
+  // spec decoder — with [[Jpeg]]'s baseline DCT codec, this completes the
+  // zero-dep image families.
   // =========================================================================
 
   /** GIF test pattern: a palette INDEX per pixel plus a 256-entry

@@ -92,19 +92,29 @@ object Similarity {
     * join on (query, neighbor), so nothing materializes beyond 2·k rows
     * per query. Queries whose probed cell shares no true neighbor report
     * recall 0 (the left join keeps them).
+    *
+    * The denominator is the PER-QUERY truth count min(k, |truth|), not k:
+    * when the corpus (or a query's eligible set) holds fewer than k true
+    * neighbors, dividing by k would understate recall and a perfect index
+    * could never reach 1.0. A query with an empty truth set divides by 1
+    * (reporting 0 hits / recall 0 — there was nothing to find).
     */
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val truth = bruteTopK(corpus, queries, k)
       .select(col("query_id"), col("neighbor_id"))
+    val truthCounts = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
     val approx = ivfTopK(corpus, queries, k)
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     queries.select(col("vec_id").as("query_id"))
       .join(hits, Seq("query_id"), "left")
+      .join(truthCounts, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_truth"), lit(0L)), lit(1L))).as("recall"))
   }
 
   /** Squared L2 distance as a deterministic left-to-right fold (double

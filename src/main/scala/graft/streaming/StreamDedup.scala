@@ -56,8 +56,11 @@ object StreamDedup {
 
   private def asKeyed(events: DataFrame): Dataset[InEvent] = {
     implicit val enc = Encoders.product[InEvent]
+    // U+001F (unit separator) between fields: without it, boundary-shifted
+    // field pairs (type "ab"/props "c" vs "a"/"bc") collide into one digest
+    // and the non-duplicate event is silently dropped by filter(is_first).
     events.select(
-      md5(concat(col("event_type"), col("props"))).as("digest"),
+      md5(concat_ws("\u001f", col("event_type"), col("props"))).as("digest"),
       col("event_id").as("eventId"),
       unix_micros(col("ts")).as("atMicros"))
       .as[InEvent]
@@ -75,16 +78,11 @@ object StreamDedup {
 
   /** Streaming form: same update function over a bus; duplicate arrivals in
     * LATER micro-batches flag is_first = false because the digest's state
-    * persists in the checkpoint.
+    * persists in the checkpoint. Identical plan to the batch form (the
+    * flatMapGroupsWithState call is stream/batch agnostic), so it
+    * delegates — one body, no drift.
     */
-  def verdictsStream(events: DataFrame): Dataset[Verdict] = {
-    implicit val vEnc = Encoders.product[Verdict]
-    implicit val kEnc = Encoders.STRING
-    implicit val sEnc = Encoders.product[SeenState]
-    asKeyed(events).groupByKey(_.digest)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
-  }
+  def verdictsStream(events: DataFrame): Dataset[Verdict] = verdicts(events)
 
   val outputMode: OutputMode = OutputMode.Append()
 }

@@ -2569,15 +2569,15 @@ object ExtQueries {
                CAST(doc_id % 12 + 4 AS INT) AS h
         FROM documents $where
       ), px AS (
-        SELECT doc_id, list_transform(range(0, 64), j ->
+        SELECT doc_id, w, h, list_transform(range(0, 64), j ->
           ${sqlPixelStruct("((j % 8) * w // 8)", "((j // 8) * h // 8)")}) AS ps
         FROM dims
       ), g AS (
-        SELECT doc_id, list_transform(ps, p ->
+        SELECT doc_id, w, h, list_transform(ps, p ->
           (p.r * 299 + p.g * 587 + p.b * 114) // 1000) AS gs
         FROM px
       ), ph AS (
-        SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), i ->
+        SELECT doc_id, w, h, CAST(list_sum(list_transform(range(0, 56), i ->
           CASE WHEN gs[CAST(i // 7 * 8 + i % 7 + 2 AS INT)]
                     > gs[CAST(i // 7 * 8 + i % 7 + 1 AS INT)]
                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
@@ -2591,6 +2591,8 @@ object ExtQueries {
     * replays resample indices, luma, and bit packing straight from the
     * generative pixel formulas — a decoder that misreads any container, or
     * a resampler off by one source index, flips bits and hash-mismatches.
+    * The decoded (width, height) ride along (the near-dup probes' cohort
+    * keys) and are checked against the dimension formulas too.
     */
   private val phashQ = Q(
     "multimodal_phash",
@@ -2599,34 +2601,41 @@ object ExtQueries {
       .orderBy(col("media_id")),
     Some(s"""
       WITH ${sqlPhashGrid()}
-      SELECT doc_id AS media_id, phash FROM ph ORDER BY media_id
+      SELECT doc_id AS media_id, phash, w AS width, h AS height
+      FROM ph ORDER BY media_id
     """))
 
   /** Image near-dup pairs: the banded hamming-ball probe
     * ([[graft.ext.Dedup.hammingNearDupPairs]]) over the dHash column —
     * equality blocks on fingerprint slices, MinK-capped groups, never
-    * all-pairs. The oracle IS all-pairs (500 docs) — the probe must find
-    * exactly the pairs brute force finds, a completeness check the banded
-    * path can't fake.
+    * all-pairs — cohort-blocked on the decoded (width, height): a pair
+    * must share dimensions, the production blocking key that keeps the
+    * synthetic corpus's hot hash values (periodic in doc_id) from
+    * cross-pairing unrelated dimension cohorts. The oracle IS all-pairs
+    * within cohorts (500 docs) — the probe must find exactly the pairs
+    * cohort brute force finds, a completeness check the banded path can't
+    * fake.
     */
   private val phashNearDupQ = Q(
     "dedup_phash_neardup",
-    // maxBlock 256: the synthetic corpus's identical-hash clusters grow
-    // linearly with corpus size (the hash is periodic in doc_id), so
-    // candidate pairs grow quadratically — the cap bounds per-group pair
-    // work while staying inert at oracle scale (widest (block, value)
-    // group at sf0.01 is 139 members; 1384 at sf0.1 where it engages)
+    // maxBlock 256 is the skew backstop; with the (width, height) cohort
+    // keys it stays INERT through 26× bench scale (widest (w, h, block,
+    // value) group: 9 members at sf0.01, 91 at 10×, 237 at 26×), so the
+    // probe is exact at every measured factor — without the cohort keys
+    // the widest group was 139/1384 and the cap engaged at 10×
     (s, d) => Dedup.hammingNearDupPairs(
       Multimodal.imagePhash(
         Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
-      "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256)
+      "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256,
+      blockBy = Seq("width", "height"))
       .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
       .orderBy(col("media_a"), col("media_b")),
     Some(s"""
       WITH ${sqlPhashGrid()}
       SELECT a.doc_id AS media_a, b.doc_id AS media_b,
              bit_count(xor(a.phash, b.phash)) AS hamming
-      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      FROM ph a JOIN ph b
+        ON a.doc_id < b.doc_id AND a.w = b.w AND a.h = b.h
       WHERE bit_count(xor(a.phash, b.phash)) <= 2
       ORDER BY media_a, media_b
     """))
@@ -2636,7 +2645,8 @@ object ExtQueries {
     * labeling (keeper = smallest media_id per component) — the decision
     * step an image-corpus dedup actually runs (`filter(!is_keeper)` drops).
     * The oracle recomputes components by recursive transitive closure over
-    * the brute-force pair set.
+    * the within-cohort brute-force pair set (same (width, height) blocking
+    * as `dedup_phash_neardup`).
     */
   private val phashGroupsQ = Q(
     "dedup_phash_groups",
@@ -2644,7 +2654,8 @@ object ExtQueries {
       Dedup.hammingNearDupPairs(
         Multimodal.imagePhash(
           Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
-        "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256)
+        "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256,
+        blockBy = Seq("width", "height"))
         .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b")))
       .withColumnsRenamed(Map("doc_id" -> "media_id"))
       .orderBy(col("media_id")),
@@ -2652,7 +2663,8 @@ object ExtQueries {
       WITH RECURSIVE ${sqlPhashGrid()},
       cpairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        FROM ph a JOIN ph b
+          ON a.doc_id < b.doc_id AND a.w = b.w AND a.h = b.h
         WHERE bit_count(xor(a.phash, b.phash)) <= 2
       ), edges AS (
         SELECT doc_a AS a, doc_b AS b FROM cpairs

@@ -539,7 +539,13 @@ object Multimodal {
   def imagePhash(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("phash", LongType)))
+      StructField("phash", LongType),
+      // decoded container dimensions ride along as probe cohort keys: the
+      // near-dup queries block on (width, height) so hot dHash values
+      // (the synthetic corpus's hash is periodic in id) can't cross-pair
+      // unrelated dimension cohorts — see [[Dedup.hammingNearDupPairs]]
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
@@ -559,8 +565,8 @@ object Multimodal {
               }
               y += 1
             }
-            Row(id, hash)
-          case None => Row(id, null)
+            Row(id, hash, img.width, img.height)
+          case None => Row(id, null, null, null)
         }
       }
     }(Encoders.row(outSchema))

@@ -68,6 +68,23 @@ class FingerprintSpec extends SparkSpec {
     assert(probe === brute)
   }
 
+  test("image probe blocked on decoded dims finds the within-cohort pairs") {
+    val hashed = Multimodal.imagePhash(
+      Multimodal.bmpMediaFromDocuments(docs(150)))
+    val probe = Dedup.hammingNearDupPairs(hashed, "media_id", "phash",
+      maxDist = 2, bits = 56, blockBy = Seq("width", "height"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = bruteForce(hashed, "media_id", "phash", 2,
+      Seq("width", "height"))
+    assert(brute.nonEmpty, "test corpus must contain same-dim near-dups")
+    assert(probe === brute)
+    // the cohort keys must actually prune: unblocked brute force pairs
+    // hot hash values across dimension cohorts
+    val unblocked = bruteForce(hashed, "media_id", "phash", 2)
+    assert(unblocked.size > brute.size,
+      "blocking by dims must prune cross-dimension pairs")
+  }
+
   test("audio fingerprints pair only within the same bit-length") {
     val hashed = Multimodal.audioFingerprint(
       Multimodal.wavMediaFromDocuments(docs(150)))

@@ -26,6 +26,35 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
   */
 object Bench {
 
+  /** Untimed diagnostics for the hamming-probe queries: the
+    * (blockBy, block, value) group-width histograms
+    * ([[graft.ext.Dedup.probeGroupHistogram]]) that land in the round's
+    * `bench_detail_r<N>.json`, so a superlinear-looking scale ratio can be
+    * attributed — demanded pair growth (corpus degeneracy) vs engine
+    * growth vs the cap engaging. Keys match `SparkEntry.queries` names and
+    * mirror those queries' probe parameters exactly.
+    */
+  private val probeHistograms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import graft.ext.{Dedup, Multimodal}
+    Map(
+      "dedup_phash_neardup" -> ((s: SparkSession, d: String) =>
+        Dedup.probeGroupHistogram(
+          Multimodal.imagePhash(
+            Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
+          "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256,
+          blockBy = Seq("width", "height"))),
+      "dedup_audio_neardup" -> ((s: SparkSession, d: String) =>
+        Dedup.probeGroupHistogram(
+          Multimodal.audioFingerprint(
+            Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
+          "media_id", "afp", maxDist = 2, bits = 56, maxBlock = 256,
+          blockBy = Seq("n_bits"))),
+      "dedup_simhash_neardup" -> ((s: SparkSession, d: String) =>
+        Dedup.probeGroupHistogram(
+          Dedup.simhash(Tables.documents(s, d), 32),
+          "doc_id", "simhash", maxDist = 2, bits = 32, maxBlock = 2000)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -58,7 +87,8 @@ object Bench {
       .filterNot(o => o.startsWith("-agentlib") || o.startsWith("-javaagent"))
     val qTimes = ArrayBuffer.empty[(String, Double)]
     val failed = LinkedHashSet.empty[String]
-    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double)]
+    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double, Double, Double)]
+    val histRows = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val outF = java.nio.file.Files.createTempFile(s"graft_chunk${i}_", ".tsv")
       val logF = java.nio.file.Files.createTempFile(s"graft_chunk${i}_", ".log")
@@ -82,8 +112,10 @@ object Bench {
         line.split("\t") match {
           case Array("Q", n, s) => qTimes += (n -> s.toDouble); reported += n
           case Array("F", n) => failed += n
-          case Array("S", tag, fac, n, r) =>
-            scaleRows += ((tag, fac.toInt, n, r.toDouble))
+          case Array("S", tag, fac, n, r, sec, base) =>
+            scaleRows += ((tag, fac.toInt, n, r.toDouble, sec.toDouble, base.toDouble))
+          case Array("H", tag, n, lw, ng, mw, up, cp) =>
+            histRows += ((tag, n, lw.toInt, ng.toLong, mw.toLong, up.toLong, cp.toLong))
           case _ => ()
         }
       }
@@ -97,7 +129,62 @@ object Bench {
       else Some(s""","$tag":{"factor":${rows.head._2},"ratios":${rows
         .map(r => f""""${r._3}":${r._4}%.2f""").mkString("{", ",", "}")}}""")
     }.mkString
+    writeDetail(qTimes.toSeq, failed, scaleRows.toSeq, histRows.toSeq, sfDir)
     emitFinal(qTimes.toSeq, failed, scaleJson, sfDir)
+  }
+
+  /** The committed per-round artifact the 2000-char stdout tail can't
+    * carry: EVERY query's seconds, the full scale rows (ratio + raw
+    * seconds + base), and the probe group-width histograms. Written to the
+    * working directory as `bench_detail_r<N>.json`; N comes from
+    * `SPARK_GRAFT_ROUND` or, failing that, max existing `BENCH_r<k>.json`
+    * + 1 (the round whose BENCH file the driver is about to write).
+    * Cross-round per-query regression tracking reads these files — the
+    * stdout headline line is unchanged.
+    */
+  private def writeDetail(resultSeq: Seq[(String, Double)],
+      failed: LinkedHashSet[String],
+      scaleRows: Seq[(String, Int, String, Double, Double, Double)],
+      histRows: Seq[(String, String, Int, Long, Long, Long, Long)],
+      sfDir: String): Unit = try {
+    val round = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val existing = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (existing.isEmpty) "0" else (existing.max + 1).toString
+    }
+    val sb = new StringBuilder
+    sb ++= s"""{"round":$round,"sf":"$sfDir","""
+    sb ++= f""""total":${resultSeq.map(_._2).sum}%.3f,"""
+    sb ++= s""""n_queries":${resultSeq.size},"""
+    sb ++= s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+    sb ++= resultSeq.sortBy(-_._2)
+      .map { case (n, s) => f""""$n":$s%.3f""" }
+      .mkString("\"queries\":{", ",", "},")
+    val scaleJson = Seq("scale", "scale26").map { tag =>
+      val rows = scaleRows.filter(_._1 == tag)
+      val entries = rows.map(r =>
+        f""""${r._3}":{"ratio":${r._4}%.2f,"sec":${r._5}%.3f,"base":${r._6}%.3f}""")
+      s""""$tag":{${rows.headOption.map(r => s""""factor":${r._2},""").getOrElse("")}"rows":${entries.mkString("{", ",", "}")}}"""
+    }.mkString(",")
+    sb ++= scaleJson
+    val histJson = histRows.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (q, rows) =>
+        val byTag = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (tag, hs) =>
+          val buckets = hs.sortBy(_._3).map(h =>
+            s"""{"log2_width":${h._3},"n_groups":${h._4},"max_width":${h._5},"uncapped_pairs":${h._6},"capped_pairs":${h._7}}""")
+          s""""$tag":${buckets.mkString("[", ",", "]")}"""
+        }
+        s""""$q":{${byTag.mkString(",")}}"""
+    }
+    sb ++= s""","probe_group_histograms":{${histJson.mkString(",")}}}"""
+    val path = java.nio.file.Paths.get(s"bench_detail_r$round.json")
+    java.nio.file.Files.writeString(path, sb.toString)
+    System.err.println(s"[bench] wrote ${path.toAbsolutePath}")
+  } catch { case e: Throwable =>
+    // the detail artifact must never kill the bench line the driver parses
+    System.err.println(s"[bench] detail write failed: ${e.getMessage}")
   }
 
   /** The measured loop: one Spark session, `only`-selected queries, scale
@@ -182,7 +269,7 @@ object Bench {
     // Caveat when diffing round-over-round: a ratio whose BASE is under
     // ~0.5 s is overhead-dominated (±0.3 s of scheduler/GC jitter swings
     // it severalfold); judge those by the absolute stderr timings instead.
-    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double)]
+    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double, Double, Double)]
     def scaleSection(tag: String, factor: Int, names: Seq[String],
         tables: Set[String] = ScaleData.AllTables): String = {
       // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
@@ -221,7 +308,7 @@ object Bench {
             // (documented caveat above) and spends ~30 chars saying
             // nothing — those stay stderr-only (VERDICT r8 #9 line budget)
             if (base >= 0.5) {
-              scaleRows += ((tag, factor, n, ratio))
+              scaleRows += ((tag, factor, n, ratio, sec, base))
               Some(f""""$n":$ratio%.2f""")
             } else None
           }
@@ -283,6 +370,30 @@ object Bench {
         // bench wall-time writing a 26× lineitem/events nobody opens
         scaleSection("scale26", factor26, cappedSet,
           tables = Set("documents", "embeddings"))
+    // Untimed probe diagnostics for the detail artifact: group-width
+    // histograms at base SF and at every scale corpus this run actually
+    // synthesized (marker check — a SPARK_GRAFT_ONLY run without the probe
+    // queries must not pay corpus synthesis here).
+    val histRows = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
+    def histAt(tag: String, dir: String, names: Seq[String]): Unit =
+      probeHistograms.keys.toSeq.sorted
+        .filter(n => names.contains(n) && (only.isEmpty || only(n)))
+        .foreach { n =>
+          try probeHistograms(n)(spark, dir).collect().foreach { r =>
+            histRows += ((tag, n, r.getInt(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+          }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] histogram $tag:$n failed: ${e.getMessage}")
+          }
+          GraftSession.sweepPersisted(spark)
+        }
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    histAt("base", sfDir, scaleSet)
+    if (factor > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor}x/_synth.ok").exists)
+      histAt("scale", s"$tmpDir/graft_scale_${factor}x", scaleSet)
+    if (factor26 > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor26}x/_synth.ok").exists)
+      histAt("scale26", s"$tmpDir/graft_scale_${factor26}x", cappedSet)
     resultSeq.foreach { case (n, s) =>
       System.err.println(f"""[bench-detail] "$n":$s""")
     }
@@ -295,11 +406,19 @@ object Bench {
         val sb = new StringBuilder
         resultSeq.foreach { case (n, s) => sb ++= f"Q\t$n\t$s%.4f\n" }
         failed.foreach(n => sb ++= s"F\t$n\n")
-        scaleRows.foreach { case (tag, fac, n, r) =>
-          sb ++= f"S\t$tag\t$fac\t$n\t$r%.4f\n"
+        scaleRows.foreach { case (tag, fac, n, r, sec, base) =>
+          sb ++= f"S\t$tag\t$fac\t$n\t$r%.4f\t$sec%.4f\t$base%.4f\n"
+        }
+        histRows.foreach { case (tag, n, lw, ng, mw, up, cp) =>
+          sb ++= s"H\t$tag\t$n\t$lw\t$ng\t$mw\t$up\t$cp\n"
         }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
       case None =>
+        // standalone full run (SPARK_GRAFT_CHUNK=0, no filter): write the
+        // same detail artifact the chunked coordinator writes; a filtered
+        // hand-run iteration loop must not clobber the round's artifact
+        if (only.isEmpty)
+          writeDetail(resultSeq, failed, scaleRows.toSeq, histRows.toSeq, sfDir)
         emitFinal(resultSeq, failed, scaleJson, sfDir)
     }
     spark.stop()

@@ -1985,6 +1985,100 @@ object ExtQueries {
       FROM m ORDER BY media_id
     """))
 
+  /** Real MP4 sample-table walk ([[graft.ext.Multimodal.mp4Samples]]):
+    * stts/stsc/stsz/stco/stss resolved to per-sample byte ranges, with a
+    * checksum SLICED FROM THE BLOB ITSELF over each declared range — so a
+    * walker that mis-assembles chunk offsets or sample sizes reads the
+    * wrong bytes and hash-mismatches. The oracle recomputes every column
+    * from the synthesizer's closed forms (sizes, two-run chunk map, header
+    * size 412 + 4n + 4c + 4k, payload byte (p·7 + id) mod 256) without
+    * touching the container.
+    */
+  private val mp4SamplesQ = Q(
+    "multimodal_mp4_samples",
+    (s, d) => Multimodal.mp4Samples(
+      Multimodal.mp4MediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id"), col("sample_idx")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(doc_id % 24 + 8 AS BIGINT) AS n FROM documents
+      ), s AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+      ), sz AS (
+        SELECT doc_id, n, i,
+               200 + (doc_id * 31 + i * 17) % 120
+                   + CASE WHEN i % 8 = 0 THEN 600 ELSE 0 END AS sz
+        FROM s
+      ), base AS (
+        SELECT doc_id, n, i, sz,
+               412 + 4 * n
+                 + 4 * (CASE WHEN n <= 12 THEN (n + 5) // 6
+                             ELSE 2 + (n - 12 + 3) // 4 END)
+                 + 4 * ((n + 7) // 8)
+                 + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+        FROM sz
+      )
+      SELECT doc_id AS media_id,
+             CAST(i + 1 AS INT) AS sample_idx,
+             CAST(CASE WHEN i < 12 THEN i // 6 + 1
+                       ELSE (i - 12) // 4 + 3 END AS INT) AS chunk_idx,
+             CAST(off AS BIGINT) AS "offset",
+             CAST(sz AS BIGINT) AS size,
+             i * 40 AS time_ms,
+             CAST(40 AS BIGINT) AS dur_ms,
+             i % 8 = 0 AS sync,
+             CAST(list_sum(list_transform(
+               range(CAST(off AS BIGINT), CAST(off + sz AS BIGINT)),
+               p -> (p * 7 + doc_id) % 256)) AS BIGINT) AS checksum
+      FROM base ORDER BY media_id, sample_idx
+    """))
+
+  /** Codec-free keyframe detection ([[graft.ext.Multimodal.mp4Keyframes]]):
+    * a sample ≥ 2× the mean of its ≤4 predecessors is a size spike —
+    * I-frames are bigger than deltas, the shot-boundary primitive for
+    * containers without an stss box. Emitted beside the stss truth bit
+    * (`agree` measures the heuristic) plus a running shot id. The oracle
+    * replays the size formula and the integer cross-multiplied window
+    * rule.
+    */
+  private val mp4KeyframesQ = Q(
+    "multimodal_mp4_keyframes",
+    (s, d) => Multimodal.mp4Keyframes(
+      Multimodal.mp4MediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id"), col("sample_idx")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(doc_id % 24 + 8 AS BIGINT) AS n FROM documents
+      ), s AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+      ), sz AS (
+        SELECT doc_id, i,
+               CAST(200 + (doc_id * 31 + i * 17) % 120
+                   + CASE WHEN i % 8 = 0 THEN 600 ELSE 0 END AS BIGINT) AS sz
+        FROM s
+      ), sp AS (
+        SELECT doc_id, i, sz,
+               i = 0 OR sz * COALESCE(COUNT(sz) OVER w4, 0)
+                        >= 2 * COALESCE(SUM(sz) OVER w4, 0) AS spike
+        FROM sz
+        WINDOW w4 AS (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT doc_id AS media_id,
+             CAST(i + 1 AS INT) AS sample_idx,
+             sz AS size,
+             i % 8 = 0 AS sync,
+             spike,
+             (i % 8 = 0) = spike AS agree,
+             CAST(SUM(CASE WHEN spike THEN 1 ELSE 0 END) OVER
+               (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS shot_id
+      FROM sp ORDER BY media_id, sample_idx
+    """))
+
   /** Fit-within-640x360 resize planning over the decoded image/video
     * dimensions — integer cross-multiplication picks the limiting axis, so
     * target dims are bit-identical in any engine.
@@ -3031,5 +3125,5 @@ object ExtQueries {
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
-    mediaCurationQ)
+    mediaCurationQ, mp4SamplesQ, mp4KeyframesQ)
 }

@@ -444,6 +444,41 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
   }
 
+  /** Diagnostic for [[hammingNearDupPairs]]: the (blockBy, block, value)
+    * group-width distribution, bucketed by ⌊log₂(width)⌋. This is the
+    * instrument that separates output growth from engine growth when a
+    * probe's scale ratio looks superlinear: `uncapped_pairs` is the pair
+    * work the corpus DEMANDS (sum of width·(width−1)/2), `capped_pairs`
+    * what the `maxBlock` cap admits — a gap between them is the cap
+    * engaging, identical columns mean the probe ran exact. One scan + one
+    * aggregation; never materializes pairs.
+    */
+  def probeGroupHistogram(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bits: Int, maxBlock: Int = 2000,
+      blockBy: Seq[String] = Nil): DataFrame = {
+    val nBlocks = maxDist + 1
+    val base = bits / nBlocks
+    val extra = bits % nBlocks
+    val widths = Seq.tabulate(nBlocks)(b => if (b < extra) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    val blockCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col(hashCol), shifts(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
+    }
+    val keyCols = blockBy.map(col) ++ Seq(col("blk"), col("v"))
+    val capped = least(col("n"), lit(maxBlock.toLong))
+    hashed.filter(col(hashCol).isNotNull)
+      .select(blockBy.map(col) :+ explode(array(blockCols: _*)).as("bv"): _*)
+      .select(blockBy.map(col) :+ col("bv.blk") :+ col("bv.v"): _*)
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+      .groupBy(floor(log(2.0, col("n"))).cast("int").as("log2_width"))
+      .agg(count(lit(1)).as("n_groups"), max(col("n")).as("max_width"),
+        sum(col("n") * (col("n") - 1) / 2).cast("long").as("uncapped_pairs"),
+        sum(capped * (capped - 1) / 2).cast("long").as("capped_pairs"))
+      .orderBy(col("log2_width"))
+  }
+
   /** N-gram Jaccard near-dup pairs within blocking keys (lang, source,
     * length bucket). Blocking turns the O(n²) pair space into
     * sum-of-block² — at 100 TB the blocks are the shuffle partitions and

@@ -348,6 +348,97 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Media table of REAL ISO-BMFF blobs WITH sample tables
+    * ([[MediaHeader.mp4BytesWithSamples]]): stts/stsc/stsz/stco/stss plus
+    * an mdat whose payload actually occupies the declared ranges. Every
+    * table value is a closed-form function of the id (sample count
+    * id % 24 + 8, sizes via [[MediaHeader.sampleSize]] with seed = id), so
+    * the oracle replays offsets and payload checksums independently.
+    */
+  def mp4MediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("media_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, "video", MediaHeader.mp4BytesWithSamples(
+          (id % 32 + 16).toInt, (id % 24 + 16).toInt, id, (id % 24 + 8).toInt))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Resolve every sample of every MP4 to its REAL byte range via the
+    * stbl walk ([[MediaHeader.decodeMp4Samples]]) and PROVE the ranges are
+    * real by slicing the blob: `checksum` is the byte sum of the sample's
+    * declared range read from the container itself (null when the range
+    * falls outside the stored blob — the header-only-truncation case).
+    * This is the map a frame-sampling pipeline needs to read actual frame
+    * bytes from object storage instead of guessing timestamps; scan-local
+    * per-partition batch shape, no shuffle, blobs never leave their
+    * partitions. Undecodable containers contribute no rows.
+    */
+  def mp4Samples(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("chunk_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("size", LongType),
+      StructField("time_ms", LongType),
+      StructField("dur_ms", LongType),
+      StructField("sync", BooleanType),
+      StructField("checksum", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        MediaHeader.decodeMp4Samples(bytes).toSeq.flatten.map { s =>
+          val checksum =
+            if (s.offset >= 0 && s.offset + s.size <= bytes.length) {
+              var sum = 0L
+              var p = s.offset.toInt
+              val end = (s.offset + s.size).toInt
+              while (p < end) { sum += bytes(p) & 0xff; p += 1 }
+              java.lang.Long.valueOf(sum)
+            } else null
+          Row(id, s.sampleIdx, s.chunkIdx, s.offset, s.size, s.timeMs,
+            s.durMs, s.sync, checksum)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Keyframe detection WITHOUT a codec: I-frames are bigger than delta
+    * frames, so a sample whose size is ≥ 2× the mean of its (up to 4)
+    * preceding samples is flagged as a spike — the shot-boundary primitive
+    * for containers with no stss box. Integer cross-multiplied compare
+    * (size·window ≥ 2·windowSum), window via a bounded frame over the
+    * existing per-sample rows — one shuffle on media_id, nothing
+    * quadratic. Emits the stss truth bit alongside so recall of the
+    * heuristic is measurable (`agree`), and a running `shot_id` per clip
+    * (cumulative spike count — the shot segmentation consumers join on).
+    */
+  def mp4Keyframes(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("sample_idx"))
+    val prev = w.rowsBetween(-4, -1)
+    val spike = col("sample_idx") === 1 ||
+      col("size") * count(col("size")).over(prev) >=
+        sum(col("size")).over(prev) * 2
+    mp4Samples(media)
+      .select(col("media_id"), col("sample_idx"), col("size"), col("sync"),
+        spike.as("spike"))
+      .withColumn("agree", col("sync") === col("spike"))
+      .withColumn("shot_id",
+        sum(when(col("spike"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** REAL sample decode + integer audio statistics, per-partition batch
     * shape: parse each PCM WAV (RIFF chunks, interleaved LE frames — the
     * actual container layout), then fold |s| / s² sums, peak, channel-0

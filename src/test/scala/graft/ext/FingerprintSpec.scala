@@ -101,6 +101,29 @@ class FingerprintSpec extends SparkSpec {
       "blocking by n_bits must prune cross-length pairs")
   }
 
+  test("probe group histogram separates demanded pairs from capped pairs") {
+    val hashed = Multimodal.imagePhash(
+      Multimodal.bmpMediaFromDocuments(docs(150)))
+    // maxBlock=2 < the corpus's widest dims-blocked group (4 members at
+    // 150 docs) so the cap provably engages in the histogram's arithmetic
+    val rows = Dedup.probeGroupHistogram(hashed, "media_id", "phash",
+      maxDist = 2, bits = 56, maxBlock = 2,
+      blockBy = Seq("width", "height")).collect()
+    assert(rows.nonEmpty)
+    val (uncapped, capped) =
+      (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(rows.exists(r => r.getLong(2) > 2),
+      "test corpus must contain a group wider than the cap")
+    assert(uncapped > capped,
+      s"a wider-than-cap group must show uncapped $uncapped > capped $capped")
+    // sanity on the bucketing: every group falls in the bucket its
+    // max_width claims (max_width < 2^(log2_width+1))
+    rows.foreach { r =>
+      assert(r.getLong(2) < (2L << r.getInt(0)),
+        s"max_width ${r.getLong(2)} outside bucket log2=${r.getInt(0)}")
+    }
+  }
+
   test("undecodable media fingerprint as NULL and never pair") {
     val schema = StructType(Seq(
       StructField("media_id", LongType),

@@ -2712,11 +2712,14 @@ object ExtQueries {
     */
   private val phashNearDupQ = Q(
     "dedup_phash_neardup",
-    // maxBlock 256 is the skew backstop; with the (width, height) cohort
-    // keys it stays INERT through 26× bench scale (widest (w, h, block,
-    // value) group: 9 members at sf0.01, 91 at 10×, 237 at 26×), so the
-    // probe is exact at every measured factor — without the cohort keys
-    // the widest group was 139/1384 and the cap engaged at 10×
+    // maxBlock 256 is the skew backstop. With the (width, height) cohort
+    // keys the widest (w, h, block, value) group is 9 members at sf0.01
+    // (cap inert — the oracle compare is exact) and 92 at sf0.1 base; on
+    // the SYNTHESIZED 10×/26× bench corpora identical-hash clusters still
+    // grow linearly with the copies (≈920/2380 wide), so there the cap
+    // engages and bounds pair work — the bench-detail histograms report
+    // demanded vs admitted pairs per width bucket (10×: 21.5M demanded,
+    // 6.3M admitted; ratio 7.3 vs 23.15 before the cohort keys)
     (s, d) => Dedup.hammingNearDupPairs(
       Multimodal.imagePhash(
         Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),

@@ -49,6 +49,12 @@ object Bench {
             Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
           "media_id", "afp", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("n_bits"))),
+      "dedup_video_neardup" -> ((s: SparkSession, d: String) =>
+        Dedup.probeGroupHistogram(
+          Multimodal.videoFingerprint(
+            Multimodal.mp4MediaFromDocuments(Tables.documents(s, d))),
+          "media_id", "vfp", maxDist = 2, bits = 56, maxBlock = 256,
+          blockBy = Seq("n_bits"))),
       "dedup_simhash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Dedup.simhash(Tables.documents(s, d), 32),
@@ -332,7 +338,8 @@ object Bench {
       "text_tfidf", "text_lm_score", "dedup_url", "sample_domain_cap",
       "multimodal_pixel_stats", "multimodal_audio_stats", "multimodal_audio_frames",
       "multimodal_jpeg_stats", "multimodal_gzip_text", "multimodal_warc_records",
-      "dedup_phash_neardup", "dedup_audio_neardup",
+      "dedup_phash_neardup", "dedup_audio_neardup", "dedup_video_neardup",
+      "multimodal_mp4_samples", "multimodal_mp4_keyframes",
       "dedup_cross_corpus", "stream_dedup_ingest",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
@@ -363,7 +370,11 @@ object Bench {
       // r10: the audio probe's maxBlock=256 engages exactly at 26× (a
       // same-length cohort is 26×10 = 260 docs) — this row evidences the
       // short-fingerprint degenerate-block bound holding
-      "dedup_audio_neardup")
+      "dedup_audio_neardup",
+      // r11: the video size-delta probe shares the audio shape (n_bits
+      // cohorts, linear identical-fingerprint clusters on the synthetic
+      // corpus) — 26× evidences its cap too
+      "dedup_video_neardup")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +
         // the capped set reads only documents+embeddings — don't spend

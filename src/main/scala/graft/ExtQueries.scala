@@ -2849,6 +2849,70 @@ object ExtQueries {
         FROM en
       )"""
 
+  /** Sample-size sequence per clip, then one sign bit per consecutive
+    * delta — the video fingerprint's closed form (mirrors
+    * [[graft.ext.Multimodal.videoFingerprint]] over
+    * [[graft.ext.MediaHeader.sampleSize]]).
+    */
+  private def sqlVideoFp: String =
+    """vd AS (
+        SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS n FROM documents
+      ), vsz AS (
+        SELECT doc_id, n, list_transform(range(0, n), i ->
+          CAST(200 + (doc_id * 31 + i * 17) % 120
+               + CASE WHEN i % 8 = 0 THEN 600 ELSE 0 END AS BIGINT)) AS ss
+        FROM vd
+      ), vfp AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, least(n - 1, 56)), i ->
+            CASE WHEN ss[CAST(i + 2 AS INT)] > ss[CAST(i + 1 AS INT)]
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+            AS BIGINT) AS vfp,
+          CAST(least(n - 1, 56) AS INT) AS n_bits
+        FROM vsz
+      )"""
+
+  /** Codec-free video fingerprint
+    * ([[graft.ext.Multimodal.videoFingerprint]]): sign bits over the stbl
+    * walk's consecutive sample sizes — the size pattern of an encoded
+    * stream survives remuxing, which is what clip-level dedup keys on. The
+    * oracle replays sizes and bit packing from the synthesizer's closed
+    * form; a walker that misorders chunks or misreads stsz flips bits.
+    */
+  private val videoFpQ = Q(
+    "multimodal_video_fp",
+    (s, d) => Multimodal.videoFingerprint(
+      Multimodal.mp4MediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH $sqlVideoFp
+      SELECT doc_id AS media_id, vfp, n_bits FROM vfp ORDER BY media_id
+    """))
+
+  /** Video clip near-dup pairs: the shared hamming-ball probe over the
+    * size-delta fingerprints, cohort-blocked on fingerprint bit-length
+    * (clips of different sample counts never cross-pair — the audio
+    * query's contract). Oracle = brute force within cohorts.
+    */
+  private val videoNearDupQ = Q(
+    "dedup_video_neardup",
+    (s, d) => Dedup.hammingNearDupPairs(
+      Multimodal.videoFingerprint(
+        Multimodal.mp4MediaFromDocuments(Tables.documents(s, d))),
+      "media_id", "vfp", maxDist = 2, bits = 56, maxBlock = 256,
+      blockBy = Seq("n_bits"))
+      .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
+      .orderBy(col("media_a"), col("media_b")),
+    Some(s"""
+      WITH $sqlVideoFp
+      SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             bit_count(xor(a.vfp, b.vfp)) AS hamming
+      FROM vfp a JOIN vfp b
+        ON a.doc_id < b.doc_id AND a.n_bits = b.n_bits
+      WHERE bit_count(xor(a.vfp, b.vfp)) <= 2
+      ORDER BY media_a, media_b
+    """))
+
   /** Acoustic fingerprint ([[graft.ext.Multimodal.audioFingerprint]],
     * Haitsma–Kalker-shaped energy-delta signs over REAL WAV PCM decode).
     * The oracle replays frame energies and bit packing from the synth
@@ -3128,5 +3192,5 @@ object ExtQueries {
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
-    mediaCurationQ, mp4SamplesQ, mp4KeyframesQ)
+    mediaCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ)
 }

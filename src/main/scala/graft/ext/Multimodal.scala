@@ -413,6 +413,42 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Clip-level video fingerprint WITHOUT a codec: one sign bit per
+    * consecutive SAMPLE-SIZE delta (bit i set iff size(i+1) > size(i),
+    * up to `maxBits`) over the stbl walk's sample order — the size
+    * pattern of an encoded stream survives remuxing and metadata edits
+    * (the [[audioFingerprint]] energy-delta idea applied to the only
+    * per-frame signal a container exposes codec-free). `n_bits` rides
+    * along as the probe's cohort key, exactly like the audio path: clips
+    * of different lengths never cross-pair. NULL for containers without a
+    * decodable sample table.
+    */
+  def videoFingerprint(media: DataFrame, maxBits: Int = 56): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("vfp", LongType),
+      StructField("n_bits", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        MediaHeader.decodeMp4Samples(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(samples) if samples.length > 1 =>
+            val nBits = math.min(samples.length - 1, maxBits)
+            var hash = 0L
+            var i = 0
+            while (i < nBits) {
+              if (samples(i + 1).size > samples(i).size) hash |= 1L << i
+              i += 1
+            }
+            Row(id, hash, nBits)
+          case _ => Row(id, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Keyframe detection WITHOUT a codec: I-frames are bigger than delta
     * frames, so a sample whose size is ≥ 2× the mean of its (up to 4)
     * preceding samples is flagged as a spike — the shot-boundary primitive

@@ -124,6 +124,20 @@ class FingerprintSpec extends SparkSpec {
     }
   }
 
+  test("video size-delta fingerprints pair only within the same bit-length") {
+    val hashed = Multimodal.videoFingerprint(
+      Multimodal.mp4MediaFromDocuments(docs(300)))
+    val probe = Dedup.hammingNearDupPairs(hashed, "media_id", "vfp",
+      maxDist = 2, bits = 56, blockBy = Seq("n_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = bruteForce(hashed, "media_id", "vfp", 2, Seq("n_bits"))
+    assert(brute.nonEmpty, "test corpus must contain near-dup clips")
+    assert(probe === brute)
+    // ids ≡ (mod 120) share the size formula AND the sample count — the
+    // identical-fingerprint cluster the synthetic corpus guarantees
+    assert(probe.exists { case (a, b, d) => d == 0 && (b - a) % 120 == 0 })
+  }
+
   test("undecodable media fingerprint as NULL and never pair") {
     val schema = StructType(Seq(
       StructField("media_id", LongType),

@@ -43,7 +43,11 @@ object Multimodal {
     * (ftyp + moov/trak/tkhd).
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
-    val base = docs.select(
+    // fanOut before the synth/decode chain: the local documents parquet is
+    // a single split, which would pin every blob's synthesis AND all
+    // downstream per-partition decode to one core; a no-op at production
+    // split counts (all media builders below share this)
+    val base = graft.Tables.fanOut(docs).select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
@@ -233,7 +237,7 @@ object Multimodal {
     * containers.
     */
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").as("media_id"))
+    val base = graft.Tables.fanOut(docs).select(col("doc_id").as("media_id"))
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
@@ -266,7 +270,7 @@ object Multimodal {
     * pin.
     */
   def gzipMediaFromDocuments(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").as("media_id"), col("text"))
+    val base = graft.Tables.fanOut(docs).select(col("doc_id").as("media_id"), col("text"))
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
@@ -311,7 +315,7 @@ object Multimodal {
     * (w = id%24+8, h = id%20+8), so edge-MCU cropping runs too.
     */
   def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").as("media_id"))
+    val base = graft.Tables.fanOut(docs).select(col("doc_id").as("media_id"))
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
@@ -332,7 +336,7 @@ object Multimodal {
     * [[mediaFromDocuments]]'s header-only WAVs.
     */
   def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").as("media_id"))
+    val base = graft.Tables.fanOut(docs).select(col("doc_id").as("media_id"))
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),
@@ -356,7 +360,7 @@ object Multimodal {
     * the oracle replays offsets and payload checksums independently.
     */
   def mp4MediaFromDocuments(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id").as("media_id"))
+    val base = graft.Tables.fanOut(docs).select(col("doc_id").as("media_id"))
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("kind", StringType),

@@ -55,6 +55,18 @@ object Bench {
             Multimodal.mp4MediaFromDocuments(Tables.documents(s, d))),
           "media_id", "vfp", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("n_bits"))),
+      "dedup_keyframe_clips" -> ((s: SparkSession, d: String) =>
+        Dedup.probeGroupHistogram(
+          Multimodal.keyframeHashes(
+            Multimodal.mp4FrameMediaFromDocuments(Tables.documents(s, d)))
+            .select(
+              (org.apache.spark.sql.functions.col("media_id") * 64 +
+                org.apache.spark.sql.functions.col("sample_idx")).as("frame_uid"),
+              org.apache.spark.sql.functions.col("phash"),
+              org.apache.spark.sql.functions.col("width"),
+              org.apache.spark.sql.functions.col("height")),
+          "frame_uid", "phash", maxDist = 2, bits = 56, maxBlock = 256,
+          blockBy = Seq("width", "height"))),
       "dedup_simhash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Dedup.simhash(Tables.documents(s, d), 32),
@@ -340,6 +352,7 @@ object Bench {
       "multimodal_jpeg_stats", "multimodal_gzip_text", "multimodal_warc_records",
       "dedup_phash_neardup", "dedup_audio_neardup", "dedup_video_neardup",
       "multimodal_mp4_samples", "multimodal_mp4_keyframes",
+      "multimodal_keyframe_extract", "dedup_keyframe_clips",
       "dedup_cross_corpus", "stream_dedup_ingest",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
@@ -374,7 +387,11 @@ object Bench {
       // r11: the video size-delta probe shares the audio shape (n_bits
       // cohorts, linear identical-fingerprint clusters on the synthetic
       // corpus) — 26× evidences its cap too
-      "dedup_video_neardup")
+      "dedup_video_neardup",
+      // r11: keyframe-pixel clip dedup — frame-level probe groups grow
+      // linearly like the image probe's; 26× evidences the cap on the
+      // frame cohorts
+      "dedup_keyframe_clips")
     val scaleJson =
       scaleSection("scale", factor, scaleSet) +
         // the capped set reads only documents+embeddings — don't spend

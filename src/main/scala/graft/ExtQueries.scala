@@ -2849,6 +2849,88 @@ object ExtQueries {
         FROM en
       )"""
 
+  /** Keyframe dHash closed form: per doc, frames i ≡ 0 (mod 4) of
+    * n = id%12+4 samples; frame pixels are the BMP generative formula at
+    * seed = doc_id·100 + i over (id%8+4)×(id%6+4) dims, resampled to the
+    * 8×8 dHash grid — mirrors [[graft.ext.Multimodal.keyframeHashes]]
+    * slicing real BMP bytes out of the mdat.
+    */
+  private def sqlKeyframePhash: String =
+    """kfd AS (
+        SELECT doc_id, CAST(doc_id % 8 + 4 AS INT) AS fw,
+               CAST(doc_id % 6 + 4 AS INT) AS fh,
+               CAST(doc_id % 12 + 4 AS BIGINT) AS n
+        FROM documents
+      ), kfi AS (
+        SELECT doc_id, fw, fh, unnest(range(0, n)) AS i FROM kfd
+      ), kfk AS (
+        SELECT doc_id, fw, fh, i, doc_id * 100 + i AS seed
+        FROM kfi WHERE i % 4 = 0
+      ), kfg AS (
+        SELECT doc_id, fw, fh, i,
+          list_transform(range(0, 64), j ->
+            ((((j % 8) * fw // 8) * 3 + ((j // 8) * fh // 8) * 13 + seed) % 256) * 299
+            + ((((j % 8) * fw // 8) * 5 + ((j // 8) * fh // 8) * 3 + seed * 7) % 256) * 587
+            + ((((j % 8) * fw // 8) * 7 + ((j // 8) * fh // 8) * 11 + seed * 3) % 256) * 114)
+          AS ls
+        FROM kfk
+      ), kfp AS (
+        SELECT doc_id, fw, fh, i,
+          CAST(list_sum(list_transform(range(0, 56), t ->
+            CASE WHEN ls[CAST(t // 7 * 8 + t % 7 + 2 AS INT)] // 1000
+                      > ls[CAST(t // 7 * 8 + t % 7 + 1 AS INT)] // 1000
+                 THEN (CAST(1 AS BIGINT) << CAST(t AS INT)) ELSE 0 END))
+            AS BIGINT) AS phash
+        FROM kfg
+      )"""
+
+  /** Real keyframe extraction ([[graft.ext.Multimodal.keyframeHashes]]):
+    * stbl walk → stss sync samples → slice the byte range out of the blob
+    * → decode the BMP frame → dHash the pixels. The oracle replays frame
+    * selection, pixel formulas, resample indices, luma, and bit packing
+    * without touching the container — a walker that slices the wrong
+    * range decodes the wrong frame and hash-mismatches.
+    */
+  private val keyframeExtractQ = Q(
+    "multimodal_keyframe_extract",
+    (s, d) => Multimodal.keyframeHashes(
+      Multimodal.mp4FrameMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("media_id"), col("sample_idx")),
+    Some(s"""
+      WITH $sqlKeyframePhash
+      SELECT doc_id AS media_id, CAST(i + 1 AS INT) AS sample_idx,
+             i * 40 AS time_ms, phash, fw AS width, fh AS height
+      FROM kfp ORDER BY media_id, sample_idx
+    """))
+
+  /** Clip dedup by shared keyframes
+    * ([[graft.ext.Multimodal.keyframeClipDedup]]): frame-level banded
+    * hamming pairs within (width, height) cohorts rolled up to clip
+    * pairs; near_dup = ≥2 shared keyframes. The oracle brute-forces frame
+    * pairs within cohorts from the replayed hashes and rolls up
+    * identically.
+    */
+  private val keyframeClipsQ = Q(
+    "dedup_keyframe_clips",
+    (s, d) => Multimodal.keyframeClipDedup(
+      Multimodal.mp4FrameMediaFromDocuments(Tables.documents(s, d)))
+      .orderBy(col("clip_a"), col("clip_b")),
+    Some(s"""
+      WITH $sqlKeyframePhash,
+      kfu AS (
+        SELECT doc_id, fw, fh, doc_id * 64 + i + 1 AS uid, phash FROM kfp
+      ), fpair AS (
+        SELECT a.uid // 64 AS clip_a, b.uid // 64 AS clip_b
+        FROM kfu a JOIN kfu b
+          ON a.uid < b.uid AND a.fw = b.fw AND a.fh = b.fh
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+          AND a.doc_id != b.doc_id
+      )
+      SELECT clip_a, clip_b, COUNT(*) AS n_shared,
+             COUNT(*) >= 2 AS near_dup
+      FROM fpair GROUP BY clip_a, clip_b ORDER BY clip_a, clip_b
+    """))
+
   /** Sample-size sequence per clip, then one sign bit per consecutive
     * delta — the video fingerprint's closed form (mirrors
     * [[graft.ext.Multimodal.videoFingerprint]] over
@@ -3192,5 +3274,6 @@ object ExtQueries {
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
-    mediaCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ)
+    mediaCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ,
+    keyframeExtractQ, keyframeClipsQ)
 }

@@ -342,11 +342,34 @@ object MediaHeader {
     * checksums without touching the container.
     */
   def mp4BytesWithSamples(w: Int, h: Int, seed: Long, nSamples: Int): Array[Byte] = {
-    require(nSamples > 0 && nSamples <= (1 << 16))
-    val n = nSamples
+    val sizes = Array.tabulate(nSamples)(sampleSize(seed, _))
+    buildMp4(w, h, sizes, syncEvery = 8, (buf, headerSz) => {
+      var p = headerSz
+      val end = headerSz + sizes.map(_.toLong).sum
+      while (p < end) {
+        buf.put((java.lang.Math.floorMod(p * 7 + seed, 256L)).toByte)
+        p += 1
+      }
+    })
+  }
+
+  /** Same container tree with CALLER-SUPPLIED sample payloads — e.g. one
+    * real encoded frame per sample ([[graft.ext.Multimodal]] stores BMP
+    * frames), so a consumer slicing a sample's byte range gets a
+    * decodable image. `syncEvery` spaces the stss entries (1-based
+    * samples 1, 1+syncEvery, ...).
+    */
+  def mp4BytesWithPayloads(w: Int, h: Int, payloads: Array[Array[Byte]],
+      syncEvery: Int): Array[Byte] =
+    buildMp4(w, h, payloads.map(_.length), syncEvery, (buf, _) =>
+      payloads.foreach(buf.put))
+
+  private def buildMp4(w: Int, h: Int, sizes: Array[Int], syncEvery: Int,
+      fillPayload: (ByteBuffer, Long) => Unit): Array[Byte] = {
+    val n = sizes.length
+    require(n > 0 && n <= (1 << 16) && syncEvery > 0)
     val c = chunkCount(n)
-    val k = (n + 7) / 8 // sync samples: 1-based idx 1, 9, 17, ...
-    val sizes = Array.tabulate(n)(sampleSize(seed, _))
+    val k = (n + syncEvery - 1) / syncEvery // sync: 1-based 1, 1+syncEvery, ...
     val payload = sizes.map(_.toLong).sum
     val sttsSz = 24; val stszSz = 20 + 4 * n; val stscSz = 40
     val stcoSz = 16 + 4 * c; val stssSz = 16 + 4 * k
@@ -407,13 +430,9 @@ object MediaHeader {
     }
     buf.putInt(stssSz); tag("stss")
     buf.putInt(0); buf.putInt(k)
-    (0 until k).foreach(e => buf.putInt(e * 8 + 1))
+    (0 until k).foreach(e => buf.putInt(e * syncEvery + 1))
     buf.putInt(8 + payload.toInt); tag("mdat")
-    var p = headerSz
-    while (p < headerSz + payload) {
-      buf.put((java.lang.Math.floorMod(p.toLong * 7 + seed, 256L)).toByte)
-      p += 1
-    }
+    fillPayload(buf, headerSz.toLong)
     buf.array()
   }
 }

@@ -417,6 +417,100 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Media table of ISO-BMFF blobs whose mdat samples are REAL encoded
+    * frames: one uncompressed 24-bit BMP per sample
+    * ([[MediaHeader.mp4BytesWithPayloads]]), frame pixels from the
+    * [[Pixels]] generative formula with per-frame seed id·100 + frameIdx
+    * — so slicing any sample's byte range yields a decodable image whose
+    * pixels the oracle can replay. Frame dims (id%8+4)×(id%6+4), sample
+    * count id%12+4, every 4th sample an stss keyframe.
+    */
+  def mp4FrameMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val base = graft.Tables.fanOut(docs).select(col("doc_id").as("media_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fw = (id % 8 + 4).toInt
+        val fh = (id % 6 + 4).toInt
+        val n = (id % 12 + 4).toInt
+        val frames = Array.tabulate(n)(i => Pixels.bmpBytes(fw, fh, id * 100 + i))
+        Row(id, "video", MediaHeader.mp4BytesWithPayloads(fw, fh, frames,
+          syncEvery = 4))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL keyframe extraction: walk the sample tables, slice each stss
+    * sync sample's byte range OUT OF THE BLOB, decode the frame image,
+    * and fingerprint it with the shared dHash kernel — the
+    * container→bytes→pixels→fingerprint chain a video dedup pipeline
+    * runs, all scan-local (no shuffle; blobs never leave their
+    * partitions). Sync samples whose declared range falls outside the
+    * stored blob, or whose bytes don't decode, yield a NULL fingerprint
+    * (and never pair downstream).
+    */
+  def keyframeHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("time_ms", LongType),
+      StructField("phash", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        MediaHeader.decodeMp4Samples(bytes).toSeq.flatten
+          .filter(_.sync).map { s =>
+            val frame =
+              if (s.offset >= 0 && s.offset + s.size <= bytes.length)
+                Pixels.decode(java.util.Arrays.copyOfRange(
+                  bytes, s.offset.toInt, (s.offset + s.size).toInt))
+              else None
+            frame match {
+              case Some(img) =>
+                Row(id, s.sampleIdx, s.timeMs, dHash(img), img.width, img.height)
+              case None => Row(id, s.sampleIdx, s.timeMs, null, null, null)
+            }
+          }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Clip-level near-dup verdicts from SHARED KEYFRAMES: fingerprint every
+    * stss keyframe's decoded pixels ([[keyframeHashes]]), probe frame
+    * pairs within hamming `maxDist` through the shared banded probe
+    * (cohort-blocked on frame dimensions, never all-pairs), then roll
+    * frame pairs up to clip pairs — two clips sharing ≥ `minShared`
+    * near-identical keyframes are duplicates. This is the
+    * container→bytes→pixels→fingerprint→pairs→clips chain a video corpus
+    * dedup actually runs (re-encoded/re-muxed copies keep their visual
+    * keyframes); frame_uid packs (clip, sample) into one long (sample_idx
+    * < 64) so the probe's id machinery applies unchanged, and the rollup
+    * is one aggregation on the already-tiny pair set.
+    */
+  def keyframeClipDedup(media: DataFrame, maxDist: Int = 2,
+      minShared: Int = 2, maxBlock: Int = 256): DataFrame = {
+    val kf = keyframeHashes(media)
+      .select((col("media_id") * 64 + col("sample_idx")).as("frame_uid"),
+        col("phash"), col("width"), col("height"))
+    Dedup.hammingNearDupPairs(kf, "frame_uid", "phash",
+      maxDist, bits = 56, maxBlock, blockBy = Seq("width", "height"))
+      .select(shiftright(col("id_a"), 6).as("clip_a"),
+        shiftright(col("id_b"), 6).as("clip_b"))
+      .filter(col("clip_a") =!= col("clip_b"))
+      .groupBy(col("clip_a"), col("clip_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("near_dup", col("n_shared") >= minShared)
+  }
+
   /** Clip-level video fingerprint WITHOUT a codec: one sign bit per
     * consecutive SAMPLE-SIZE delta (bit i set iff size(i+1) > size(i),
     * up to `maxBits`) over the stbl walk's sample order — the size
@@ -655,6 +749,24 @@ object Multimodal {
   private def luma(p: Int): Int =
     (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
 
+  /** The 56-bit dHash kernel shared by [[imagePhash]] (whole images) and
+    * [[keyframeHashes]] (frames sliced out of MP4 sample ranges). */
+  private def dHash(img: Pixels.Image): Long = {
+    val g = Pixels.resizeNearest(img, 8, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (luma(g.pix(y * 8 + x + 1)) > luma(g.pix(y * 8 + x)))
+          hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** Perceptual image fingerprint (dHash, public technique: Krawetz
     * "Kind of Like That", hackerfactor 2013): decode, nearest-neighbor
     * resample to 8×8, integer luma, then one bit per horizontally adjacent
@@ -684,19 +796,7 @@ object Multimodal {
         val id = r.getLong(idIdx)
         Pixels.decode(r.getAs[Array[Byte]](contentIdx)) match {
           case Some(img) =>
-            val g = Pixels.resizeNearest(img, 8, 8)
-            var hash = 0L
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 7) {
-                if (luma(g.pix(y * 8 + x + 1)) > luma(g.pix(y * 8 + x)))
-                  hash |= 1L << (y * 7 + x)
-                x += 1
-              }
-              y += 1
-            }
-            Row(id, hash, img.width, img.height)
+            Row(id, dHash(img), img.width, img.height)
           case None => Row(id, null, null, null)
         }
       }

@@ -138,6 +138,42 @@ class FingerprintSpec extends SparkSpec {
     assert(probe.exists { case (a, b, d) => d == 0 && (b - a) % 120 == 0 })
   }
 
+  test("keyframe hashes from sliced mdat ranges equal direct-frame hashes") {
+    import spark.implicits._
+    val media = Multimodal.mp4FrameMediaFromDocuments(docs(400))
+    val got = Multimodal.keyframeHashes(media)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    got.keys.foreach { case (_, sampleIdx) =>
+      assert((sampleIdx - 1) % 4 == 0, "only stss samples may surface")
+    }
+    // the frame sliced out of the container must hash exactly like the
+    // same BMP built directly — wrong offsets/sizes would decode garbage
+    val directFrames = got.keys.toSeq.map { case (id, sampleIdx) =>
+      val i = sampleIdx - 1
+      val fw = (id % 8 + 4).toInt
+      val fh = (id % 6 + 4).toInt
+      // uid packs (clip, sample) so one imagePhash call covers all frames
+      (id * 64 + sampleIdx, "image", Pixels.bmpBytes(fw, fh, id * 100 + i))
+    }
+    val direct = Multimodal.imagePhash(
+      directFrames.toDF("media_id", "kind", "content"))
+      .collect()
+      .map(r => ((r.getLong(0) / 64, (r.getLong(0) % 64).toInt)) -> r.getLong(1))
+      .toMap
+    assert(got === direct)
+    // clip rollup: ids 192 apart carry identical frames (dims and frame
+    // seeds realign — the corpus periodicity), so near-dup pairs exist
+    // and every reported pair shares >= 2 keyframes
+    val clips = Multimodal.keyframeClipDedup(media)
+      .filter(col("near_dup")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clips.nonEmpty, "corpus must contain near-dup clips")
+    assert(clips.forall(_._3 >= 2))
+    assert(clips.exists { case (a, b, _) => b - a == 192 })
+  }
+
   test("undecodable media fingerprint as NULL and never pair") {
     val schema = StructType(Seq(
       StructField("media_id", LongType),

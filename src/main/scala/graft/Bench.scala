@@ -69,8 +69,9 @@ object Bench {
           blockBy = Seq("width", "height"))),
       "dedup_simhash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
-          Dedup.simhash(Tables.documents(s, d), 32),
-          "doc_id", "simhash", maxDist = 2, bits = 32, maxBlock = 2000)))
+          Dedup.simhash(Tables.documents(s, d), 32, Seq("lang")),
+          "doc_id", "simhash", maxDist = 2, bits = 32, maxBlock = 2000,
+          blockBy = Seq("lang"))))
   }
 
   def main(args: Array[String]): Unit = {

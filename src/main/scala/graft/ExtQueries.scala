@@ -206,8 +206,8 @@ object ExtQueries {
   /** Shared simhash CTE (fingerprint from word-hash bit votes; word-hash
     * width = bits/4 hex chars, mirroring Dedup.simhash).
     */
-  private def sqlSimhashCte(bits: Int): String = s"""sh AS (
-        SELECT doc_id,
+  private def sqlSimhashCte(bits: Int, carryLang: Boolean = false): String = s"""sh AS (
+        SELECT doc_id,${if (carryLang) " lang," else ""}
                CAST(list_sum(list_transform(range(0, $bits), b ->
                  CASE WHEN list_sum(list_transform(string_split(text, ' '), x ->
                    CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, ${bits / 4})) AS BIGINT)
@@ -225,23 +225,25 @@ object ExtQueries {
       SELECT doc_id, simhash FROM sh ORDER BY doc_id
     """))
 
-  /** The Spark side runs the pigeonhole-blocked probe; the oracle brute-
-    * forces every pair — passing proves the blocking loses no pairs. The
-    * maxBlock cap (2000) is inert at oracle scale (hot (block,value) group
-    * is 54 wide at sf0.01, 540 at sf0.1) so the brute-force comparison
-    * stays exact; it engages at the 26× scale row (~14,000 wide), which is
-    * what bounds the per-task pair expansion there.
+  /** The Spark side runs the pigeonhole-blocked probe cohorted on `lang`
+    * (the canonical text-dedup blocking key — near-dups across languages
+    * are accidental hash collisions, not duplicates); the oracle
+    * brute-forces every within-lang pair — passing proves the pigeonhole
+    * blocking loses no pairs inside the cohorts. The maxBlock cap (2000)
+    * is inert at oracle scale so the brute-force comparison stays exact;
+    * the lang cohorts split the hot (block, value) groups ~5 ways before
+    * the cap is even consulted at the 10×/26× scale rows.
     */
   private val simhashProbeQ = Q(
     "dedup_simhash_neardup",
     (s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d), maxDist = 2,
-        bits = 32, maxBlock = 2000)
+        bits = 32, maxBlock = 2000, blockBy = Seq("lang"))
       .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
-      WITH ${sqlSimhashCte(32)}
+      WITH ${sqlSimhashCte(32, carryLang = true)}
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
       ORDER BY doc_a, doc_b
     """))

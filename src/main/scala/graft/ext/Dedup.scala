@@ -155,6 +155,11 @@ object Dedup {
     * the fingerprint width (this was 16 md5 passes per word in round 1).
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+    simhash(docs, bits, Nil)
+
+  /** `carry` columns ride along unchanged — the blocking keys
+    * (lang, source, length bucket) a cohorted probe needs. */
+  def simhash(docs: DataFrame, bits: Int, carry: Seq[String]): DataFrame =
     // one codegen'd pass per doc ([[graft.functions.SimHash]]): md5 per
     // word (hash width = bits/4 hex chars, so every fingerprint bit has a
     // live vote source), ±1 votes across all bits. The column spelling it
@@ -163,8 +168,9 @@ object Dedup {
     // (parity pinned in DedupSpec, and the DuckDB oracle still replays
     // the fold arithmetic)
     graft.Tables.fanOut(docs)
-      .select(col("doc_id"),
-        graft.functions.SimHash(split(col("text"), " ", -1), bits).as("simhash"))
+      .select(col("doc_id") +:
+        graft.functions.SimHash(split(col("text"), " ", -1), bits).as("simhash") +:
+        carry.map(col): _*)
 
   /** Transitive duplicate groups from candidate pairs (the decision step
     * after LSH/Jaccard/SimHash candidates): connected components by
@@ -355,9 +361,10 @@ object Dedup {
     * MinHash/LSH path ([[lshCandidatePairs]]), as in [[ngramJaccardPairs]].
     */
   def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 2,
-      bits: Int = 16, maxBlock: Int = 2000): DataFrame =
-    hammingNearDupPairs(simhash(docs, bits), "doc_id", "simhash",
-      maxDist, bits, maxBlock)
+      bits: Int = 16, maxBlock: Int = 2000,
+      blockBy: Seq[String] = Nil): DataFrame =
+    hammingNearDupPairs(simhash(docs, bits, blockBy), "doc_id", "simhash",
+      maxDist, bits, maxBlock, blockBy)
       .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b"))
 
   /** Generic hamming-ball near-dup probe over any (id, fingerprint) frame —

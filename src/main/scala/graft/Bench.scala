@@ -48,7 +48,7 @@ object Bench {
           Multimodal.audioFingerprint(
             Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
           "media_id", "afp", maxDist = 2, bits = 56, maxBlock = 256,
-          blockBy = Seq("n_bits"))),
+          blockBy = Seq("n_bits", "sample_rate", "channels"))),
       "dedup_video_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Multimodal.videoFingerprint(

@@ -2832,17 +2832,18 @@ object ExtQueries {
   private def sqlAudioFp: String =
     """dims AS (
         SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+               CAST(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
                CAST(doc_id % 50 + 10 AS INT) AS nf
         FROM documents
       ), en AS (
-        SELECT doc_id, ch, nf, list_transform(range(0, nf), i ->
+        SELECT doc_id, ch, rate, nf, list_transform(range(0, nf), i ->
           CAST(list_sum(list_transform(range(0, ch), c ->
             ((i * 37 + c * 101 + doc_id * 13) % 4001 - 2000)
             * ((i * 37 + c * 101 + doc_id * 13) % 4001 - 2000))) AS BIGINT))
           AS es
         FROM dims
       ), fp AS (
-        SELECT doc_id,
+        SELECT doc_id, rate, ch,
           CAST(list_sum(list_transform(range(0, least(nf - 1, 56)), i ->
             CASE WHEN es[CAST(i + 2 AS INT)] > es[CAST(i + 1 AS INT)]
                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
@@ -3010,15 +3011,19 @@ object ExtQueries {
       .orderBy(col("media_id")),
     Some(s"""
       WITH $sqlAudioFp
-      SELECT doc_id AS media_id, afp, n_bits FROM fp ORDER BY media_id
+      SELECT doc_id AS media_id, afp, n_bits,
+             rate AS sample_rate, ch AS channels
+      FROM fp ORDER BY media_id
     """))
 
-  /** Audio near-dup pairs: the hamming probe with a HARD blocking key —
+  /** Audio near-dup pairs: the hamming probe with HARD blocking keys —
     * fingerprints only pair within the same bit-length (clips of very
     * different durations never collide, and a 9-bit fingerprint's hamming
-    * distance to a 56-bit one is meaningless). Exercises
-    * [[graft.ext.Dedup.hammingNearDupPairs]]'s `blockBy` path; the oracle
-    * is the brute-force equivalent with the same length-equality join key.
+    * distance to a 56-bit one is meaningless) AND the same decoded
+    * (sample_rate, channels): energy-delta signs aren't comparable across
+    * stream parameters (r11 — splits the hot same-length cohorts ~10
+    * ways before the cap is consulted). The oracle is the brute-force
+    * equivalent with the same equality join keys.
     */
   private val audioNearDupQ = Q(
     "dedup_audio_neardup",
@@ -3034,7 +3039,7 @@ object ExtQueries {
       Multimodal.audioFingerprint(
         Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
       "media_id", "afp", maxDist = 2, bits = 56, maxBlock = 256,
-      blockBy = Seq("n_bits"))
+      blockBy = Seq("n_bits", "sample_rate", "channels"))
       .withColumnsRenamed(Map("id_a" -> "media_a", "id_b" -> "media_b"))
       .orderBy(col("media_a"), col("media_b")),
     Some(s"""
@@ -3043,6 +3048,7 @@ object ExtQueries {
              bit_count(xor(a.afp, b.afp)) AS hamming
       FROM fp a JOIN fp b
         ON a.doc_id < b.doc_id AND a.n_bits = b.n_bits
+        AND a.rate = b.rate AND a.ch = b.ch
       WHERE bit_count(xor(a.afp, b.afp)) <= 2
       ORDER BY media_a, media_b
     """))

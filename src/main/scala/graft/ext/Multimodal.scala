@@ -816,7 +816,13 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("afp", LongType),
-      StructField("n_bits", IntegerType)))
+      StructField("n_bits", IntegerType),
+      // decoded stream parameters as probe cohort keys: an energy-delta
+      // fingerprint is only comparable between clips of the same sample
+      // rate and channel layout (frame durations and energy scales differ
+      // otherwise), so the near-dup query blocks on them
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType)))
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
@@ -845,8 +851,8 @@ object Multimodal {
               prev = cur
               i += 1
             }
-            Row(id, hash, nBits)
-          case _ => Row(id, null, null)
+            Row(id, hash, nBits, a.sampleRate, a.channels)
+          case _ => Row(id, null, null, null, null)
         }
       }
     }(Encoders.row(outSchema))

@@ -652,6 +652,41 @@ object StreamQueries {
       FROM events ORDER BY "eventId"
     """))
 
+  /** Ingest-time NEAR-dup flagging through the REAL banded stateful probe
+    * ([[graft.streaming.StreamNearDedup]]: per-(type, block, value)
+    * fingerprint-set state under flatMapGroupsWithState, batch form = one
+    * fold). The oracle brute-forces "any earlier same-type event within
+    * hamming ≤ 2" from an independent SimHash replay — the banding and
+    * the distinct-fp state must lose nothing below the cap.
+    */
+  private val streamNearDedupQ = Q(
+    "stream_neardup_ingest",
+    (s, d) => graft.streaming.StreamNearDedup.verdicts(Tables.events(s, d))
+      .orderBy(col("eventId")),
+    Some("""
+      WITH f AS (
+        SELECT event_id, ts, event_type,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN list_sum(list_transform(string_split(props, ' '), x ->
+              CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                              / power(2, b)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END)) >= 0
+              THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fp
+        FROM events
+      ), m AS (
+        SELECT a.event_id, COUNT(b.event_id) AS nm
+        FROM f a JOIN f b
+          ON b.event_type = a.event_type
+         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+         AND bit_count(xor(a.fp, b.fp)) <= 2
+        GROUP BY a.event_id
+      )
+      SELECT f.event_id AS "eventId", f.fp AS simhash,
+             COALESCE(m.nm, 0) > 0 AS is_near_dup
+      FROM f LEFT JOIN m ON m.event_id = f.event_id
+      ORDER BY "eventId"
+    """))
+
   /** Gap sessionization via the REAL session_window operator; the oracle
     * rebuilds sessions with the islands technique (gap-break flags +
     * running sum).
@@ -780,5 +815,5 @@ object StreamQueries {
     retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
-    protoIngestQ, streamDedupQ)
+    protoIngestQ, streamDedupQ, streamNearDedupQ)
 }

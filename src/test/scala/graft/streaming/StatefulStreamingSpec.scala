@@ -196,4 +196,50 @@ class StatefulStreamingSpec extends SparkSpec {
     }
     assert(crossDups > 0, "second batch must contain first-batch duplicates")
   }
+
+  test("near-dup ingest state persists: later micro-batches flag near-dups") {
+    val bus = EventBus(tmp("nbus"))
+    val ckpt = tmp("nck")
+    val raw = Tables.events(spark, sf)
+    val first = raw.filter(col("event_id") < 200)
+    val second = raw.filter(col("event_id") >= 200 && col("event_id") < 400)
+
+    // per-event rollup across the 3 per-block match rows happens in
+    // foreachBatch; state lives per (type, block, value) in the checkpoint
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    def runOnce(): Unit = {
+      val streamed = bus.readStream(spark).select(
+        col("type").as("event_type"), col("data").as("props"),
+        col("time").as("ts"), col("sequence_number").as("event_id"))
+      val q = StreamNearDedup.blockMatches(streamed)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamNearDedup.BlockMatch], _: Long) =>
+            batch.collect().foreach { m =>
+              acc.merge(m.eventId, m.matched, (a, b) => a || b)
+            }
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    bus.append(EventView.fromEventsTable(first))
+    runOnce()
+    bus.append(EventView.fromEventsTable(second))
+    runOnce() // near-dups of first-run fingerprints must flag
+
+    import scala.jdk.CollectionConverters._
+    val got = acc.asScala.toMap
+    val expected = StreamNearDedup.verdicts(first.union(second))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == expected)
+    // non-vacuous across the boundary: a second-run event near-dups a
+    // first-run fingerprint (props has 100 distinct values, so every
+    // second-run event repeats some first-run content)
+    val crossNear = expected.count { case (id, nd) => id >= 200 && nd }
+    assert(crossNear > 0, "second batch must contain first-batch near-dups")
+  }
 }

@@ -41,36 +41,30 @@ object Bench {
         Dedup.probeGroupHistogram(
           Multimodal.imagePhash(
             Multimodal.bmpMediaFromDocuments(Tables.documents(s, d))),
-          "media_id", "phash", maxDist = 2, bits = 56, maxBlock = 256,
+          "phash", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("width", "height"))),
       "dedup_audio_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Multimodal.audioFingerprint(
             Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
-          "media_id", "afp", maxDist = 2, bits = 56, maxBlock = 256,
+          "afp", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("n_bits", "sample_rate", "channels"))),
       "dedup_video_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Multimodal.videoFingerprint(
             Multimodal.mp4MediaFromDocuments(Tables.documents(s, d))),
-          "media_id", "vfp", maxDist = 2, bits = 56, maxBlock = 256,
+          "vfp", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("n_bits"))),
       "dedup_keyframe_clips" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Multimodal.keyframeHashes(
-            Multimodal.mp4FrameMediaFromDocuments(Tables.documents(s, d)))
-            .select(
-              (org.apache.spark.sql.functions.col("media_id") * 64 +
-                org.apache.spark.sql.functions.col("sample_idx")).as("frame_uid"),
-              org.apache.spark.sql.functions.col("phash"),
-              org.apache.spark.sql.functions.col("width"),
-              org.apache.spark.sql.functions.col("height")),
-          "frame_uid", "phash", maxDist = 2, bits = 56, maxBlock = 256,
+            Multimodal.mp4FrameMediaFromDocuments(Tables.documents(s, d))),
+          "phash", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("width", "height"))),
       "dedup_simhash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
           Dedup.simhash(Tables.documents(s, d), 32, Seq("lang")),
-          "doc_id", "simhash", maxDist = 2, bits = 32, maxBlock = 2000,
+          "simhash", maxDist = 2, bits = 32, maxBlock = 2000,
           blockBy = Seq("lang"))))
   }
 

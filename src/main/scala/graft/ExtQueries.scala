@@ -2909,9 +2909,9 @@ object ExtQueries {
   /** Clip dedup by shared keyframes
     * ([[graft.ext.Multimodal.keyframeClipDedup]]): frame-level banded
     * hamming pairs within (width, height) cohorts rolled up to clip
-    * pairs; near_dup = ≥2 shared keyframes. The oracle brute-forces frame
-    * pairs within cohorts from the replayed hashes and rolls up
-    * identically.
+    * pairs; near_dup = ≥2 DISTINCT shared keyframes on the smaller side.
+    * The oracle brute-forces frame pairs within cohorts from the replayed
+    * hashes and rolls up identically.
     */
   private val keyframeClipsQ = Q(
     "dedup_keyframe_clips",
@@ -2921,16 +2921,18 @@ object ExtQueries {
     Some(s"""
       WITH $sqlKeyframePhash,
       kfu AS (
-        SELECT doc_id, fw, fh, doc_id * 64 + i + 1 AS uid, phash FROM kfp
+        SELECT doc_id, fw, fh, doc_id * 65536 + i + 1 AS uid, phash FROM kfp
       ), fpair AS (
-        SELECT a.uid // 64 AS clip_a, b.uid // 64 AS clip_b
+        SELECT a.uid // 65536 AS clip_a, b.uid // 65536 AS clip_b,
+               a.uid AS ua, b.uid AS ub
         FROM kfu a JOIN kfu b
           ON a.uid < b.uid AND a.fw = b.fw AND a.fh = b.fh
         WHERE bit_count(xor(a.phash, b.phash)) <= 2
           AND a.doc_id != b.doc_id
       )
-      SELECT clip_a, clip_b, COUNT(*) AS n_shared,
-             COUNT(*) >= 2 AS near_dup
+      SELECT clip_a, clip_b,
+             LEAST(COUNT(DISTINCT ua), COUNT(DISTINCT ub)) AS n_shared,
+             LEAST(COUNT(DISTINCT ua), COUNT(DISTINCT ub)) >= 2 AS near_dup
       FROM fpair GROUP BY clip_a, clip_b ORDER BY clip_a, clip_b
     """))
 

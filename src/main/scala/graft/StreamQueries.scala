@@ -643,13 +643,19 @@ object StreamQueries {
     (s, d) => graft.streaming.StreamDedup.verdicts(Tables.events(s, d))
       .toDF().orderBy(col("eventId")),
     Some("""
-      SELECT md5(event_type || chr(31) || props) AS digest,
+      WITH dg AS (
+        SELECT event_id, ts,
+               md5(coalesce(event_type, chr(26)) || chr(31)
+                   || coalesce(props, chr(26))) AS digest
+        FROM events
+      )
+      SELECT digest,
              event_id AS "eventId",
-             ROW_NUMBER() OVER (PARTITION BY md5(event_type || chr(31) || props)
+             ROW_NUMBER() OVER (PARTITION BY digest
                ORDER BY ts, event_id) = 1 AS "isFirst",
-             ROW_NUMBER() OVER (PARTITION BY md5(event_type || chr(31) || props)
+             ROW_NUMBER() OVER (PARTITION BY digest
                ORDER BY ts, event_id) AS "nSeen"
-      FROM events ORDER BY "eventId"
+      FROM dg ORDER BY "eventId"
     """))
 
   /** Ingest-time NEAR-dup flagging through the REAL banded stateful probe

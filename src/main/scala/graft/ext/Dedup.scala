@@ -460,7 +460,7 @@ object Dedup {
     * engaging, identical columns mean the probe ran exact. One scan + one
     * aggregation; never materializes pairs.
     */
-  def probeGroupHistogram(hashed: DataFrame, idCol: String, hashCol: String,
+  def probeGroupHistogram(hashed: DataFrame, hashCol: String,
       maxDist: Int, bits: Int, maxBlock: Int = 2000,
       blockBy: Seq[String] = Nil): DataFrame = {
     val nBlocks = maxDist + 1

@@ -166,9 +166,17 @@ object MediaHeader {
       (stsz, stszSize) <- findBox(stbl + 8, stblHi, "stsz")
       if stszSize >= 20
       uniformSize = u32be(b, stsz + 12)
+      // uniform-size stsz carries no per-sample entries for entryCount to
+      // bound the declared count against, so a crafted sub-200-byte blob
+      // could declare 2^32 samples and cost gigabytes of output Vector.
+      // Cap at 2^20: bounds the materialized output (~60 MB worst case,
+      // the actual resource at risk) while far above any frame count a
+      // sampled-clip pipeline stores per blob. A count can't be inferred
+      // from the blob size — legitimate uniform files (PCM-in-MP4) pack
+      // millions of samples into compact tables.
       nSamples <- if (uniformSize > 0) {
         val n = u32be(b, stsz + 16)
-        if (n >= 0 && n <= (1L << 24)) Some(n.toInt) else None
+        if (n >= 0 && n <= (1L << 20)) Some(n.toInt) else None
       } else entryCount(stsz, stszSize, 4, 16)
       (stsc, stscSize) <- findBox(stbl + 8, stblHi, "stsc")
       nStsc <- entryCount(stsc, stscSize, 12, 12)

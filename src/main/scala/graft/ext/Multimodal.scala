@@ -492,22 +492,28 @@ object Multimodal {
     * near-identical keyframes are duplicates. This is the
     * container→bytes→pixels→fingerprint→pairs→clips chain a video corpus
     * dedup actually runs (re-encoded/re-muxed copies keep their visual
-    * keyframes); frame_uid packs (clip, sample) into one long (sample_idx
-    * < 64) so the probe's id machinery applies unchanged, and the rollup
-    * is one aggregation on the already-tiny pair set.
+    * keyframes); frame_uid packs (clip, sample) into one long — 16 bits
+    * for the sample index, matching the container builder's 2^16 sample
+    * bound, so no real container aliases frames across clips — and the
+    * rollup is one aggregation on the already-tiny pair set. `n_shared`
+    * counts DISTINCT shared keyframes on the smaller side (min of each
+    * clip's distinct matched frames), so two static-scene frames of one
+    * clip matching a single frame of the other count once, not twice.
     */
   def keyframeClipDedup(media: DataFrame, maxDist: Int = 2,
       minShared: Int = 2, maxBlock: Int = 256): DataFrame = {
     val kf = keyframeHashes(media)
-      .select((col("media_id") * 64 + col("sample_idx")).as("frame_uid"),
+      .select((col("media_id") * 65536 + col("sample_idx")).as("frame_uid"),
         col("phash"), col("width"), col("height"))
     Dedup.hammingNearDupPairs(kf, "frame_uid", "phash",
       maxDist, bits = 56, maxBlock, blockBy = Seq("width", "height"))
-      .select(shiftright(col("id_a"), 6).as("clip_a"),
-        shiftright(col("id_b"), 6).as("clip_b"))
+      .select(shiftright(col("id_a"), 16).as("clip_a"),
+        shiftright(col("id_b"), 16).as("clip_b"),
+        col("id_a"), col("id_b"))
       .filter(col("clip_a") =!= col("clip_b"))
       .groupBy(col("clip_a"), col("clip_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(least(count_distinct(col("id_a")), count_distinct(col("id_b")))
+        .as("n_shared"))
       .withColumn("near_dup", col("n_shared") >= minShared)
   }
 

@@ -59,8 +59,15 @@ object StreamDedup {
     // U+001F (unit separator) between fields: without it, boundary-shifted
     // field pairs (type "ab"/props "c" vs "a"/"bc") collide into one digest
     // and the non-duplicate event is silently dropped by filter(is_first).
+    // NULL fields coalesce to a U+001A sentinel BEFORE concatenation:
+    // concat_ws would silently skip a NULL (making NULL indistinguishable
+    // from an absent field), while the oracle's `||` would nullify the
+    // whole digest — the sentinel keeps both engines agreeing and NULL
+    // distinct from the empty string.
     events.select(
-      md5(concat_ws("\u001f", col("event_type"), col("props"))).as("digest"),
+      md5(concat_ws("\u001f",
+        coalesce(col("event_type"), lit("\u001a")),
+        coalesce(col("props"), lit("\u001a")))).as("digest"),
       col("event_id").as("eventId"),
       unix_micros(col("ts")).as("atMicros"))
       .as[InEvent]

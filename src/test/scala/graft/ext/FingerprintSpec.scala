@@ -106,7 +106,7 @@ class FingerprintSpec extends SparkSpec {
       Multimodal.bmpMediaFromDocuments(docs(150)))
     // maxBlock=2 < the corpus's widest dims-blocked group (4 members at
     // 150 docs) so the cap provably engages in the histogram's arithmetic
-    val rows = Dedup.probeGroupHistogram(hashed, "media_id", "phash",
+    val rows = Dedup.probeGroupHistogram(hashed, "phash",
       maxDist = 2, bits = 56, maxBlock = 2,
       blockBy = Seq("width", "height")).collect()
     assert(rows.nonEmpty)

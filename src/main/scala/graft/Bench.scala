@@ -348,7 +348,7 @@ object Bench {
       "dedup_phash_neardup", "dedup_audio_neardup", "dedup_video_neardup",
       "multimodal_mp4_samples", "multimodal_mp4_keyframes",
       "multimodal_keyframe_extract", "dedup_keyframe_clips",
-      "dedup_cross_corpus", "stream_dedup_ingest",
+      "dedup_cross_corpus", "stream_dedup_ingest", "stream_neardup_ingest",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
       "sim_ivfpq_topk", "sim_ivfpq_res_topk", "sim_ivfpq_rerank_topk")

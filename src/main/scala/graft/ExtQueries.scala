@@ -2825,16 +2825,68 @@ object ExtQueries {
       ORDER BY media_id
     """))
 
+  /** The composed audio-corpus curation pass
+    * ([[graft.ext.Curation.curateAudio]]): decode gate → energy-delta
+    * fingerprint → cohort-blocked hamming pairs → connected-component
+    * groups → keep/near_dup/corrupt verdicts. Every 53rd container is
+    * truncated to 8 bytes — a corruption every PCM decoder rejects — so
+    * the corrupt arm provably engages and corrupt rows never join a
+    * group. The oracle replays fingerprints over intact rows only,
+    * recomputes components by recursive closure within the
+    * (n_bits, rate, ch) cohorts, and cases out the same verdicts.
+    */
+  private val audioCurationQ = Q(
+    "pipeline_audio_curation",
+    (s, d) => Curation.curateAudio(
+      Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
+        .withColumn("content",
+          when(col("media_id") % 53 === 0, expr("substring(content, 1, 8)"))
+            .otherwise(col("content"))))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH RECURSIVE ${sqlAudioFpWhere("WHERE doc_id % 53 <> 0")},
+      cpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b
+          ON a.doc_id < b.doc_id AND a.n_bits = b.n_bits
+          AND a.rate = b.rate AND a.ch = b.ch
+        WHERE bit_count(xor(a.afp, b.afp)) <= 2
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), comp AS (
+        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
+      )
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 53 = 0 THEN false
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
+                  ELSE true END AS keep,
+             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
+                  ELSE 'keep' END AS reason
+      FROM documents LEFT JOIN comp ON comp.id = doc_id
+      ORDER BY media_id
+    """))
+
   /** Energy-delta sign list replayed from the WAV synth formula: per-frame
     * energy = sum over channels of sample², bit i set iff e(i+1) > e(i),
     * i < min(nf−1, 56).
     */
-  private def sqlAudioFp: String =
-    """dims AS (
+  private def sqlAudioFp: String = sqlAudioFpWhere("")
+
+  /** Same CTE restricted to a document subset (the curation pass's intact
+    * rows). */
+  private def sqlAudioFpWhere(where: String): String =
+    s"""dims AS (
         SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
                CAST(8000 + (doc_id % 5) * 8000 AS INT) AS rate,
                CAST(doc_id % 50 + 10 AS INT) AS nf
-        FROM documents
+        FROM documents $where
       ), en AS (
         SELECT doc_id, ch, rate, nf, list_transform(range(0, nf), i ->
           CAST(list_sum(list_transform(range(0, ch), c ->
@@ -3284,6 +3336,6 @@ object ExtQueries {
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
-    mediaCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ,
+    mediaCurationQ, audioCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ,
     keyframeExtractQ, keyframeClipsQ)
 }

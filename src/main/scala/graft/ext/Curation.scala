@@ -137,4 +137,31 @@ object Curation {
           .when(!keeper, "near_dup")
           .otherwise("keep").as("reason"))
   }
+
+  /** The audio-corpus counterpart of [[curateMedia]]: decode gate
+    * (undecodable PCM → `corrupt`, it can never pair), energy-delta
+    * fingerprint, hamming pairs cohort-blocked on (n_bits, sample_rate,
+    * channels) — the [[graft.ext.Multimodal.audioFingerprint]] contract —
+    * connected-component grouping, keeper = smallest id per group. Same
+    * scale shape: scan-local decode, one block-key shuffle, the groups
+    * pass; nothing quadratic, nothing driver-side.
+    */
+  def curateAudio(media: DataFrame, maxDist: Int = 2,
+      maxBlock: Int = 256): DataFrame = {
+    val hashed = Multimodal.audioFingerprint(media)
+    val pairs = Dedup.hammingNearDupPairs(
+      hashed, "media_id", "afp", maxDist, bits = 56, maxBlock = maxBlock,
+      blockBy = Seq("n_bits", "sample_rate", "channels"))
+      .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b"))
+    val groups = Dedup.duplicateGroups(pairs)
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+    val keeper = coalesce(col("is_keeper"), lit(true))
+    hashed.join(groups.select(col("media_id"), col("is_keeper")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        (col("afp").isNotNull && keeper).as("keep"),
+        when(col("afp").isNull, "corrupt")
+          .when(!keeper, "near_dup")
+          .otherwise("keep").as("reason"))
+  }
 }

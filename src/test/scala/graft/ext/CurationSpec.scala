@@ -99,4 +99,28 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) === ((false, "near_dup")))
     assert(got(3L) === ((false, "corrupt")))
   }
+
+  test("curateAudio: keeper wins, duplicates drop, corrupt twins never group") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    val clip = Samples.wavPcmBytes(8000, 1, 40, 7L)
+    // 1 and 2 are bit-identical clips (near-dup pair, keeper = 1); 3 is
+    // the same clip truncated to 8 bytes — corrupt must not ride its
+    // twins' duplicate group; 4 has a DIFFERENT frame count, so the
+    // n_bits cohort key must keep it out of the pair space entirely
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "audio", clip), Row(2L, "audio", clip),
+      Row(3L, "audio", java.util.Arrays.copyOf(clip, 8)),
+      Row(4L, "audio", Samples.wavPcmBytes(8000, 1, 20, 7L))), schema)
+    val got = Curation.curateAudio(media).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) === ((true, "keep")))
+    assert(got(2L) === ((false, "near_dup")))
+    assert(got(3L) === ((false, "corrupt")))
+    assert(got(4L) === ((true, "keep")))
+  }
 }

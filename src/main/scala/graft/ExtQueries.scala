@@ -2910,12 +2910,16 @@ object ExtQueries {
     * 8×8 dHash grid — mirrors [[graft.ext.Multimodal.keyframeHashes]]
     * slicing real BMP bytes out of the mdat.
     */
-  private def sqlKeyframePhash: String =
-    """kfd AS (
+  private def sqlKeyframePhash: String = sqlKeyframePhashWhere("")
+
+  /** Same CTE restricted to a document subset (the curation pass's intact
+    * rows). */
+  private def sqlKeyframePhashWhere(where: String): String =
+    s"""kfd AS (
         SELECT doc_id, CAST(doc_id % 8 + 4 AS INT) AS fw,
                CAST(doc_id % 6 + 4 AS INT) AS fh,
                CAST(doc_id % 12 + 4 AS BIGINT) AS n
-        FROM documents
+        FROM documents $where
       ), kfi AS (
         SELECT doc_id, fw, fh, unnest(range(0, n)) AS i FROM kfd
       ), kfk AS (
@@ -2938,6 +2942,59 @@ object ExtQueries {
             AS BIGINT) AS phash
         FROM kfg
       )"""
+
+  /** The composed video-corpus curation pass
+    * ([[graft.ext.Curation.curateVideo]]): decode gate → keyframe
+    * extraction → frame dHash pairs → ≥2-distinct-shared-keyframe clip
+    * pairs → connected-component clip groups → keep/near_dup/corrupt
+    * verdicts. Every 53rd container truncated to 8 bytes (no ftyp — the
+    * sample walk rejects it) so the corrupt arm provably engages. The
+    * oracle replays the whole chain closed-form over intact rows.
+    */
+  private val videoCurationQ = Q(
+    "pipeline_video_curation",
+    (s, d) => Curation.curateVideo(
+      Multimodal.mp4FrameMediaFromDocuments(Tables.documents(s, d))
+        .withColumn("content",
+          when(col("media_id") % 53 === 0, expr("substring(content, 1, 8)"))
+            .otherwise(col("content"))))
+      .orderBy(col("media_id")),
+    Some(s"""
+      WITH RECURSIVE ${sqlKeyframePhashWhere("WHERE doc_id % 53 <> 0")},
+      kfu AS (
+        SELECT doc_id, fw, fh, doc_id * 65536 + i + 1 AS uid, phash FROM kfp
+      ), fpair AS (
+        SELECT a.uid // 65536 AS clip_a, b.uid // 65536 AS clip_b,
+               a.uid AS ua, b.uid AS ub
+        FROM kfu a JOIN kfu b
+          ON a.uid < b.uid AND a.fw = b.fw AND a.fh = b.fh
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+          AND a.doc_id != b.doc_id
+      ), cpairs AS (
+        SELECT clip_a AS doc_a, clip_b AS doc_b
+        FROM fpair GROUP BY clip_a, clip_b
+        HAVING LEAST(COUNT(DISTINCT ua), COUNT(DISTINCT ub)) >= 2
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), comp AS (
+        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
+      )
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 53 = 0 THEN false
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
+                  ELSE true END AS keep,
+             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
+                  ELSE 'keep' END AS reason
+      FROM documents LEFT JOIN comp ON comp.id = doc_id
+      ORDER BY media_id
+    """))
 
   /** Real keyframe extraction ([[graft.ext.Multimodal.keyframeHashes]]):
     * stbl walk → stss sync samples → slice the byte range out of the blob
@@ -3337,5 +3394,5 @@ object ExtQueries {
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
     mediaCurationQ, audioCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ,
-    keyframeExtractQ, keyframeClipsQ)
+    keyframeExtractQ, keyframeClipsQ, videoCurationQ)
 }

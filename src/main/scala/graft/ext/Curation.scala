@@ -146,6 +146,34 @@ object Curation {
     * scale shape: scan-local decode, one block-key shuffle, the groups
     * pass; nothing quadratic, nothing driver-side.
     */
+  /** The video-corpus member of the curation triad, at CLIP granularity:
+    * decode gate (a container whose sample tables don't walk → `corrupt`
+    * — it exposes no frames to fingerprint), REAL keyframe extraction and
+    * per-frame dHash, clip pairs from ≥ `minShared` distinct shared
+    * keyframes ([[graft.ext.Multimodal.keyframeClipDedup]]),
+    * connected-component clip groups, keeper = smallest id. Same scale
+    * shape as the other passes plus one extra aggregation (the
+    * frame→clip rollup on the already-tiny pair set).
+    */
+  def curateVideo(media: DataFrame, maxDist: Int = 2, minShared: Int = 2,
+      maxBlock: Int = 256): DataFrame = {
+    val gate = Multimodal.videoFingerprint(media)
+    val clipPairs = Multimodal.keyframeClipDedup(media, maxDist, minShared,
+      maxBlock)
+      .filter(col("near_dup"))
+      .select(col("clip_a").as("doc_a"), col("clip_b").as("doc_b"))
+    val groups = Dedup.duplicateGroups(clipPairs)
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+    val keeper = coalesce(col("is_keeper"), lit(true))
+    gate.join(groups.select(col("media_id"), col("is_keeper")),
+        Seq("media_id"), "left")
+      .select(col("media_id"),
+        (col("vfp").isNotNull && keeper).as("keep"),
+        when(col("vfp").isNull, "corrupt")
+          .when(!keeper, "near_dup")
+          .otherwise("keep").as("reason"))
+  }
+
   def curateAudio(media: DataFrame, maxDist: Int = 2,
       maxBlock: Int = 256): DataFrame = {
     val hashed = Multimodal.audioFingerprint(media)

@@ -100,6 +100,31 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) === ((false, "corrupt")))
   }
 
+  test("curateVideo: clip keeper wins, shared-keyframe dup drops, corrupt gates") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    // 9 frames with every-4th stss → keyframes at samples 1, 5, 9 (3 per
+    // clip ≥ minShared=2); 1 and 2 are bit-identical clips, 3 is 1
+    // truncated (no ftyp → unwalkable), 4 shares the dims but has frames
+    // from a different seed (no shared keyframes → independent)
+    def clip(seed: Long) = MediaHeader.mp4BytesWithPayloads(6, 6,
+      Array.tabulate(9)(i => Pixels.bmpBytes(6, 6, seed * 100 + i * 37)),
+      syncEvery = 4)
+    val media = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "video", clip(7L)), Row(2L, "video", clip(7L)),
+      Row(3L, "video", java.util.Arrays.copyOf(clip(7L), 8)),
+      Row(4L, "video", clip(113L))), schema)
+    val got = Curation.curateVideo(media).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) === ((true, "keep")))
+    assert(got(2L) === ((false, "near_dup")))
+    assert(got(3L) === ((false, "corrupt")))
+  }
+
   test("curateAudio: keeper wins, duplicates drop, corrupt twins never group") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -336,6 +336,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
       "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
       "dedup_passages", "dedup_embedding_neardup", "pipeline_curation",
+      "pipeline_media_curation", "pipeline_audio_curation",
+      "pipeline_video_curation",
       "text_gopher_quality", "text_langid", "text_repetition",
       "text_pack_sequences", "sample_mixture",
       "text_decontaminate", "text_decontaminate_bloom", "text_tokens_bpe",

@@ -2779,6 +2779,33 @@ object ExtQueries {
       FROM reach GROUP BY src ORDER BY media_id
     """))
 
+  /** Shared oracle tail of the three media-curation entries: recursive
+    * transitive closure over `cpairs` and the keep/near_dup/corrupt CASE
+    * (corruption arm = doc_id % 53). One definition — the three oracles
+    * can't drift on keeper or verdict semantics.
+    */
+  private def sqlCurationTail: String =
+    """edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), comp AS (
+        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
+      )
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 53 = 0 THEN false
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
+                  ELSE true END AS keep,
+             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
+                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
+                  ELSE 'keep' END AS reason
+      FROM documents LEFT JOIN comp ON comp.id = doc_id
+      ORDER BY media_id"""
+
   /** The composed image-corpus curation pass
     * ([[graft.ext.Curation.curateMedia]]): decode gate → dHash → banded
     * near-dup pairs → connected-component groups → keeper verdicts, one
@@ -2803,26 +2830,7 @@ object ExtQueries {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 2
-      ), edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM cpairs
-        UNION SELECT doc_b, doc_a FROM cpairs
-      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(src, dst) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-      ), comp AS (
-        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
-      )
-      SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 53 = 0 THEN false
-                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
-                  ELSE true END AS keep,
-             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
-                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
-                  ELSE 'keep' END AS reason
-      FROM documents LEFT JOIN comp ON comp.id = doc_id
-      ORDER BY media_id
+      ), $sqlCurationTail
     """))
 
   /** The composed audio-corpus curation pass
@@ -2851,26 +2859,7 @@ object ExtQueries {
           ON a.doc_id < b.doc_id AND a.n_bits = b.n_bits
           AND a.rate = b.rate AND a.ch = b.ch
         WHERE bit_count(xor(a.afp, b.afp)) <= 2
-      ), edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM cpairs
-        UNION SELECT doc_b, doc_a FROM cpairs
-      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(src, dst) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-      ), comp AS (
-        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
-      )
-      SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 53 = 0 THEN false
-                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
-                  ELSE true END AS keep,
-             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
-                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
-                  ELSE 'keep' END AS reason
-      FROM documents LEFT JOIN comp ON comp.id = doc_id
-      ORDER BY media_id
+      ), $sqlCurationTail
     """))
 
   /** Energy-delta sign list replayed from the WAV synth formula: per-frame
@@ -2974,26 +2963,7 @@ object ExtQueries {
         SELECT clip_a AS doc_a, clip_b AS doc_b
         FROM fpair GROUP BY clip_a, clip_b
         HAVING LEAST(COUNT(DISTINCT ua), COUNT(DISTINCT ub)) >= 2
-      ), edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM cpairs
-        UNION SELECT doc_b, doc_a FROM cpairs
-      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
-      reach(src, dst) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-      ), comp AS (
-        SELECT src AS id, MIN(dst) AS grp FROM reach GROUP BY src
-      )
-      SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 53 = 0 THEN false
-                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN false
-                  ELSE true END AS keep,
-             CASE WHEN doc_id % 53 = 0 THEN 'corrupt'
-                  WHEN comp.grp IS NOT NULL AND comp.grp <> doc_id THEN 'near_dup'
-                  ELSE 'keep' END AS reason
-      FROM documents LEFT JOIN comp ON comp.id = doc_id
-      ORDER BY media_id
+      ), $sqlCurationTail
     """))
 
   /** Real keyframe extraction ([[graft.ext.Multimodal.keyframeHashes]]):

@@ -110,6 +110,32 @@ object Curation {
       unique)
   }
 
+  /** Shared tail of the media curation passes: connected-component
+    * duplicate groups over the candidate pair set, keeper = smallest id,
+    * one keep/near_dup/corrupt verdict per hashed row (`fpCol` NULL marks
+    * the undecodable rows the decode gate rejected). `hashed` must be
+    * PINNED by the caller: [[Dedup.duplicateGroups]] takes driver actions
+    * that split the chain into separate jobs, so an unpinned decode scan
+    * would re-execute for the pair job, the group pass, and the verdict
+    * join; the pin is released once an action on the returned frame
+    * completes ([[graft.GraftCache.releaseAfter]]).
+    */
+  private def fingerprintVerdicts(hashed: DataFrame, fpCol: String,
+      pairs: DataFrame): DataFrame = {
+    val groups = Dedup.duplicateGroups(pairs)
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+    val keeper = coalesce(col("is_keeper"), lit(true))
+    graft.GraftCache.releaseAfter(
+      hashed.join(groups.select(col("media_id"), col("is_keeper")),
+          Seq("media_id"), "left")
+        .select(col("media_id"),
+          (col(fpCol).isNotNull && keeper).as("keep"),
+          when(col(fpCol).isNull, "corrupt")
+            .when(!keeper, "near_dup")
+            .otherwise("keep").as("reason")),
+      hashed)
+  }
+
   /** The image-corpus counterpart of [[curate]]: one verdict per media row
     * through the composed path a multimodal pipeline runs — decode gate
     * (undecodable bytes → dropped as `corrupt`, they can never pair),
@@ -122,74 +148,50 @@ object Curation {
     */
   def curateMedia(media: DataFrame, maxDist: Int = 2,
       maxBlock: Int = 256): DataFrame = {
-    val hashed = Multimodal.imagePhash(media)
-    val pairs = Dedup.hammingNearDupPairs(
-      hashed, "media_id", "phash", maxDist, bits = 56, maxBlock = maxBlock)
-      .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b"))
-    val groups = Dedup.duplicateGroups(pairs)
-      .withColumnsRenamed(Map("doc_id" -> "media_id"))
-    val keeper = coalesce(col("is_keeper"), lit(true))
-    hashed.join(groups.select(col("media_id"), col("is_keeper")),
-        Seq("media_id"), "left")
-      .select(col("media_id"),
-        (col("phash").isNotNull && keeper).as("keep"),
-        when(col("phash").isNull, "corrupt")
-          .when(!keeper, "near_dup")
-          .otherwise("keep").as("reason"))
+    val hashed = graft.GraftCache.pin(Multimodal.imagePhash(media))
+    fingerprintVerdicts(hashed, "phash",
+      Dedup.hammingNearDupPairs(
+        hashed, "media_id", "phash", maxDist, bits = 56, maxBlock = maxBlock)
+        .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b")))
   }
 
-  /** The audio-corpus counterpart of [[curateMedia]]: decode gate
+  /** The audio-corpus member of the curation triad: decode gate
     * (undecodable PCM → `corrupt`, it can never pair), energy-delta
     * fingerprint, hamming pairs cohort-blocked on (n_bits, sample_rate,
     * channels) — the [[graft.ext.Multimodal.audioFingerprint]] contract —
-    * connected-component grouping, keeper = smallest id per group. Same
-    * scale shape: scan-local decode, one block-key shuffle, the groups
-    * pass; nothing quadratic, nothing driver-side.
+    * connected-component grouping, keeper = smallest id per group.
+    * Decodable clips too short to carry delta evidence (n_bits = 0) are
+    * KEPT and never pair: zero shared bits is no evidence of duplication,
+    * and they are certainly not corrupt.
     */
+  def curateAudio(media: DataFrame, maxDist: Int = 2,
+      maxBlock: Int = 256): DataFrame = {
+    val hashed = graft.GraftCache.pin(Multimodal.audioFingerprint(media))
+    fingerprintVerdicts(hashed, "afp",
+      Dedup.hammingNearDupPairs(
+        hashed.filter(col("n_bits") > 0), "media_id", "afp", maxDist,
+        bits = 56, maxBlock = maxBlock,
+        blockBy = Seq("n_bits", "sample_rate", "channels"))
+        .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b")))
+  }
+
   /** The video-corpus member of the curation triad, at CLIP granularity:
     * decode gate (a container whose sample tables don't walk → `corrupt`
     * — it exposes no frames to fingerprint), REAL keyframe extraction and
     * per-frame dHash, clip pairs from ≥ `minShared` distinct shared
     * keyframes ([[graft.ext.Multimodal.keyframeClipDedup]]),
-    * connected-component clip groups, keeper = smallest id. Same scale
-    * shape as the other passes plus one extra aggregation (the
-    * frame→clip rollup on the already-tiny pair set).
+    * connected-component clip groups, keeper = smallest id. A walkable
+    * single-sample clip is KEPT (vfp = 0 with n_bits = 0, not NULL — and
+    * its lone keyframe can never reach `minShared`). Same scale shape as
+    * the other passes plus one extra aggregation (the frame→clip rollup
+    * on the already-tiny pair set).
     */
   def curateVideo(media: DataFrame, maxDist: Int = 2, minShared: Int = 2,
       maxBlock: Int = 256): DataFrame = {
-    val gate = Multimodal.videoFingerprint(media)
-    val clipPairs = Multimodal.keyframeClipDedup(media, maxDist, minShared,
-      maxBlock)
-      .filter(col("near_dup"))
-      .select(col("clip_a").as("doc_a"), col("clip_b").as("doc_b"))
-    val groups = Dedup.duplicateGroups(clipPairs)
-      .withColumnsRenamed(Map("doc_id" -> "media_id"))
-    val keeper = coalesce(col("is_keeper"), lit(true))
-    gate.join(groups.select(col("media_id"), col("is_keeper")),
-        Seq("media_id"), "left")
-      .select(col("media_id"),
-        (col("vfp").isNotNull && keeper).as("keep"),
-        when(col("vfp").isNull, "corrupt")
-          .when(!keeper, "near_dup")
-          .otherwise("keep").as("reason"))
-  }
-
-  def curateAudio(media: DataFrame, maxDist: Int = 2,
-      maxBlock: Int = 256): DataFrame = {
-    val hashed = Multimodal.audioFingerprint(media)
-    val pairs = Dedup.hammingNearDupPairs(
-      hashed, "media_id", "afp", maxDist, bits = 56, maxBlock = maxBlock,
-      blockBy = Seq("n_bits", "sample_rate", "channels"))
-      .withColumnsRenamed(Map("id_a" -> "doc_a", "id_b" -> "doc_b"))
-    val groups = Dedup.duplicateGroups(pairs)
-      .withColumnsRenamed(Map("doc_id" -> "media_id"))
-    val keeper = coalesce(col("is_keeper"), lit(true))
-    hashed.join(groups.select(col("media_id"), col("is_keeper")),
-        Seq("media_id"), "left")
-      .select(col("media_id"),
-        (col("afp").isNotNull && keeper).as("keep"),
-        when(col("afp").isNull, "corrupt")
-          .when(!keeper, "near_dup")
-          .otherwise("keep").as("reason"))
+    val gate = graft.GraftCache.pin(Multimodal.videoFingerprint(media))
+    fingerprintVerdicts(gate, "vfp",
+      Multimodal.keyframeClipDedup(media, maxDist, minShared, maxBlock)
+        .filter(col("near_dup"))
+        .select(col("clip_a").as("doc_a"), col("clip_b").as("doc_b")))
   }
 }

@@ -538,7 +538,9 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         MediaHeader.decodeMp4Samples(r.getAs[Array[Byte]](contentIdx)) match {
-          case Some(samples) if samples.length > 1 =>
+          // single-sample walkable containers fingerprint as (0, 0), not
+          // NULL — see the audio path's rationale
+          case Some(samples) if samples.nonEmpty =>
             val nBits = math.min(samples.length - 1, maxBits)
             var hash = 0L
             var i = 0
@@ -835,7 +837,11 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         Samples.decodeWavPcm(r.getAs[Array[Byte]](contentIdx)) match {
-          case Some(a) if a.channels > 0 && a.nFrames > 1 =>
+          // a decodable clip too short for any delta (nFrames = 1)
+          // fingerprints as (0, 0) — matching the closed form's empty sum
+          // — NOT as NULL: NULL means undecodable, and a curation pass
+          // must not call a valid short clip corrupt
+          case Some(a) if a.channels > 0 && a.nFrames >= 1 =>
             val ch = a.channels
             def energy(f: Int): Long = {
               var e = 0L

@@ -109,8 +109,10 @@ class CurationSpec extends SparkSpec {
       StructField("content", BinaryType)))
     // 9 frames with every-4th stss → keyframes at samples 1, 5, 9 (3 per
     // clip ≥ minShared=2); 1 and 2 are bit-identical clips, 3 is 1
-    // truncated (no ftyp → unwalkable), 4 shares the dims but has frames
-    // from a different seed (no shared keyframes → independent)
+    // truncated (no ftyp → unwalkable), 4 shares the dims with different
+    // frame seeds — it MAY still group with 1/2 (the formula's smooth
+    // gradients dHash similar, the curateMedia caveat), so it is asserted
+    // walkable (never corrupt), not independent
     def clip(seed: Long) = MediaHeader.mp4BytesWithPayloads(6, 6,
       Array.tabulate(9)(i => Pixels.bmpBytes(6, 6, seed * 100 + i * 37)),
       syncEvery = 4)
@@ -123,6 +125,35 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) === ((true, "keep")))
     assert(got(2L) === ((false, "near_dup")))
     assert(got(3L) === ((false, "corrupt")))
+    assert(got(4L)._2 !== "corrupt", "walkable clip must never gate corrupt")
+  }
+
+  test("short-but-valid media is kept, never corrupt") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("content", BinaryType)))
+    // 1-frame WAV and 1-sample MP4: decodable but with zero delta bits —
+    // a curation pass must keep them (no evidence of duplication), and
+    // the zero-evidence fingerprints must not pair with each other
+    val audio = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "audio", Samples.wavPcmBytes(8000, 1, 1, 3L)),
+      Row(2L, "audio", Samples.wavPcmBytes(8000, 1, 1, 9L))), schema)
+    val gotA = Curation.curateAudio(audio).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(gotA(1L) === ((true, "keep")))
+    assert(gotA(2L) === ((true, "keep")))
+    val video = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "video", MediaHeader.mp4BytesWithPayloads(6, 6,
+        Array(Pixels.bmpBytes(6, 6, 3L)), syncEvery = 4)),
+      Row(2L, "video", MediaHeader.mp4BytesWithPayloads(6, 6,
+        Array(Pixels.bmpBytes(6, 6, 9L)), syncEvery = 4))), schema)
+    val gotV = Curation.curateVideo(video).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(gotV(1L) === ((true, "keep")))
+    assert(gotV(2L) === ((true, "keep")))
   }
 
   test("curateAudio: keeper wins, duplicates drop, corrupt twins never group") {

@@ -2951,9 +2951,9 @@ object ExtQueries {
     Some(s"""
       WITH RECURSIVE ${sqlKeyframePhashWhere("WHERE doc_id % 53 <> 0")},
       kfu AS (
-        SELECT doc_id, fw, fh, doc_id * 65536 + i + 1 AS uid, phash FROM kfp
+        SELECT doc_id, fw, fh, doc_id * 2097152 + i + 1 AS uid, phash FROM kfp
       ), fpair AS (
-        SELECT a.uid // 65536 AS clip_a, b.uid // 65536 AS clip_b,
+        SELECT a.uid // 2097152 AS clip_a, b.uid // 2097152 AS clip_b,
                a.uid AS ua, b.uid AS ub
         FROM kfu a JOIN kfu b
           ON a.uid < b.uid AND a.fw = b.fw AND a.fh = b.fh
@@ -3000,9 +3000,9 @@ object ExtQueries {
     Some(s"""
       WITH $sqlKeyframePhash,
       kfu AS (
-        SELECT doc_id, fw, fh, doc_id * 65536 + i + 1 AS uid, phash FROM kfp
+        SELECT doc_id, fw, fh, doc_id * 2097152 + i + 1 AS uid, phash FROM kfp
       ), fpair AS (
-        SELECT a.uid // 65536 AS clip_a, b.uid // 65536 AS clip_b,
+        SELECT a.uid // 2097152 AS clip_a, b.uid // 2097152 AS clip_b,
                a.uid AS ua, b.uid AS ub
         FROM kfu a JOIN kfu b
           ON a.uid < b.uid AND a.fw = b.fw AND a.fh = b.fh

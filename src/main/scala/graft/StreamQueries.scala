@@ -671,9 +671,10 @@ object StreamQueries {
       .orderBy(col("eventId")),
     Some("""
       WITH f AS (
-        SELECT event_id, ts, event_type,
+        SELECT event_id, ts, coalesce(event_type, chr(26)) AS event_type,
           CAST(list_sum(list_transform(range(0, 32), b ->
-            CASE WHEN list_sum(list_transform(string_split(props, ' '), x ->
+            CASE WHEN list_sum(list_transform(
+                string_split(coalesce(props, chr(26)), ' '), x ->
               CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
                               / power(2, b)) AS BIGINT) % 2 = 1
                 THEN 1 ELSE -1 END)) >= 0

@@ -375,7 +375,9 @@ object MediaHeader {
   private def buildMp4(w: Int, h: Int, sizes: Array[Int], syncEvery: Int,
       fillPayload: (ByteBuffer, Long) => Unit): Array[Byte] = {
     val n = sizes.length
-    require(n > 0 && n <= (1 << 16) && syncEvery > 0)
+    // strict: sample_idx is 1-based, so n = 2^16 would need a 17th bit
+    // in any 16-bit consumer packing; keep the builder's bound airtight
+    require(n > 0 && n < (1 << 16) && syncEvery > 0)
     val c = chunkCount(n)
     val k = (n + syncEvery - 1) / syncEvery // sync: 1-based 1, 1+syncEvery, ...
     val payload = sizes.map(_.toLong).sum

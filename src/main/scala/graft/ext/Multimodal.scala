@@ -492,9 +492,11 @@ object Multimodal {
     * near-identical keyframes are duplicates. This is the
     * container→bytes→pixels→fingerprint→pairs→clips chain a video corpus
     * dedup actually runs (re-encoded/re-muxed copies keep their visual
-    * keyframes); frame_uid packs (clip, sample) into one long — 16 bits
-    * for the sample index, matching the container builder's 2^16 sample
-    * bound, so no real container aliases frames across clips — and the
+    * keyframes); frame_uid packs (clip, sample) into one long — 21 bits
+    * for the sample index, matching the walker's 2^20 uniform-stsz cap
+    * with headroom over the synthesizer's 2^16 bound, and samples past
+    * 2^21 (reachable only through a gigantic non-uniform stsz box) are
+    * dropped rather than allowed to alias into the next clip id — and the
     * rollup is one aggregation on the already-tiny pair set. `n_shared`
     * counts DISTINCT shared keyframes on the smaller side (min of each
     * clip's distinct matched frames), so two static-scene frames of one
@@ -503,12 +505,14 @@ object Multimodal {
   def keyframeClipDedup(media: DataFrame, maxDist: Int = 2,
       minShared: Int = 2, maxBlock: Int = 256): DataFrame = {
     val kf = keyframeHashes(media)
-      .select((col("media_id") * 65536 + col("sample_idx")).as("frame_uid"),
+      .filter(col("sample_idx") < lit(1 << 21))
+      .select((col("media_id") * lit(1L << 21) + col("sample_idx"))
+        .as("frame_uid"),
         col("phash"), col("width"), col("height"))
     Dedup.hammingNearDupPairs(kf, "frame_uid", "phash",
       maxDist, bits = 56, maxBlock, blockBy = Seq("width", "height"))
-      .select(shiftright(col("id_a"), 16).as("clip_a"),
-        shiftright(col("id_b"), 16).as("clip_b"),
+      .select(shiftright(col("id_a"), 21).as("clip_a"),
+        shiftright(col("id_b"), 21).as("clip_b"),
         col("id_a"), col("id_b"))
       .filter(col("clip_a") =!= col("clip_b"))
       .groupBy(col("clip_a"), col("clip_b"))

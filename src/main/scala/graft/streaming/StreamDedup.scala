@@ -27,10 +27,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * verdicts must equal a ROW_NUMBER() OVER (PARTITION BY digest
   * ORDER BY ts, id) replay.
   *
-  * At 100 TB-scale ingest the state store is the knob: a real deployment
-  * sets a processing-time timeout (state TTL) so digests age out with the
-  * dedup horizon instead of growing forever; NoTimeout here keeps the
-  * oracle deterministic.
+  * At 100 TB-scale ingest the state store is the knob: `ttl` sets a
+  * processing-time timeout so a digest's state ages out after that much
+  * inactivity — the dedup horizon — and a re-arrival past the horizon
+  * flags `is_first` again with `n_seen` restarting at 1, keeping state
+  * O(distinct content within the horizon) instead of growing forever.
+  * `None` (the default) keeps NoTimeout so the batch oracle stays
+  * deterministic.
   */
 object StreamDedup {
 
@@ -39,9 +42,15 @@ object StreamDedup {
       digest: String, eventId: Long, isFirst: Boolean, nSeen: Long)
   final case class SeenState(firstId: Long, nSeen: Long)
 
-  private def update(
+  private def update(ttlMs: Option[Long])(
       key: String, rows: Iterator[InEvent],
       state: GroupState[SeenState]): Iterator[Verdict] = {
+    if (state.hasTimedOut) {
+      // past the dedup horizon: forget the digest so a re-arrival is
+      // first again; timed-out invocations carry no rows
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(SeenState(Long.MinValue, 0L))
     // fold in event-time order (ties by id) so ranks are deterministic
     // regardless of shuffle arrival order
@@ -51,6 +60,7 @@ object StreamDedup {
       Verdict(key, e.eventId, first, st.nSeen)
     }
     state.update(st)
+    ttlMs.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
@@ -73,14 +83,21 @@ object StreamDedup {
       .as[InEvent]
   }
 
-  /** Batch form: one fold from empty state — the oracle surface. */
-  def verdicts(events: DataFrame): Dataset[Verdict] = {
+  /** Batch form: one fold from empty state — the oracle surface. `ttl`
+    * only has effect under a streaming query (batch execution never
+    * times groups out), so the oracle path stays byte-identical.
+    */
+  def verdicts(events: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[Verdict] = {
     implicit val vEnc = Encoders.product[Verdict]
     implicit val kEnc = Encoders.STRING
     implicit val sEnc = Encoders.product[SeenState]
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     asKeyed(events).groupByKey(_.digest)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+        OutputMode.Append(), timeout)(update(ttl.map(_.toMillis)))
   }
 
   /** Streaming form: same update function over a bus; duplicate arrivals in
@@ -89,7 +106,9 @@ object StreamDedup {
     * flatMapGroupsWithState call is stream/batch agnostic), so it
     * delegates — one body, no drift.
     */
-  def verdictsStream(events: DataFrame): Dataset[Verdict] = verdicts(events)
+  def verdictsStream(events: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[Verdict] =
+    verdicts(events, ttl)
 
   val outputMode: OutputMode = OutputMode.Append()
 }

@@ -18,9 +18,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Each group's state is the set of DISTINCT fingerprints seen (NOT the
   * member events: a 10k-wide exact-duplicate cluster is ONE state entry),
   * capped at `maxState` per group, so state is O(distinct content ×
-  * 3 blocks) and the per-event probe is O(distinct fps in 3 groups).
-  * At 100 TB a deployment adds a state TTL exactly as documented on
-  * [[StreamDedup]]; NoTimeout keeps the oracle deterministic.
+  * 3 blocks). Within a group the stored fingerprints are SUB-INDEXED by
+  * a second pigeonhole block: the group key already pins block b exactly,
+  * so a match's ≤ `MaxDist` remaining bit errors land in the other two
+  * blocks — at most `MaxDist` of them inside block b+1 — and the probe
+  * visits only the buckets whose b+1 value is within `MaxDist` bit flips
+  * of the event's (1 + w + w·(w−1)/2 ≈ 67 buckets of an 11-bit block)
+  * instead of scanning the whole group: O(|state| · 67 / 2^w) popcounts
+  * per event, ~1/30th of the linear scan a hot group at the 2^20 cap
+  * would otherwise cost.
+  *
+  * NULL inputs coalesce to the U+001A sentinel BEFORE fingerprinting and
+  * keying — [[StreamDedup]]'s convention: a NULL `props` would otherwise
+  * SimHash to NULL and poison the non-nullable fingerprint encoder, and a
+  * NULL `event_type` would diverge from the oracle (concat_ws skips NULLs;
+  * SQL equality never matches them). The DuckDB oracle mirrors the same
+  * coalesce.
+  *
+  * State retention: `ttl` ages a (type, block, value) group out after
+  * that much processing-time inactivity — the dedup horizon a 100 TB
+  * ingest needs so state is O(distinct content within the horizon), not
+  * O(all time). `None` (the default) keeps NoTimeout so the batch oracle
+  * stays deterministic; see the same knob on [[StreamDedup]].
   *
   * Verdict per event: its fingerprint and `is_near_dup` (an earlier
   * same-type event within distance ≤ `MaxDist` exists — including exact
@@ -37,23 +56,76 @@ object StreamNearDedup {
   // pigeonhole widths for 32/3: 11, 11, 10
   private val Widths = Seq(11, 11, 10)
   private val Shifts = Widths.scanLeft(0)(_ + _).init
+  private val Blocks = MaxDist + 1
 
   final case class BlockRow(
-      gk: String, eventId: Long, atMicros: Long, fp: Long)
+      gk: String, block: Int, eventId: Long, atMicros: Long, fp: Long)
   final case class BlockMatch(eventId: Long, fp: Long, matched: Boolean)
-  final case class FpState(fps: List[Long])
+  /** Group state: distinct fingerprints bucketed by their block-(b+1)
+    * value — the probe's sub-index. Total size across buckets is capped
+    * at `maxState`.
+    */
+  final case class FpState(buckets: Map[Long, Seq[Long]])
 
-  private def update(maxState: Int)(
+  /** Scan only the buckets whose key is within `MaxDist` bit flips of
+    * `v` (the probe fingerprint's sub-index block value), popcount-check
+    * each stored fingerprint, and stop at the first hit. Returns
+    * (matched, fingerprints visited) — the visit count is the probe's
+    * cost model and what the hot-group spec asserts.
+    */
+  private[streaming] def probeBuckets(
+      buckets: collection.Map[Long, Seq[Long]], fp: Long, v: Long,
+      width: Int): (Boolean, Int) = {
+    var visits = 0
+    def scan(u: Long): Boolean = buckets.get(u).exists(_.exists { f =>
+      visits += 1
+      java.lang.Long.bitCount(f ^ fp) <= MaxDist
+    })
+    var matched = scan(v)
+    var i = 0
+    while (!matched && i < width) {
+      matched = scan(v ^ (1L << i))
+      var j = i + 1
+      while (!matched && j < width) {
+        matched = scan(v ^ (1L << i) ^ (1L << j))
+        j += 1
+      }
+      i += 1
+    }
+    (matched, visits)
+  }
+
+  private def update(maxState: Int, ttlMs: Option[Long])(
       key: String, rows: Iterator[BlockRow],
       state: GroupState[FpState]): Iterator[BlockMatch] = {
-    val set = scala.collection.mutable.LinkedHashSet.empty[Long]
-    state.getOption.foreach(_.fps.foreach(set += _))
-    val out = rows.toSeq.sortBy(r => (r.atMicros, r.eventId)).map { r =>
-      val m = set.exists(f => java.lang.Long.bitCount(f ^ r.fp) <= MaxDist)
-      if (set.size < maxState) set += r.fp
+    if (state.hasTimedOut) {
+      // the group aged past the dedup horizon: drop its fingerprints so a
+      // re-arrival flags fresh, emit nothing
+      state.remove()
+      return Iterator.empty
+    }
+    val buckets = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    var total = 0
+    state.getOption.foreach(_.buckets.foreach { case (k, fps) =>
+      buckets(k) = fps; total += fps.size
+    })
+    val rs = rows.toSeq
+    // every row in the group shares the block index (it's in the key)
+    val b2 = rs.headOption.map(r => (r.block + 1) % Blocks).getOrElse(0)
+    val shift = Shifts(b2)
+    val width = Widths(b2)
+    val mask = (1L << width) - 1
+    val out = rs.sortBy(r => (r.atMicros, r.eventId)).map { r =>
+      val v = (r.fp >>> shift) & mask
+      val (m, _) = probeBuckets(buckets, r.fp, v, width)
+      if (total < maxState) {
+        val lst = buckets.getOrElse(v, Vector.empty)
+        if (!lst.contains(r.fp)) { buckets(v) = lst :+ r.fp; total += 1 }
+      }
       BlockMatch(r.eventId, r.fp, m)
     }
-    state.update(FpState(set.toList))
+    state.update(FpState(buckets.toMap))
+    ttlMs.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
@@ -63,27 +135,35 @@ object StreamNearDedup {
     * surfaces as 3 rows (one per pigeonhole block); [[verdicts]] is the
     * per-event rollup.
     */
-  def blockMatches(events: DataFrame, maxState: Int = 1 << 20): Dataset[BlockMatch] = {
+  def blockMatches(events: DataFrame, maxState: Int = 1 << 20,
+      ttl: Option[java.time.Duration] = None): Dataset[BlockMatch] = {
     implicit val rEnc = Encoders.product[BlockRow]
     implicit val mEnc = Encoders.product[BlockMatch]
     implicit val kEnc = Encoders.STRING
     implicit val sEnc = Encoders.product[FpState]
-    val fp = graft.functions.SimHash(split(col("props"), " ", -1), Bits)
-    val blockCols = (0 until MaxDist + 1).map { b =>
-      concat_ws("\u001f", col("event_type"), lit(b),
-        shiftright(col("fp"), Shifts(b))
-          .bitwiseAND(lit((1L << Widths(b)) - 1)))
+    val fp = graft.functions.SimHash(
+      split(coalesce(col("props"), lit("\u001a")), " ", -1), Bits)
+    val etype = coalesce(col("event_type"), lit("\u001a"))
+    val blockCols = (0 until Blocks).map { b =>
+      struct(lit(b).as("block"),
+        concat_ws("\u001f", etype, lit(b),
+          shiftright(col("fp"), Shifts(b))
+            .bitwiseAND(lit((1L << Widths(b)) - 1))).as("gk"))
     }
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .select(col("event_id").as("eventId"), col("event_type"),
         unix_micros(col("ts")).as("atMicros"), fp.as("fp"))
       .select(col("eventId"), col("atMicros"), col("fp"),
-        explode(array(blockCols: _*)).as("gk"))
-      .select(col("gk"), col("eventId"), col("atMicros"), col("fp"))
+        explode(array(blockCols: _*)).as("bk"))
+      .select(col("bk.gk").as("gk"), col("bk.block").as("block"),
+        col("eventId"), col("atMicros"), col("fp"))
       .as[BlockRow]
       .groupByKey(_.gk)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(maxState))
+        OutputMode.Append(), timeout)(update(maxState, ttl.map(_.toMillis)))
   }
 
   /** Batch form (one fold from empty state — the oracle surface): roll

@@ -20,11 +20,62 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
   *    `SPARK_GRAFT_ONLY`, reporting per-query rows as TSV to
   *    `SPARK_GRAFT_OUT` instead of printing the merged JSON line.
   *
+  * SELF-ADJUDICATION (r12 VERDICT #1): chunking fixed session-age
+  * inflation but not CO-TENANCY inflation — r11/r12 each published
+  * several numbers 2.5–25× above what the same jar measures solo
+  * (`filter_cel_time` 13.8 s driver-run vs 0.55 s solo in r12), and a
+  * judge had to hand-A/B them. Now every query records process-CPU
+  * seconds, GC time and system load alongside wall time, and the
+  * coordinator re-runs suspects in a solo child JVM:
+  *   - `wall > 3× prior round's committed wall` (bench_detail_r<k>.json)
+  *     — the cross-round regression the judge would otherwise chase;
+  *   - `wall/cpu > 1.5` with wall ≥ 2 s — the process spent most of the
+  *     interval off-CPU, i.e. waiting on something that isn't our plan.
+  *  Both the published and the solo number land in the detail artifact
+  *  with a `reproduced` (solo confirms the cost is real) or
+  *  `environmental` (solo < published/1.5 — the chunk number was load
+  *  noise) verdict. Retries are capped (and the cap logged) so a noisy
+  *  machine cannot double the bench wall time.
+  *
   * A standalone run with `SPARK_GRAFT_ONLY` set (the documented one-query
   * iteration loop) or `SPARK_GRAFT_CHUNK=0` behaves exactly as before:
   * single process, budgeted JSON line on stdout.
   */
 object Bench {
+
+  /** One timed run: wall seconds, process-CPU seconds across all threads
+    * (-1 if the platform bean is unavailable), GC-time delta, 1-min system
+    * load average immediately before/after. cpu ≫ wall on a busy 32-thread
+    * stage; wall ≫ cpu means the process was waiting, not computing.
+    */
+  private case class Meas(wall: Double, cpu: Double, gcMs: Long,
+      load0: Double, load1: Double)
+
+  private case class ScaleRow(tag: String, factor: Int, name: String,
+      ratio: Double, sec: Double, base: Double, cpu: Double)
+
+  /** One adjudicated suspect: the number the chunk run published, the
+    * solo-child re-measurement, and the verdict. tag is "base" or the
+    * scale-section tag.
+    */
+  private case class Adj(tag: String, name: String, trigger: String,
+      published: Double, publishedCpu: Double,
+      solo: Double, soloCpu: Double, verdict: String)
+
+  private val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+  private def gcTotalMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   /** Untimed diagnostics for the hamming-probe queries: the
     * (blockBy, block, value) group-width histograms
@@ -36,6 +87,7 @@ object Bench {
     */
   private val probeHistograms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import graft.ext.{Dedup, Multimodal}
+    import org.apache.spark.sql.functions.{col, expr, when}
     Map(
       "dedup_phash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
@@ -47,6 +99,23 @@ object Bench {
         Dedup.probeGroupHistogram(
           Multimodal.audioFingerprint(
             Multimodal.wavMediaFromDocuments(Tables.documents(s, d))),
+          "afp", maxDist = 2, bits = 56, maxBlock = 256,
+          blockBy = Seq("n_bits", "sample_rate", "channels"))),
+      // the audio CURATION pass's internal probe (r12 VERDICT #6): same
+      // cohorts as dedup_audio_neardup but over the curation query's exact
+      // pair input — every-53rd container truncated to 8 bytes (the
+      // corrupt arm) and undecodable/zero-evidence rows filtered out —
+      // so pipeline_audio_curation's scale ratio can be attributed to
+      // demanded-pair growth the same way the plain audio probe's is
+      "pipeline_audio_curation" -> ((s: SparkSession, d: String) =>
+        Dedup.probeGroupHistogram(
+          Multimodal.audioFingerprint(
+            Multimodal.wavMediaFromDocuments(Tables.documents(s, d))
+              .withColumn("content",
+                when(col("media_id") % 53 === 0,
+                  expr("substring(content, 1, 8)"))
+                  .otherwise(col("content"))))
+            .filter(col("n_bits") > 0),
           "afp", maxDist = 2, bits = 56, maxBlock = 256,
           blockBy = Seq("n_bits", "sample_rate", "channels"))),
       "dedup_video_neardup" -> ((s: SparkSession, d: String) =>
@@ -78,9 +147,120 @@ object Bench {
     else runQueries(sfDir, only)
   }
 
-  /** Fork one child JVM per chunk; stream progress; merge TSV results. */
-  private def coordinate(sfDir: String, chunkSize: Int): Unit = {
+  /** The round number this run is producing artifacts for: env override,
+    * else max existing BENCH_r<k>.json + 1 (the round whose BENCH file the
+    * driver is about to write).
+    */
+  private def roundNumber: String =
+    sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val existing = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (existing.isEmpty) "0" else (existing.max + 1).toString
+    }
+
+  /** The `{...}` block starting at the first `{` at/after `from`, by brace
+    * counting (our detail JSON puts no braces inside strings).
+    */
+  private def braceBlock(txt: String, from: Int): String = {
+    var j = txt.indexOf('{', from)
+    if (j < 0) return ""
+    val start = j
+    var depth = 0
+    while (j < txt.length) {
+      txt.charAt(j) match {
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return txt.substring(start, j + 1)
+        case _ => ()
+      }
+      j += 1
+    }
+    ""
+  }
+
+  /** Per-query wall seconds from the newest committed
+    * `bench_detail_r<k>.json` with k < the current round — the
+    * cross-round baseline the adjudicator compares against. Base queries
+    * key as their name; scale rows as "tag:name". Parses both the pre-r13
+    * scalar format (`"q":1.234`) and the r13+ object format
+    * (`"q":{"sec":1.234,...}`).
+    */
+  private def priorDetail(round: Int): Map[String, Double] = try {
+    val pat = "bench_detail_r(\\d+)\\.json".r
+    val files = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => pat.findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f))
+      .filter(_._1 < round)
+    if (files.isEmpty) Map.empty
+    else {
+      val txt = java.nio.file.Files.readString(files.maxBy(_._1)._2.toPath)
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      val qIdx = txt.indexOf("\"queries\":")
+      if (qIdx >= 0) {
+        val block = braceBlock(txt, qIdx)
+        val objFmt = """"([A-Za-z0-9_]+)":\{"sec":([0-9.eE+-]+)""".r
+        val numFmt = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+        val objs = objFmt.findAllMatchIn(block).toSeq
+        if (objs.nonEmpty) objs.foreach(m => out(m.group(1)) = m.group(2).toDouble)
+        else numFmt.findAllMatchIn(block)
+          .foreach(m => out(m.group(1)) = m.group(2).toDouble)
+      }
+      Seq("scale", "scale26").foreach { tag =>
+        val i = txt.indexOf("\"" + tag + "\":")
+        if (i >= 0) {
+          val block = braceBlock(txt, i)
+          val rowFmt = """"([A-Za-z0-9_]+)":\{"ratio":[0-9.eE+-]+,"sec":([0-9.eE+-]+)""".r
+          rowFmt.findAllMatchIn(block)
+            .foreach(m => out(s"$tag:${m.group(1)}") = m.group(2).toDouble)
+        }
+      }
+      out.toMap
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] prior-detail parse failed: ${e.getMessage}")
+    Map.empty
+  }
+
+  /** Fork one child JVM running `graft.Bench` with `env` merged in; child
+    * stdout (Spark console noise) goes to a temp log so it cannot pollute
+    * the coordinator's stdout JSON line, stderr streams through for
+    * progress. Returns (rc, parsed TSV rows from the child's OUT file).
+    */
+  private def spawnChild(env: Map[String, String], label: String): (Int, Seq[Array[String]]) = {
     import scala.jdk.CollectionConverters._
+    val outF = java.nio.file.Files.createTempFile(s"graft_${label}_", ".tsv")
+    val logF = java.nio.file.Files.createTempFile(s"graft_${label}_", ".log")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    // children inherit this JVM's flags (add-opens, heap, code cache);
+    // debugger agents would fight over their port
+    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(o => o.startsWith("-agentlib") || o.startsWith("-javaagent"))
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench")).asJava)
+    pb.environment.put("SPARK_GRAFT_CHILD", "1")
+    pb.environment.put("SPARK_GRAFT_OUT", outF.toString)
+    env.foreach { case (k, v) => pb.environment.put(k, v) }
+    pb.redirectOutput(ProcessBuilder.Redirect.to(logF.toFile))
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val rc = pb.start().waitFor()
+    if (rc != 0)
+      System.err.println(s"[bench] $label exited rc=$rc (log: $logF)")
+    val rows = java.nio.file.Files.readAllLines(outF).asScala.toSeq
+      .map(_.split("\t"))
+    (rc, rows)
+  }
+
+  /** Fork one child JVM per chunk; stream progress; merge TSV results;
+    * adjudicate suspects in solo children.
+    */
+  private def coordinate(sfDir: String, chunkSize: Int): Unit = {
+    val loadStart = loadAvg
     val names = SparkEntry.queries.keys.toSeq.sorted
     val chunks = names.grouped(chunkSize).toSeq
     // invalidate factor-corpus markers: each bench run synthesizes fresh
@@ -90,98 +270,169 @@ object Bench {
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("graft_scale_"))
       .foreach(d => new java.io.File(d, "_synth.ok").delete())
-    val javaBin = java.nio.file.Paths
-      .get(System.getProperty("java.home"), "bin", "java").toString
-    val cp = System.getProperty("java.class.path")
-    // children inherit this JVM's flags (add-opens, heap, code cache);
-    // debugger agents would fight over their port
-    val jvmOpts = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-      .filterNot(o => o.startsWith("-agentlib") || o.startsWith("-javaagent"))
-    val qTimes = ArrayBuffer.empty[(String, Double)]
+    val qMeas = ArrayBuffer.empty[(String, Meas)]
     val failed = LinkedHashSet.empty[String]
-    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double, Double, Double)]
+    val scaleRows = ArrayBuffer.empty[ScaleRow]
     val histRows = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
+    def ingest(rows: Seq[Array[String]],
+        into: (ArrayBuffer[(String, Meas)], ArrayBuffer[ScaleRow])): Set[String] = {
+      val reported = scala.collection.mutable.Set.empty[String]
+      rows.foreach {
+        case Array("Q", n, w, c, g, l0, l1) =>
+          into._1 += (n -> Meas(w.toDouble, c.toDouble, g.toLong,
+            l0.toDouble, l1.toDouble))
+          reported += n
+        case Array("F", n) => failed += n
+        case Array("S", tag, fac, n, r, sec, base, cpu) =>
+          into._2 += ScaleRow(tag, fac.toInt, n, r.toDouble, sec.toDouble,
+            base.toDouble, cpu.toDouble)
+        case Array("H", tag, n, lw, ng, mw, up, cp) =>
+          histRows += ((tag, n, lw.toInt, ng.toLong, mw.toLong,
+            up.toLong, cp.toLong))
+        case _ => ()
+      }
+      reported.toSet
+    }
     chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val outF = java.nio.file.Files.createTempFile(s"graft_chunk${i}_", ".tsv")
-      val logF = java.nio.file.Files.createTempFile(s"graft_chunk${i}_", ".log")
       System.err.println(
         s"[bench] chunk ${i + 1}/${chunks.size}: ${chunk.head} .. ${chunk.last}")
-      val pb = new ProcessBuilder(
-        (Seq(javaBin) ++ jvmOpts ++ Seq("-cp", cp, "graft.Bench")).asJava)
-      pb.environment.put("SPARK_GRAFT_CHILD", "1")
-      pb.environment.put("SPARK_GRAFT_ONLY", chunk.mkString(","))
-      pb.environment.put("SPARK_GRAFT_OUT", outF.toString)
-      // child stdout (Spark console noise) must not pollute the stdout
-      // JSON line the driver tails; stderr streams through for progress
-      pb.redirectOutput(ProcessBuilder.Redirect.to(logF.toFile))
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val rc = pb.start().waitFor()
+      val (rc, rows) = spawnChild(
+        Map("SPARK_GRAFT_ONLY" -> chunk.mkString(",")), s"chunk$i")
       if (rc != 0)
-        System.err.println(s"[bench] chunk ${i + 1} exited rc=$rc " +
-          s"(log: $logF); unreported queries count as failed")
-      val reported = scala.collection.mutable.Set.empty[String]
-      java.nio.file.Files.readAllLines(outF).asScala.foreach { line =>
-        line.split("\t") match {
-          case Array("Q", n, s) => qTimes += (n -> s.toDouble); reported += n
-          case Array("F", n) => failed += n
-          case Array("S", tag, fac, n, r, sec, base) =>
-            scaleRows += ((tag, fac.toInt, n, r.toDouble, sec.toDouble, base.toDouble))
-          case Array("H", tag, n, lw, ng, mw, up, cp) =>
-            histRows += ((tag, n, lw.toInt, ng.toLong, mw.toLong, up.toLong, cp.toLong))
-          case _ => ()
-        }
-      }
+        System.err.println(
+          s"[bench] chunk ${i + 1}: unreported queries count as failed")
+      val reported = ingest(rows, (qMeas, scaleRows))
       // a child that died mid-chunk (OOM, hard JVM crash) reports nothing
       // for its remaining queries — those are failures, not free queries
       chunk.filterNot(reported).foreach(failed += _)
     }
+
+    // ---- adjudication (r12 VERDICT #1) ----
+    val round = roundNumber
+    val prior = priorDetail(round.toInt)
+    if (prior.isEmpty)
+      System.err.println("[bench] no prior detail artifact; " +
+        "adjudicating on wall/cpu only")
+    // a suspect is (tag, name, published wall, published cpu, trigger).
+    // Floors keep a noisy machine from queueing dozens of sub-second
+    // retries whose absolute error is meaningless; the cap below bounds
+    // total retry wall time and is LOGGED when it drops suspects.
+    def idleHeavy(wall: Double, cpu: Double): Boolean =
+      wall >= 2.0 && cpu > 0 && wall / cpu > 1.5
+    val baseSuspects = qMeas.flatMap { case (n, m) =>
+      val vsPrior = prior.get(n)
+        .filter(p => m.wall >= 0.75 && m.wall > 3 * p)
+      if (vsPrior.isDefined)
+        Some((("base", n, m.wall, m.cpu,
+          f"wall>3x_prior(${vsPrior.get}%.2f)")))
+      else if (idleHeavy(m.wall, m.cpu))
+        Some((("base", n, m.wall, m.cpu, "wall/cpu>1.5")))
+      else None
+    }
+    val scaleSuspects = scaleRows.flatMap { r =>
+      val key = s"${r.tag}:${r.name}"
+      val vsPrior = prior.get(key).filter(p => r.sec >= 2.0 && r.sec > 3 * p)
+      if (vsPrior.isDefined)
+        Some(((r.tag, r.name, r.sec, r.cpu,
+          f"wall>3x_prior(${vsPrior.get}%.2f)")))
+      else if (idleHeavy(r.sec, r.cpu))
+        Some(((r.tag, r.name, r.sec, r.cpu, "wall/cpu>1.5")))
+      else None
+    }
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_MAX_RETRY", "10").toInt
+    val allSuspects = (baseSuspects ++ scaleSuspects).sortBy(-_._3)
+    if (allSuspects.size > maxRetries)
+      System.err.println(s"[bench] ${allSuspects.size} suspects, retrying " +
+        s"top $maxRetries by published wall; dropped: " +
+        allSuspects.drop(maxRetries).map(s => s"${s._1}:${s._2}").mkString(", "))
+    // one solo child per suspect NAME (a name with both a base and a
+    // scale suspect re-measures both in one child, scale sections on)
+    val retained = allSuspects.take(maxRetries)
+    val adjRows = ArrayBuffer.empty[Adj]
+    retained.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (name, sus) =>
+      val needScale = sus.exists(_._1 != "base")
+      System.err.println(s"[bench] adjudicating $name solo " +
+        s"(${sus.map(s => s"${s._1}: ${s._5}").mkString("; ")})")
+      val env = Map("SPARK_GRAFT_ONLY" -> name) ++
+        (if (needScale) Map.empty[String, String]
+        else Map("SPARK_GRAFT_SCALE" -> "1"))
+      val soloQ = ArrayBuffer.empty[(String, Meas)]
+      val soloS = ArrayBuffer.empty[ScaleRow]
+      val (_, rows) = spawnChild(env, s"solo_$name")
+      ingest(rows, (soloQ, soloS))
+      sus.foreach { case (tag, _, pub, pubCpu, trigger) =>
+        val solo: Option[(Double, Double)] =
+          if (tag == "base") soloQ.find(_._1 == name).map(q => (q._2.wall, q._2.cpu))
+          else soloS.find(r => r.tag == tag && r.name == name)
+            .map(r => (r.sec, r.cpu))
+        solo match {
+          case Some((sw, sc)) =>
+            val verdict = if (sw < pub / 1.5) "environmental" else "reproduced"
+            System.err.println(
+              f"[bench] verdict $tag:$name published=$pub%.2f solo=$sw%.2f → $verdict")
+            adjRows += Adj(tag, name, trigger, pub, pubCpu, sw, sc, verdict)
+          case None =>
+            System.err.println(s"[bench] solo $tag:$name reported nothing; " +
+              "verdict unresolved")
+            adjRows += Adj(tag, name, trigger, pub, pubCpu, -1.0, -1.0,
+              "unresolved")
+        }
+      }
+    }
+
     val scaleJson = Seq("scale", "scale26").flatMap { tag =>
-      val rows = scaleRows.filter(_._1 == tag)
+      val rows = scaleRows.filter(_.tag == tag)
       if (rows.isEmpty) None
-      else Some(s""","$tag":{"factor":${rows.head._2},"ratios":${rows
-        .map(r => f""""${r._3}":${r._4}%.2f""").mkString("{", ",", "}")}}""")
+      else Some(s""","$tag":{"factor":${rows.head.factor},"ratios":${rows
+        .map(r => f""""${r.name}":${r.ratio}%.2f""").mkString("{", ",", "}")}}""")
     }.mkString
-    writeDetail(qTimes.toSeq, failed, scaleRows.toSeq, histRows.toSeq, sfDir)
-    emitFinal(qTimes.toSeq, failed, scaleJson, sfDir)
+    writeDetail(qMeas.toSeq, failed, scaleRows.toSeq, histRows.toSeq, sfDir,
+      adjRows.toSeq, loadStart)
+    emitFinal(qMeas.toSeq, failed, scaleJson, sfDir, adjRows.toSeq)
   }
 
   /** The committed per-round artifact the 2000-char stdout tail can't
-    * carry: EVERY query's seconds, the full scale rows (ratio + raw
-    * seconds + base), and the probe group-width histograms. Written to the
-    * working directory as `bench_detail_r<N>.json`; N comes from
-    * `SPARK_GRAFT_ROUND` or, failing that, max existing `BENCH_r<k>.json`
-    * + 1 (the round whose BENCH file the driver is about to write).
-    * Cross-round per-query regression tracking reads these files — the
-    * stdout headline line is unchanged.
+    * carry: EVERY query's wall + cpu seconds, GC delta and load context,
+    * the full scale rows (ratio + raw seconds + base + cpu), the probe
+    * group-width histograms, and the adjudication verdicts. Written to the
+    * working directory as `bench_detail_r<N>.json`. Cross-round per-query
+    * regression tracking reads these files — the stdout headline line is
+    * unchanged.
     */
-  private def writeDetail(resultSeq: Seq[(String, Double)],
+  private def writeDetail(resultSeq: Seq[(String, Meas)],
       failed: LinkedHashSet[String],
-      scaleRows: Seq[(String, Int, String, Double, Double, Double)],
+      scaleRows: Seq[ScaleRow],
       histRows: Seq[(String, String, Int, Long, Long, Long, Long)],
-      sfDir: String): Unit = try {
-    val round = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
-      val pat = "BENCH_r(\\d+)\\.json".r
-      val existing = Option(new java.io.File(".").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .flatMap(f => pat.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (existing.isEmpty) "0" else (existing.max + 1).toString
-    }
+      sfDir: String, adjRows: Seq[Adj], loadStart: Double): Unit = try {
+    val round = roundNumber
     val sb = new StringBuilder
     sb ++= s"""{"round":$round,"sf":"$sfDir","""
-    sb ++= f""""total":${resultSeq.map(_._2).sum}%.3f,"""
+    sb ++= f""""total":${resultSeq.map(_._2.wall).sum}%.3f,"""
     sb ++= s""""n_queries":${resultSeq.size},"""
+    sb ++= s""""machine":{"cpus":${Runtime.getRuntime.availableProcessors},"""
+    sb ++= f""""load_start":$loadStart%.2f,"load_end":$loadAvg%.2f},"""
     sb ++= s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
-    sb ++= resultSeq.sortBy(-_._2)
-      .map { case (n, s) => f""""$n":$s%.3f""" }
+    sb ++= resultSeq.sortBy(-_._2.wall)
+      .map { case (n, m) =>
+        f""""$n":{"sec":${m.wall}%.3f,"cpu_sec":${m.cpu}%.3f,""" +
+          f""""gc_ms":${m.gcMs},"load0":${m.load0}%.2f,"load1":${m.load1}%.2f}"""
+      }
       .mkString("\"queries\":{", ",", "},")
     val scaleJson = Seq("scale", "scale26").map { tag =>
-      val rows = scaleRows.filter(_._1 == tag)
+      val rows = scaleRows.filter(_.tag == tag)
       val entries = rows.map(r =>
-        f""""${r._3}":{"ratio":${r._4}%.2f,"sec":${r._5}%.3f,"base":${r._6}%.3f}""")
-      s""""$tag":{${rows.headOption.map(r => s""""factor":${r._2},""").getOrElse("")}"rows":${entries.mkString("{", ",", "}")}}"""
+        f""""${r.name}":{"ratio":${r.ratio}%.2f,"sec":${r.sec}%.3f,""" +
+          f""""base":${r.base}%.3f,"cpu_sec":${r.cpu}%.3f}""")
+      s""""$tag":{${rows.headOption.map(r => s""""factor":${r.factor},""").getOrElse("")}"rows":${entries.mkString("{", ",", "}")}}"""
     }.mkString(",")
     sb ++= scaleJson
+    val adjJson = adjRows.map { a =>
+      f"""{"tag":"${a.tag}","query":"${a.name}","trigger":"${a.trigger}",""" +
+        f""""published_sec":${a.published}%.3f,"published_cpu_sec":${a.publishedCpu}%.3f,""" +
+        f""""solo_sec":${a.solo}%.3f,"solo_cpu_sec":${a.soloCpu}%.3f,""" +
+        s""""verdict":"${a.verdict}"}"""
+    }
+    sb ++= s""","adjudication":${adjJson.mkString("[", ",", "]")}"""
     val histJson = histRows.groupBy(_._2).toSeq.sortBy(_._1).map {
       case (q, rows) =>
         val byTag = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (tag, hs) =>
@@ -204,6 +455,7 @@ object Bench {
     * sections, results to `SPARK_GRAFT_OUT` (child) or stdout (standalone).
     */
   private def runQueries(sfDir: String, only: Set[String]): Unit = {
+    val loadStart = loadAvg
     val childOut = sys.env.get("SPARK_GRAFT_OUT")
     val spark = GraftSession.local()
     // Untimed warmup. Two distinct costs would otherwise land on whichever
@@ -239,7 +491,10 @@ object Bench {
     // stdout JSON line / an F row in the child TSV.
     val failed = LinkedHashSet.empty[String]
     var current = ""
-    def onceIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def onceIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      val l0 = loadAvg
+      val c0 = cpuNanos
+      val g0 = gcTotalMs
       val t0 = System.nanoTime()
       try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
@@ -247,16 +502,22 @@ object Bench {
         System.err.println(s"[bench] FAILED $current: " +
           s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val c1 = cpuNanos
+      val cpu = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
+      val m = Meas(sec, cpu, gcTotalMs - g0, l0, loadAvg)
       // release the query's localCheckpoint blocks before the clock of the
       // NEXT run starts: leaked storage blocks from earlier queries were
       // r7's ~15 s "regression" on unchanged code (the sweep itself is
       // non-blocking bookkeeping, not measured work)
-      val sec = (System.nanoTime() - t0) / 1e9
       GraftSession.sweepPersisted(spark)
-      sec
+      m
     }
-    def bestOfTwoIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      math.min(onceIn(dir)(fn), onceIn(dir)(fn))
+    def bestOfTwoIn(dir: String)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas = {
+      val a = onceIn(dir)(fn)
+      val b = onceIn(dir)(fn)
+      if (a.wall <= b.wall) a else b
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
@@ -265,10 +526,11 @@ object Bench {
     // queries relative to JIT/GC warm state and corrupt per-query diffs
     val resultSeq = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       current = name
-      val sec = bestOfTwoIn(sfDir)(fn)
+      val m = bestOfTwoIn(sfDir)(fn)
       // progress to stderr (the driver reads only the stdout JSON line)
-      System.err.println(f"[bench] $name%-28s $sec%7.2f s")
-      name -> sec
+      System.err.println(
+        f"[bench] $name%-28s ${m.wall}%7.2f s (cpu ${m.cpu}%6.2f s)")
+      name -> m
     }
     val results = resultSeq.toMap
 
@@ -282,7 +544,7 @@ object Bench {
     // Caveat when diffing round-over-round: a ratio whose BASE is under
     // ~0.5 s is overhead-dominated (±0.3 s of scheduler/GC jitter swings
     // it severalfold); judge those by the absolute stderr timings instead.
-    val scaleRows = ArrayBuffer.empty[(String, Int, String, Double, Double, Double)]
+    val scaleRows = ArrayBuffer.empty[ScaleRow]
     def scaleSection(tag: String, factor: Int, names: Seq[String],
         tables: Set[String] = ScaleData.AllTables): String = {
       // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
@@ -309,11 +571,11 @@ object Bench {
         val entries = sel.flatMap { n =>
           SparkEntry.queries.get(n).flatMap { fn =>
             current = s"$tag:$n"
-            val sec = bestOfTwoIn(outDir)(fn)
-            val base = results(n)
-            val ratio = sec / math.max(base, 1e-9)
+            val m = bestOfTwoIn(outDir)(fn)
+            val base = results(n).wall
+            val ratio = m.wall / math.max(base, 1e-9)
             System.err.println(
-              f"[bench] $tag:$n%-22s $sec%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
+              f"[bench] $tag:$n%-22s ${m.wall}%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
             // ratios only on the stdout line (sec/base_sec go to stderr
             // above): the driver keeps just the LAST 2000 chars of stdout,
             // so every byte of the final JSON line fights for that window.
@@ -321,7 +583,7 @@ object Bench {
             // (documented caveat above) and spends ~30 chars saying
             // nothing — those stay stderr-only (VERDICT r8 #9 line budget)
             if (base >= 0.5) {
-              scaleRows += ((tag, factor, n, ratio, sec, base))
+              scaleRows += ScaleRow(tag, factor, n, ratio, m.wall, base, m.cpu)
               Some(f""""$n":$ratio%.2f""")
             } else None
           }
@@ -419,8 +681,8 @@ object Bench {
       histAt("scale", s"$tmpDir/graft_scale_${factor}x", scaleSet)
     if (factor26 > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor26}x/_synth.ok").exists)
       histAt("scale26", s"$tmpDir/graft_scale_${factor26}x", cappedSet)
-    resultSeq.foreach { case (n, s) =>
-      System.err.println(f"""[bench-detail] "$n":$s""")
+    resultSeq.foreach { case (n, m) =>
+      System.err.println(f"""[bench-detail] "$n":${m.wall}""")
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} FAILED: ${failed.mkString(", ")}")
@@ -429,10 +691,12 @@ object Bench {
         // child mode: machine-readable rows for the coordinator; no stdout
         // JSON (the coordinator emits the merged budgeted line)
         val sb = new StringBuilder
-        resultSeq.foreach { case (n, s) => sb ++= f"Q\t$n\t$s%.4f\n" }
+        resultSeq.foreach { case (n, m) =>
+          sb ++= f"Q\t$n\t${m.wall}%.4f\t${m.cpu}%.4f\t${m.gcMs}\t${m.load0}%.2f\t${m.load1}%.2f\n"
+        }
         failed.foreach(n => sb ++= s"F\t$n\n")
-        scaleRows.foreach { case (tag, fac, n, r, sec, base) =>
-          sb ++= f"S\t$tag\t$fac\t$n\t$r%.4f\t$sec%.4f\t$base%.4f\n"
+        scaleRows.foreach { r =>
+          sb ++= f"S\t${r.tag}\t${r.factor}\t${r.name}\t${r.ratio}%.4f\t${r.sec}%.4f\t${r.base}%.4f\t${r.cpu}%.4f\n"
         }
         histRows.foreach { case (tag, n, lw, ng, mw, up, cp) =>
           sb ++= s"H\t$tag\t$n\t$lw\t$ng\t$mw\t$up\t$cp\n"
@@ -440,11 +704,14 @@ object Bench {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
       case None =>
         // standalone full run (SPARK_GRAFT_CHUNK=0, no filter): write the
-        // same detail artifact the chunked coordinator writes; a filtered
-        // hand-run iteration loop must not clobber the round's artifact
+        // same detail artifact the chunked coordinator writes (minus
+        // adjudication — there is no solo-vs-chunk distinction in a single
+        // process); a filtered hand-run iteration loop must not clobber
+        // the round's artifact
         if (only.isEmpty)
-          writeDetail(resultSeq, failed, scaleRows.toSeq, histRows.toSeq, sfDir)
-        emitFinal(resultSeq, failed, scaleJson, sfDir)
+          writeDetail(resultSeq, failed, scaleRows.toSeq, histRows.toSeq,
+            sfDir, Seq.empty, loadStart)
+        emitFinal(resultSeq, failed, scaleJson, sfDir, Seq.empty)
     }
     spark.stop()
   }
@@ -456,27 +723,37 @@ object Bench {
     * would overflow; anything cut is summed into "other" so "value" stays
     * the exact total. Full per-query detail always goes to stderr.
     * "failed" goes on the line BEFORE per-query times fight for the
-    * budget — a correctness regression outranks timing detail.
+    * budget — a correctness regression outranks timing detail. The
+    * adjudication verdict COUNTS ride the line (full rows are in the
+    * detail artifact).
     */
-  private def emitFinal(resultSeq: Seq[(String, Double)],
-      failed: LinkedHashSet[String], scaleJson: String, sfDir: String): Unit = {
-    val total = resultSeq.map(_._2).sum
+  private def emitFinal(resultSeq: Seq[(String, Meas)],
+      failed: LinkedHashSet[String], scaleJson: String, sfDir: String,
+      adjRows: Seq[Adj]): Unit = {
+    val total = resultSeq.map(_._2.wall).sum
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val adjJson =
+      if (adjRows.isEmpty) ""
+      else {
+        val env = adjRows.count(_.verdict == "environmental")
+        val rep = adjRows.count(_.verdict == "reproduced")
+        s""","adjudicated":{"environmental":$env,"reproduced":$rep}"""
+      }
     val lineBudget = 1750 // < 2000 minus sbt's trailing "[success] ..." line
-    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson,"queries":{}$scaleJson}"""
+    val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":{}$scaleJson}"""
     var room = lineBudget - fixed.length - 30 // reserve for "other" entry
     val kept = ArrayBuffer.empty[String]
     var otherSum = 0.0
-    resultSeq.sortBy(-_._2).foreach { case (n, s) =>
-      val e = f""""$n":$s%.3f"""
+    resultSeq.sortBy(-_._2.wall).foreach { case (n, m) =>
+      val e = f""""$n":${m.wall}%.3f"""
       if (room - (e.length + 1) >= 0) { kept += e; room -= (e.length + 1) }
-      else otherSum += s
+      else otherSum += m.wall
     }
     if (otherSum > 0 || kept.size < resultSeq.size)
       kept += f""""other":$otherSum%.3f"""
     val qsCompact = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson,"queries":$qsCompact$scaleJson}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":$qsCompact$scaleJson}""")
   }
 }

@@ -2951,7 +2951,11 @@ object ExtQueries {
     Some(s"""
       WITH RECURSIVE ${sqlKeyframePhashWhere("WHERE doc_id % 53 <> 0")},
       kfu AS (
-        SELECT doc_id, fw, fh, doc_id * 2097152 + i + 1 AS uid, phash FROM kfp
+        -- mirror the engine's sample_idx < 2^21 drop (frame_uid packing
+        -- bound, Multimodal.keyframeClipDedup) so both sides replay the
+        -- same semantics if the builder bound ever moves past 2^16
+        SELECT doc_id, fw, fh, doc_id * 2097152 + i + 1 AS uid, phash
+        FROM kfp WHERE i + 1 < 2097152
       ), fpair AS (
         SELECT a.uid // 2097152 AS clip_a, b.uid // 2097152 AS clip_b,
                a.uid AS ua, b.uid AS ub
@@ -3000,7 +3004,11 @@ object ExtQueries {
     Some(s"""
       WITH $sqlKeyframePhash,
       kfu AS (
-        SELECT doc_id, fw, fh, doc_id * 2097152 + i + 1 AS uid, phash FROM kfp
+        -- mirror the engine's sample_idx < 2^21 drop (frame_uid packing
+        -- bound, Multimodal.keyframeClipDedup) — same guard as the video
+        -- curation oracle above
+        SELECT doc_id, fw, fh, doc_id * 2097152 + i + 1 AS uid, phash
+        FROM kfp WHERE i + 1 < 2097152
       ), fpair AS (
         SELECT a.uid // 2097152 AS clip_a, b.uid // 2097152 AS clip_b,
                a.uid AS ua, b.uid AS ub

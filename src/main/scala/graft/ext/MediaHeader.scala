@@ -375,8 +375,11 @@ object MediaHeader {
   private def buildMp4(w: Int, h: Int, sizes: Array[Int], syncEvery: Int,
       fillPayload: (ByteBuffer, Long) => Unit): Array[Byte] = {
     val n = sizes.length
-    // strict: sample_idx is 1-based, so n = 2^16 would need a 17th bit
-    // in any 16-bit consumer packing; keep the builder's bound airtight
+    // the builder's own synthesis bound: tests and the synthetic corpus
+    // never need more than 2^16−1 samples, and a strict bound keeps the
+    // builder comfortably inside the 21-bit sample_idx packing the
+    // keyframe consumers use (Multimodal.keyframeClipDedup, which drops
+    // sample_idx ≥ 2^21 rather than alias)
     require(n > 0 && n < (1 << 16) && syncEvery > 0)
     val c = chunkCount(n)
     val k = (n + syncEvery - 1) / syncEvery // sync: 1-based 1, 1+syncEvery, ...

@@ -38,6 +38,14 @@ object ActionFunctions {
 
   /** splice [start,end) with rep; positions 0-based; guards mirrored from
     * strings_functions.go:87-106 (out-of-bounds ⇒ action error ⇒ NULL).
+    *
+    * Positional note (applies to every positional op below): the COLUMN
+    * forms index CHARACTERS (Spark `substring`), while the transformer
+    * interpreter ([[graft.transform.Actions]]) indexes UTF-8 BYTES — Go's
+    * string-slicing semantics, which the reference conformance vectors
+    * pin. The two agree on single-byte (ASCII/Latin-1-subset) text, which
+    * both corpora are; divergence on multibyte text is documented in the
+    * README.
     */
   def replaceBetweenPositions(c: Column, start: Int, end: Int, rep: String): Column =
     when(length(c) > math.max(start, end) && lit(start) < end,

@@ -64,6 +64,12 @@ object StreamNearDedup {
   /** Group state: distinct fingerprints bucketed by their block-(b+1)
     * value — the probe's sub-index. Total size across buckets is capped
     * at `maxState`.
+    *
+    * Checkpoint compatibility: this shape replaced the flat
+    * `List[Long]` of earlier revisions (pre-r12); a streaming query
+    * restored from a checkpoint written against the old state schema
+    * fails the state-store schema check — restart such queries from a
+    * fresh checkpoint.
     */
   final case class FpState(buckets: Map[Long, Seq[Long]])
 
@@ -169,9 +175,12 @@ object StreamNearDedup {
   /** Batch form (one fold from empty state — the oracle surface): roll
     * the 3 per-block rows of each event up to one verdict. A hamming-≤2
     * pair agrees on ≥1 block, so `any(matched)` is exact below the cap.
+    * `ttl` forwards to [[blockMatches]] (the [[StreamDedup]] contract:
+    * inert in batch, the dedup horizon under a streaming query).
     */
-  def verdicts(events: DataFrame, maxState: Int = 1 << 20): DataFrame =
-    blockMatches(events, maxState).toDF()
+  def verdicts(events: DataFrame, maxState: Int = 1 << 20,
+      ttl: Option[java.time.Duration] = None): DataFrame =
+    blockMatches(events, maxState, ttl).toDF()
       .groupBy(col("eventId"))
       .agg(first(col("fp")).as("simhash"),
         max(col("matched")).as("is_near_dup"))

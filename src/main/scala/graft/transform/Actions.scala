@@ -92,6 +92,18 @@ object Actions {
     if (exists(a, ctx)) Left(s"key ${a.original} exists") else Right(())
 
   /** Source-target-same string function: read arg0 as string, write back. */
+  // Go indexes strings by BYTE; the positional splice actions
+  // (strings_functions.go:87-106, split_*_positions.go) cut at UTF-8 byte
+  // offsets, so a multibyte rune counts as 2-4 positions. Mirror that
+  // here: splice the UTF-8 encoding and decode the pieces. Divergence
+  // (documented in README): a cut INSIDE a multibyte rune yields U+FFFD
+  // replacement chars on the JVM where Go keeps the raw invalid bytes —
+  // JVM strings cannot hold invalid UTF-8.
+  private def u8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def u8str(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+
   private def stString(c: Command, ctx: Ctx)(f: String => Either[String, String]): Result =
     for {
       s <- evalText(c.args(0), ctx)
@@ -232,14 +244,15 @@ object Actions {
       }
     case "replace_between_positions" => // byte-splice [start,end) (strings_functions.go:87-106)
       stString(c, ctx) { s =>
+        val b = u8(s)
         for {
           start <- evalInt(c.args(1), ctx); end <- evalInt(c.args(2), ctx)
           rep <- evalText(c.args(3), ctx)
-          _ <- if (start >= s.length) Left("start position must be less than the length of the string")
-               else if (end >= s.length) Left("end position must be less than the length of the string")
+          _ <- if (start >= b.length) Left("start position must be less than the length of the string")
+               else if (end >= b.length) Left("end position must be less than the length of the string")
                else if (start >= end) Left("start position must be less than end position")
                else Right(())
-        } yield s.substring(0, start) + rep + s.substring(end)
+        } yield u8str(b, 0, start) + rep + u8str(b, end, b.length)
       }
     case "replace_between_delimiters" => // first start..end region inclusive of delimiters
       stString(c, ctx) { s =>
@@ -282,28 +295,40 @@ object Actions {
       for {
         s <- evalText(c.args(0), ctx); p <- evalInt(c.args(1), ctx)
         _ <- if (p <= 0) Left("split position must be more than zero") else Right(())
-        parts = if (p >= s.length) Vector(s, "") else Vector(s.substring(0, p), s.substring(p))
+        b = u8(s)
+        parts = if (p >= b.length) Vector(s, "")
+          else Vector(u8str(b, 0, p), u8str(b, p, b.length))
         nc <- c.args(2).set(ctx, JArr(parts.map(JStr(_))))
       } yield nc
-    case "split_between_positions" => // 3 parts; error if target exists
+    case "split_between_positions" =>
+      // 3 byte-spliced parts (split_between_positions.go:63-89): target
+      // must be absent; start ≥ end errors; out-of-range positions pad
+      // with empty parts instead of erroring
       for {
         s <- evalText(c.args(0), ctx)
         start <- evalInt(c.args(1), ctx); end <- evalInt(c.args(2), ctx)
         _ <- requireAbsent(c.args(3), ctx)
-        st = math.min(math.max(start, 0), s.length)
-        en = math.min(math.max(end, st), s.length)
-        parts = Vector(s.substring(0, st), s.substring(st, en), s.substring(en))
+        _ <- if (start >= end) Left("start position must be less than the endPosition")
+             else Right(())
+        b = u8(s)
+        parts =
+          if (start >= b.length) Vector(s, "", "")
+          else if (end > b.length)
+            Vector(u8str(b, 0, start), u8str(b, start, b.length), "")
+          else Vector(u8str(b, 0, start), u8str(b, start, end), u8str(b, end, b.length))
         nc <- c.args(3).set(ctx, JArr(parts.map(JStr(_))))
       } yield nc
-    case "split_with_intervals" => // [s[:start], chunks of interval]; error if target exists
+    case "split_with_intervals" => // [s[:start], byte chunks of interval]; error if target exists
       for {
         s <- evalText(c.args(0), ctx)
         start <- evalInt(c.args(1), ctx); interval <- evalInt(c.args(2), ctx)
         _ <- if (interval <= 0) Left("interval must be positive") else Right(())
         _ <- requireAbsent(c.args(3), ctx)
-        parts = if (start >= s.length || start < 0) Vector(s)
-          else Vector(s.substring(0, start)) ++
-            s.substring(start).grouped(interval).toVector
+        b = u8(s)
+        parts = if (start > b.length || start < 0) Vector(s)
+          else Vector(u8str(b, 0, start)) ++
+            (start until b.length by interval).map(i =>
+              u8str(b, i, math.min(i + interval, b.length))).toVector
         nc <- c.args(3).set(ctx, JArr(parts.map(JStr(_))))
       } yield nc
 
@@ -319,15 +344,19 @@ object Actions {
         _ <- if (ed.isEmpty || ei < 0) Left("end delimiter does not exist") else Right(())
         nc <- c.args(1).set(ctx, JStr(s.substring(from, ei)))
       } yield nc
-    case "extract_between_positions" => // 1-based inclusive, bounds-checked
+    case "extract_between_positions" =>
+      // 1-based inclusive byte positions (extract_between_positions.go:
+      // 59-71), bounds-checked in the reference's order
       for {
         s <- evalText(c.args(0), ctx)
         start <- evalInt(c.args(2), ctx); end <- evalInt(c.args(3), ctx)
-        _ <- if (start < 1) Left("start position must be >= 1")
-             else if (end < start) Left("end position must be >= start position")
-             else if (end > s.length) Left("end position exceeds string length")
+        b = u8(s)
+        _ <- if (start > b.length) Left("start position must be equal or less than the length of the string")
+             else if (start < 1) Left("start position must be more than zero")
+             else if (end > b.length) Left("end position must be equal or less than the length of the string")
+             else if (start > end) Left("start position must be equal or less than end position")
              else Right(())
-        nc <- c.args(1).set(ctx, JStr(s.substring(start - 1, end)))
+        nc <- c.args(1).set(ctx, JStr(u8str(b, start - 1, end)))
       } yield nc
 
     case "check_custom_values" => // contains ternary (check_custom_values.go:32-68)

@@ -216,6 +216,10 @@ object Template {
 
     def go(n: JTNode): Option[JValue] = n match {
       case JTConst(v) => Some(v)
+      // a missing VARIABLE hole (`<var>`) renders null with the member
+      // kept, while a missing MODEL hole (`<$.path>`) omits the member —
+      // template_test.go:42-71 ("refer variables" vs "refer model")
+      case JTHole(name) if !name.startsWith("$") => Some(resolve(name).getOrElse(JNull))
       case JTHole(name) => resolve(name)
       case JTStr(segs) => Some(JStr(renderSegs(segs)))
       case JTArr(items) => Some(JArr(items.map(it => go(it).getOrElse(JNull))))

@@ -1,0 +1,292 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.EventView
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The r12 state-machinery acceptance tests: the [[StreamDedup]] /
+  * [[StreamNearDedup]] processing-time TTL (state ages out past the dedup
+  * horizon; a re-arrival flags first again), the [[StreamNearDedup]]
+  * sub-indexed probe (match parity with the linear scan at a bounded
+  * fraction of its visits), and the bucketed state's cap + distinct-fp
+  * dedup + first-match semantics ACROSS micro-batch boundaries — the
+  * interactions a single-batch oracle fold cannot distinguish from a
+  * linear scan.
+  */
+class StreamDedupStateSpec extends SparkSpec {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  /** Synthetic events in the raw events-table shape the dedup operators
+    * key on; ts is monotone in the given seconds offset so event-time
+    * order equals id order where offsets are distinct.
+    */
+  private def ev(rows: Seq[(Long, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "event_type", "props", "secs")
+      .select(col("event_id"), col("event_type"), col("props"),
+        timestamp_seconds(col("secs") + 1700000000L).as("ts"),
+        lit(7L).as("user_id"), lit(0.0).as("value"))
+  }
+
+  /** Stream the bus back into the raw-column contract the operators take
+    * (type/data carry event_type/props verbatim).
+    */
+  private def streamed(bus: EventBus): DataFrame =
+    bus.readStream(spark).select(
+      col("type").as("event_type"), col("data").as("props"),
+      col("time").as("ts"), col("sequence_number").as("event_id"))
+
+  // ---------------------------------------------------------------------
+  // probeBuckets: the sub-indexed probe (r12 VERDICT #2b)
+  // ---------------------------------------------------------------------
+
+  test("probeBuckets matches the brute-force linear scan on random and mutated probes") {
+    val width = 11
+    val mask = (1L << width) - 1
+    val rnd = new scala.util.Random(42)
+    val fps = Seq.fill(6000)(rnd.nextLong() & 0xFFFFFFFFL).distinct
+    // bucket by the sub-index value, exactly as update() stores them
+    val buckets: Map[Long, Seq[Long]] =
+      fps.groupBy(_ & mask).view.mapValues(_.toSeq).toMap
+    def brute(p: Long): Boolean =
+      fps.exists(f => java.lang.Long.bitCount(f ^ p) <= StreamNearDedup.MaxDist)
+    // ≤2-bit mutations of stored fingerprints (must all match) plus random
+    // probes (mostly won't) — parity must hold on every one, because a
+    // full-fingerprint distance ≤ MaxDist bounds the sub-index-block
+    // distance by the same MaxDist (the pigeonhole the probe relies on)
+    val probes =
+      fps.take(150).map { f =>
+        f ^ (1L << rnd.nextInt(32)) ^ (1L << rnd.nextInt(32))
+      } ++ Seq.fill(150)(rnd.nextLong() & 0xFFFFFFFFL)
+    probes.foreach { p =>
+      val (m, _) = StreamNearDedup.probeBuckets(buckets, p, p & mask, width)
+      assert(m == brute(p), s"parity broke for probe $p")
+    }
+  }
+
+  test("probeBuckets visits a bounded fraction of a hot group") {
+    val width = 11
+    val nBuckets = 1L << width // 2048
+    val k = 4
+    // a synthetic hot group: EVERY bucket populated with k fingerprints
+    // whose upper bits are ≥4 popcount away from the probe's, so nothing
+    // matches and no early exit hides the probe's worst-case cost
+    val hot: Map[Long, Seq[Long]] = (0L until nBuckets).map { v =>
+      v -> Seq.tabulate(k)(i => ((0x1F00L + i) << width) | v)
+    }.toMap
+    val total = nBuckets * k // the linear scan's visit count
+    val probe = 0L
+    val (m, visits) = StreamNearDedup.probeBuckets(hot, probe, probe & (nBuckets - 1), width)
+    assert(!m)
+    // 1 + w + w(w−1)/2 = 67 buckets of 2^11, k fingerprints each
+    val maxBuckets = 1 + width + width * (width - 1) / 2
+    assert(maxBuckets == 67)
+    assert(visits == maxBuckets * k,
+      s"worst-case probe must visit exactly $maxBuckets buckets x $k")
+    assert(visits * 30 < total,
+      s"probe visited $visits of $total — not the claimed ~1/30th")
+    // early exit: probing a STORED fingerprint stops inside its own bucket
+    val stored = hot(5L).head
+    val (m2, visits2) = StreamNearDedup.probeBuckets(hot, stored, 5L, width)
+    assert(m2 && visits2 <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // TTL: the dedup horizon (r12 VERDICT #2a)
+  // ---------------------------------------------------------------------
+
+  test("dedup state ages out past the ttl: re-arrival flags first again") {
+    val bus = EventBus(tmp("ttlbus"))
+    val ckpt = tmp("ttlck")
+    val ttl = java.time.Duration.ofMillis(400)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Long)]()
+    def runOnce(): Unit = {
+      val q = StreamDedup.verdictsStream(streamed(bus), Some(ttl))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamDedup.Verdict], _: Long) =>
+            batch.collect().foreach(v => acc.put(v.eventId, (v.isFirst, v.nSeen)))
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // batch 1: digest P twice — first + duplicate within the horizon
+    bus.append(EventView.fromEventsTable(
+      ev(Seq((1L, "t", "P", 0L), (2L, "t", "P", 1L)))))
+    runOnce()
+    assert(acc.get(1L) == ((true, 1L)))
+    assert(acc.get(2L) == ((false, 2L)))
+
+    // let P's state pass the horizon, then run a batch carrying only an
+    // unrelated digest: its micro-batch evaluates processing-time
+    // timeouts, so P's group fires hasTimedOut and is removed
+    Thread.sleep(1200)
+    bus.append(EventView.fromEventsTable(ev(Seq((3L, "t", "OTHER", 2L)))))
+    runOnce()
+    assert(acc.get(3L) == ((true, 1L)))
+
+    // batch 3: P re-arrives past the horizon → first again, n_seen
+    // restarts at 1 (the r11 acceptance criterion verbatim)
+    bus.append(EventView.fromEventsTable(ev(Seq((4L, "t", "P", 3L)))))
+    runOnce()
+    assert(acc.get(4L) == ((true, 1L)),
+      "a digest aged past the ttl must flag is_first again with n_seen=1")
+  }
+
+  test("dedup state inside the ttl horizon still dedups across restarts") {
+    val bus = EventBus(tmp("ttl2bus"))
+    val ckpt = tmp("ttl2ck")
+    val ttl = java.time.Duration.ofHours(1)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Long)]()
+    def runOnce(): Unit = {
+      val q = StreamDedup.verdictsStream(streamed(bus), Some(ttl))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamDedup.Verdict], _: Long) =>
+            batch.collect().foreach(v => acc.put(v.eventId, (v.isFirst, v.nSeen)))
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+    bus.append(EventView.fromEventsTable(ev(Seq((1L, "t", "P", 0L)))))
+    runOnce()
+    bus.append(EventView.fromEventsTable(ev(Seq((2L, "t", "P", 1L)))))
+    runOnce()
+    // arming a timeout must not break normal cross-batch dedup: the
+    // deadline hasn't passed, so the restored state still counts P
+    assert(acc.get(1L) == ((true, 1L)))
+    assert(acc.get(2L) == ((false, 2L)))
+  }
+
+  test("near-dup group state ages out past the ttl and re-arms") {
+    val bus = EventBus(tmp("nttlbus"))
+    val ckpt = tmp("nttlck")
+    val ttl = java.time.Duration.ofMillis(400)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    def runOnce(): Unit = {
+      val q = StreamNearDedup.blockMatches(streamed(bus), ttl = Some(ttl))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamNearDedup.BlockMatch], _: Long) =>
+            batch.collect().foreach(m => acc.merge(m.eventId, m.matched, (a, b) => a || b))
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    bus.append(EventView.fromEventsTable(ev(Seq((1L, "t", "alpha beta gamma", 0L)))))
+    runOnce()
+    assert(acc.get(1L) == false)
+
+    // past the horizon + a batch to evaluate timeouts: the fingerprint's
+    // three (type, block, value) groups are all removed
+    Thread.sleep(1200)
+    bus.append(EventView.fromEventsTable(ev(Seq((2L, "t", "unrelated words here", 2L)))))
+    runOnce()
+
+    // identical content re-arrives past the horizon in the same batch as
+    // one more copy: the FIRST copy must not match (the state is gone —
+    // the re-arm observable), and the SECOND must match the re-armed
+    // fingerprint. Both ride one batch because a 400 ms horizon is
+    // shorter than the micro-batch cadence — a copy in a LATER query run
+    // would legitimately find the state timed out again.
+    bus.append(EventView.fromEventsTable(ev(Seq(
+      (3L, "t", "alpha beta gamma", 3L),
+      (4L, "t", "alpha beta gamma", 4L)))))
+    runOnce()
+    assert(acc.get(3L) == false,
+      "a fingerprint aged past the ttl must not match on re-arrival")
+    assert(acc.get(4L) == true,
+      "the re-armed fingerprint must flag the next in-horizon copy")
+  }
+
+  // ---------------------------------------------------------------------
+  // Bucketed state across micro-batches: cap + dedup + first-match
+  // (r12 VERDICT #2c)
+  // ---------------------------------------------------------------------
+
+  test("bucketed state across micro-batches equals the batch fold with the cap engaged") {
+    val bus = EventBus(tmp("capbus"))
+    val ckpt = tmp("capck")
+    val maxState = 2
+    // 600 distinct props (birthday collisions in the 11/11/10-bit block
+    // values push some group past 2 distinct fingerprints, engaging the
+    // cap) plus exact-duplicate props repeated in every batch (one state
+    // entry, later copies must first-match)
+    val rows = (0 until 600).map { i =>
+      val props =
+        if (i % 200 == 50) "dup common content"
+        else s"tok$i w${i % 37} z${i / 7}"
+      (i.toLong, "t", props, i.toLong)
+    }
+    val all = ev(rows)
+
+    // precondition: the cap is NOT vacuous on this corpus — some
+    // (block, value) group sees more than maxState distinct fingerprints
+    val fps = all.select(col("event_id"),
+      graft.functions.SimHash(
+        split(coalesce(col("props"), lit("\u001a")), " ", -1),
+        StreamNearDedup.Bits).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val widths = Seq(11, 11, 10)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    val maxGroupDistinct = (0 until 3).flatMap { b =>
+      fps.values.toSeq.distinct
+        .groupBy(fp => (fp >>> shifts(b)) & ((1L << widths(b)) - 1))
+        .map { case (_, g) => g.size }
+    }.max
+    assert(maxGroupDistinct > maxState,
+      s"corpus too tame: widest group $maxGroupDistinct ≤ cap $maxState — the test would be vacuous")
+
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    def runOnce(): Unit = {
+      val q = StreamNearDedup.blockMatches(streamed(bus), maxState = maxState)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamNearDedup.BlockMatch], _: Long) =>
+            batch.collect().foreach(m => acc.merge(m.eventId, m.matched, (a, b) => a || b))
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // three micro-batches in id order (ts is monotone in id, so the
+    // streaming arrival order equals the batch fold's global sort — the
+    // equivalence below is exact even WITH the cap, because the cap
+    // counter restores from checkpointed state between batches)
+    Seq(0 until 200, 200 until 400, 400 until 600).foreach { r =>
+      bus.append(EventView.fromEventsTable(
+        all.filter(col("event_id") >= r.start && col("event_id") < r.end)))
+      runOnce()
+    }
+
+    import scala.jdk.CollectionConverters._
+    val got = acc.asScala.toMap
+    val expected = StreamNearDedup.verdicts(all, maxState = maxState)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == expected,
+      "3-micro-batch fold through capped bucketed state must equal the one-shot batch fold")
+    // the distinct-fp dedup + cross-batch first-match observables: the
+    // exact duplicates planted in batches 2 and 3 flag against batch 1's
+    // single state entry
+    assert(got(250L) && got(450L),
+      "exact duplicates in later batches must match the first batch's stored fingerprint")
+    assert(!got(50L), "the first copy must not match")
+  }
+}

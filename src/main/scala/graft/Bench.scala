@@ -163,7 +163,7 @@ object Bench {
   /** The `{...}` block starting at the first `{` at/after `from`, by brace
     * counting (our detail JSON puts no braces inside strings).
     */
-  private def braceBlock(txt: String, from: Int): String = {
+  private[graft] def braceBlock(txt: String, from: Int): String = {
     var j = txt.indexOf('{', from)
     if (j < 0) return ""
     val start = j
@@ -188,9 +188,10 @@ object Bench {
     * scalar format (`"q":1.234`) and the r13+ object format
     * (`"q":{"sec":1.234,...}`).
     */
-  private def priorDetail(round: Int): Map[String, Double] = try {
+  private[graft] def priorDetail(round: Int,
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] = try {
     val pat = "bench_detail_r(\\d+)\\.json".r
-    val files = Option(new java.io.File(".").listFiles())
+    val files = Option(dir.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => pat.findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f))
       .filter(_._1 < round)

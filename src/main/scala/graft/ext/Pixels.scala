@@ -29,6 +29,16 @@ object Pixels {
     */
   final case class Image(width: Int, height: Int, pix: Array[Int])
 
+  // Pooled zlib contexts (the [[Gzip]] cost posture): a fresh
+  // Deflater/Inflater per image pays zlib's workspace init per ROW —
+  // ~256 KB + ~0.5 ms for deflate — which dominates encoding a small
+  // test image and scales with row count. Thread-locals amortize it;
+  // reset() between images releases the input reference.
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater())
+  private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
+    new java.util.zip.Inflater())
+
   /** Deterministic test-pattern channel values at (x, y) for a seed —
     * the generative formula the DuckDB oracle replays independently of
     * the container bytes. Integer arithmetic only.
@@ -257,8 +267,9 @@ object Pixels {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    // zlib stream (Deflater default = zlib wrapper)
-    val deflater = new java.util.zip.Deflater()
+    // zlib stream (Deflater default = zlib wrapper); pooled — see above
+    val deflater = deflaters.get()
+    deflater.reset()
     deflater.setInput(raw); deflater.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](8192)
@@ -266,7 +277,7 @@ object Pixels {
       val n = deflater.deflate(tmp)
       zbuf.write(tmp, 0, n)
     }
-    deflater.end()
+    deflater.reset()
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     val ihdr = new Array[Byte](13)
@@ -357,7 +368,8 @@ object Pixels {
     val stride = w * bpp
     val expected = h * (1 + stride)
     val raw = new Array[Byte](expected)
-    val inflater = new java.util.zip.Inflater()
+    val inflater = inflaters.get()
+    inflater.reset()
     inflater.setInput(idat.toByteArray)
     try {
       var got = 0
@@ -373,7 +385,7 @@ object Pixels {
       if (!inflater.finished() && inflater.inflate(probe) > 0) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
-    } finally inflater.end()
+    } finally inflater.reset() // pooled: reset releases the input reference
     // reverse the per-scanline filter in place (recon bytes overwrite raw)
     val pix = new Array[Int](w * h)
     val cur = new Array[Int](stride)

@@ -417,29 +417,24 @@ object Dedup {
     // fingerprints carried in the member structs), so every pair
     // materializes exactly once and the distinct() shuffle disappears —
     // at 26× corpus scale that shuffle was the probe's dominant cost.
-    def blockSlice(v: Column, b: Int): Column =
-      shiftright(v, shifts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
-    def firstMatch(a: Column, b: Column): Column =
-      (0 until nBlocks).map { bp =>
-        when(lit(bp) >= col("blk"), lit(true))
-          .otherwise(blockSlice(a, bp) =!= blockSlice(b, bp))
-      }.reduce(_ && _)
-    // The qualifying-pair gate runs INSIDE the array lambda (higher-order
-    // `filter` before the flatten/explode): candidate pairs that fail the
-    // hamming or first-match test are dropped while still codegen-local
-    // array elements — they never materialize as exploded rows. At 26×
-    // corpus scale candidates outnumber qualifying pairs by orders of
-    // magnitude, so gating pre-explode is the difference between streaming
-    // through a task and allocating hundreds of millions of rows.
-    val pairs = flatten(transform(col("ms"), (a, i) =>
-      filter(
-        transform(slice(col("ms"), i + 2, size(col("ms"))), b =>
-          struct(a.getField("k").as("id_a"), b.getField("k").as("id_b"),
-            bit_count(a.getField("v").bitwiseXOR(b.getField("v")))
-              .as("hamming"),
-            firstMatch(a.getField("v"), b.getField("v")).as("first"))),
-        p => p.getField("first") && p.getField("hamming") <= maxDist)))
+    // The expansion itself is the native [[graft.functions.HammingPairs]]
+    // expression: one eval per group row with a primitive long loop,
+    // replacing the interpreted transform/filter array lambdas that
+    // walked an expression tree per candidate (~4× the probe's CPU on
+    // degenerate corpora). Failing candidates never materialize as rows.
+    val pairs = graft.functions.HammingPairs(col("ms"), col("blk"),
+      maxDist, bits)
     val keyCols = blockBy.map(col) ++ Seq(col("blk"), col("v"))
+    // The pair expansion below is COMPUTE-quadratic per group row (up to
+    // maxBlock²/2 interpreted lambda evaluations) while the grouped state
+    // is tiny in BYTES (≤ maxBlock packed longs per row) — exactly the
+    // shape AQE's byte-based coalescing misjudges: it folds the post-agg
+    // stage down to a task or two and one core grinds every degenerate
+    // group (measured 2× on the keyframe probe at 10×). An explicit
+    // numPartitions opts this exchange out of AQE coalescing and spreads
+    // group rows across the cluster; the extra shuffle moves only the
+    // already-capped member arrays, never pairs.
+    val np = hashed.sparkSession.sparkContext.defaultParallelism
     hashed.filter(col(hashCol).isNotNull)
       .select(col(idCol) +: col(hashCol) +: blockBy.map(col) :+
         explode(array(blockCols: _*)).as("bv"): _*)
@@ -447,6 +442,12 @@ object Dedup {
         col("bv.blk") :+ col("bv.v"): _*)
       .groupBy(keyCols: _*).agg(members.as("ms"))
       .filter(size(col("ms")) > 1)
+      // round-robin, NOT hash-on-keyCols: the agg already provides
+      // hashpartitioning(keyCols), so a same-key repartition is elided as
+      // redundant and AQE coalesces again; round-robin survives and also
+      // balances regardless of which partitions the degenerate groups
+      // hashed into
+      .repartition(np)
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
   }

@@ -57,12 +57,22 @@ object SubscriptionRunner {
     final case class Batched(sink: BatchSink, maxBatchSize: Int) extends Delivery
   }
 
+  /** Per-subscription knobs — the Spark analogue of the reference's
+    * `SubscriptionConfig` (/root/reference/pkg/subscription.go:74-84:
+    * rate limit, retry cap, dead-letter toggle, ordered delivery).
+    * `dedupHorizon` adds the ingest-dedup horizon on top: when set, the
+    * streaming plan drops re-published copies of the same (source, id)
+    * CloudEvent arriving within the horizon ([[IngestDedup]]) before
+    * filter/transform/deliver runs; state ages out past the horizon, so
+    * the state store stays bounded at 100 TB-scale ingest.
+    */
   final case class Config(
       subscriptionId: String,
       maxRetryAttempts: Int = 32,
       disableDeadLetter: Boolean = false,
       orderedEvent: Boolean = false,
-      rateLimitPerSec: Int = 0)
+      rateLimitPerSec: Int = 0,
+      dedupHorizon: Option[java.time.Duration] = None)
 
   final case class Spec(
       filters: Seq[FilterSpec],
@@ -300,9 +310,11 @@ object SubscriptionRunner {
     BatchResult(deliveredCount, total - passedCount, retryCount, dlqCount)
   }
 
-  /** Wire the streaming form: source bus → filter → transform → foreachBatch
-    * delivery with retry/DLQ routing. Checkpointing gives the offset-commit
-    * semantics natively.
+  /** Wire the streaming form: source bus → (ingest dedup when a horizon is
+    * configured) → filter → transform → foreachBatch delivery with
+    * retry/DLQ routing. Checkpointing gives the offset-commit semantics
+    * natively — and carries the dedup state, so duplicates republished
+    * across a query restart are still dropped inside the horizon.
     */
   def start(
       spark: SparkSession,
@@ -312,8 +324,13 @@ object SubscriptionRunner {
       retryBus: Option[EventBus],
       dlqBus: Option[EventBus],
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    sourceBus.readStream(spark)
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val source = sourceBus.readStream(spark)
+    val deduped = spec.config.dedupHorizon match {
+      case Some(h) => IngestDedup.firstArrivals(source, h).toDF()
+      case None => source
+    }
+    deduped
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -322,6 +339,7 @@ object SubscriptionRunner {
         ()
       }
       .start()
+  }
 
   /** One release pass over a due-time-bucketed retry spool: process every
     * fully-matured bucket (partition-pruned read — pending buckets are

@@ -71,4 +71,56 @@ class EndToEndSpec extends SparkSpec {
       .distinct().collect().map(_.getString(0)).toSet
     assert(attempts == Set("2"))
   }
+
+  test("dedup horizon drops republished events, including across a restart") {
+    val sourceBus = EventBus(tmp("ddsrc"))
+    val ckpt = tmp("ddck")
+    IngestDedupE2E.delivered.clear()
+
+    // a subscription with a 1 h dedup horizon (pkg/subscription.go-style
+    // config knob); sink records every delivery it sees
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-dedup",
+        dedupHorizon = Some(java.time.Duration.ofHours(1))))
+    val sink: SubscriptionRunner.Sink = { d =>
+      IngestDedupE2E.delivered.add(d.id)
+      Right(())
+    }
+    def runOnce(): Unit = {
+      val q = SubscriptionRunner.start(
+        spark, sourceBus, spec, sink, None, None, ckpt)
+      q.awaitTermination(60000)
+    }
+    def publish(ids: Seq[Long]): Unit = {
+      val evs = EventView.fromEventsTable(Tables.events(spark, sf))
+      ids.foreach { i =>
+        sourceBus.append(evs.filter(col("sequence_number") === i))
+      }
+    }
+
+    // run 1: events 1, 2 plus a republished copy of 1 in the same run —
+    // the duplicate is dropped before filter/transform/deliver
+    publish(Seq(1L, 2L, 1L))
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    assert(IngestDedupE2E.delivered.asScala.toSeq.sorted == Seq("1", "2"),
+      "in-run duplicate must be dropped by the dedup horizon")
+
+    // run 2 (a RESTART: new query, same checkpoint): 1 republished again
+    // plus a fresh event 3 — the checkpointed dedup state still knows 1,
+    // so only 3 is delivered
+    publish(Seq(1L, 3L))
+    runOnce()
+    assert(IngestDedupE2E.delivered.asScala.toSeq.sorted == Seq("1", "2", "3"),
+      "a duplicate republished across a restart must be dropped while " +
+        "inside the horizon; the fresh event must deliver")
+  }
+}
+
+/** Executor-side sink capture: an object field is a JVM singleton, so the
+  * serialized closure's module reference resolves back to this instance in
+  * local mode.
+  */
+object IngestDedupE2E {
+  val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

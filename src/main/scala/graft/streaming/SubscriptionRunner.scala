@@ -315,6 +315,14 @@ object SubscriptionRunner {
     * retry/DLQ routing. Checkpointing gives the offset-commit semantics
     * natively — and carries the dedup state, so duplicates republished
     * across a query restart are still dropped inside the horizon.
+    *
+    * Termination caveat: with a `dedupHorizon` set the plan carries a
+    * ProcessingTimeTimeout state operator, and Spark keeps scheduling
+    * (empty) micro-batches to evaluate its timeouts — the query does NOT
+    * self-terminate even under `Trigger.AvailableNow`. A drain-style
+    * invocation should `processAllAvailable()` then `stop()`; a
+    * continuous subscription (the production shape) runs until stopped
+    * anyway, with the idle batches doing the state aging.
     */
   def start(
       spark: SparkSession,

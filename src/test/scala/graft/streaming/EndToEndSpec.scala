@@ -86,10 +86,27 @@ class EndToEndSpec extends SparkSpec {
       IngestDedupE2E.delivered.add(d.id)
       Right(())
     }
-    def runOnce(): Unit = {
+    // a dedup-horizon query never self-terminates: ProcessingTimeTimeout
+    // keeps scheduling empty batches to evaluate timeouts even under
+    // AvailableNow, and a forced batch also never raises noNewData — so
+    // awaitTermination AND processAllAvailable both hang for their full
+    // timeout and leak a spinning query whose empty batches corrupt later
+    // job-counting tests. Poll for the delivery observable, then stop.
+    def runOnce(expect: Set[String]): Unit = {
+      import scala.jdk.CollectionConverters._
       val q = SubscriptionRunner.start(
         spark, sourceBus, spec, sink, None, None, ckpt)
-      q.awaitTermination(60000)
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def seen: Set[String] = IngestDedupE2E.delivered.asScala.toSet
+        while (!expect.subsetOf(seen) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        // settle one more batch interval so a WRONGLY-delivered duplicate
+        // had time to surface before the exact-equality asserts below
+        Thread.sleep(500)
+        assert(expect.subsetOf(seen),
+          s"expected deliveries $expect not observed in 60 s (got $seen)")
+      } finally { q.stop(); q.awaitTermination(30000); () }
     }
     def publish(ids: Seq[Long]): Unit = {
       val evs = EventView.fromEventsTable(Tables.events(spark, sf))
@@ -101,7 +118,7 @@ class EndToEndSpec extends SparkSpec {
     // run 1: events 1, 2 plus a republished copy of 1 in the same run —
     // the duplicate is dropped before filter/transform/deliver
     publish(Seq(1L, 2L, 1L))
-    runOnce()
+    runOnce(Set("1", "2"))
     import scala.jdk.CollectionConverters._
     assert(IngestDedupE2E.delivered.asScala.toSeq.sorted == Seq("1", "2"),
       "in-run duplicate must be dropped by the dedup horizon")
@@ -110,7 +127,7 @@ class EndToEndSpec extends SparkSpec {
     // plus a fresh event 3 — the checkpointed dedup state still knows 1,
     // so only 3 is delivered
     publish(Seq(1L, 3L))
-    runOnce()
+    runOnce(Set("3"))
     assert(IngestDedupE2E.delivered.asScala.toSeq.sorted == Seq("1", "2", "3"),
       "a duplicate republished across a restart must be dropped while " +
         "inside the horizon; the fresh event must deliver")

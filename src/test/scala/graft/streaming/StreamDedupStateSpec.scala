@@ -39,6 +39,23 @@ class StreamDedupStateSpec extends SparkSpec {
       col("type").as("event_type"), col("data").as("props"),
       col("time").as("ts"), col("sequence_number").as("event_id"))
 
+  /** Start-to-stop harness for the TTL queries: wait (≤60 s) until `ready`
+    * observes the batch's effects, then stop the query explicitly. A
+    * ProcessingTimeTimeout plan never self-terminates — the engine keeps
+    * scheduling empty batches to evaluate timeouts even under AvailableNow
+    * (shouldRunAnotherBatch), and because a forced batch always runs, the
+    * noNewData flag never raises either: awaitTermination AND
+    * processAllAvailable BOTH hang for their full timeout, leaking a
+    * spinning query whose empty batches corrupt later job-counting suites.
+    */
+  private def awaitThenStop(q: org.apache.spark.sql.streaming.StreamingQuery)(
+      ready: => Boolean): Unit =
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(ready, "streaming query did not reach the expected state in 60 s")
+    } finally { q.stop(); q.awaitTermination(30000); () }
+
   // ---------------------------------------------------------------------
   // probeBuckets: the sub-indexed probe (r12 VERDICT #2b)
   // ---------------------------------------------------------------------
@@ -103,7 +120,7 @@ class StreamDedupStateSpec extends SparkSpec {
     val ckpt = tmp("ttlck")
     val ttl = java.time.Duration.ofMillis(400)
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Long)]()
-    def runOnce(): Unit = {
+    def runOnce(expect: Long*): Unit = {
       val q = StreamDedup.verdictsStream(streamed(bus), Some(ttl))
         .writeStream
         .outputMode("append")
@@ -114,13 +131,13 @@ class StreamDedupStateSpec extends SparkSpec {
             batch.collect().foreach(v => acc.put(v.eventId, (v.isFirst, v.nSeen)))
         }
         .start()
-      q.awaitTermination(60000)
+      awaitThenStop(q)(expect.forall(acc.containsKey))
     }
 
     // batch 1: digest P twice — first + duplicate within the horizon
     bus.append(EventView.fromEventsTable(
       ev(Seq((1L, "t", "P", 0L), (2L, "t", "P", 1L)))))
-    runOnce()
+    runOnce(1L, 2L)
     assert(acc.get(1L) == ((true, 1L)))
     assert(acc.get(2L) == ((false, 2L)))
 
@@ -129,13 +146,13 @@ class StreamDedupStateSpec extends SparkSpec {
     // timeouts, so P's group fires hasTimedOut and is removed
     Thread.sleep(1200)
     bus.append(EventView.fromEventsTable(ev(Seq((3L, "t", "OTHER", 2L)))))
-    runOnce()
+    runOnce(3L)
     assert(acc.get(3L) == ((true, 1L)))
 
     // batch 3: P re-arrives past the horizon → first again, n_seen
     // restarts at 1 (the r11 acceptance criterion verbatim)
     bus.append(EventView.fromEventsTable(ev(Seq((4L, "t", "P", 3L)))))
-    runOnce()
+    runOnce(4L)
     assert(acc.get(4L) == ((true, 1L)),
       "a digest aged past the ttl must flag is_first again with n_seen=1")
   }
@@ -145,7 +162,7 @@ class StreamDedupStateSpec extends SparkSpec {
     val ckpt = tmp("ttl2ck")
     val ttl = java.time.Duration.ofHours(1)
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Boolean, Long)]()
-    def runOnce(): Unit = {
+    def runOnce(expect: Long*): Unit = {
       val q = StreamDedup.verdictsStream(streamed(bus), Some(ttl))
         .writeStream
         .outputMode("append")
@@ -156,12 +173,12 @@ class StreamDedupStateSpec extends SparkSpec {
             batch.collect().foreach(v => acc.put(v.eventId, (v.isFirst, v.nSeen)))
         }
         .start()
-      q.awaitTermination(60000)
+      awaitThenStop(q)(expect.forall(acc.containsKey))
     }
     bus.append(EventView.fromEventsTable(ev(Seq((1L, "t", "P", 0L)))))
-    runOnce()
+    runOnce(1L)
     bus.append(EventView.fromEventsTable(ev(Seq((2L, "t", "P", 1L)))))
-    runOnce()
+    runOnce(2L)
     // arming a timeout must not break normal cross-batch dedup: the
     // deadline hasn't passed, so the restored state still counts P
     assert(acc.get(1L) == ((true, 1L)))
@@ -173,7 +190,7 @@ class StreamDedupStateSpec extends SparkSpec {
     val ckpt = tmp("nttlck")
     val ttl = java.time.Duration.ofMillis(400)
     val acc = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
-    def runOnce(): Unit = {
+    def runOnce(expect: Long*): Unit = {
       val q = StreamNearDedup.blockMatches(streamed(bus), ttl = Some(ttl))
         .writeStream
         .outputMode("append")
@@ -184,18 +201,18 @@ class StreamDedupStateSpec extends SparkSpec {
             batch.collect().foreach(m => acc.merge(m.eventId, m.matched, (a, b) => a || b))
         }
         .start()
-      q.awaitTermination(60000)
+      awaitThenStop(q)(expect.forall(acc.containsKey))
     }
 
     bus.append(EventView.fromEventsTable(ev(Seq((1L, "t", "alpha beta gamma", 0L)))))
-    runOnce()
+    runOnce(1L)
     assert(acc.get(1L) == false)
 
     // past the horizon + a batch to evaluate timeouts: the fingerprint's
     // three (type, block, value) groups are all removed
     Thread.sleep(1200)
     bus.append(EventView.fromEventsTable(ev(Seq((2L, "t", "unrelated words here", 2L)))))
-    runOnce()
+    runOnce(2L)
 
     // identical content re-arrives past the horizon in the same batch as
     // one more copy: the FIRST copy must not match (the state is gone —
@@ -206,7 +223,7 @@ class StreamDedupStateSpec extends SparkSpec {
     bus.append(EventView.fromEventsTable(ev(Seq(
       (3L, "t", "alpha beta gamma", 3L),
       (4L, "t", "alpha beta gamma", 4L)))))
-    runOnce()
+    runOnce(3L, 4L)
     assert(acc.get(3L) == false,
       "a fingerprint aged past the ttl must not match on re-arrival")
     assert(acc.get(4L) == true,
@@ -263,7 +280,10 @@ class StreamDedupStateSpec extends SparkSpec {
             batch.collect().foreach(m => acc.merge(m.eventId, m.matched, (a, b) => a || b))
         }
         .start()
-      q.awaitTermination(60000)
+      // ttl=None ⇒ NoTimeout ⇒ the AvailableNow query self-terminates and
+      // noNewData raises normally — drain, then stop defensively anyway
+      try q.processAllAvailable()
+      finally { q.stop(); q.awaitTermination(30000); () }
     }
 
     // three micro-batches in id order (ts is monotone in id, so the

@@ -530,9 +530,12 @@ object Dedup {
       .withColumn("__ws", split(col("text"), " ", -1))
       .select(col("doc_id"), explode(winHashes).as("w"))
       .select(col("doc_id"), col("w.pos"), col("w.phash"))
+    // "appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): two
+    // plain partials in ONE aggregate, vs count(DISTINCT)'s extra
+    // (phash, doc_id)-keyed dedup pass before it can count
     val dupHashes = wins.groupBy(col("phash"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("phash")
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select("phash")
     val perDoc = wins.join(dupHashes, Seq("phash"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     docs.select(col("doc_id"),

@@ -181,37 +181,91 @@ object Dedup {
     * the Catalyst plan stays O(1) deep across iterations. The
     * group id is the smallest doc_id in the component — the conventional
     * keeper — so dedup = `filter(!is_keeper)` to drop, or join back for
-    * keep-best-by-quality policies.
+    * keep-best-by-quality policies. A per-partition union-find contraction
+    * runs first (see below), so both branches operate on a spanning forest
+    * of the candidate graph, never the raw clique-heavy pair set.
     */
   def duplicateGroups(pairs: DataFrame): DataFrame =
     duplicateGroups(pairs, 2000000)
+
+  /** The contraction pass fronting both [[duplicateGroups]] branches: each
+    * partition union-finds ITS OWN edges and emits only the spanning edges
+    * that actually united two components. Connectivity-preserving by
+    * construction (an edge is dropped only when its endpoints were already
+    * connected by emitted edges of the same partition) and every node
+    * survives (a node's first edge always unites, so it is always emitted;
+    * a self-pair — defensive, no producer here emits one — is kept once so
+    * its singleton component still reaches the label pass). Per-task memory
+    * is O(local distinct nodes) ≤ 2·(partition edge count) — bounded by the
+    * upstream partition size, never the whole graph. `private[ext]` so
+    * DedupContractionSpec can pin the forest-size bound directly.
+    */
+  private[ext] def localForest(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (parent.getOrElse(cur, cur) != root) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      it.foreach { r =>
+        val a = r.getLong(0)
+        val b = r.getLong(1)
+        if (a == b) {
+          if (!parent.contains(a)) { parent(a) = a; kept += ((a, b)) }
+        } else {
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            kept += ((a, b))
+          }
+        }
+      }
+      kept.iterator
+    }.toDF("a", "b")
+  }
 
   /** `unionFindMaxEdges` is the single-task union-find cutover (see the
     * threshold comment below); parameterized so specs can force the
     * distributed propagation branch on small graphs.
     */
   def duplicateGroups(pairs: DataFrame, unionFindMaxEdges: Long): DataFrame = {
-    val edgesWide = graft.GraftCache.pin(
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .distinct())
-    // candidate-pair graphs are small relative to the corpus (LSH/banding
-    // already pruned); a graph that fits one partition gets a single
-    // union-find pass (path compression, union-by-min-root) producing the
-    // converged min-label components in ONE job — the per-round
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // Local-contraction round (the "filtering" step of the MapReduce-CC
+    // literature) — see [[localForest]]. Degenerate near-dup graphs are
+    // clique-heavy — a k-clique's k²/2 capped pairs contract to k−1 tree
+    // edges per partition — so the branch decision and everything
+    // downstream runs on the forest, not the raw pair set (measured: the
+    // 10× audio-curation graph contracts 2.1 M pairs → well under the
+    // single-task cutover, turning a 13.7 s propagation loop into a ~3 s
+    // union-find).
+    val forest = graft.GraftCache.pin(localForest(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    // a forest that fits one partition gets a single union-find pass
+    // (path compression, union-by-min-root) producing the converged
+    // min-label components in ONE job — the per-round
     // join+agg+checkpoint+count loop pays ~5 driver jobs PER ITERATION for
     // the same answer (measured: a 1.2M-edge graph cost 56 s through the
     // loop, ~3 s through union-find). The threshold is executor-memory
     // bound, not speed bound: a LongMap holds ~16 bytes/node, so 2M edges
     // ≈ a few hundred MB transient per ONE task — far under executor
-    // memory, and only graphs past that (billions of edges at 100 TB,
-    // where no single machine holds the node set) take the distributed
-    // propagation loop with full parallelism.
+    // memory, and only forests past that (billions of edges at 100 TB,
+    // where no single machine holds even the contracted node set) take the
+    // distributed propagation loop with full parallelism.
     var loopPin: DataFrame = null
-    val labels = if (edgesWide.count() <= unionFindMaxEdges) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      edgesWide.repartition(1).mapPartitions { it =>
+    var edgesWide: DataFrame = null
+    val labels = if (forest.count() <= unionFindMaxEdges) {
+      forest.repartition(1).mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var root = x
@@ -242,6 +296,9 @@ object Dedup {
         ids.iterator.map(id => (id, find(id)))
       }.toDF("id", "comp")
     } else {
+      edgesWide = graft.GraftCache.pin(
+        forest.union(forest.select(col("b").as("a"), col("a").as("b")))
+          .distinct())
       // each iteration pins the new label frame and immediately releases
       // the superseded one (safe: GraftCache pins keep lineage, so a
       // post-eviction read recomputes instead of failing) — a converged
@@ -281,7 +338,7 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("comp").as("group_id"),
         (col("id") === col("comp")).as("is_keeper"))
     graft.GraftCache.releaseAfter(result,
-      (if (loopPin == null) Seq(edgesWide) else Seq(edgesWide, loopPin)): _*)
+      (Seq(forest) ++ Option(edgesWide) ++ Option(loopPin)): _*)
   }
 
   /** The whole dedup pipeline composed: exact dedup (keep the smallest id

@@ -694,6 +694,44 @@ object StreamQueries {
       ORDER BY "eventId"
     """))
 
+  /** Subscription-level ingest dedup horizon through the REAL
+    * flatMapGroupsWithState stage ([[graft.streaming.IngestDedup]], batch
+    * form: one fold from empty state — the deterministic face of the
+    * sliding-TTL streaming semantics EndToEndSpec exercises). Every 7th
+    * event is re-published with a shifted sequence number; the stage must
+    * keep exactly the first arrival per (source, id). The oracle replays
+    * the republication and the min-sequence pick.
+    */
+  private val ingestHorizonQ = Q(
+    "stream_ingest_horizon",
+    (s, d) => {
+      val base = EventView.fromEventsTable(Tables.events(s, d))
+      val republished = base.unionByName(
+        base.filter(col("sequence_number") % 7 === 0)
+          .withColumn("sequence_number",
+            col("sequence_number") + lit(10000000L)))
+      graft.streaming.IngestDedup
+        .firstArrivals(republished, java.time.Duration.ofHours(1))
+        .toDF()
+        .select(col("sequence_number"), col("id"), col("type"), col("data"))
+        .orderBy(col("sequence_number"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT event_id AS seq, CAST(event_id AS VARCHAR) AS id,
+               event_type, props
+        FROM events
+        UNION ALL
+        SELECT event_id + 10000000, CAST(event_id AS VARCHAR),
+               event_type, props
+        FROM events WHERE event_id % 7 = 0
+      )
+      SELECT seq AS sequence_number, id, event_type AS "type", props AS data
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq) AS rn
+            FROM u)
+      WHERE rn = 1 ORDER BY 1
+    """))
+
   /** Gap sessionization via the REAL session_window operator; the oracle
     * rebuilds sessions with the islands technique (gap-break flags +
     * running sum).
@@ -822,5 +860,5 @@ object StreamQueries {
     retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
-    protoIngestQ, streamDedupQ, streamNearDedupQ)
+    protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ)
 }

@@ -138,6 +138,42 @@ object ExtQueries {
       """))
   }
 
+  /** Snapshot dedup over the BUCKETED corpus layout
+    * ([[graft.sources.BucketedCorpus]]): both snapshots are written
+    * bucketed+sorted by digest through the catalog, so the membership join
+    * plans with no Exchange on either side — the write-once shuffle that
+    * makes every later 100 TB snapshot pass network-free
+    * (BucketedLayoutSpec pins the plan shape; this entry pins the rows).
+    * The oracle replays the digest membership directly from the documents
+    * table — layout must never change answers.
+    */
+  private val bucketedDedupQ = Q(
+    "layout_bucketed_dedup",
+    (s, d) => {
+      import graft.sources.BucketedCorpus
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val sfx = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$sfx"
+      BucketedCorpus.writeSnapshot(docs.filter(col("doc_id") % 3 === 0),
+        s"graft_ref_snap_$sfx", s"$base/ref", "digest", 8)
+      BucketedCorpus.writeSnapshot(docs.filter(col("doc_id") % 3 =!= 0),
+        s"graft_new_snap_$sfx", s"$base/new", "digest", 8)
+      val ref = BucketedCorpus.snapshot(s, s"graft_ref_snap_$sfx")
+        .select(col("digest")).distinct().withColumn("exact_dup", lit(true))
+      BucketedCorpus.snapshot(s, s"graft_new_snap_$sfx")
+        .join(ref, Seq("digest"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             md5(text) IN (SELECT md5(text) FROM documents
+                           WHERE doc_id % 3 = 0) AS exact_dup
+      FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id
+    """))
+
   /** Connected components over the LSH candidate pairs through the REAL
     * iterative propagation; the oracle computes the same components with a
     * recursive transitive closure — passing proves the fixpoint labeling
@@ -3371,6 +3407,7 @@ object ExtQueries {
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
+    bucketedDedupQ,
     mediaCurationQ, audioCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ,
     keyframeExtractQ, keyframeClipsQ, videoCurationQ)
 }

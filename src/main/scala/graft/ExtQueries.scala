@@ -1686,6 +1686,51 @@ object ExtQueries {
       FROM b ORDER BY doc_id
     """))
 
+  /** Leakage-safe split ([[graft.ext.Sampling.leakageSafeAssign]]): docs
+    * split by their LSH duplicate group, so near-dup copies land on the
+    * same side of train/val/test. The oracle replays the recursive-closure
+    * groups AND the md5 bucket arithmetic over the group key.
+    */
+  private val splitLeakageSafeQ = Q(
+    "sample_split_leakage_safe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val groups = Dedup.duplicateGroups(
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+      Sampling.leakageSafeAssign(docs, groups)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${sqlSigCtes()}, $sqlBandsCte,
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), grp AS (
+        SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+      ), keyed AS (
+        SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN grp g USING (doc_id)
+      )
+      SELECT doc_id, split_key,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, split_key,
+              CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 AS b
+            FROM keyed)
+      ORDER BY doc_id
+    """))
+
   /** Domain mixing: en kept at 90%, zh 50%, de 25%, everything else 10% —
     * the static corpus-mixture downsample, decided per row from a ppm-
     * resolution hash with no shuffle and no per-stratum counting.
@@ -3402,7 +3447,7 @@ object ExtQueries {
     simhashProbeQ, jaccardQ, passagesQ,
     bruteTopK, ivfTopK, ivfTrain, annRecallQ, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
-    langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, mixtureQ, packQ,
+    langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, splitLeakageSafeQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,

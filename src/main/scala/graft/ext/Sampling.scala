@@ -33,6 +33,28 @@ object Sampling {
     df.withColumn("bucket", hashBucket(key))
       .withColumn("split", splitLabel(key, trainPct, valPct))
 
+  /** Near-dup-aware split: assign by the document's duplicate GROUP, not
+    * the document, so near-duplicate copies can never straddle train/test
+    * — the eval-leakage failure mode of per-document hashing (a test doc
+    * whose re-crawl sits in train is contamination the decontaminate pass
+    * can't see, because it only guards the EVAL SET's n-grams, not the
+    * held-out split). `groups` is [[Dedup.duplicateGroups]] output over
+    * whatever candidate-pair policy the pipeline uses (LSH, SimHash,
+    * embedding); docs in no group split by their own id. One broadcast-or
+    * -shuffle join against the (small) grouped subset, then the same
+    * scan-stage md5 arithmetic as [[assign]] — group membership changes
+    * the KEY, never the split algebra, so membership stays stable under
+    * re-partitioning and re-runs at any scale.
+    */
+  def leakageSafeAssign(docs: DataFrame, groups: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.join(groups.select(col("doc_id"), col("group_id")),
+        Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("group_id"), col("doc_id")))
+      .drop("group_id")
+      .withColumn("bucket", hashBucket(col("split_key")))
+      .withColumn("split", splitLabel(col("split_key"), trainPct, valPct))
+
   /** Fine-grained uniform hash in [0, 1e6) — ppm resolution for mixture
     * rates (first 12 md5 hex chars = 48 bits, exact in 64-bit arithmetic
     * in any engine).

@@ -70,6 +70,33 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet === expect)
   }
 
+  test("leakage-safe split keeps every duplicate group on one side") {
+    import spark.implicits._
+    // synthetic groups: ids 0-4 one component, 10-11 another, 20 isolated
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+      .toDF("doc_a", "doc_b")
+    val groups = Dedup.duplicateGroups(pairs)
+    val out = Sampling.leakageSafeAssign(docs, groups)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // all members of a component share the keeper's key AND the split
+    assert((0L to 4L).map(byId(_)._2).toSet === Set(0L))
+    assert((0L to 4L).map(byId(_)._3).toSet.size === 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).toSet === Set(10L))
+    assert(Seq(10L, 11L).map(byId(_)._3).toSet.size === 1)
+    // ungrouped docs fall back to their own id
+    assert(byId(20L)._2 === 20L)
+    // split algebra identical to the plain assign on the same key
+    val plain = Sampling.assign(Seq(0L, 10L, 20L).toDF("doc_id"), col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(0L)._3 === plain(0L) && byId(10L)._3 === plain(10L) &&
+      byId(20L)._3 === plain(20L))
+    graft.GraftSession.sweepPersisted(spark)
+  }
+
   test("approx_count_distinct stays within 5% of exact on events") {
     val r = Tables.events(spark, sf)
       .agg(approx_count_distinct(col("user_id")).as("a"),

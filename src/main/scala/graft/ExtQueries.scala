@@ -349,6 +349,53 @@ object ExtQueries {
       ORDER BY nw.doc_id
     """))
 
+  /** Span REMOVAL ([[graft.ext.Dedup.removeDupSpans]]): the duplicated
+    * passages are cut out of the text, not just counted — the oracle
+    * replays window hashing, the ≥2-distinct-docs test, per-word coverage
+    * and the in-order rebuild, with the rebuilt STRING itself under the
+    * hash (so word order, spacing and the untouched-doc fast path all
+    * prove out).
+    */
+  private val removeSpansQ = Q(
+    "dedup_remove_spans",
+    (s, d) => Dedup.removeDupSpans(Tables.documents(s, d), window = 20,
+      stride = 10).orderBy(col("doc_id")),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+      ), wins AS (
+        SELECT doc_id, j*10 AS pos,
+               md5(array_to_string(ws[j*10+1 : j*10+20], ' ')) AS phash
+        FROM w, UNNEST(range(0, CAST(floor((len(ws)-20)/10.0) AS BIGINT) + 1)) AS t(j)
+        WHERE len(ws) >= 20
+      ), dup AS (
+        SELECT phash FROM wins GROUP BY phash HAVING COUNT(DISTINCT doc_id) > 1
+      ), starts AS (
+        SELECT doc_id, pos FROM wins JOIN dup USING (phash)
+      ), cov AS (
+        SELECT DISTINCT doc_id, pos + k AS i
+        FROM starts, UNNEST(range(0, 20)) AS t(k)
+      ), words AS (
+        SELECT w.doc_id, j - 1 AS i, ws[j] AS word
+        FROM w, UNNEST(range(1, len(ws) + 1)) AS t(j)
+        WHERE w.doc_id IN (SELECT doc_id FROM starts)
+      ), reb AS (
+        SELECT wo.doc_id,
+               array_to_string(list(wo.word ORDER BY wo.i), ' ') AS text_dedup,
+               COUNT(*) AS n_kept
+        FROM words wo LEFT JOIN cov ON cov.doc_id = wo.doc_id AND cov.i = wo.i
+        WHERE cov.i IS NULL
+        GROUP BY wo.doc_id
+      )
+      SELECT w.doc_id, len(w.ws) AS n_words,
+             CASE WHEN w.doc_id IN (SELECT doc_id FROM starts)
+                  THEN COALESCE(reb.n_kept, 0) ELSE len(w.ws) END AS n_kept,
+             CASE WHEN w.doc_id IN (SELECT doc_id FROM starts)
+                  THEN COALESCE(reb.text_dedup, '') ELSE w.text END AS text_dedup
+      FROM w LEFT JOIN reb USING (doc_id)
+      ORDER BY w.doc_id
+    """))
+
   // ===========================================================================
   // similarity search
   // ===========================================================================
@@ -3444,7 +3491,7 @@ object ExtQueries {
   }
 
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
-    simhashProbeQ, jaccardQ, passagesQ,
+    simhashProbeQ, jaccardQ, passagesQ, removeSpansQ,
     bruteTopK, ivfTopK, ivfTrain, annRecallQ, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
     curationQ, curationFuzzyQ,
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, splitLeakageSafeQ, mixtureQ, packQ,

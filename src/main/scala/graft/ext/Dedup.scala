@@ -575,18 +575,26 @@ object Dedup {
     * is map-side partial on the hash key, and documents never leave their
     * partitions. At 100 TB this is the standard passage-dedup recipe.
     */
-  def duplicatePassages(docs: DataFrame, window: Int = 20,
-      stride: Int = 10): DataFrame = {
+  /** The shared passage-window stage: one (doc_id, pos, phash) row per
+    * `stride` words (see [[duplicatePassages]] for the scale rationale).
+    */
+  private def passageWindows(docs: DataFrame, window: Int,
+      stride: Int): DataFrame = {
     val nWins = (floor((size(col("__ws")) - window) / stride) + 1).cast("int")
     val winHashes = when(size(col("__ws")) >= window,
       transform(sequence(lit(0), nWins - 1),
         j => struct((j * stride).as("pos"),
           md5(concat_ws(" ", slice(col("__ws"), j * stride + 1, lit(window)))).as("phash"))))
       .otherwise(array().cast("array<struct<pos:int,phash:string>>"))
-    val wins = graft.Tables.fanOut(docs)
+    graft.Tables.fanOut(docs)
       .withColumn("__ws", split(col("text"), " ", -1))
       .select(col("doc_id"), explode(winHashes).as("w"))
       .select(col("doc_id"), col("w.pos"), col("w.phash"))
+  }
+
+  def duplicatePassages(docs: DataFrame, window: Int = 20,
+      stride: Int = 10): DataFrame = {
+    val wins = passageWindows(docs, window, stride)
     // "appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): two
     // plain partials in ONE aggregate, vs count(DISTINCT)'s extra
     // (phash, doc_id)-keyed dedup pass before it can count
@@ -605,6 +613,51 @@ object Dedup {
         when(col("n_windows") > 0,
           col("n_shared").cast("double") / col("n_windows")).otherwise(lit(0.0)))
       .withColumn("has_dup_passage", col("n_shared") > 0)
+  }
+
+  /** Remove the duplicated passages themselves — the operation Lee et
+    * al. 2021's exact-substring tool performs (cite:
+    * google-research/deduplicate-text-datasets), where
+    * [[duplicatePassages]] only measures coverage. A word is removed iff
+    * it falls inside ANY window (length `window`, starts every `stride`
+    * words) whose hash appears in ≥ 2 distinct documents; survivors are
+    * reassembled in order. Returns (doc_id, n_words, n_kept, text_dedup);
+    * a document with no duplicated window keeps its text byte-identical.
+    *
+    * Scale shape: the window/duplicate-hash stages are
+    * [[duplicatePassages]]'s (explode + one map-side-partial aggregate);
+    * the removal adds one (doc_id, sorted dup-start list) aggregate, a
+    * join back to the corpus, and a per-row HOF whose cost is
+    * O(n_words × n_dup_starts) — bounded by the document's own length
+    * (≤ n_words²/stride on a fully-duplicated doc), never by the corpus.
+    * No collect, no pair expansion.
+    */
+  def removeDupSpans(docs: DataFrame, window: Int = 20,
+      stride: Int = 10): DataFrame = {
+    val wins = passageWindows(docs, window, stride)
+    val dupHashes = wins.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select("phash")
+    val starts = wins.join(dupHashes, Seq("phash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
+    val idxd = zip_with(col("__ws"),
+      sequence(lit(0), size(col("__ws")) - 1),
+      (w, i) => struct(w.as("w"), i.as("i")))
+    val keptStructs = filter(idxd, s =>
+      !exists(col("dup_starts"),
+        p => p <= s.getField("i") && s.getField("i") < p + window))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("__ws", split(col("text"), " ", -1))
+      .withColumn("n_words", size(col("__ws")).cast("bigint"))
+      .withColumn("n_kept",
+        when(col("dup_starts").isNull, size(col("__ws")))
+          .otherwise(size(keptStructs)).cast("bigint"))
+      .withColumn("text_dedup",
+        when(col("dup_starts").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(keptStructs, s => s.getField("w")))))
+      .select(col("doc_id"), col("n_words"), col("n_kept"), col("text_dedup"))
   }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6,

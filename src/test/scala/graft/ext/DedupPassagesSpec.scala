@@ -53,4 +53,38 @@ class DedupPassagesSpec extends SparkSpec {
       .select("doc_id", "n_shared").as[(Long, Long)].collect()
     assert(out === Array((1L, 0L), (2L, 0L)))
   }
+
+  test("removeDupSpans cuts exactly the shared span and keeps the rest in order") {
+    // doc 1 = A(20) ++ tail1(10); doc 2 = head2(10) ++ A(20); doc 3 clean.
+    // Windows (w=20, s=10): doc 1 [A], [a10..t9]; doc 2 [h0..a9], [A].
+    // Only [A] is shared, so doc 1 loses words 0-19 (keeps tail1), doc 2
+    // loses words 10-29 (keeps head2), doc 3 is byte-identical.
+    val a = (0 until 20).map(i => s"a$i")
+    val tail1 = (0 until 10).map(i => s"t$i")
+    val head2 = (0 until 10).map(i => s"h$i")
+    val docs = Seq(
+      (1L, (a ++ tail1).mkString(" ")),
+      (2L, (head2 ++ a).mkString(" ")),
+      (3L, words(25, "z"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, window = 20, stride = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 30L, 10L, tail1.mkString(" "))))
+    assert(out(1) === ((2L, 30L, 10L, head2.mkString(" "))))
+    assert(out(2) === ((3L, 25L, 25L, words(25, "z"))))
+  }
+
+  test("removeDupSpans empties a fully-duplicated doc and never a short one") {
+    val shared = words(20, "s")
+    val docs = Seq((1L, shared), (2L, shared), (3L, words(19, "q")))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, 20, 10).orderBy("doc_id")
+      .select("doc_id", "n_kept", "text_dedup")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) === ((1L, 0L, "")))
+    assert(out(1) === ((2L, 0L, "")))
+    assert(out(2) === ((3L, 19L, words(19, "q"))))
+  }
 }

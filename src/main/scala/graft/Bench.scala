@@ -618,7 +618,9 @@ object Bench {
       "q1_agg", "filter_cesql", "action_structs_pipeline", "template_json",
       "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
       "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
-      "dedup_passages", "dedup_embedding_neardup", "pipeline_curation",
+      "dedup_passages", "dedup_remove_spans", "sample_split_leakage_safe",
+      "layout_bucketed_dedup",
+      "dedup_embedding_neardup", "pipeline_curation",
       "pipeline_media_curation", "pipeline_audio_curation",
       "pipeline_video_curation",
       "text_gopher_quality", "text_langid", "text_repetition",

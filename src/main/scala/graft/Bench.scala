@@ -299,21 +299,28 @@ object Bench {
     val failed = LinkedHashSet.empty[String]
     val scaleRows = ArrayBuffer.empty[ScaleRow]
     val histRows = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
+    // `chunkRun` gates the round-artifact side effects: only CHUNK children
+    // contribute to `failed` and `histRows`. A solo adjudication re-run
+    // that dies must not retro-mark a chunk-successful query as failed
+    // (phantom correctness regression in the artifact), and its re-emitted
+    // histogram rows must not duplicate the chunk's.
     def ingest(rows: Seq[Array[String]],
-        into: (ArrayBuffer[(String, Meas)], ArrayBuffer[ScaleRow])): Set[String] = {
+        into: (ArrayBuffer[(String, Meas)], ArrayBuffer[ScaleRow]),
+        chunkRun: Boolean): Set[String] = {
       val reported = scala.collection.mutable.Set.empty[String]
       rows.foreach {
         case Array("Q", n, w, c, g, l0, l1) =>
           into._1 += (n -> Meas(w.toDouble, c.toDouble, g.toLong,
             l0.toDouble, l1.toDouble))
           reported += n
-        case Array("F", n) => failed += n
+        case Array("F", n) => if (chunkRun) failed += n
         case Array("S", tag, fac, n, r, sec, base, cpu) =>
           into._2 += ScaleRow(tag, fac.toInt, n, r.toDouble, sec.toDouble,
             base.toDouble, cpu.toDouble)
         case Array("H", tag, n, lw, ng, mw, up, cp) =>
-          histRows += ((tag, n, lw.toInt, ng.toLong, mw.toLong,
-            up.toLong, cp.toLong))
+          if (chunkRun)
+            histRows += ((tag, n, lw.toInt, ng.toLong, mw.toLong,
+              up.toLong, cp.toLong))
         case _ => ()
       }
       reported.toSet
@@ -326,7 +333,7 @@ object Bench {
       if (rc != 0)
         System.err.println(
           s"[bench] chunk ${i + 1}: unreported queries count as failed")
-      val reported = ingest(rows, (qMeas, scaleRows))
+      val reported = ingest(rows, (qMeas, scaleRows), chunkRun = true)
       // a child that died mid-chunk (OOM, hard JVM crash) reports nothing
       // for its remaining queries — those are failures, not free queries
       chunk.filterNot(reported).foreach(failed += _)
@@ -334,7 +341,14 @@ object Bench {
 
     // ---- adjudication (r12 VERDICT #1) ----
     val round = roundNumber
-    val prior = priorDetail(round.toInt)
+    // SPARK_GRAFT_ROUND is free-form env input and only becomes an Int
+    // here; a non-numeric value ("r13") must degrade to no-prior-baseline
+    // adjudication, not crash the coordinator AFTER the whole chunk sweep
+    val prior = round.toIntOption.map(priorDetail(_)).getOrElse {
+      System.err.println(
+        s"[bench] non-numeric round '$round'; adjudicating on wall/cpu only")
+      Map.empty[String, Double]
+    }
     if (prior.isEmpty)
       System.err.println("[bench] no prior detail artifact; " +
         "adjudicating on wall/cpu only")
@@ -380,7 +394,7 @@ object Bench {
       val soloQ = ArrayBuffer.empty[(String, Meas)]
       val soloS = ArrayBuffer.empty[ScaleRow]
       val (_, rows) = spawnChild(env, s"solo_$name")
-      ingest(rows, (soloQ, soloS))
+      ingest(rows, (soloQ, soloS), chunkRun = false)
       sus.foreach { case (tag, _, pub, pubCpu, trigger) =>
         val solo: Option[(Double, Double)] =
           if (tag == "base") soloQ.find(_._1 == name).map(q => (q._2.wall, q._2.cpu))

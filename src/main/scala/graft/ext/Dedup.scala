@@ -647,16 +647,19 @@ object Dedup {
     val keptStructs = filter(idxd, s =>
       !exists(col("dup_starts"),
         p => p <= s.getField("i") && s.getField("i") < p + window))
+    // __kept is materialized ONCE: the coverage filter is a non-codegen
+    // HOF Catalyst's subexpression elimination can't share, and n_kept +
+    // text_dedup would otherwise each pay the O(words × dup_starts) scan
     docs.join(starts, Seq("doc_id"), "left")
       .withColumn("__ws", split(col("text"), " ", -1))
+      .withColumn("__kept",
+        when(col("dup_starts").isNull, col("__ws"))
+          .otherwise(transform(keptStructs, s => s.getField("w"))))
       .withColumn("n_words", size(col("__ws")).cast("bigint"))
-      .withColumn("n_kept",
-        when(col("dup_starts").isNull, size(col("__ws")))
-          .otherwise(size(keptStructs)).cast("bigint"))
+      .withColumn("n_kept", size(col("__kept")).cast("bigint"))
       .withColumn("text_dedup",
         when(col("dup_starts").isNull, col("text"))
-          .otherwise(concat_ws(" ",
-            transform(keptStructs, s => s.getField("w")))))
+          .otherwise(concat_ws(" ", col("__kept"))))
       .select(col("doc_id"), col("n_words"), col("n_kept"), col("text_dedup"))
   }
 

@@ -81,20 +81,30 @@ object Gzip {
     */
   def zstd(data: Array[Byte]): Array[Byte] = zstdC.get().compress(data)
 
-  /** Decompress a zstd frame, bounded to `maxBytes`. None on malformed/
-    * truncated/over-long input. Frames declaring their content size (our
-    * own, and most single-shot producers) decode in one native call; a
-    * lying header cannot overflow the bound — zstd errors when output
-    * exceeds the declared size, and a declared size past `maxBytes`
-    * rejects before allocating. Unknown-size (streaming) frames fall
-    * back to the bounded pull loop over a recycling buffer pool.
+  /** Decompress zstd input, bounded to `maxBytes`. None on malformed/
+    * truncated/over-long input. A SINGLE frame declaring its content size
+    * (our own, and most single-shot producers) decodes in one native
+    * call; a lying header cannot overflow the bound — zstd errors when
+    * output exceeds the declared size, and a declared size past
+    * `maxBytes` rejects before allocating. Everything else — unknown-size
+    * streaming frames AND concatenated multi-frame input (`zstd` CLI
+    * append; `getFrameContentSize` reports only the FIRST frame, so the
+    * one-shot path would misdecode it) — takes the bounded pull loop over
+    * a recycling buffer pool, which decodes all frames like gunzip's
+    * multi-member handling.
     */
   def unzstd(data: Array[Byte], maxBytes: Int): Option[Array[Byte]] = {
     if (data == null || data.length < 8) return None
+    // one-shot is only sound when the first frame IS the whole input
+    val singleFrame =
+      try com.github.luben.zstd.Zstd.findFrameCompressedSize(data) == data.length
+      catch { case _: Exception => false }
     val size =
-      try com.github.luben.zstd.Zstd.getFrameContentSize(data)
-      catch { case _: Exception => -1L }
-    if (size > maxBytes) None
+      if (!singleFrame) -1L
+      else
+        try com.github.luben.zstd.Zstd.getFrameContentSize(data)
+        catch { case _: Exception => -1L }
+    if (singleFrame && size > maxBytes) None
     else if (size >= 0)
       try Some(zstdD.get().decompress(data, size.toInt))
       catch { case _: Exception => None }

@@ -104,7 +104,15 @@ object SubscriptionRunner {
       nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult =
     processBatchWith(batch, spec, Delivery.PerEvent(sink), retryBus, dlqBus, nowEpochSec)
 
-  /** processBatch generalized over the delivery mode. */
+  /** processBatch generalized over the delivery mode. A configured
+    * `dedupHorizon` applies here too — its deterministic batch form
+    * (first arrival per (source, id) within the batch), so pure-batch and
+    * streaming invocations of the same Spec agree on what gets delivered.
+    * `start()` clears the knob before delegating: its stateful stage
+    * already deduped the stream (WITH cross-batch state), and re-folding
+    * every micro-batch would pay a shuffle for rows that are already
+    * unique.
+    */
   def processBatchWith(
       batch: DataFrame,
       spec: Spec,
@@ -113,7 +121,11 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult = {
     import org.apache.spark.storage.StorageLevel
-    val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val input = spec.config.dedupHorizon match {
+      case Some(h) => IngestDedup.firstArrivals(batch, h).toDF()
+      case None => batch
+    }
+    val cached = input.persist(StorageLevel.MEMORY_AND_DISK)
     try processBatchCached(cached, spec, delivery, retryBus, dlqBus, nowEpochSec)
     finally { cached.unpersist(); () }
   }
@@ -319,10 +331,11 @@ object SubscriptionRunner {
     * Termination caveat: with a `dedupHorizon` set the plan carries a
     * ProcessingTimeTimeout state operator, and Spark keeps scheduling
     * (empty) micro-batches to evaluate its timeouts — the query does NOT
-    * self-terminate even under `Trigger.AvailableNow`. A drain-style
-    * invocation should `processAllAvailable()` then `stop()`; a
-    * continuous subscription (the production shape) runs until stopped
-    * anyway, with the idle batches doing the state aging.
+    * self-terminate even under `Trigger.AvailableNow`. Drain-style
+    * callers should use [[drain]], which encapsulates the
+    * poll-until-quiet-then-stop recipe; a continuous subscription (the
+    * production shape) runs until stopped anyway, with the idle batches
+    * doing the state aging.
     */
   def start(
       spark: SparkSession,
@@ -338,12 +351,15 @@ object SubscriptionRunner {
       case Some(h) => IngestDedup.firstArrivals(source, h).toDF()
       case None => source
     }
+    // the stateful stage above already deduped (with cross-batch state);
+    // clear the knob so processBatch doesn't re-fold every micro-batch
+    val batchSpec = spec.copy(config = spec.config.copy(dedupHorizon = None))
     deduped
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, spec, sink, retryBus, dlqBus)
+        processBatch(batch, spec = batchSpec, sink, retryBus, dlqBus)
         ()
       }
       .start()
@@ -385,6 +401,43 @@ object SubscriptionRunner {
     * state of its own, and a restart resumes escalation exactly where the
     * spool left off.
     */
+  /** One-shot drain: start, process everything currently on the bus, stop.
+    * The SAFE counterpart to `start(..., AvailableNow)` — without a
+    * `dedupHorizon` it is exactly that (await termination); with one, the
+    * ProcessingTimeTimeout state operator keeps scheduling empty batches
+    * to evaluate timeouts and the query never self-terminates, so this
+    * polls progress until a post-data batch reads zero input rows, then
+    * stops. Callers that were open-coding the poll-and-stop recipe from
+    * the `start` scaladoc should call this instead.
+    */
+  def drain(
+      spark: SparkSession,
+      sourceBus: EventBus,
+      spec: Spec,
+      sink: Sink,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      checkpoint: String,
+      timeoutMs: Long = 120000L): Unit = {
+    val q = start(spark, sourceBus, spec, sink, retryBus, dlqBus, checkpoint)
+    try {
+      if (spec.config.dedupHorizon.isEmpty) { q.awaitTermination(timeoutMs); () }
+      else {
+        val deadline = System.nanoTime + timeoutMs * 1000000L
+        var done = false
+        while (!done && System.nanoTime < deadline) {
+          val p = q.lastProgress
+          // batchId > 0 ⇒ at least one real batch ran before this empty one
+          done = p != null && p.numInputRows == 0 && p.batchId > 0
+          if (!done) Thread.sleep(50)
+        }
+        if (!done)
+          throw new java.util.concurrent.TimeoutException(
+            s"drain did not quiesce within ${timeoutMs} ms")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
   def startRetries(
       spark: SparkSession,
       spool: BucketedSpool,

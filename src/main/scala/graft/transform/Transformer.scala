@@ -71,7 +71,20 @@ object Transformer {
     case other => Left(s"transformer spec must be an object, got ${JPath.typeName(other)}")
   }
 
-  def execute(spec: Spec, event: EventValue): Either[String, Output] = {
+  def execute(spec: Spec, event: EventValue): Either[String, Output] = try {
+    executeUnsafe(spec, event)
+  } catch {
+    // the reference recovers panics anywhere in Execute and returns them
+    // as the transform's error (transformer.go:67-74) — a malformed spec
+    // hitting an unguarded runtime failure (e.g. a negative splice
+    // position, which panics Go's slicing too) must fail THAT EVENT'S
+    // transform, never the executor task
+    case scala.util.control.NonFatal(e) =>
+      Left(s"transform panic: ${e.getClass.getSimpleName}: " +
+        s"${Option(e.getMessage).getOrElse("")}")
+  }
+
+  private def executeUnsafe(spec: Spec, event: EventValue): Either[String, Output] = {
     // 1. defines — errors are whole-transform errors (transformer.go:84-90)
     val ctx0 = Ctx.of(event)
     val definesE = spec.defines.foldLeft[Either[String, VectorMap[String, JValue]]](

@@ -39,6 +39,20 @@ class GzipSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Gzip.unzstd(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9), 1 << 20).isEmpty)
   }
 
+  test("concatenated multi-frame zstd decodes all frames, like gzip multi-member") {
+    // the `zstd` CLI appends frames; getFrameContentSize sees only the
+    // FIRST frame, so the one-shot path must defer to the pull loop here
+    val a = "first frame content ".getBytes("UTF-8")
+    val b = "second frame content".getBytes("UTF-8")
+    val cat = Gzip.zstd(a) ++ Gzip.zstd(b)
+    assert(Gzip.unzstd(cat, 1 << 20).map(_.toSeq) === Some((a ++ b).toSeq))
+    // bound still enforced across frames
+    assert(Gzip.unzstd(cat, a.length + b.length - 1).isEmpty)
+    // gzip's multi-member counterpart stays green
+    val gcat = Gzip.gzip(a) ++ Gzip.gzip(b)
+    assert(Gzip.gunzip(gcat, 1 << 20).map(_.toSeq) === Some((a ++ b).toSeq))
+  }
+
   test("decompress_text: a VALID frame holding invalid UTF-8 reads NULL " +
       "(corruption-oracle contract), valid text round-trips") {
     import org.apache.spark.sql.graftexpr.DecompressTextUtil

@@ -132,6 +132,29 @@ class EndToEndSpec extends SparkSpec {
       "a duplicate republished across a restart must be dropped while " +
         "inside the horizon; the fresh event must deliver")
   }
+
+  test("drain() quiesces a dedup-horizon subscription without hand-rolled polling") {
+    import scala.jdk.CollectionConverters._
+    val sourceBus = EventBus(tmp("drsrc"))
+    IngestDedupE2E.delivered.clear()
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-drain",
+        dedupHorizon = Some(java.time.Duration.ofHours(1))))
+    val sink: SubscriptionRunner.Sink = { d =>
+      IngestDedupE2E.delivered.add(d.id)
+      Right(())
+    }
+    val evs = EventView.fromEventsTable(Tables.events(spark, sf))
+    Seq(5L, 6L, 5L).foreach { i =>
+      sourceBus.append(evs.filter(col("sequence_number") === i))
+    }
+    // the API the start() scaladoc sends drain-style callers to: returns
+    // only after the bus is fully processed, query stopped, no leak
+    SubscriptionRunner.drain(
+      spark, sourceBus, spec, sink, None, None, tmp("drck"))
+    assert(IngestDedupE2E.delivered.asScala.toSeq.sorted == Seq("5", "6"),
+      "drain must deliver each (source, id) once and then return")
+  }
 }
 
 /** Executor-side sink capture: an object field is a JVM singleton, so the

@@ -242,6 +242,28 @@ class SubscriptionRunnerSpec extends SparkSpec {
     assert(spool.read(spark).count() == 50)
   }
 
+  test("processBatch honors the dedup horizon: batch and streaming specs agree") {
+    // the same Spec must not deliver duplicate (source, id) copies in pure
+    // batch mode when start()'s stateful stage would have dropped them
+    val base = view.limit(5)
+    val republished = base.unionByName(
+      base.withColumn("sequence_number", col("sequence_number") + 1000000L))
+    val horizonSpec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-h",
+        dedupHorizon = Some(java.time.Duration.ofHours(1))))
+    val res = SubscriptionRunner.processBatch(
+      republished, horizonSpec, _ => Right(()), None, None)
+    assert(res.delivered == 5,
+      s"10 rows (5 + 5 republished) must deliver 5, got ${res.delivered}")
+    // and the kept copy is the FIRST arrival (min sequence number): the
+    // without-horizon run sees all 10
+    val resNo = SubscriptionRunner.processBatch(
+      republished, horizonSpec.copy(config =
+        horizonSpec.config.copy(dedupHorizon = None)),
+      _ => Right(()), None, None)
+    assert(resNo.delivered == 10)
+  }
+
   test("backoff curve matches util.go:75-88") {
     assert(Backoff.delaySeconds(1) == 1)
     assert(Backoff.delaySeconds(2) == 5)

@@ -108,4 +108,17 @@ class TransformerSpecTest extends AnyFunSuite {
       "https://open.feishu.cn/open-apis/bot/v2/hook/zzzzz")
     assert(exts("xvfeishubotsigns") == "yyyy,,zzzz") // empty member preserved
   }
+
+  test("a panicking action fails THAT transform as Left, never throws (transformer.go:67-74)") {
+    // negative splice position: Go's slicing panics, the reference's
+    // Execute recovers it into the transform's error — ours must too
+    val spec = """{
+      "pipeline": [
+        {"command": ["split_between_positions", "$.data.str", -2, 3, "$.data.out"]}
+      ]
+    }"""
+    val r = Transformer.transform(spec, canonical)
+    assert(r.isLeft, s"expected Left, got $r")
+    assert(r.swap.toOption.get.startsWith("transform panic:"))
+  }
 }

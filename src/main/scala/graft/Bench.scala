@@ -666,6 +666,9 @@ object Bench {
       else sys.env.getOrElse("SPARK_GRAFT_SCALE26", "26").toInt
     val cappedSet = Seq(
       "dedup_ngram_jaccard", "dedup_embedding_neardup", "dedup_passages",
+      // r13: span removal shares dedup_passages' hash-keyed window blocks;
+      // 26x evidences the duplicate-hash aggregation bounding the rebuild
+      "dedup_remove_spans",
       "sim_int8_topk", "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_res_topk",
       "sim_ivfpq_rerank_topk", "dedup_semantic", "pipeline_curation",
       // r9: the probe's MinK maxBlock cap (2000) is inert at sf0.1 (hot

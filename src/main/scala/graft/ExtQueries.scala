@@ -204,6 +204,48 @@ object ExtQueries {
       FROM reach GROUP BY src ORDER BY doc_id
     """))
 
+  /** Keep-best-by-quality dedup ([[graft.ext.Dedup.dedupKeepBest]]): the
+    * near-dup component keeps its LONGEST member (n_chars, ties by id)
+    * instead of the min-id convention. The oracle replays the
+    * recursive-closure groups and the quality ranking.
+    */
+  private val keepBestQ = Q(
+    "dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val groups = Dedup.duplicateGroups(
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+      Dedup.dedupKeepBest(docs, groups, col("n_chars"))
+        .select(col("doc_id"), col("group_id"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${sqlSigCtes()}, $sqlBandsCte,
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION SELECT doc_b, doc_a FROM cpairs
+      ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+      reach(src, dst) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+      ), grp AS (
+        SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+      ), keyed AS (
+        SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id,
+               d.n_chars
+        FROM documents d LEFT JOIN grp g USING (doc_id)
+      )
+      SELECT doc_id, group_id,
+             ROW_NUMBER() OVER (PARTITION BY group_id
+               ORDER BY n_chars DESC, doc_id) = 1 AS keep
+      FROM keyed ORDER BY doc_id
+    """))
+
   /** The composed pipeline through the REAL dedupCorpus (exact keepers →
     * LSH grouping over survivors → drop non-keepers); oracle chains the
     * same stages with the recursive-closure groups.
@@ -3499,7 +3541,7 @@ object ExtQueries {
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,
     pixelStatsQ, resizePixelsQ, audioStatsQ, audioFramesQ, jpegStatsQ, gzipTextQ, warcQ,
     phashQ, phashNearDupQ, phashGroupsQ, audioFpQ, audioNearDupQ, crossCorpusQ,
-    bucketedDedupQ,
+    bucketedDedupQ, keepBestQ,
     mediaCurationQ, audioCurationQ, mp4SamplesQ, mp4KeyframesQ, videoFpQ, videoNearDupQ,
     keyframeExtractQ, keyframeClipsQ, videoCurationQ)
 }

@@ -615,6 +615,31 @@ object Dedup {
       .withColumn("has_dup_passage", col("n_shared") > 0)
   }
 
+  /** Group-level dedup with a QUALITY keeper policy: within each
+    * near-dup component, keep the best row by `quality` (ties broken by
+    * smallest doc_id) instead of [[duplicateGroups]]' conventional
+    * min-id keeper — the curation policy real pipelines want ("of the
+    * re-crawls, keep the longest / highest-scoring copy"). `groups` is
+    * [[duplicateGroups]] output; docs in no group are their own keeper.
+    *
+    * Scale shape: one left join against the (pair-pruned, small) grouped
+    * subset, then a window partitioned by group_id — skew-safe because
+    * group widths are bounded by the upstream candidate-pair caps, never
+    * by the corpus.
+    */
+  def dedupKeepBest(docs: DataFrame, groups: DataFrame,
+      quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.join(groups.select(col("doc_id"), col("group_id")),
+        Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("group_id"))
+          .orderBy(quality.desc, col("doc_id"))))
+      .withColumn("keep", col("__rk") === 1)
+      .drop("__rk")
+  }
+
   /** Remove the duplicated passages themselves — the operation Lee et
     * al. 2021's exact-substring tool performs (cite:
     * google-research/deduplicate-text-datasets), where

@@ -80,6 +80,24 @@ class DedupContractionSpec extends SparkSpec {
     graft.GraftSession.sweepPersisted(spark)
   }
 
+  test("dedupKeepBest keeps the best-quality member per component") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // component {0,1,2}: qualities 5, 9, 9 → keeper is 1 (best, lowest id
+    // among the tie); component {10,11}: 3, 7 → keeper 11; 20 isolated
+    val docs = Seq((0L, 5), (1L, 9), (2L, 9), (10L, 3), (11L, 7), (20L, 4))
+      .toDF("doc_id", "q")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupKeepBest(docs, Dedup.duplicateGroups(pairs), col("q"))
+      .orderBy("doc_id")
+      .select("doc_id", "group_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out === Array(
+      (0L, 0L, false), (1L, 0L, true), (2L, 0L, false),
+      (10L, 10L, false), (11L, 10L, true), (20L, 20L, true)))
+    graft.GraftSession.sweepPersisted(spark)
+  }
+
   test("self-pair names a singleton component that survives contraction") {
     val withSelf = messyPairs ++ Seq((999L, 999L))
     val expect = referenceComponents(messyPairs) + (999L -> 999L)

@@ -633,7 +633,7 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_pairs",
       "dedup_simhash_neardup", "dedup_ngram_jaccard", "dedup_pipeline",
       "dedup_passages", "dedup_remove_spans", "sample_split_leakage_safe",
-      "layout_bucketed_dedup",
+      "layout_bucketed_dedup", "dedup_keep_best",
       "dedup_embedding_neardup", "pipeline_curation",
       "pipeline_media_curation", "pipeline_audio_curation",
       "pipeline_video_curation",

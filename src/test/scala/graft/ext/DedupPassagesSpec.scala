@@ -76,6 +76,44 @@ class DedupPassagesSpec extends SparkSpec {
     assert(out(2) === ((3L, 25L, 25L, words(25, "z"))))
   }
 
+  test("removeDupSpans matches a driver-side reference on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val W = 8; val S = 4 // small window/stride so coverage shapes vary
+    // shared phrase pool so cross-doc window collisions actually occur
+    val phrases = Vector.tabulate(6)(p => (0 until W).map(i => s"p${p}w$i"))
+    def doc(): String =
+      (0 until 2 + rnd.nextInt(4)).flatMap { _ =>
+        if (rnd.nextBoolean()) phrases(rnd.nextInt(phrases.length))
+        else (0 until 1 + rnd.nextInt(6)).map(_ => s"u${rnd.nextInt(100000)}")
+      }.mkString(" ")
+    val docs = (0L until 40L).map(i => (i, doc()))
+    // reference: window hashes -> >=2-distinct-doc hashes -> coverage -> rebuild
+    val wins = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < W) Seq.empty
+      else (0 to (ws.length - W) / S).map { j =>
+        (id, j * S, ws.slice(j * S, j * S + W).mkString(" "))
+      }
+    }
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val starts = wins.filter(w => w._1 == id && dup(w._3)).map(_._2)
+      val kept =
+        if (starts.isEmpty) ws.toSeq
+        else ws.indices.filterNot(i => starts.exists(p => p <= i && i < p + W))
+          .map(ws)
+      (id, ws.length.toLong, kept.size.toLong,
+        if (starts.isEmpty) t else kept.mkString(" "))
+    }
+    assert(expect.exists(e => e._3 < e._2), "corpus must exercise removal")
+    import spark.implicits._
+    val got = Dedup.removeDupSpans(docs.toDF("doc_id", "text"), W, S)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expect)
+  }
+
   test("removeDupSpans empties a fully-duplicated doc and never a short one") {
     val shared = words(20, "s")
     val docs = Seq((1L, shared), (2L, shared), (3L, words(19, "q")))

@@ -441,7 +441,11 @@ object Bench {
       sfDir: String, adjRows: Seq[Adj], loadStart: Double): Unit = try {
     val round = roundNumber
     val sb = new StringBuilder
-    sb ++= s"""{"round":$round,"sf":"$sfDir","""
+    // a non-numeric SPARK_GRAFT_ROUND must still yield VALID JSON — bare
+    // interpolation would emit `"round":r13` and break every consumer
+    val roundJson = round.toIntOption.map(_.toString)
+      .getOrElse("\"" + round.replace("\"", "") + "\"")
+    sb ++= s"""{"round":$roundJson,"sf":"$sfDir","""
     sb ++= f""""total":${resultSeq.map(_._2.wall).sum}%.3f,"""
     sb ++= s""""n_queries":${resultSeq.size},"""
     sb ++= s""""machine":{"cpus":${Runtime.getRuntime.availableProcessors},"""

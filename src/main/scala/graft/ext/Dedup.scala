@@ -616,28 +616,34 @@ object Dedup {
   }
 
   /** Group-level dedup with a QUALITY keeper policy: within each
-    * near-dup component, keep the best row by `quality` (ties broken by
-    * smallest doc_id) instead of [[duplicateGroups]]' conventional
-    * min-id keeper — the curation policy real pipelines want ("of the
-    * re-crawls, keep the longest / highest-scoring copy"). `groups` is
-    * [[duplicateGroups]] output; docs in no group are their own keeper.
+    * near-dup component, keep the best row by `quality` (numeric;
+    * ties broken by smallest doc_id) instead of [[duplicateGroups]]'
+    * conventional min-id keeper — the curation policy real pipelines
+    * want ("of the re-crawls, keep the longest / highest-scoring copy").
+    * `groups` is [[duplicateGroups]] output; docs in no group are their
+    * own keeper.
     *
-    * Scale shape: one left join against the (pair-pruned, small) grouped
-    * subset, then a window partitioned by group_id — skew-safe because
-    * group widths are bounded by the upstream candidate-pair caps, never
-    * by the corpus.
+    * Scale shape: the keeper is an ARGMAX AGGREGATE
+    * (`max(struct(quality, -doc_id))` — map-side partials, one shuffle
+    * of one row per group), deliberately NOT a `row_number` window: a
+    * degenerate corpus's identical-text cluster forms one corpus-scale
+    * component (the chain fallback in [[lshCandidatePairs]] preserves
+    * full connectivity on purpose), and a window would sort that whole
+    * component in a single straggler task where the aggregate reduces
+    * it tree-wise.
     */
   def dedupKeepBest(docs: DataFrame, groups: DataFrame,
       quality: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.join(groups.select(col("doc_id"), col("group_id")),
+    val keyed = docs.join(groups.select(col("doc_id"), col("group_id")),
         Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("group_id"))
-          .orderBy(quality.desc, col("doc_id"))))
-      .withColumn("keep", col("__rk") === 1)
-      .drop("__rk")
+    // lexicographic struct max: best quality first, then max(-id) = min id
+    val best = keyed.groupBy(col("group_id"))
+      .agg(max(struct(quality.as("q"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("group_id"), (-col("b.negid")).as("__best_id"))
+    keyed.join(best, Seq("group_id"))
+      .withColumn("keep", col("doc_id") === col("__best_id"))
+      .drop("__best_id")
   }
 
   /** Remove the duplicated passages themselves — the operation Lee et

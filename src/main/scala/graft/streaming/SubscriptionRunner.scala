@@ -81,8 +81,13 @@ object SubscriptionRunner {
     def predicate: Column = FilterCompiler.compileList(filters)
   }
 
+  /** `dedupDropped` closes the books when a dedup horizon is configured:
+    * delivered + filteredOut + toRetry + toDlq + dedupDropped = input rows
+    * — the at-least-once audit a caller reconciles against batch.count().
+    */
   final case class BatchResult(
-      delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long)
+      delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long,
+      dedupDropped: Long = 0L)
 
   private def stampAttrs(attrs: Column, kvs: (String, Column)*): Column =
     Attrs.stamp(attrs, kvs: _*)
@@ -121,13 +126,28 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult = {
     import org.apache.spark.storage.StorageLevel
-    val input = spec.config.dedupHorizon match {
-      case Some(h) => IngestDedup.firstArrivals(batch, h).toDF()
-      case None => batch
+    spec.config.dedupHorizon match {
+      case Some(h) =>
+        // pin the RAW batch too: the input count (for dedupDropped
+        // accounting) and the dedup fold must not re-scan the source
+        val raw = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val totalIn = raw.count()
+          val cached = IngestDedup.firstArrivals(raw, h).toDF()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val r = processBatchCached(cached, spec, delivery, retryBus,
+              dlqBus, nowEpochSec)
+            r.copy(dedupDropped =
+              totalIn - (r.delivered + r.filteredOut + r.toRetry + r.toDlq))
+          } finally { cached.unpersist(); () }
+        } finally { raw.unpersist(); () }
+      case None =>
+        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try processBatchCached(cached, spec, delivery, retryBus, dlqBus,
+          nowEpochSec)
+        finally { cached.unpersist(); () }
     }
-    val cached = input.persist(StorageLevel.MEMORY_AND_DISK)
-    try processBatchCached(cached, spec, delivery, retryBus, dlqBus, nowEpochSec)
-    finally { cached.unpersist(); () }
   }
 
   private def processBatchCached(
@@ -421,16 +441,24 @@ object SubscriptionRunner {
       timeoutMs: Long = 120000L): Unit = {
     val q = start(spark, sourceBus, spec, sink, retryBus, dlqBus, checkpoint)
     try {
-      if (spec.config.dedupHorizon.isEmpty) { q.awaitTermination(timeoutMs); () }
-      else {
+      if (spec.config.dedupHorizon.isEmpty) {
+        // propagate a partial drain the same way the horizon path does —
+        // returning normally would claim the bus was fully processed
+        if (!q.awaitTermination(timeoutMs))
+          throw new java.util.concurrent.TimeoutException(
+            s"drain did not complete within ${timeoutMs} ms")
+      } else {
         val deadline = System.nanoTime + timeoutMs * 1000000L
         var done = false
-        while (!done && System.nanoTime < deadline) {
+        while (!done && q.isActive && System.nanoTime < deadline) {
           val p = q.lastProgress
           // batchId > 0 ⇒ at least one real batch ran before this empty one
           done = p != null && p.numInputRows == 0 && p.batchId > 0
           if (!done) Thread.sleep(50)
         }
+        // a query that died mid-drain must surface ITS exception (sink
+        // throw, checkpoint IO), not read as a quiesce timeout
+        if (!q.isActive) { q.awaitTermination(); () }
         if (!done)
           throw new java.util.concurrent.TimeoutException(
             s"drain did not quiesce within ${timeoutMs} ms")
@@ -473,6 +501,13 @@ object SubscriptionRunner {
         col("attributes").getItem("xvanusdeliverytime").cast("timestamp") <=
           timestamp_seconds(lit(nowEpochSec)) &&
         col("attributes").getItem("xvanusretryattempts").cast("int") <= spec.config.maxRetryAttempts)
-    processBatch(due, spec, sink, retryBus, dlqBus, nowEpochSec)
+    // clear the dedup horizon for the RETRY pass: every event here was
+    // already admitted through ingest dedup once; two legitimately-distinct
+    // deliveries of the same (source, id) (admitted more than a horizon
+    // apart) whose retries mature in the same release would otherwise
+    // collapse to one — a silently LOST event, since the spool evicts the
+    // bucket after the pass
+    val retrySpec = spec.copy(config = spec.config.copy(dedupHorizon = None))
+    processBatch(due, retrySpec, sink, retryBus, dlqBus, nowEpochSec)
   }
 }

@@ -255,6 +255,10 @@ class SubscriptionRunnerSpec extends SparkSpec {
       republished, horizonSpec, _ => Right(()), None, None)
     assert(res.delivered == 5,
       s"10 rows (5 + 5 republished) must deliver 5, got ${res.delivered}")
+    // the books close: every input row is accounted for
+    assert(res.dedupDropped == 5)
+    assert(res.delivered + res.filteredOut + res.toRetry + res.toDlq +
+      res.dedupDropped == 10)
     // and the kept copy is the FIRST arrival (min sequence number): the
     // without-horizon run sees all 10
     val resNo = SubscriptionRunner.processBatch(

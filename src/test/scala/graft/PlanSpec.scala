@@ -168,6 +168,23 @@ class PlanSpec extends SparkSpec {
       s"full-cell rank window resurfaced:\n$plan")
   }
 
+  test("dedupKeepBest keeper is a partial-aggregated argmax, never a Window sort") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, (i % 7).toInt)).toDF("doc_id", "q")
+    val pairs = (0L until 40L).sliding(2).map(w => (w(0), w(1)))
+      .toSeq.toDF("doc_a", "doc_b")
+    val plan = executedPlan(ext.Dedup.dedupKeepBest(
+      docs, ext.Dedup.duplicateGroups(pairs),
+      org.apache.spark.sql.functions.col("q")))
+    // a degenerate corpus forms ONE corpus-scale component; a window
+    // would sort it in a single straggler task — the keeper must stay a
+    // tree-reducing aggregate with map-side partials
+    assert(!plan.contains("Window"), s"keeper regressed to a window:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial max") ||
+      plan.contains("Partial"), s"argmax lost its map-side partial:\n$plan")
+    graft.GraftSession.sweepPersisted(spark)
+  }
+
   test("fanOut probes metadata only — no RDD conversion in the plan") {
     val plan = executedPlan(Tables.fanOut(Tables.documents(spark, sf))
       .select(col("doc_id"), length(col("text")).as("len")))

@@ -240,11 +240,16 @@ object Bench {
   private[graft] def triggerOf(prior: Option[Double], wall: Double,
       cpu: Double): Option[String] = {
     val regressed = prior.filter(pv => wall >= 0.75 && wall > 3 * pv)
-    val priorInflated = prior.filter(pv =>
-      (pv >= 0.75 && wall < pv / 3) || (pv >= 2.0 && wall < pv / 2))
+    // two distinct prior-inflation rules; the label must name the rule that
+    // actually fired (ADVICE r13: a /2-rule hit labeled "wall<prior/3"
+    // records a condition that did not hold)
+    val priorInflated3 = prior.filter(pv => pv >= 0.75 && wall < pv / 3)
+    val priorInflated2 = prior.filter(pv => pv >= 2.0 && wall < pv / 2)
     if (regressed.isDefined) Some(f"wall>3x_prior(${regressed.get}%.2f)")
-    else if (priorInflated.isDefined)
-      Some(f"wall<prior/3(${priorInflated.get}%.2f)")
+    else if (priorInflated3.isDefined)
+      Some(f"wall<prior/3(${priorInflated3.get}%.2f)")
+    else if (priorInflated2.isDefined)
+      Some(f"wall<prior/2(${priorInflated2.get}%.2f)")
     else if (wall >= 2.0 && cpu > 0 && wall / cpu > 1.5) Some("wall/cpu>1.5")
     else None
   }

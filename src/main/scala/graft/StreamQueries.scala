@@ -732,6 +732,52 @@ object StreamQueries {
       WHERE rn = 1 ORDER BY 1
     """))
 
+  /** Subscription-level NEAR-dup horizon through the REAL payload-riding
+    * state stage ([[graft.streaming.StreamNearDedup.verdictsStream]] +
+    * rollup, batch form: one fold from empty state) — the
+    * `Config.neardupHorizon` knob's keep-frame: events whose `data`
+    * SimHash is within hamming ≤ 2 of an earlier same-`type` event are
+    * dropped before filter/transform/deliver. The oracle brute-forces the
+    * same "any earlier same-type within distance" replay and keeps the
+    * complement.
+    */
+  private val neardupHorizonQ = Q(
+    "stream_neardup_horizon",
+    (s, d) => {
+      val ce = EventView.fromEventsTable(Tables.events(s, d))
+      graft.streaming.StreamNearDedup
+        .keepFirstContent(ce, ttl = Some(java.time.Duration.ofHours(1)))
+        .select(col("sequence_number"), col("type"), col("data"))
+        .orderBy(col("sequence_number"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT event_id, ts, event_type,
+          coalesce(event_type, chr(26)) AS cohort,
+          props,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN list_sum(list_transform(
+                string_split(coalesce(props, chr(26)), ' '), x ->
+              CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                              / power(2, b)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END)) >= 0
+              THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fp
+        FROM events
+      ), m AS (
+        SELECT a.event_id, COUNT(b.event_id) AS nm
+        FROM f a JOIN f b
+          ON b.cohort = a.cohort
+         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+         AND bit_count(xor(a.fp, b.fp)) <= 2
+        GROUP BY a.event_id
+      )
+      SELECT f.event_id AS sequence_number, f.event_type AS "type",
+             f.props AS data
+      FROM f LEFT JOIN m ON m.event_id = f.event_id
+      WHERE COALESCE(m.nm, 0) = 0
+      ORDER BY 1
+    """))
+
   /** Gap sessionization via the REAL session_window operator; the oracle
     * rebuilds sessions with the islands technique (gap-break flags +
     * running sum).
@@ -860,5 +906,6 @@ object StreamQueries {
     retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
-    protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ)
+    protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,
+    neardupHorizonQ)
 }

@@ -101,9 +101,15 @@ object StreamNearDedup {
     (matched, visits)
   }
 
-  private def update(maxState: Int, ttlMs: Option[Long])(
-      key: String, rows: Iterator[BlockRow],
-      state: GroupState[FpState]): Iterator[BlockMatch] = {
+  /** The probe-and-insert fold, generic over the row's carried payload so
+    * the CE-frame form ([[verdictsStream]]) reuses the exact state shape,
+    * sub-indexing and cap of the events-table form.
+    */
+  private def updateG[R, O](maxState: Int, ttlMs: Option[Long],
+      block: R => Int, at: R => Long, eid: R => Long, fpOf: R => Long,
+      mk: (R, Boolean) => O)(
+      key: String, rows: Iterator[R],
+      state: GroupState[FpState]): Iterator[O] = {
     if (state.hasTimedOut) {
       // the group aged past the dedup horizon: drop its fingerprints so a
       // re-arrival flags fresh, emit nothing
@@ -117,23 +123,31 @@ object StreamNearDedup {
     })
     val rs = rows.toSeq
     // every row in the group shares the block index (it's in the key)
-    val b2 = rs.headOption.map(r => (r.block + 1) % Blocks).getOrElse(0)
+    val b2 = rs.headOption.map(r => (block(r) + 1) % Blocks).getOrElse(0)
     val shift = Shifts(b2)
     val width = Widths(b2)
     val mask = (1L << width) - 1
-    val out = rs.sortBy(r => (r.atMicros, r.eventId)).map { r =>
-      val v = (r.fp >>> shift) & mask
-      val (m, _) = probeBuckets(buckets, r.fp, v, width)
+    val out = rs.sortBy(r => (at(r), eid(r))).map { r =>
+      val fp = fpOf(r)
+      val v = (fp >>> shift) & mask
+      val (m, _) = probeBuckets(buckets, fp, v, width)
       if (total < maxState) {
         val lst = buckets.getOrElse(v, Vector.empty)
-        if (!lst.contains(r.fp)) { buckets(v) = lst :+ r.fp; total += 1 }
+        if (!lst.contains(fp)) { buckets(v) = lst :+ fp; total += 1 }
       }
-      BlockMatch(r.eventId, r.fp, m)
+      mk(r, m)
     }
     state.update(FpState(buckets.toMap))
     ttlMs.foreach(state.setTimeoutDuration)
     out.iterator
   }
+
+  private def update(maxState: Int, ttlMs: Option[Long])(
+      key: String, rows: Iterator[BlockRow],
+      state: GroupState[FpState]): Iterator[BlockMatch] =
+    updateG[BlockRow, BlockMatch](maxState, ttlMs,
+      _.block, _.atMicros, _.eventId, _.fp,
+      (r, m) => BlockMatch(r.eventId, r.fp, m))(key, rows, state)
 
   /** Per-(type, block, value) stateful match stream — runs under
     * Structured Streaming unchanged (state survives via the checkpoint,
@@ -184,4 +198,93 @@ object StreamNearDedup {
       .groupBy(col("eventId"))
       .agg(first(col("fp")).as("simhash"),
         max(col("matched")).as("is_near_dup"))
+
+  // ==== CloudEvents-frame form (the subscription `neardupHorizon` knob) ====
+
+  /** One per-block probe row of a CloudEvent. The full payload rides ONLY
+    * the block-0 row (None on the other two), so the event survives the
+    * state operator without a stream-stream join and without tripling the
+    * shuffled bytes.
+    */
+  final case class CeBlockRow(gk: String, block: Int, eventId: Long,
+      atMicros: Long, fp: Long, payload: Option[IngestDedup.Ce])
+
+  /** One state-operator output row; [[rollupKept]] reduces the 3 rows per
+    * event to the kept payload.
+    */
+  final case class CeVerdict(eventId: Long, matched: Boolean,
+      payload: Option[IngestDedup.Ce])
+
+  /** Near-dup verdict stream over the CloudEvents frame
+    * ([[graft.model.EventView.schema]]) — the stage
+    * [[SubscriptionRunner.Config.neardupHorizon]] plugs into the streaming
+    * plan. Content fingerprint: SimHash of the whitespace-tokenized `data`
+    * body; cohort key: the CE `type` (the reference's trigger filters
+    * treat type as the routing cohort). NULLs coalesce to the U+001A
+    * sentinel as everywhere else. `ttl` is the dedup horizon (sliding
+    * processing-time TTL per (type, block, value) group — state is
+    * O(distinct content within the horizon)); None keeps NoTimeout for
+    * the deterministic batch fold.
+    *
+    * Output is 3 rows per event (append-mode state operator: no
+    * post-state aggregation is allowed in the same streaming plan) —
+    * callers roll up per micro-batch via [[rollupKept]].
+    */
+  def verdictsStream(events: DataFrame, maxState: Int = 1 << 20,
+      ttl: Option[java.time.Duration] = None): Dataset[CeVerdict] = {
+    implicit val rEnc = Encoders.product[CeBlockRow]
+    implicit val oEnc = Encoders.product[CeVerdict]
+    implicit val kEnc = Encoders.STRING
+    implicit val sEnc = Encoders.product[FpState]
+    val fp = graft.functions.SimHash(
+      split(coalesce(col("data"), lit("\u001a")), " ", -1), Bits)
+    val ctype = coalesce(col("type"), lit("\u001a"))
+    val blockCols = (0 until Blocks).map { b =>
+      struct(lit(b).as("block"),
+        concat_ws("\u001f", ctype, lit(b),
+          shiftright(col("fp"), Shifts(b))
+            .bitwiseAND(lit((1L << Widths(b)) - 1))).as("gk"))
+    }
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .withColumn("fp", fp)
+      .withColumn("atMicros",
+        coalesce(unix_micros(col("time")), lit(0L)))
+      .select(col("sequence_number"), col("atMicros"), col("fp"),
+        explode(array(blockCols: _*)).as("bk"),
+        struct(events.columns.map(col): _*).as("ce"))
+      .select(col("bk.gk").as("gk"), col("bk.block").as("block"),
+        col("sequence_number").as("eventId"), col("atMicros"), col("fp"),
+        when(col("bk.block") === 0, col("ce")).as("payload"))
+      .as[CeBlockRow]
+      .groupByKey(_.gk)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        updateG[CeBlockRow, CeVerdict](maxState, ttl.map(_.toMillis),
+          _.block, _.atMicros, _.eventId, _.fp,
+          (r, m) => CeVerdict(r.eventId, m, r.payload)))
+  }
+
+  /** Reduce a (micro-)batch of [[CeVerdict]] rows back to the CE frame of
+    * the events that are NOT near-dups of earlier content. An event is
+    * dropped if ANY of its 3 block probes matched; its payload is
+    * recovered from the block-0 row. Plain batch aggregation — in
+    * streaming this runs inside foreachBatch.
+    */
+  def rollupKept(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy(col("eventId"))
+      .agg(max(col("matched")).as("near_dup"),
+        first(col("payload"), ignoreNulls = true).as("payload"))
+      .filter(!col("near_dup"))
+      .select(col("payload.*"))
+
+  /** Batch form of the whole knob (one fold from empty state — the oracle
+    * surface and the `processBatch` path): the input CE frame minus
+    * near-dup content.
+    */
+  def keepFirstContent(events: DataFrame, maxState: Int = 1 << 20,
+      ttl: Option[java.time.Duration] = None): DataFrame =
+    rollupKept(verdictsStream(events, maxState, ttl).toDF())
 }

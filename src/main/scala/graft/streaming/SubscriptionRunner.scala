@@ -65,6 +65,16 @@ object SubscriptionRunner {
     * CloudEvent arriving within the horizon ([[IngestDedup]]) before
     * filter/transform/deliver runs; state ages out past the horizon, so
     * the state store stays bounded at 100 TB-scale ingest.
+    * `neardupHorizon` is the fuzzy sibling: drop events whose `data`
+    * content SimHash is within hamming ≤ 2 of any earlier same-`type`
+    * event inside the horizon ([[StreamNearDedup.verdictsStream]]) —
+    * re-worded/templated copies that (source, id) identity misses. Same
+    * bounded-state contract: per-(type, block, value) fingerprint sets
+    * with a sliding TTL. In a STREAMING plan the two knobs are mutually
+    * exclusive (Spark rejects two flatMapGroupsWithState stages in one
+    * query); compose them as two subscriptions chained through an
+    * intermediate bus. A pure-batch `processBatch` applies both in
+    * sequence (exact first).
     */
   final case class Config(
       subscriptionId: String,
@@ -72,7 +82,8 @@ object SubscriptionRunner {
       disableDeadLetter: Boolean = false,
       orderedEvent: Boolean = false,
       rateLimitPerSec: Int = 0,
-      dedupHorizon: Option[java.time.Duration] = None)
+      dedupHorizon: Option[java.time.Duration] = None,
+      neardupHorizon: Option[java.time.Duration] = None)
 
   final case class Spec(
       filters: Seq[FilterSpec],
@@ -81,13 +92,14 @@ object SubscriptionRunner {
     def predicate: Column = FilterCompiler.compileList(filters)
   }
 
-  /** `dedupDropped` closes the books when a dedup horizon is configured:
-    * delivered + filteredOut + toRetry + toDlq + dedupDropped = input rows
-    * — the at-least-once audit a caller reconciles against batch.count().
+  /** `dedupDropped`/`neardupDropped` close the books when a horizon is
+    * configured: delivered + filteredOut + toRetry + toDlq + dedupDropped
+    * + neardupDropped = input rows — the at-least-once audit a caller
+    * reconciles against batch.count().
     */
   final case class BatchResult(
       delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long,
-      dedupDropped: Long = 0L)
+      dedupDropped: Long = 0L, neardupDropped: Long = 0L)
 
   private def stampAttrs(attrs: Column, kvs: (String, Column)*): Column =
     Attrs.stamp(attrs, kvs: _*)
@@ -126,27 +138,49 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       nowEpochSec: => Long = System.currentTimeMillis() / 1000): BatchResult = {
     import org.apache.spark.storage.StorageLevel
-    spec.config.dedupHorizon match {
-      case Some(h) =>
-        // pin the RAW batch too: the input count (for dedupDropped
-        // accounting) and the dedup fold must not re-scan the source
-        val raw = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val exactH = spec.config.dedupHorizon
+    val nearH = spec.config.neardupHorizon
+    if (exactH.isEmpty && nearH.isEmpty) {
+      val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+      try processBatchCached(cached, spec, delivery, retryBus, dlqBus,
+        nowEpochSec)
+      finally { cached.unpersist(); () }
+    } else {
+      // pin the RAW batch too: the input count (for drop accounting) and
+      // the dedup fold(s) must not re-scan the source
+      val raw = batch.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val totalIn = raw.count()
+        val bothStages = exactH.isDefined && nearH.isDefined
+        // the stage boundary is persisted + counted only when BOTH stages
+        // run — the two drop counters need it; a single-stage config
+        // derives its count from the routing sums, no extra action
+        val afterExact = exactH.map { h =>
+          val d = IngestDedup.firstArrivals(raw, h).toDF()
+          if (bothStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+        }
+        val exactCount = if (bothStages) afterExact.get.count() else -1L
+        val afterNear = nearH
+          .map(h => StreamNearDedup
+            .keepFirstContent(afterExact.getOrElse(raw), ttl = Some(h)))
+        val cached = afterNear.getOrElse(afterExact.get)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val totalIn = raw.count()
-          val cached = IngestDedup.firstArrivals(raw, h).toDF()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            val r = processBatchCached(cached, spec, delivery, retryBus,
-              dlqBus, nowEpochSec)
-            r.copy(dedupDropped =
-              totalIn - (r.delivered + r.filteredOut + r.toRetry + r.toDlq))
-          } finally { cached.unpersist(); () }
-        } finally { raw.unpersist(); () }
-      case None =>
-        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        try processBatchCached(cached, spec, delivery, retryBus, dlqBus,
-          nowEpochSec)
-        finally { cached.unpersist(); () }
+          val r = processBatchCached(cached, spec, delivery, retryBus,
+            dlqBus, nowEpochSec)
+          val routed = r.delivered + r.filteredOut + r.toRetry + r.toDlq
+          val exactSurvivors =
+            if (exactH.isEmpty) totalIn
+            else if (bothStages) exactCount
+            else routed // exact is the only stage: survivors == routed
+          r.copy(dedupDropped = totalIn - exactSurvivors,
+            neardupDropped = exactSurvivors - routed)
+        } finally {
+          cached.unpersist()
+          if (bothStages) afterExact.foreach(_.unpersist())
+          ()
+        }
+      } finally { raw.unpersist(); () }
     }
   }
 
@@ -366,23 +400,44 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(
+      spec.config.dedupHorizon.isEmpty || spec.config.neardupHorizon.isEmpty,
+      "dedupHorizon and neardupHorizon cannot share one streaming plan " +
+        "(Spark rejects two flatMapGroupsWithState stages in a query); " +
+        "chain two subscriptions through an intermediate bus")
     val source = sourceBus.readStream(spark)
-    val deduped = spec.config.dedupHorizon match {
-      case Some(h) => IngestDedup.firstArrivals(source, h).toDF()
-      case None => source
+    // the stateful stage (either knob) dedupes with cross-batch state;
+    // clear the knobs so processBatch doesn't re-fold every micro-batch
+    val batchSpec = spec.copy(config =
+      spec.config.copy(dedupHorizon = None, neardupHorizon = None))
+    val deliver = (batch: DataFrame) => {
+      processBatch(batch, spec = batchSpec, sink, retryBus, dlqBus)
+      ()
     }
-    // the stateful stage above already deduped (with cross-batch state);
-    // clear the knob so processBatch doesn't re-fold every micro-batch
-    val batchSpec = spec.copy(config = spec.config.copy(dedupHorizon = None))
-    deduped
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, spec = batchSpec, sink, retryBus, dlqBus)
-        ()
-      }
-      .start()
+    spec.config.neardupHorizon match {
+      case Some(h) =>
+        // near-dup stage emits 3 block rows per event (no post-state agg
+        // allowed in-plan); the per-event rollup runs inside foreachBatch
+        StreamNearDedup.verdictsStream(source, ttl = Some(h)).toDF()
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            deliver(StreamNearDedup.rollupKept(batch))
+          }
+          .start()
+      case None =>
+        val deduped = spec.config.dedupHorizon match {
+          case Some(h) => IngestDedup.firstArrivals(source, h).toDF()
+          case None => source
+        }
+        deduped
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, _: Long) => deliver(batch) }
+          .start()
+    }
   }
 
   /** One release pass over a due-time-bucketed retry spool: process every
@@ -423,7 +478,8 @@ object SubscriptionRunner {
     */
   /** One-shot drain: start, process everything currently on the bus, stop.
     * The SAFE counterpart to `start(..., AvailableNow)` — without a
-    * `dedupHorizon` it is exactly that (await termination); with one, the
+    * dedup/near-dup horizon it is exactly that (await termination); with
+    * one, the
     * ProcessingTimeTimeout state operator keeps scheduling empty batches
     * to evaluate timeouts and the query never self-terminates, so this
     * polls progress until a post-data batch reads zero input rows, then
@@ -441,7 +497,8 @@ object SubscriptionRunner {
       timeoutMs: Long = 120000L): Unit = {
     val q = start(spark, sourceBus, spec, sink, retryBus, dlqBus, checkpoint)
     try {
-      if (spec.config.dedupHorizon.isEmpty) {
+      if (spec.config.dedupHorizon.isEmpty &&
+          spec.config.neardupHorizon.isEmpty) {
         // propagate a partial drain the same way the horizon path does —
         // returning normally would claim the bus was fully processed
         if (!q.awaitTermination(timeoutMs))
@@ -501,13 +558,14 @@ object SubscriptionRunner {
         col("attributes").getItem("xvanusdeliverytime").cast("timestamp") <=
           timestamp_seconds(lit(nowEpochSec)) &&
         col("attributes").getItem("xvanusretryattempts").cast("int") <= spec.config.maxRetryAttempts)
-    // clear the dedup horizon for the RETRY pass: every event here was
-    // already admitted through ingest dedup once; two legitimately-distinct
-    // deliveries of the same (source, id) (admitted more than a horizon
-    // apart) whose retries mature in the same release would otherwise
-    // collapse to one — a silently LOST event, since the spool evicts the
-    // bucket after the pass
-    val retrySpec = spec.copy(config = spec.config.copy(dedupHorizon = None))
+    // clear BOTH horizons for the RETRY pass: every event here was already
+    // admitted through ingest dedup once; two legitimately-distinct
+    // deliveries of the same (source, id) — or of near-identical content —
+    // (admitted more than a horizon apart) whose retries mature in the
+    // same release would otherwise collapse to one — a silently LOST
+    // event, since the spool evicts the bucket after the pass
+    val retrySpec = spec.copy(config =
+      spec.config.copy(dedupHorizon = None, neardupHorizon = None))
     processBatch(due, retrySpec, sink, retryBus, dlqBus, nowEpochSec)
   }
 }

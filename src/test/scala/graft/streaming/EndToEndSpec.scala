@@ -133,6 +133,120 @@ class EndToEndSpec extends SparkSpec {
         "inside the horizon; the fresh event must deliver")
   }
 
+  test("neardup horizon drops re-worded content, including across a restart") {
+    val sourceBus = EventBus(tmp("ndsrc"))
+    val ckpt = tmp("ndck")
+    NearDedupE2E.delivered.clear()
+
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-neardup",
+        neardupHorizon = Some(java.time.Duration.ofHours(1))))
+    val sink: SubscriptionRunner.Sink = { d =>
+      NearDedupE2E.delivered.add(d.id)
+      Right(())
+    }
+    // controlled content: A / B are far apart in SimHash space (asserted,
+    // not assumed — the hash is deterministic, so this can never flake);
+    // copies of A under NEW (source, id) identities are what exact dedup
+    // misses and the near-dup knob must drop
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "solar panel output dropped after the hail storm yesterday"
+    val textC = "quarterly revenue grew nine percent on subscription sales"
+    def simhashOf(s: String): Long = {
+      val df = spark.range(1).select(graft.functions.SimHash(
+        split(lit(s), " ", -1), StreamNearDedup.Bits).as("fp"))
+      df.collect()(0).getLong(0)
+    }
+    def dist(a: String, b: String): Int =
+      java.lang.Long.bitCount(simhashOf(a) ^ simhashOf(b))
+    assert(dist(textA, textB) > StreamNearDedup.MaxDist)
+    assert(dist(textA, textC) > StreamNearDedup.MaxDist)
+    assert(dist(textB, textC) > StreamNearDedup.MaxDist)
+
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+    def publish(seq: Long, text: String): Unit =
+      sourceBus.append(base.filter(col("sequence_number") === 1)
+        .withColumn("sequence_number", lit(seq))
+        .withColumn("id", lit(seq.toString))
+        .withColumn("data", lit(text)))
+
+    def runOnce(expect: Set[String]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val q = SubscriptionRunner.start(
+        spark, sourceBus, spec, sink, None, None, ckpt)
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def seen: Set[String] = NearDedupE2E.delivered.asScala.toSet
+        while (!expect.subsetOf(seen) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        // settle one more batch interval so a WRONGLY-delivered near-dup
+        // had time to surface before the exact-equality asserts below
+        Thread.sleep(500)
+        assert(expect.subsetOf(seen),
+          s"expected deliveries $expect not observed in 60 s (got $seen)")
+      } finally { q.stop(); q.awaitTermination(30000); () }
+    }
+
+    // run 1: A, an exact-content copy of A under a NEW identity (id 11 —
+    // exact ingest dedup would admit it), and unrelated B — the copy is
+    // dropped, A and B deliver
+    publish(10L, textA)
+    publish(11L, textA)
+    publish(12L, textB)
+    runOnce(Set("10", "12"))
+    import scala.jdk.CollectionConverters._
+    assert(NearDedupE2E.delivered.asScala.toSeq.sorted == Seq("10", "12"),
+      "in-run content copy must be dropped by the near-dup horizon")
+
+    // run 2 (a RESTART: new query, same checkpoint): A re-worded under
+    // yet another identity plus fresh content C — the checkpointed
+    // fingerprint state still knows A's content, so only C delivers
+    publish(13L, textA)
+    publish(14L, textC)
+    runOnce(Set("14"))
+    assert(NearDedupE2E.delivered.asScala.toSeq.sorted == Seq("10", "12", "14"),
+      "a content copy republished across a restart must be dropped while " +
+        "inside the horizon; fresh content must deliver")
+  }
+
+  test("both horizons in one streaming plan are rejected with guidance") {
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-both",
+        dedupHorizon = Some(java.time.Duration.ofHours(1)),
+        neardupHorizon = Some(java.time.Duration.ofHours(1))))
+    val ex = intercept[IllegalArgumentException] {
+      SubscriptionRunner.start(spark, EventBus(tmp("bhsrc")), spec,
+        _ => Right(()), None, None, tmp("bhck"))
+    }
+    assert(ex.getMessage.contains("intermediate bus"))
+  }
+
+  test("batch processBatch applies both horizons in sequence with split accounting") {
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") === 1)
+    def ev(seq: Long, id: String, text: String) =
+      base.withColumn("sequence_number", lit(seq))
+        .withColumn("id", lit(id))
+        .withColumn("data", lit(text))
+    // 1 and its exact republish (same id → exact dedup), 3 = same content
+    // under a new id (near-dup), 4 = distinct content
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textD = "solar panel output dropped after the hail storm yesterday"
+    val batch = ev(1, "1", textA)
+      .unionByName(ev(2, "1", textA))
+      .unionByName(ev(3, "3", textA))
+      .unionByName(ev(4, "4", textD))
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-batch-both",
+        dedupHorizon = Some(java.time.Duration.ofHours(1)),
+        neardupHorizon = Some(java.time.Duration.ofHours(1))))
+    val r = SubscriptionRunner.processBatch(
+      batch, spec, _ => Right(()), None, None)
+    assert(r.delivered == 2, s"expected 1 and 4 delivered, got $r")
+    assert(r.dedupDropped == 1, s"exact stage must drop the republish: $r")
+    assert(r.neardupDropped == 1, s"near stage must drop the content copy: $r")
+  }
+
   test("drain() quiesces a dedup-horizon subscription without hand-rolled polling") {
     import scala.jdk.CollectionConverters._
     val sourceBus = EventBus(tmp("drsrc"))
@@ -162,5 +276,9 @@ class EndToEndSpec extends SparkSpec {
   * local mode.
   */
 object IngestDedupE2E {
+  val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object NearDedupE2E {
   val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

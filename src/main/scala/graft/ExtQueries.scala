@@ -3410,7 +3410,14 @@ object ExtQueries {
     * keeper choice, recursive-closure near-dup groups, window-hash
     * coverage, gram hits — as one CTE cascade.
     */
-  private val curationFuzzyQ = {
+  /** Factory for the two fuzzy-curation pipeline entries: same dirt, same
+    * chain, two near-dup keeper policies — min-id CC keeper
+    * (`pipeline_curation_fuzzy`, [[Curation.curateFuzzy]]) and
+    * best-quality-by-length ([[Curation.curateKeepBest]]), whose keeper
+    * swap reuses the one groups frame instead of a second
+    * minhash→LSH→components chain. The oracle swaps only the losers CTE.
+    */
+  private def fuzzyCurationQ(name: String, keepBest: Boolean): Q = {
     val dupText = "curation filler " + (1 to 60).map(i => s"dupword$i").mkString(" ")
     val nearText = "neardup core " + (1 to 60).map(i => s"ndword$i").mkString(" ")
     val passText = (1 to 200).map(i => s"pgword$i").mkString(" ")
@@ -3420,8 +3427,27 @@ object ExtQueries {
       s"""list_transform(range(1, greatest(len($ws) - 4, 0) + 1),
             i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2] || ' '
                  || $ws[i+3] || ' ' || $ws[i+4])"""
+    // min-id keeper: every non-min member of a component loses.
+    // keep-best keeper: the longest cleaned text wins (ties to min id) —
+    // the ROW_NUMBER replay of dedupKeepBest's argmax
+    val losersSql =
+      if (keepBest) """grp AS (
+          SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+        ), keyed AS (
+          SELECT u.doc_id, COALESCE(g.group_id, u.doc_id) AS group_id,
+                 len(u.text) AS q
+          FROM uniq u LEFT JOIN grp g USING (doc_id)
+        ), losers AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY group_id
+                     ORDER BY q DESC, doc_id) AS rn
+            FROM keyed) WHERE rn != 1
+        )"""
+      else """losers AS (
+          SELECT src AS doc_id FROM reach GROUP BY src HAVING src != MIN(dst)
+        )"""
     Q(
-      "pipeline_curation_fuzzy",
+      name,
       (s, d) => {
         val canary = concat(col("text"),
           lit(" shared benchmark passage variant "),
@@ -3439,7 +3465,8 @@ object ExtQueries {
               .otherwise(col("text")))
         val evalSet = base.filter(col("doc_id") % 97 === 0)
           .withColumn("text", canary)
-        Curation.curateFuzzy(corpus, evalSet).orderBy(col("doc_id"))
+        (if (keepBest) Curation.curateKeepBest(corpus, evalSet)
+        else Curation.curateFuzzy(corpus, evalSet)).orderBy(col("doc_id"))
       },
       Some(s"""
         WITH RECURSIVE base AS (
@@ -3485,9 +3512,7 @@ object ExtQueries {
           SELECT id, id FROM nodes
           UNION
           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        ), losers AS (
-          SELECT src AS doc_id FROM reach GROUP BY src HAVING src != MIN(dst)
-        ), nd AS (
+        ), $losersSql, nd AS (
           SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         ), pw AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM nd
@@ -3532,10 +3557,13 @@ object ExtQueries {
       """))
   }
 
+  private val curationFuzzyQ = fuzzyCurationQ("pipeline_curation_fuzzy", keepBest = false)
+  private val curationKeepBestQ = fuzzyCurationQ("pipeline_curate_keep_best", keepBest = true)
+
   val all: Seq[Q] = Seq(dedupExact, minhashSig, minhashLsh, lshPairs, lshGroups, dedupPipelineQ, simhashQ,
     simhashProbeQ, jaccardQ, passagesQ, removeSpansQ,
     bruteTopK, ivfTopK, ivfTrain, annRecallQ, semanticDedupQ, quantizeQ, int8TopKQ, pqTopKQ, ivfPqTopKQ, ivfPqResTopKQ, ivfPqRerankTopKQ, lshBucketQ, nearDupQ,
-    curationQ, curationFuzzyQ,
+    curationQ, curationFuzzyQ, curationKeepBestQ,
     langIdQ, qualityQ, qualityModelQ, gopherQ, repetitionQ, cleanQ, nfcQ, lineCurateQ, chunkQ, piiQ, splitQ, splitLeakageSafeQ, mixtureQ, packQ,
     decontaminateQ, decontaminateBloomQ, tfidfQ, reservoirQ, lmScoreQ, urlQ, domainCapQ,
     approxDistinctQ, tokensQ, tokensBpeQ, bpeTrainQ, htmlExtractQ, fingerprintQ, multimodalQ, framesQ, resizeQ, featuresQ,

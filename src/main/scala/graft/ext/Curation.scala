@@ -110,6 +110,35 @@ object Curation {
       unique)
   }
 
+  /** [[curateFuzzy]] with the keep-BEST keeper policy: the near-dup stage
+    * keeps the highest-`quality` member of each duplicate component
+    * (default: longest cleaned text; ties to smallest doc_id) instead of
+    * the conventional min-id keeper — "of the re-crawls, keep the best
+    * copy". The policy swap REUSES the one groups frame this chain
+    * already computes: [[Dedup.dedupKeepBest]] is one argmax aggregate
+    * over the groups join (map-side partials, no Window — PlanSpec's
+    * degenerate-component guarantee), not a second
+    * minhash→LSH→components chain like composing `dedup_keep_best` after
+    * `pipeline_curation_fuzzy` by hand would cost.
+    */
+  def curateKeepBest(docs: DataFrame, evalDocs: DataFrame,
+      passageFracMax: Double = 0.3,
+      quality: Column = length(col("text"))): DataFrame = {
+    val unique = graft.GraftCache.pin(cleanGateDedup(docs))
+    val groups = Dedup.duplicateGroups(
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
+    val nearDupLosers = Dedup.dedupKeepBest(unique, groups, quality)
+      .filter(!col("keep")).select("doc_id")
+    val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val passageDropIds = Dedup.duplicatePassages(nearDeduped)
+      .filter(col("shared_frac") >= passageFracMax).select("doc_id")
+    val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
+    graft.GraftCache.releaseAfter(
+      dropContaminated(kept, evalDocs)
+        .select(col("doc_id"), col("lang"), col("n_copies")),
+      unique)
+  }
+
   /** Shared tail of the media curation passes: connected-component
     * duplicate groups over the candidate pair set, keeper = smallest id,
     * one keep/near_dup/corrupt verdict per hashed row (`fpCol` NULL marks

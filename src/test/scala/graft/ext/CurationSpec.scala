@@ -77,6 +77,45 @@ class CurationSpec extends SparkSpec {
     exact.unpersist(); fuzzy.unpersist()
   }
 
+  test("curateKeepBest keeps the longest near-dup member; plan has no Window") {
+    val docs = Tables.documents(spark, sf)
+    val nearText = "neardup core " + (1 to 60).map(i => s"ndword$i").mkString(" ")
+    // %71 docs share a 62-word core with per-doc tails of DIFFERENT
+    // lengths: doc_id 142's "tailtail142..." beats 71's shorter tail, so
+    // the min-id keeper and the longest keeper disagree on purpose
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 71 === 0,
+          concat(lit(nearText), lit(" tail"), col("doc_id").cast("string"),
+            when(col("doc_id") % 142 === 0, lit(" extrapad")).otherwise(lit(""))))
+          .otherwise(col("text")))
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val fuzzy = Curation.curateFuzzy(corpus, evalSet).cache()
+    val best = Curation.curateKeepBest(corpus, evalSet).cache()
+    // same chain, same drop COUNT per near-dup component — only the
+    // keeper identity changes
+    assert(fuzzy.count() === best.count())
+    val nearIds = corpus.filter(col("doc_id") % 71 === 0).select("doc_id")
+    val fuzzyKeepers = fuzzy.join(nearIds, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bestKeepers = best.join(nearIds, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzyKeepers.nonEmpty && bestKeepers.nonEmpty)
+    // the padded (longer) members must win under keep-best wherever the
+    // component contains one; min-id picks the smallest id instead
+    assert(bestKeepers != fuzzyKeepers,
+      s"policies should disagree on the padded component: $bestKeepers")
+    assert(bestKeepers.forall(_ % 142 == 0),
+      s"keep-best must pick the padded copies: $bestKeepers")
+    // keeper policy is the argmax aggregate, never a Window sort — the
+    // corpus-scale degenerate-component guarantee of PlanSpec, preserved
+    // through the composed pipeline
+    val plan = best.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keeper regressed to a window:\n$plan")
+    fuzzy.unpersist(); best.unpersist()
+    graft.GraftSession.sweepPersisted(spark)
+  }
+
   test("curateMedia: keeper wins, duplicates drop, corrupt twins never group") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

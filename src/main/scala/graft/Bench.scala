@@ -85,9 +85,9 @@ object Bench {
     * growth vs the cap engaging. Keys match `SparkEntry.queries` names and
     * mirror those queries' probe parameters exactly.
     */
-  private val probeHistograms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+  private[graft] val probeHistograms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import graft.ext.{Dedup, Multimodal}
-    import org.apache.spark.sql.functions.{col, expr, when}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, split, when}
     Map(
       "dedup_phash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
@@ -134,7 +134,27 @@ object Bench {
         Dedup.probeGroupHistogram(
           Dedup.simhash(Tables.documents(s, d), 32, Seq("lang")),
           "simhash", maxDist = 2, bits = 32, maxBlock = 2000,
-          blockBy = Seq("lang"))))
+          blockBy = Seq("lang"))),
+      // the STREAMING near-dup ingest's state attribution (r13 VERDICT
+      // #3): its (type, block, value) groups hold the DISTINCT SimHash
+      // fingerprints seen — state size and probe cost are both linear in
+      // group width, so the same group-width histogram the batch probes
+      // publish explains its scale ratio. distinct() first because the
+      // state stores one entry per distinct fp, not per event; maxBlock
+      // mirrors the stage's 2^20 maxState cap (capped == uncapped in the
+      // artifact means the cap is inert at this scale — by design)
+      "stream_neardup_ingest" -> ((s: SparkSession, d: String) => {
+        import graft.streaming.StreamNearDedup
+        val fps = Tables.events(s, d).select(
+          coalesce(col("event_type"), lit("\u001a")).as("event_type"),
+          graft.functions.SimHash(
+            split(coalesce(col("props"), lit("\u001a")), " ", -1),
+            StreamNearDedup.Bits).as("fp"))
+          .distinct()
+        Dedup.probeGroupHistogram(fps, "fp",
+          maxDist = StreamNearDedup.MaxDist, bits = StreamNearDedup.Bits,
+          maxBlock = 1 << 20, blockBy = Seq("event_type"))
+      }))
   }
 
   def main(args: Array[String]): Unit = {

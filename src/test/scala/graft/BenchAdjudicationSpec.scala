@@ -106,6 +106,38 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.verdictOf(2.0, 3.0) == "reproduced")
   }
 
+  test("stream_neardup_ingest histogram reports distinct-fp state widths") {
+    // needs a real session + testdata - guard like the artifact test
+    val sf = "/root/testdata/sf0.001"
+    if (new java.io.File(sf).isDirectory) {
+      import org.apache.spark.sql.functions._
+      val spark = graft.GraftSession.local()
+      val rows = Bench.probeHistograms("stream_neardup_ingest")(spark, sf)
+        .collect()
+      assert(rows.nonEmpty)
+      // shape: (log2_width, n_groups, max_width, uncapped_pairs, capped_pairs)
+      val totalGroups = rows.map(_.getLong(1)).sum
+      val maxWidth = rows.map(_.getLong(2)).max
+      assert(totalGroups > 0 && maxWidth >= 1)
+      // the stage's 2^20 maxState cap must be inert at this scale:
+      // capped == uncapped on every bucket
+      rows.foreach(r => assert(r.getLong(4) == r.getLong(3),
+        s"stream state cap engaged at sf0.001 - unexpected: $r"))
+      // the histogram measures DISTINCT-fingerprint state, not events:
+      // each distinct (type, fp) contributes exactly 3 block rows, so no
+      // single (type, block, value) group can exceed the distinct count
+      val distinctFps = Tables.events(spark, sf).select(
+        coalesce(col("event_type"), lit("\u001a")).as("t"),
+        graft.functions.SimHash(
+          split(coalesce(col("props"), lit("\u001a")), " ", -1),
+          graft.streaming.StreamNearDedup.Bits).as("fp"))
+        .distinct().count()
+      assert(maxWidth <= distinctFps,
+        s"a group wider ($maxWidth) than the distinct-fp count ($distinctFps)")
+      graft.GraftSession.sweepPersisted(spark)
+    }
+  }
+
   test("the committed r12 artifact parses (the baseline the r13 run will use)") {
     // repo-root artifact: the real input to the first adjudicating round
     val repo = new java.io.File(".")

@@ -143,6 +143,15 @@ object Bench {
       // state stores one entry per distinct fp, not per event; maxBlock
       // mirrors the stage's 2^20 maxState cap (capped == uncapped in the
       // artifact means the cap is inert at this scale — by design)
+      // dedup_ngram_jaccard's blocked pair space (r13 VERDICT #4): widths
+      // of the (lang, source, len_bucket) blocks and the MinK maxBlock cap's
+      // engagement — the non-hamming member of the 100x headline set
+      "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+        Dedup.blockGroupHistogram(
+          Tables.documents(s, d).select(col("lang"), col("source"),
+            org.apache.spark.sql.functions.floor(col("n_chars") / 100.0)
+              .cast("int").as("len_bucket")),
+          Seq("lang", "source", "len_bucket"), maxBlock = 1000)),
       "stream_neardup_ingest" -> ((s: SparkSession, d: String) => {
         import graft.streaming.StreamNearDedup
         val fps = Tables.events(s, d).select(
@@ -229,7 +238,7 @@ object Bench {
         else numFmt.findAllMatchIn(block)
           .foreach(m => out(m.group(1)) = m.group(2).toDouble)
       }
-      Seq("scale", "scale26").foreach { tag =>
+      Seq("scale", "scale26", "scale100").foreach { tag =>
         val i = txt.indexOf("\"" + tag + "\":")
         if (i >= 0) {
           val block = braceBlock(txt, i)
@@ -518,7 +527,7 @@ object Bench {
           f""""gc_ms":${m.gcMs},"load0":${m.load0}%.2f,"load1":${m.load1}%.2f}"""
       }
       .mkString("\"queries\":{", ",", "},")
-    val scaleJson = Seq("scale", "scale26").map { tag =>
+    val scaleJson = Seq("scale", "scale26", "scale100").map { tag =>
       val rows = scaleRows.filter(_.tag == tag)
       val entries = rows.map(r =>
         f""""${r.name}":{"ratio":${r.ratio}%.2f,"sec":${r.sec}%.3f,""" +
@@ -755,6 +764,21 @@ object Bench {
     // bench wall-time writing a 26× lineitem/events nobody opens
     scaleSection("scale26", factor26, cappedSet,
       tables = Set("documents", "embeddings"))
+    // 100× tier (r13 VERDICT #4): two orders of magnitude over base SF for
+    // the HEADLINE capped operators only — the tier that turns the
+    // "caps/cohorts/contraction/bucketed-layout bound the work" design
+    // claims from an argument into a measurement. documents-only corpus
+    // (all five queries read nothing else); disable with
+    // SPARK_GRAFT_SCALE100=1 (or 0); the SPARK_GRAFT_SCALE=1 kill-switch
+    // disables this tier too.
+    val factor100 =
+      if (factor <= 1) 1
+      else sys.env.getOrElse("SPARK_GRAFT_SCALE100", "100").toInt
+    val capped100Set = Seq(
+      "dedup_phash_neardup", "dedup_ngram_jaccard",
+      "pipeline_audio_curation", "layout_bucketed_dedup", "dedup_keep_best")
+    scaleSection("scale100", factor100, capped100Set,
+      tables = Set("documents"))
     // Untimed probe diagnostics for the detail artifact: group-width
     // histograms at base SF and at every scale corpus this run actually
     // synthesized (marker check — a SPARK_GRAFT_ONLY run without the probe
@@ -779,6 +803,8 @@ object Bench {
       histAt("scale", s"$tmpDir/graft_scale_${factor}x", scaleSet)
     if (factor26 > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor26}x/_synth.ok").exists)
       histAt("scale26", s"$tmpDir/graft_scale_${factor26}x", cappedSet)
+    if (factor100 > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor100}x/_synth.ok").exists)
+      histAt("scale100", s"$tmpDir/graft_scale_${factor100}x", capped100Set)
     resultSeq.foreach { case (n, m) =>
       System.err.println(f"""[bench-detail] "$n":${m.wall}""")
     }
@@ -844,7 +870,7 @@ object Bench {
       }
     // worst-first scale summary, hard-capped per tag; n + max make the
     // truncation explicit
-    val scaleJson = Seq("scale", "scale26").flatMap { tag =>
+    val scaleJson = Seq("scale", "scale26", "scale100").flatMap { tag =>
       val rows = scaleRows.filter(_.tag == tag)
       if (rows.isEmpty) None else {
         val worst = rows.sortBy(-_.ratio).take(8)

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Design: each copy `c` of a row gets
   *  - ids offset by `c · IdStride` (disjoint, order-preserving id spaces);
-  *  - `documents.text` caesar-rotated by `c` letters (copy 0 = identity), so
-  *    every shingle/word hash differs across copies: the 10× corpus is 10×
-  *    *fresh* text with identical length/word-count/punctuation statistics,
-  *    not 10 near-dup copies of each document (which would grow candidate
-  *    pairs quadratically and measure duplicate blowup, not engine scaling);
+  *  - `documents.text` passed through a per-copy letter/word bijection
+  *    (caesar rotation × case swap × per-word reversal — 104 distinct
+  *    variants; copy 0 = identity), so every shingle/word hash differs
+  *    across copies: the 10× corpus is 10× *fresh* text with identical
+  *    length/word-count/punctuation statistics, not 10 near-dup copies of
+  *    each document (which would grow candidate pairs quadratically and
+  *    measure duplicate blowup, not engine scaling);
   *  - `documents.source` suffixed per copy — at 10× a web corpus has ~10×
   *    the distinct sources, so blocking keys (lang, source, len_bucket) keep
   *    their per-block cardinality while block count grows linearly;
@@ -35,17 +37,42 @@ object ScaleData {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** Caesar-rotate letters by `c` positions, constant-folded per copy value
-    * (translate() requires literal alphabets, so this is a when-chain over
-    * the factor's copy values — `factor` branches of pure codegen'd
-    * translate, no UDF).
+  /** Per-copy fresh-text transform, constant-folded per copy value
+    * (translate() requires literal alphabets, so this is one flat
+    * CaseWhen over the factor's copy values — `factor` branches of pure
+    * codegen'd expressions, no UDF). Three composable length-preserving
+    * letter/word bijections give 26 × 2 × 2 = 104 distinct variants:
+    *  - caesar rotation by `c % 26` (copy 0 = identity);
+    *  - case swap for `(c / 26) % 2 == 1` — folded into the same single
+    *    translate();
+    *  - per-word character reversal for `(c / 52) % 2 == 1`
+    *    (split → reverse each word → rejoin; word boundaries, lengths and
+    *    whitespace statistics unchanged).
+    * Every copy pair below 104 therefore hashes differently at the
+    * word/shingle level (digits, punctuation and palindromic words are
+    * invariant — same sporadic sharing the pure-rotation corpus already
+    * had), so a 100× corpus is 100× FRESH text with identical
+    * length/word-count statistics, not systematic near-dups that would
+    * measure duplicate blowup instead of engine scaling.
     */
-  private def rotated(text: Column, copy: Column, factor: Int): Column =
-    (1 until factor).foldLeft(text) { (acc, c) =>
+  private def rotated(text: Column, copy: Column, factor: Int): Column = {
+    def variant(c: Int): Column = {
       val r = c % 26
-      val to = Lower.drop(r) + Lower.take(r) + Upper.drop(r) + Upper.take(r)
-      when(copy === c, translate(text, Lower + Upper, to)).otherwise(acc)
+      val swap = (c / 26) % 2 == 1
+      val rev = (c / 52) % 2 == 1
+      val lowTo = Lower.drop(r) + Lower.take(r)
+      val upTo = Upper.drop(r) + Upper.take(r)
+      val to = if (swap) upTo + lowTo else lowTo + upTo
+      val t = translate(text, Lower + Upper, to)
+      if (rev) array_join(transform(split(t, " ", -1), w => reverse(w)), " ")
+      else t
     }
+    (1 until factor)
+      .foldLeft(when(copy === 0, text)) { (acc, c) =>
+        acc.when(copy === c, variant(c))
+      }
+      .otherwise(text)
+  }
 
   private def withCopies(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
@@ -69,8 +96,9 @@ object ScaleData {
     */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int, tables: Set[String] = AllTables): Unit = {
-    require(factor >= 1 && factor <= 26,
-      s"factor must be in [1, 26] (rotation degenerates past 26), got $factor")
+    require(factor >= 1 && factor <= 104,
+      s"factor must be in [1, 104] (the rotation×case×reversal variant " +
+        s"space degenerates past 104), got $factor")
     val copy = col("copy")
 
     if (tables("documents")) {

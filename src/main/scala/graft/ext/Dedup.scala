@@ -531,12 +531,24 @@ object Dedup {
         shiftright(col(hashCol), shifts(b))
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("v"))
     }
-    val keyCols = blockBy.map(col) ++ Seq(col("blk"), col("v"))
-    val capped = least(col("n"), lit(maxBlock.toLong))
     hashed.filter(col(hashCol).isNotNull)
       .select(blockBy.map(col) :+ explode(array(blockCols: _*)).as("bv"): _*)
       .select(blockBy.map(col) :+ col("bv.blk") :+ col("bv.v"): _*)
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+      .transform(blockGroupHistogram(_, blockBy ++ Seq("blk", "v"), maxBlock))
+  }
+
+  /** The non-hamming sibling of [[probeGroupHistogram]]: group-width
+    * distribution over arbitrary blocking keys (one row per input row),
+    * same columns — `uncapped_pairs` is the pair work the corpus demands
+    * per block, `capped_pairs` what a `maxBlock` member cap admits. Used
+    * to attribute [[ngramJaccardPairs]]-style blocked operators' scale
+    * ratios the way the hamming probes' are.
+    */
+  def blockGroupHistogram(rows: DataFrame, keyCols: Seq[String],
+      maxBlock: Int): DataFrame = {
+    val capped = least(col("n"), lit(maxBlock.toLong))
+    rows
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .groupBy(floor(log(2.0, col("n"))).cast("int").as("log2_width"))
       .agg(count(lit(1)).as("n_groups"), max(col("n")).as("max_width"),
         sum(col("n") * (col("n") - 1) / 2).cast("long").as("uncapped_pairs"),

@@ -55,6 +55,35 @@ class ScaleDataSpec extends SparkSpec {
     assert(cross === 0, "exact dedup found cross-copy duplicates")
   }
 
+  test("copies past 26 stay fresh: the 104-variant space has no text collisions") {
+    // the 100x tier's precondition (r13 VERDICT #4): pure rotation
+    // degenerates at copy 26 (c % 26 repeats); the case-swap and per-word
+    // reversal axes must keep every copy distinct. factor=60 covers all
+    // three axes (rotation wrap at 26, case swap at 26..51, reversal at
+    // 52..59) on a small slice.
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_scale_spec60"
+    val slice = s"${System.getProperty("java.io.tmpdir")}/graft_scale_spec60_src"
+    Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .write.mode("overwrite").parquet(s"$slice/documents.parquet")
+    ScaleData.synthesize(spark, slice, d, factor = 60,
+      tables = Set("documents"))
+    val docs = Tables.documents(spark, d)
+    val n = docs.count()
+    assert(docs.select("text").distinct().count() === n,
+      "cross-copy text collision past the rotation wrap")
+    // word-count statistics are invariant under all three bijections
+    val stats = docs
+      .select((col("doc_id") % ScaleData.IdStride).as("base_id"),
+        size(split(col("text"), " ", -1)).as("nw"))
+      .groupBy("base_id").agg(countDistinct(col("nw")).as("d"))
+      .filter(col("d") =!= 1)
+    assert(stats.count() === 0, "a copy changed word counts")
+    // and factors <= 26 still behave (the committed 10x/26x comparability
+    // contract): copy c text is the pure rotation of copy 0
+    val c27 = docs.filter(copyOf(col("doc_id")) === 27)
+    assert(c27.count() > 0)
+  }
+
   test("embedding copies are distinct vectors") {
     val emb = Tables.embeddings(spark, outDir)
     val dup = emb

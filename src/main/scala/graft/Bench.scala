@@ -135,14 +135,6 @@ object Bench {
           Dedup.simhash(Tables.documents(s, d), 32, Seq("lang")),
           "simhash", maxDist = 2, bits = 32, maxBlock = 2000,
           blockBy = Seq("lang"))),
-      // the STREAMING near-dup ingest's state attribution (r13 VERDICT
-      // #3): its (type, block, value) groups hold the DISTINCT SimHash
-      // fingerprints seen — state size and probe cost are both linear in
-      // group width, so the same group-width histogram the batch probes
-      // publish explains its scale ratio. distinct() first because the
-      // state stores one entry per distinct fp, not per event; maxBlock
-      // mirrors the stage's 2^20 maxState cap (capped == uncapped in the
-      // artifact means the cap is inert at this scale — by design)
       // dedup_ngram_jaccard's blocked pair space (r13 VERDICT #4): widths
       // of the (lang, source, len_bucket) blocks and the MinK maxBlock cap's
       // engagement — the non-hamming member of the 100x headline set
@@ -152,6 +144,14 @@ object Bench {
             org.apache.spark.sql.functions.floor(col("n_chars") / 100.0)
               .cast("int").as("len_bucket")),
           Seq("lang", "source", "len_bucket"), maxBlock = 1000)),
+      // the STREAMING near-dup ingest's state attribution (r13 VERDICT
+      // #3): its (type, block, value) groups hold the DISTINCT SimHash
+      // fingerprints seen — state size and probe cost are both linear in
+      // group width, so the same group-width histogram the batch probes
+      // publish explains its scale ratio. distinct() first because the
+      // state stores one entry per distinct fp, not per event; maxBlock
+      // mirrors the stage's 2^20 maxState cap (capped == uncapped in the
+      // artifact means the cap is inert at this scale — by design)
       "stream_neardup_ingest" -> ((s: SparkSession, d: String) => {
         import graft.streaming.StreamNearDedup
         val fps = Tables.events(s, d).select(

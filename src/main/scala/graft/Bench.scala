@@ -137,13 +137,16 @@ object Bench {
           blockBy = Seq("lang"))),
       // dedup_ngram_jaccard's blocked pair space (r13 VERDICT #4): widths
       // of the (lang, source, len_bucket) blocks and the MinK maxBlock cap's
-      // engagement — the non-hamming member of the 100x headline set
+      // engagement — the non-hamming member of the 100x headline set.
+      // maxBlock = 200 mirrors the QUERY's cap (ExtQueries jaccardQ), not
+      // ngramJaccardPairs' 1000 default — the instrument must see the cap
+      // engage exactly where the query's does
       "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
         Dedup.blockGroupHistogram(
           Tables.documents(s, d).select(col("lang"), col("source"),
             org.apache.spark.sql.functions.floor(col("n_chars") / 100.0)
               .cast("int").as("len_bucket")),
-          Seq("lang", "source", "len_bucket"), maxBlock = 1000)),
+          Seq("lang", "source", "len_bucket"), maxBlock = 200)),
       // the STREAMING near-dup ingest's state attribution (r13 VERDICT
       // #3): its (type, block, value) groups hold the DISTINCT SimHash
       // fingerprints seen — state size and probe cost are both linear in
@@ -434,12 +437,15 @@ object Bench {
     val retained = allSuspects.take(maxRetries)
     val adjRows = ArrayBuffer.empty[Adj]
     retained.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (name, sus) =>
-      val needScale = sus.exists(_._1 != "base")
       System.err.println(s"[bench] adjudicating $name solo " +
         s"(${sus.map(s => s"${s._1}: ${s._5}").mkString("; ")})")
+      // re-measure ONLY the suspect tiers: a scale26-only suspect must not
+      // pay best-of-two 10x AND 100x runs whose rows soloOf never reads
+      // (each discarded tier costs up to ~minutes of child wall time)
+      val scaleTags = sus.map(_._1).filter(_ != "base").toSet
       val env = Map("SPARK_GRAFT_ONLY" -> name) ++
-        (if (needScale) Map.empty[String, String]
-        else Map("SPARK_GRAFT_SCALE" -> "1"))
+        (if (scaleTags.isEmpty) Map("SPARK_GRAFT_SCALE" -> "1")
+        else Map("SPARK_GRAFT_TIERS" -> scaleTags.toSeq.sorted.mkString(",")))
       val soloQ = ArrayBuffer.empty[(String, Meas)]
       val soloS = ArrayBuffer.empty[ScaleRow]
       val (_, rows) = spawnChild(env, s"solo_$name")
@@ -654,13 +660,18 @@ object Bench {
     // ~0.5 s is overhead-dominated (±0.3 s of scheduler/GC jitter swings
     // it severalfold); judge those by the absolute stderr timings instead.
     val scaleRows = ArrayBuffer.empty[ScaleRow]
+    // solo adjudication children re-measure ONLY the suspect tiers
+    // (SPARK_GRAFT_TIERS, comma list of scale tags); absent = every tier
+    val tiers = sys.env.get("SPARK_GRAFT_TIERS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def tierOn(tag: String): Boolean = tiers.forall(_.contains(tag))
     def scaleSection(tag: String, factor: Int, names: Seq[String],
         tables: Set[String] = ScaleData.AllTables): Unit = {
       // filter BEFORE synthesizing: a SPARK_GRAFT_ONLY run whose queries
       // aren't in this section must not pay minutes of corpus synthesis
       // for an empty ratios map
       val sel = names.filter(n => only.isEmpty || only(n))
-      if (factor > 1 && sel.nonEmpty) {
+      if (factor > 1 && sel.nonEmpty && tierOn(tag)) {
         val outDir =
           s"${System.getProperty("java.io.tmpdir")}/graft_scale_${factor}x"
         // synthesize once per bench run, not once per chunk: a child that
@@ -799,11 +810,11 @@ object Bench {
         }
     val tmpDir = System.getProperty("java.io.tmpdir")
     histAt("base", sfDir, scaleSet)
-    if (factor > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor}x/_synth.ok").exists)
+    if (factor > 1 && tierOn("scale") && new java.io.File(s"$tmpDir/graft_scale_${factor}x/_synth.ok").exists)
       histAt("scale", s"$tmpDir/graft_scale_${factor}x", scaleSet)
-    if (factor26 > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor26}x/_synth.ok").exists)
+    if (factor26 > 1 && tierOn("scale26") && new java.io.File(s"$tmpDir/graft_scale_${factor26}x/_synth.ok").exists)
       histAt("scale26", s"$tmpDir/graft_scale_${factor26}x", cappedSet)
-    if (factor100 > 1 && new java.io.File(s"$tmpDir/graft_scale_${factor100}x/_synth.ok").exists)
+    if (factor100 > 1 && tierOn("scale100") && new java.io.File(s"$tmpDir/graft_scale_${factor100}x/_synth.ok").exists)
       histAt("scale100", s"$tmpDir/graft_scale_${factor100}x", capped100Set)
     resultSeq.foreach { case (n, m) =>
       System.err.println(f"""[bench-detail] "$n":${m.wall}""")

@@ -752,7 +752,11 @@ object StreamQueries {
     },
     Some("""
       WITH f AS (
-        SELECT event_id, ts, event_type,
+        SELECT event_id, event_type,
+          -- the engine orders by coalesce(unix_micros(time), 0): a NULL
+          -- time sorts EARLIEST, it is not incomparable — mirror that here
+          -- so a future NULL-ts row cannot silently diverge the two sides
+          coalesce(epoch_us(ts), 0) AS tus,
           coalesce(event_type, chr(26)) AS cohort,
           props,
           CAST(list_sum(list_transform(range(0, 32), b ->
@@ -767,7 +771,7 @@ object StreamQueries {
         SELECT a.event_id, COUNT(b.event_id) AS nm
         FROM f a JOIN f b
           ON b.cohort = a.cohort
-         AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+         AND (b.tus < a.tus OR (b.tus = a.tus AND b.event_id < a.event_id))
          AND bit_count(xor(a.fp, b.fp)) <= 2
         GROUP BY a.event_id
       )

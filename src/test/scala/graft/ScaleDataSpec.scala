@@ -78,10 +78,22 @@ class ScaleDataSpec extends SparkSpec {
       .groupBy("base_id").agg(countDistinct(col("nw")).as("d"))
       .filter(col("d") =!= 1)
     assert(stats.count() === 0, "a copy changed word counts")
-    // and factors <= 26 still behave (the committed 10x/26x comparability
-    // contract): copy c text is the pure rotation of copy 0
-    val c27 = docs.filter(copyOf(col("doc_id")) === 27)
-    assert(c27.count() > 0)
+    // and copies <= 25 stay PURE rotations of copy 0 (the committed
+    // 10x/26x comparability contract: those corpora must hash identically
+    // round-over-round, no case-swap or reversal leaking below 26)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val rot25 = lower.drop(25) + lower.take(25) + upper.drop(25) + upper.take(25)
+    val c0 = docs.filter(copyOf(col("doc_id")) === 0)
+      .select((col("doc_id") % ScaleData.IdStride).as("base_id"),
+        translate(col("text"), lower + upper, rot25).as("expected"))
+    val c25 = docs.filter(copyOf(col("doc_id")) === 25)
+      .select((col("doc_id") % ScaleData.IdStride).as("base_id"),
+        col("text").as("actual"))
+    val mismatches = c0.join(c25, "base_id")
+      .filter(col("expected") =!= col("actual")).count()
+    assert(mismatches === 0,
+      "copy 25 must be the pure 25-rotation of copy 0 — a transform axis leaked below 26")
   }
 
   test("embedding copies are distinct vectors") {

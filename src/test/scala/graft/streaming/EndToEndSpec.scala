@@ -145,11 +145,15 @@ class EndToEndSpec extends SparkSpec {
       NearDedupE2E.delivered.add(d.id)
       Right(())
     }
-    // controlled content: A / B are far apart in SimHash space (asserted,
-    // not assumed — the hash is deterministic, so this can never flake);
-    // copies of A under NEW (source, id) identities are what exact dedup
-    // misses and the near-dup knob must drop
+    // controlled content: A / B are far apart in SimHash space; A' is a
+    // genuinely RE-WORDED A (one word swapped, fingerprint within
+    // 1..MaxDist — the fuzzy band exact equality can't catch). All
+    // asserted, not assumed — the hash is deterministic, so this can
+    // never flake. Copies/rewordings of A under NEW (source, id)
+    // identities are what exact dedup misses and the near-dup knob must
+    // drop.
     val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textA2 = "alpha mu gamma delta epsilon zeta eta theta"
     val textB = "solar panel output dropped after the hail storm yesterday"
     val textC = "quarterly revenue grew nine percent on subscription sales"
     def simhashOf(s: String): Long = {
@@ -162,6 +166,10 @@ class EndToEndSpec extends SparkSpec {
     assert(dist(textA, textB) > StreamNearDedup.MaxDist)
     assert(dist(textA, textC) > StreamNearDedup.MaxDist)
     assert(dist(textB, textC) > StreamNearDedup.MaxDist)
+    // the re-worded copy is NEAR, not identical: the distance-1..2 probe
+    // path (sub-index bit-flip buckets) is what run 2 exercises
+    assert(dist(textA, textA2) >= 1 && dist(textA, textA2) <= StreamNearDedup.MaxDist,
+      s"textA2 must be a true near-dup of textA, got distance ${dist(textA, textA2)}")
 
     val base = EventView.fromEventsTable(Tables.events(spark, sf))
     def publish(seq: Long, text: String): Unit =
@@ -198,10 +206,12 @@ class EndToEndSpec extends SparkSpec {
     assert(NearDedupE2E.delivered.asScala.toSeq.sorted == Seq("10", "12"),
       "in-run content copy must be dropped by the near-dup horizon")
 
-    // run 2 (a RESTART: new query, same checkpoint): A re-worded under
-    // yet another identity plus fresh content C — the checkpointed
-    // fingerprint state still knows A's content, so only C delivers
-    publish(13L, textA)
+    // run 2 (a RESTART: new query, same checkpoint): A genuinely
+    // RE-WORDED (distance 1..2, asserted above) under yet another
+    // identity plus fresh content C — the checkpointed fingerprint state
+    // still knows A's content and the banded probe must catch the fuzzy
+    // match, so only C delivers
+    publish(13L, textA2)
     publish(14L, textC)
     runOnce(Set("14"))
     assert(NearDedupE2E.delivered.asScala.toSeq.sorted == Seq("10", "12", "14"),

@@ -61,21 +61,30 @@ final case class EventValue(
       }
       case "datacontenttype" | "specversion" =>
         Left(s"attribute $name is immutable")
-      case ext => VCast.toText(value).map(s => copy(extensions = extensions.updated(ext, s)))
+      case ext =>
+        // extension names lowercase + validate like the CE SDK's
+        // SetExtension (event_test.go:99-107: "Vanus" lands as "vanus",
+        // "vanus.vanus" is an error)
+        val lower = ext.toLowerCase
+        if (!lower.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+          Left(s"extension name $ext invalid: only [a-z0-9] allowed")
+        else
+          VCast.toText(value).map(s => copy(extensions = extensions.updated(lower, s)))
     }
   }
 
-  /** DeleteAttribute: required attributes cannot be deleted (event.go). */
+  /** DeleteAttribute (event.go:147-156): only the four REQUIRED spec
+    * attributes refuse; everything else is treated as an extension
+    * delete — removing a missing extension SUCCEEDS (the reference
+    * deletes from the map unconditionally), and deleting
+    * subject/time/dataschema/datacontenttype is a silent NO-OP (they are
+    * not in the extensions map, and the reference never clears them) —
+    * a quirk, preserved deliberately for parity.
+    */
   def deleteAttr(name: String): Either[String, EventValue] = name match {
     case "id" | "source" | "specversion" | "type" =>
       Left(s"attribute $name is required and cannot be deleted")
-    case "subject" => Right(copy(subject = None))
-    case "time" => Right(copy(time = None))
-    case "dataschema" => Right(copy(dataschema = None))
-    case "datacontenttype" => Right(copy(datacontenttype = None))
-    case ext =>
-      if (extensions.contains(ext)) Right(copy(extensions = extensions.removed(ext)))
-      else Left(s"attribute $ext not found")
+    case ext => Right(copy(extensions = extensions.removed(ext)))
   }
 }
 

@@ -78,6 +78,58 @@ class FilterCompilerSpec extends SparkSpec {
       Seq(Cel("$key"), Exact(Seq("source" -> "testSource"))))).count() == 1)
   }
 
+  test("GetFilter over a growing filter list (trigger_filter_test.go:27-107)") {
+    // the Go test appends filters one by one and re-runs GetFilter; the
+    // same event (id=testID, source=testSource, data {key,num}) must pass
+    // at every stage
+    def passesList(json: String): Boolean =
+      goEvent.filter(FilterCompiler.fromJson(json)).count() == 1
+    // "no filter": empty list → nil → pass
+    assert(passesList("[]"))
+    // "one filter no filed": an empty filter object is nil → ignored
+    assert(FilterCompiler.compileOpt(FilterSpec.fromJson(
+      graft.json.JValue.parse("{}"))).isEmpty)
+    assert(passesList("""[{}]"""))
+    // "one filter": exact id
+    assert(passesList("""[{}, {"exact":{"id":"testID"}}]"""))
+    // "multi filter": the full Go list — exact, suffix, prefix, cel,
+    // cesql, not(exact un), any(exact), all(exact) — AND-ed, all pass
+    assert(passesList("""[
+      {},
+      {"exact":{"id":"testID"}},
+      {"suffix":{"id":"ID"}},
+      {"prefix":{"id":"test"}},
+      {"cel":"$num.(int64) == 10"},
+      {"sql":"source = 'testSource'"},
+      {"not":{"exact":{"id":"un"}}},
+      {"any":[{"exact":{"id":"testID"}}]},
+      {"all":[{"exact":{"id":"testID"}}]}
+    ]"""))
+    // and a single failing member fails the whole list
+    assert(!passesList("""[
+      {"exact":{"id":"testID"}},
+      {"sql":"source = 'other'"}
+    ]"""))
+  }
+
+  test("cel parse vectors (pkg/cel cel_test.go:26-68)") {
+    import org.apache.spark.sql.functions.lit
+    // event data: {key:"test", double:3.14, int64:3, uint64:3}
+    val ev = {
+      import spark.implicits._
+      Seq((1L, """{"key":"test","double":3.14,"int64":3,"uint64":3}"""))
+        .toDF("sequence_number", "data")
+        .withColumn("id", lit("x")).withColumn("source", lit("x"))
+        .withColumn("type", lit(null).cast("string"))
+        .withColumn("attributes", typedLit(Map.empty[String, String]))
+    }
+    def ok(e: String): Boolean = ev.filter(graft.cel.CEL.compile(e)).count() == 1
+    assert(ok("$key.(string) == 'test'"))
+    assert(ok("$double.(double) >= 3.1"))
+    assert(ok("$int64.(int64) >= 3"))
+    assert(ok("$uint64.(uint64) >= 3u"))
+  }
+
   test("exact on context attribute") {
     assert(passes(Exact(Seq("source" -> "testSource"))))
     assert(!passes(Exact(Seq("source" -> "wrong"))))

@@ -337,4 +337,49 @@ class ConformanceSpec extends AnyFunSuite {
     assert(render(t, "{}", "var" -> JStr("<a\r\nb>"), "var2" -> JStr("<b\r\na>"))
       == "{\"key\":\"<a\\r\\nb>\",\"key2\":\"<b\\r\\na>\"}")
   }
+
+  // ===== trigger/util attribute semantics ================================
+
+  test("SetAttribute vectors (server/trigger/util/event_test.go:53-113)") {
+    val base = EventValue.simple("i", "s", "t", "{}")
+    // spec attributes accept strings
+    assert(base.setAttr("id", JStr("idV")).toOption.get.id == "idV")
+    assert(base.setAttr("source", JStr("sourceV")).toOption.get.source == "sourceV")
+    assert(base.setAttr("type", JStr("typeV")).toOption.get.etype == "typeV")
+    assert(base.setAttr("subject", JStr("subjectV")).toOption.get.subject
+      == Some("subjectV"))
+    assert(base.setAttr("dataschema", JStr("http://schema.com/1"))
+      .toOption.get.dataschema == Some("http://schema.com/1"))
+    // time: RFC3339Nano text parses
+    assert(base.setAttr("time", JStr("2024-06-01T12:00:00.000000001Z")).isRight)
+    assert(base.setAttr("time", JStr("not-a-time")).isLeft)
+    // datacontenttype / specversion refuse modification
+    assert(base.setAttr("datacontenttype", JStr("json")).isLeft)
+    assert(base.setAttr("specversion", JStr("1.0")).isLeft)
+    // extensions: "Vanus" lands lowercased as "vanus"; dotted names error
+    val withExt = base.setAttr("Vanus", JStr("vanusV")).toOption.get
+    assert(withExt.extensions.get("vanus") == Some("vanusV"))
+    assert(base.setAttr("vanus.vanus", JStr("vanusV")).isLeft)
+  }
+
+  test("DeleteAttribute vectors (server/trigger/util/event_test.go:118-145)") {
+    val base = EventValue.simple("idV", "sourceV", "typeV", "{}",
+      "vanus" -> "vanusV")
+    // the four REQUIRED spec attributes refuse deletion
+    Seq("id", "source", "type", "specversion")
+      .foreach(a => assert(base.deleteAttr(a).isLeft, a))
+    // existing extension deletes
+    val d = base.deleteAttr("vanus").toOption.get
+    assert(!d.extensions.contains("vanus"))
+    // deleting a MISSING extension SUCCEEDS (event.go:147-156 deletes
+    // from the map unconditionally)
+    assert(base.deleteAttr("van").isRight)
+    assert(base.deleteAttr("van").toOption.get.extensions.contains("vanus"))
+    // the quirk, preserved: subject/time/dataschema/datacontenttype are
+    // NOT spec-protected and NOT extensions — delete is a silent no-op
+    val withSubject = base.setAttr("subject", JStr("sub")).toOption.get
+    val after = withSubject.deleteAttr("subject").toOption.get
+    assert(after.subject == Some("sub"),
+      "reference DeleteAttribute never clears subject — parity quirk")
+  }
 }

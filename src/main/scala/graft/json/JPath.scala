@@ -20,6 +20,13 @@ object JPath {
   final case class Field(name: String) extends Seg
   final case class Index(i: Int) extends Seg
   case object AllItems extends Seg
+  /** RFC 9535-style array slice `[start:end:step]` (the reference's own
+    * JSONPath parser, lib/json/path/parse.go:142-203: every bound
+    * optional, negatives count from the end, step defaults to 1). `[:]`
+    * stays [[AllItems]] — identical selection, and the projection flag in
+    * transform/Arg keys on it.
+    */
+  final case class Slice(start: Option[Int], end: Option[Int], step: Int) extends Seg
 
   /** Parse a path body ("a.b[2]", already stripped of `$.data.` / `@.`). */
   def parse(path: String): Vector[Seg] = {
@@ -39,13 +46,49 @@ object JPath {
           while (it.hasNext && it.head != ']') idx.append(it.next())
           if (it.hasNext) it.next() // consume ']'
           val body = idx.toString
-          if (body == ":" || body.isEmpty) segs += AllItems
-          else segs += Index(body.trim.toInt)
+          segs += parseBracket(body)
         case c => name.append(c)
       }
     }
     flushName()
     segs.result()
+  }
+
+  /** One bracketed selector: index, `[:]` projection, or slice. Bounds may
+    * carry whitespace (parse_test.go feeds "[ 1 : 5 : 2 ]").
+    */
+  private def parseBracket(body: String): Seg = {
+    val trimmed = body.trim
+    if (trimmed.isEmpty || trimmed == ":") AllItems
+    else if (trimmed.contains(':')) {
+      // keep empty parts: "::−1" must read as (None, None, −1)
+      val parts = trimmed.split(":", -1).map(_.trim)
+      def bound(i: Int): Option[Int] =
+        if (i < parts.length && parts(i).nonEmpty) Some(parts(i).toInt) else None
+      val step = bound(2).getOrElse(1)
+      val (st, en) = (bound(0), bound(1))
+      if (st.isEmpty && en.isEmpty && step == 1) AllItems
+      else Slice(st, en, step)
+    } else Index(trimmed.toInt)
+  }
+
+  /** The index sequence an RFC 9535 slice selects from a `len`-element
+    * array (negatives from the end, bounds clamped, step 0 selects
+    * nothing).
+    */
+  private[json] def sliceIndices(len: Int, start: Option[Int],
+      end: Option[Int], step: Int): Seq[Int] = {
+    if (step == 0 || len == 0) return Seq.empty
+    def norm(i: Int): Int = if (i >= 0) i else len + i
+    if (step > 0) {
+      val lo = math.max(0, math.min(norm(start.getOrElse(0)), len))
+      val hi = math.max(0, math.min(norm(end.getOrElse(len)), len))
+      lo.until(hi, step)
+    } else {
+      val upper = math.min(math.max(norm(start.getOrElse(len - 1)), -1), len - 1)
+      val lower = math.min(math.max(end.map(norm).getOrElse(-1), -1), len - 1)
+      upper.until(lower, step)
+    }
   }
 
   /** Point lookup; None when any hop is missing/mistyped. AllItems segments
@@ -62,9 +105,10 @@ object JPath {
       case _ => None
     }
     case AllItems +: _ => None
+    case Slice(_, _, _) +: _ => None
   }
 
-  /** Projection lookup: AllItems fans out (ojg `[:]`). */
+  /** Projection lookup: AllItems and slices fan out (ojg `[:]`/`[a:b:c]`). */
   def getAll(root: JValue, segs: Seq[Seg]): Vector[JValue] = segs match {
     case Seq() => Vector(root)
     case Field(n) +: rest => root match {
@@ -77,6 +121,12 @@ object JPath {
     }
     case AllItems +: rest => root match {
       case JArr(items) => items.flatMap(getAll(_, rest))
+      case _ => Vector.empty
+    }
+    case Slice(st, en, step) +: rest => root match {
+      case JArr(items) =>
+        sliceIndices(items.size, st, en, step).toVector
+          .flatMap(i => getAll(items(i), rest))
       case _ => Vector.empty
     }
   }
@@ -107,6 +157,7 @@ object JPath {
         case other => Left(s"cannot set index [$i] in ${typeName(other)}")
       }
     case AllItems +: _ => Left("cannot set through [:]")
+    case Slice(_, _, _) +: _ => Left("cannot set through a slice")
   }
 
   private def childSeed(rest: Seq[Seg]): JValue = rest.headOption match {
@@ -141,6 +192,7 @@ object JPath {
       case other => Left(s"cannot traverse [$i] in ${typeName(other)}")
     }
     case AllItems +: _ => Left("cannot delete through [:]")
+    case Slice(_, _, _) +: _ => Left("cannot delete through a slice")
   }
 
   def delete(root: JValue, path: String): Either[String, JValue] =

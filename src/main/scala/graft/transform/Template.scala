@@ -35,7 +35,24 @@ object Template {
   def resolver(ctx: Ctx): Resolver = { name =>
     if (name.startsWith("$.data")) {
       val p = if (name == "$.data") "" else name.substring(7)
-      if (p.isEmpty) Some(ctx.data) else JPath.get(ctx.data, p)
+      if (p.isEmpty) Some(ctx.data)
+      else {
+        val segs = JPath.parse(p)
+        val multi = segs.exists {
+          case JPath.AllItems => true
+          case JPath.Slice(_, _, _) => true
+          case _ => false
+        }
+        // projection paths resolve like the reference's template segments
+        // (pkg/template/json/segment.go:92-137: 0 results = miss,
+        // 1 = the value, many = an array)
+        if (multi) JPath.getAll(ctx.data, segs) match {
+          case Vector() => None
+          case Vector(one) => Some(one)
+          case many => Some(JArr(many))
+        }
+        else JPath.get(ctx.data, segs)
+      }
     } else if (name.startsWith("$.")) {
       ctx.event.flatMap(_.lookupAttr(name.substring(2).toLowerCase)).map(JStr(_))
     } else ctx.defines.get(name)

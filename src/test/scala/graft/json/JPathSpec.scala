@@ -39,6 +39,42 @@ class JPathSpec extends AnyFunSuite {
     assert(JPath.getAll(doc, JPath.parse("arr[:]")) == Vector(JInt(1), JInt(2), JInt(3)))
   }
 
+  test("slice selector parse vectors (lib/json/path/parse_test.go:58-67)") {
+    import JPath._
+    def seg(p: String): Seg = parse(p).last
+    // the reference's own table, verbatim (whitespace included)
+    assert(seg("a[ : ]") == AllItems) // start/end/step all default == [:]
+    assert(seg("a[ : : ]") == AllItems)
+    assert(seg("a[ : : -1 ]") == Slice(None, None, -1))
+    assert(seg("a[ 0 : : ]") == Slice(Some(0), None, 1))
+    assert(seg("a[ : 0 : ]") == Slice(None, Some(0), 1))
+    assert(seg("a[ 1 : 3 ]") == Slice(Some(1), Some(3), 1))
+    assert(seg("a[ 1 : 5 : 2 ]") == Slice(Some(1), Some(5), 2))
+    assert(seg("a[ 5 : 1 : -2 ]") == Slice(Some(5), Some(1), -2))
+    // plain index still parses as Index
+    assert(seg("a[2]") == Index(2))
+  }
+
+  test("slice selection follows RFC 9535 (negatives, clamps, reverse, step 0)") {
+    val arr = JValue.parse("""{"a":[10,20,30,40,50]}""")
+    def sel(p: String): Vector[JValue] = JPath.getAll(arr, JPath.parse(p))
+    def ints(p: String): Vector[Long] =
+      sel(p).map { case JInt(v) => v; case other => fail(s"non-int $other") }
+    assert(ints("a[1:3]") == Vector(20L, 30L))
+    assert(ints("a[1:5:2]") == Vector(20L, 40L))
+    assert(ints("a[5:1:-2]") == Vector(50L, 30L)) // start clamps to len-1
+    assert(ints("a[::-1]") == Vector(50L, 40L, 30L, 20L, 10L))
+    assert(ints("a[-2:]") == Vector(40L, 50L))
+    assert(ints("a[:-3]") == Vector(10L, 20L))
+    assert(ints("a[0:100]") == Vector(10L, 20L, 30L, 40L, 50L)) // end clamps
+    assert(ints("a[3:1]") == Vector.empty) // empty forward range
+    assert(ints("a[1:3:0]") == Vector.empty) // step 0 selects nothing
+    // point lookup through a slice is invalid; set/delete refuse
+    assert(JPath.get(arr, "a[1:3]").isEmpty)
+    assert(JPath.set(arr, "a[1:3]", JInt(1)).isLeft)
+    assert(JPath.delete(arr, "a[1:3]").isLeft)
+  }
+
   test("set: auto-creates maps, null-pads arrays (event.go:171-226)") {
     val r1 = JPath.set(doc, "new.deep.key", JStr("v")).toOption.get
     assert(JPath.get(r1, "new.deep.key").contains(JStr("v")))

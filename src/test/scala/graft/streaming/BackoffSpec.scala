@@ -29,6 +29,20 @@ class BackoffSpec extends SparkSpec {
     assert(Backoff.delaySeconds(100) === 3600L)
   }
 
+  test("calDeliveryTime vectors, all ten attempts verbatim (trigger/util_test.go:54-77)") {
+    val expect = Seq(1L, 5L, 10L, 30L, 60L, 120L, 240L, 480L, 960L, 3600L)
+    expect.zipWithIndex.foreach { case (sec, i) =>
+      assert(Backoff.delaySeconds(i + 1) === sec, s"attempt ${i + 1}")
+    }
+  }
+
+  test("isShouldRetry vectors verbatim (trigger/util_test.go:41-52)") {
+    assert(!Backoff.isRetryable(400))
+    assert(!Backoff.isRetryable(403))
+    assert(!Backoff.isRetryable(413))
+    assert(Backoff.isRetryable(500))
+  }
+
   test("isRetryableCol equals isRetryable for every code 100..700") {
     val got = (100 to 700).toDF("code")
       .select(col("code"), Backoff.isRetryableCol(col("code")).as("r"))

@@ -292,6 +292,19 @@ class ConformanceSpec extends AnyFunSuite {
     Template.renderJson(node, Template.resolver(ctx)).render
   }
 
+  test("json template: array-slice variable paths (lib/json/path slices)") {
+    val data = """{"arr":[10,20,30,40,50]}"""
+    // multi-result projection renders as an array
+    assert(render("""{"k": <$.data.arr[1:3]>}""", data) == """{"k":[20,30]}""")
+    assert(render("""{"k": <$.data.arr[::-1]>}""", data)
+      == """{"k":[50,40,30,20,10]}""")
+    // a one-element slice collapses to the value
+    // (pkg/template/json/segment.go:108-111: len(results) == 1)
+    assert(render("""{"k": <$.data.arr[1:2]>}""", data) == """{"k":20}""")
+    // an empty slice is a miss: the member is omitted
+    assert(render("""{"k": <$.data.arr[3:1]>}""", data) == """{}""")
+  }
+
   test("json template: empty array and empty object survive verbatim") {
     assert(render("""[{"empty array":[],"empty object":{}}]""", "{}")
       == """[{"empty array":[],"empty object":{}}]""")

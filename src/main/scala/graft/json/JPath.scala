@@ -59,7 +59,7 @@ object JPath {
     */
   private def parseBracket(body: String): Seg = {
     val trimmed = body.trim
-    if (trimmed.isEmpty || trimmed == ":") AllItems
+    if (trimmed.isEmpty || trimmed == ":" || trimmed == "*") AllItems
     else if (trimmed.contains(':')) {
       // keep empty parts: "::−1" must read as (None, None, −1)
       val parts = trimmed.split(":", -1).map(_.trim)
@@ -91,8 +91,18 @@ object JPath {
     }
   }
 
+  /** A read index normalized ojg-style: negatives count from the end
+    * (`[-1]` is the last element). Returns -1 when out of range.
+    */
+  private def normIndex(i: Int, len: Int): Int = {
+    val n = if (i >= 0) i else len + i
+    if (n >= 0 && n < len) n else -1
+  }
+
   /** Point lookup; None when any hop is missing/mistyped. AllItems segments
-    * are not valid in point lookups (use [[getAll]]).
+    * are not valid in point lookups (use [[getAll]]). Negative indexes
+    * read from the end (ojg), but only on READS — [[set]] keeps the
+    * reference setter's non-negative contract (event.go:171-226).
     */
   def get(root: JValue, segs: Seq[Seg]): Option[JValue] = segs match {
     case Seq() => Some(root)
@@ -101,7 +111,9 @@ object JPath {
       case _ => None
     }
     case Index(i) +: rest => root match {
-      case JArr(items) if i >= 0 && i < items.size => get(items(i), rest)
+      case JArr(items) =>
+        val n = normIndex(i, items.size)
+        if (n >= 0) get(items(n), rest) else None
       case _ => None
     }
     case AllItems +: _ => None
@@ -116,7 +128,9 @@ object JPath {
       case _ => Vector.empty
     }
     case Index(i) +: rest => root match {
-      case JArr(items) if i >= 0 && i < items.size => getAll(items(i), rest)
+      case JArr(items) =>
+        val n = normIndex(i, items.size)
+        if (n >= 0) getAll(items(n), rest) else Vector.empty
       case _ => Vector.empty
     }
     case AllItems +: rest => root match {

@@ -75,6 +75,18 @@ class JPathSpec extends AnyFunSuite {
     assert(JPath.delete(arr, "a[1:3]").isLeft)
   }
 
+  test("negative read indexes and [*] wildcard (ojg semantics)") {
+    val arr = JValue.parse("""{"a":[10,20,30]}""")
+    assert(JPath.get(arr, "a[-1]").contains(JInt(30)))
+    assert(JPath.get(arr, "a[-3]").contains(JInt(10)))
+    assert(JPath.get(arr, "a[-4]").isEmpty) // past the front: a miss
+    // [*] is the same projection as [:]
+    assert(JPath.parse("a[*]") == JPath.parse("a[:]"))
+    assert(JPath.getAll(arr, JPath.parse("a[*]")).size == 3)
+    // the SETTER keeps the reference's non-negative contract
+    assert(JPath.set(arr, "a[-1]", JInt(9)).isLeft)
+  }
+
   test("set: auto-creates maps, null-pads arrays (event.go:171-226)") {
     val r1 = JPath.set(doc, "new.deep.key", JStr("v")).toOption.get
     assert(JPath.get(r1, "new.deep.key").contains(JStr("v")))

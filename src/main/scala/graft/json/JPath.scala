@@ -60,6 +60,11 @@ object JPath {
   private def parseBracket(body: String): Seg = {
     val trimmed = body.trim
     if (trimmed.isEmpty || trimmed == ":" || trimmed == "*") AllItems
+    // ojg's quoted member selector: ['key with . or spaces'] / ["key"]
+    else if (trimmed.length >= 2 &&
+        ((trimmed.head == '\'' && trimmed.last == '\'') ||
+          (trimmed.head == '"' && trimmed.last == '"')))
+      Field(trimmed.substring(1, trimmed.length - 1))
     else if (trimmed.contains(':')) {
       // keep empty parts: "::−1" must read as (None, None, −1)
       val parts = trimmed.split(":", -1).map(_.trim)

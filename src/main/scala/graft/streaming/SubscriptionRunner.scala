@@ -440,6 +440,63 @@ object SubscriptionRunner {
     }
   }
 
+  /** One stream, N subscriptions — the fan-out shape a 100 TB bus needs:
+    * a single source scan feeds every subscription's
+    * filter/transform/deliver routing per micro-batch, instead of N
+    * queries each re-reading the bus. The reference's trigger attaches
+    * one worker (its own reader + offset) per subscription
+    * (server/trigger/worker.go) — N readers of the same segments; on
+    * Spark the natural plan is one scan, a pinned micro-batch, and N
+    * routing passes over the cache, so bus-read I/O is constant in the
+    * subscription count.
+    *
+    * Horizon knobs (dedup/near-dup) are per-subscription streaming STATE
+    * and cannot ride a shared plan — such specs are rejected; run them as
+    * dedicated [[start]] queries. Offset semantics: all subscriptions
+    * share the checkpoint, i.e. they advance together (the trade for the
+    * shared scan; per-subscription offsets need per-subscription
+    * queries).
+    *
+    * `onBatch` receives every subscription's [[BatchResult]] after each
+    * micro-batch, keyed by subscriptionId.
+    */
+  def startShared(
+      spark: SparkSession,
+      sourceBus: EventBus,
+      subs: Seq[(Spec, Sink)],
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onBatch: Map[String, BatchResult] => Unit = _ => ()): StreamingQuery = {
+    require(subs.nonEmpty, "startShared needs at least one subscription")
+    subs.foreach { case (spec, _) =>
+      require(
+        spec.config.dedupHorizon.isEmpty && spec.config.neardupHorizon.isEmpty,
+        s"subscription ${spec.config.subscriptionId}: horizon knobs are " +
+          "per-subscription streaming state — run it as a dedicated query")
+    }
+    import org.apache.spark.storage.StorageLevel
+    sourceBus.readStream(spark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // pin ONCE; every subscription's routing reads the cached copy
+        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val results = subs.map { case (spec, sink) =>
+            spec.config.subscriptionId ->
+              processBatchCached(cached, spec, Delivery.PerEvent(sink),
+                retryBus, dlqBus, System.currentTimeMillis() / 1000)
+          }.toMap
+          onBatch(results)
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** One release pass over a due-time-bucketed retry spool: process every
     * fully-matured bucket (partition-pruned read — pending buckets are
     * never opened, and with nothing matured there is no Spark job at all),

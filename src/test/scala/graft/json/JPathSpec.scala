@@ -75,6 +75,14 @@ class JPathSpec extends AnyFunSuite {
     assert(JPath.delete(arr, "a[1:3]").isLeft)
   }
 
+  test("quoted bracket keys select members with dots/spaces (ojg ['k'])") {
+    val d = JValue.parse("""{"a b":1,"x.y":{"z":2},"plain":3}""")
+    assert(JPath.get(d, "['a b']").contains(JInt(1)))
+    assert(JPath.get(d, """["x.y"].z""").contains(JInt(2)))
+    assert(JPath.set(d, "['a b']", JInt(9)).toOption
+      .flatMap(JPath.get(_, "['a b']")).contains(JInt(9)))
+  }
+
   test("negative read indexes and [*] wildcard (ojg semantics)") {
     val arr = JValue.parse("""{"a":[10,20,30]}""")
     assert(JPath.get(arr, "a[-1]").contains(JInt(30)))

@@ -257,6 +257,56 @@ class EndToEndSpec extends SparkSpec {
     assert(r.neardupDropped == 1, s"near stage must drop the content copy: $r")
   }
 
+  test("startShared: one bus scan feeds N subscriptions' routing") {
+    import scala.jdk.CollectionConverters._
+    val sourceBus = EventBus(tmp("shsrc"))
+    SharedE2E.a.clear(); SharedE2E.b.clear()
+    // two subscriptions with DIFFERENT filters over the same bus
+    val specA = SubscriptionRunner.Spec(
+      Seq(graft.model.FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+      SubscriptionRunner.Config("sub-a"))
+    val specB = SubscriptionRunner.Spec(
+      Seq(graft.model.FilterSpec.Exact(Seq("type" -> "signup"))), None,
+      SubscriptionRunner.Config("sub-b"))
+    val sinkA: SubscriptionRunner.Sink = { d => SharedE2E.a.add(d.id); Right(()) }
+    val sinkB: SubscriptionRunner.Sink = { d => SharedE2E.b.add(d.id); Right(()) }
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 60)
+      .filter(col("type").isin("purchase", "signup"))
+    sourceBus.append(events)
+    val expectA = events.filter(col("type") === "purchase")
+      .select("id").collect().map(_.getString(0)).toSet
+    val expectB = events.filter(col("type") === "signup")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(expectA.nonEmpty && expectB.nonEmpty)
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      Map[String, SubscriptionRunner.BatchResult]]()
+    val q = SubscriptionRunner.startShared(
+      spark, sourceBus, Seq((specA, sinkA), (specB, sinkB)),
+      None, None, tmp("shck"), onBatch = r => { results.add(r); () })
+    try { assert(q.awaitTermination(60000)) } finally if (q.isActive) q.stop()
+
+    assert(SharedE2E.a.asScala.toSet == expectA,
+      "sub-a must receive exactly the purchase events")
+    assert(SharedE2E.b.asScala.toSet == expectB,
+      "sub-b must receive exactly the signup events")
+    // per-subscription accounting surfaced per batch: totals reconcile
+    val agg = results.asScala.toSeq
+    assert(agg.nonEmpty)
+    val aDelivered = agg.map(_.get("sub-a").map(_.delivered).getOrElse(0L)).sum
+    val bDelivered = agg.map(_.get("sub-b").map(_.delivered).getOrElse(0L)).sum
+    assert(aDelivered == expectA.size.toLong)
+    assert(bDelivered == expectB.size.toLong)
+    // horizon knobs are rejected on the shared plan
+    val withHorizon = specA.copy(config = specA.config.copy(
+      dedupHorizon = Some(java.time.Duration.ofHours(1))))
+    intercept[IllegalArgumentException] {
+      SubscriptionRunner.startShared(spark, sourceBus,
+        Seq((withHorizon, sinkA)), None, None, tmp("shck2"))
+    }
+  }
+
   test("drain() quiesces a dedup-horizon subscription without hand-rolled polling") {
     import scala.jdk.CollectionConverters._
     val sourceBus = EventBus(tmp("drsrc"))
@@ -291,4 +341,9 @@ object IngestDedupE2E {
 
 object NearDedupE2E {
   val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object SharedE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

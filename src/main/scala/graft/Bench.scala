@@ -868,45 +868,63 @@ object Bench {
   private def emitFinal(resultSeq: Seq[(String, Meas)],
       failed: LinkedHashSet[String], scaleRows: Seq[ScaleRow], sfDir: String,
       adjRows: Seq[Adj]): Unit = {
-    val total = resultSeq.map(_._2.wall).sum
+    val line = buildFinalLine(
+      resultSeq.map { case (n, m) => (n, m.wall) }, failed.toSeq,
+      scaleRows.map(r => (r.tag, r.factor, r.name, r.ratio)), sfDir,
+      adjRows.map(_.verdict))
+    if (line.length > LineBudget)
+      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars " +
+        s"exceeds the $LineBudget budget — driver tail may truncate it")
+    println(line)
+  }
+
+  /** < 2000 (the driver's tail window) minus sbt's trailing
+    * "[success] ..." epilogue line.
+    */
+  private[graft] val LineBudget = 1750
+
+  /** Pure line construction, split from [[emitFinal]] so the budget is a
+    * TESTED invariant — overflowing it cost rounds 12-14 their parsed
+    * BENCH artifact.
+    */
+  private[graft] def buildFinalLine(walls: Seq[(String, Double)],
+      failedNames: Seq[String],
+      scaleRatios: Seq[(String, Int, String, Double)], sfDir: String,
+      verdicts: Seq[String]): String = {
+    val total = walls.map(_._2).sum
     val failedJson =
-      if (failed.isEmpty) ""
-      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      if (failedNames.isEmpty) ""
+      else s""","failed":${failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val adjJson =
-      if (adjRows.isEmpty) ""
+      if (verdicts.isEmpty) ""
       else {
-        val counts = adjRows.groupBy(_.verdict).toSeq.sortBy(_._1)
+        val counts = verdicts.groupBy(identity).toSeq.sortBy(_._1)
           .map { case (v, rs) => s""""${v.replace("-", "_")}":${rs.size}""" }
         s""","adjudicated":{${counts.mkString(",")}}"""
       }
     // worst-first scale summary, hard-capped per tag; n + max make the
     // truncation explicit
     val scaleJson = Seq("scale", "scale26", "scale100").flatMap { tag =>
-      val rows = scaleRows.filter(_.tag == tag)
+      val rows = scaleRatios.filter(_._1 == tag)
       if (rows.isEmpty) None else {
-        val worst = rows.sortBy(-_.ratio).take(8)
-          .map(r => f""""${r.name}":${r.ratio}%.2f""").mkString("{", ",", "}")
-        Some(s""","$tag":{"factor":${rows.head.factor},"n":${rows.size},""" +
-          f""""max":${rows.map(_.ratio).max}%.2f,"worst":$worst}""")
+        val worst = rows.sortBy(-_._4).take(8)
+          .map(r => f""""${r._3}":${r._4}%.2f""").mkString("{", ",", "}")
+        Some(s""","$tag":{"factor":${rows.head._2},"n":${rows.size},""" +
+          f""""max":${rows.map(_._4).max}%.2f,"worst":$worst}""")
       }
     }.mkString
-    val lineBudget = 1750 // < 2000 minus sbt's trailing "[success] ..." line
     val fixed = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":{}$scaleJson}"""
-    var room = lineBudget - fixed.length - 30 // reserve for "other" entry
+    var room = LineBudget - fixed.length - 30 // reserve for "other" entry
     val kept = ArrayBuffer.empty[String]
     var otherSum = 0.0
-    resultSeq.sortBy(-_._2.wall).foreach { case (n, m) =>
-      val e = f""""$n":${m.wall}%.3f"""
+    walls.sortBy(-_._2).foreach { case (n, w) =>
+      val e = f""""$n":$w%.3f"""
       if (room - (e.length + 1) >= 0) { kept += e; room -= (e.length + 1) }
-      else otherSum += m.wall
+      else otherSum += w
     }
-    if (otherSum > 0 || kept.size < resultSeq.size)
+    if (otherSum > 0 || kept.size < walls.size)
       kept += f""""other":$otherSum%.3f"""
     val qsCompact = kept.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":$qsCompact$scaleJson}"""
-    if (line.length > lineBudget)
-      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars " +
-        s"exceeds the $lineBudget budget — driver tail may truncate it")
-    println(line)
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"$failedJson$adjJson,"queries":$qsCompact$scaleJson}"""
   }
 }

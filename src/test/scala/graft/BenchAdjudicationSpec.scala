@@ -138,6 +138,36 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     }
   }
 
+  test("the stdout line stays inside the driver's tail window at any registry size") {
+    // rounds 12-14 overflowed the 2000-char tail and shipped parsed:null;
+    // the budget must hold for a registry far larger than today's, with
+    // failures, three scale tiers, and all four verdict kinds present
+    val walls = (1 to 400).map(i => (f"query_with_a_long_name_$i%03d", i * 0.173))
+    val failed = (1 to 20).map(i => s"failed_query_$i")
+    val ratios =
+      (1 to 120).map(i => ("scale", 10, s"scaled_query_name_$i", i * 0.31)) ++
+        (1 to 40).map(i => ("scale26", 26, s"capped_query_name_$i", i * 0.17)) ++
+        (1 to 10).map(i => ("scale100", 100, s"headline_query_$i", i * 1.1))
+    val verdicts = Seq("reproduced", "environmental", "chunk-deflated",
+      "unresolved", "reproduced")
+    val line = Bench.buildFinalLine(walls, failed, ratios,
+      "/root/testdata/sf0.1", verdicts)
+    assert(line.length <= Bench.LineBudget,
+      s"line is ${line.length} chars, budget ${Bench.LineBudget}")
+    // and it is one VALID JSON object with the exact total preserved
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains(""""chunk_deflated":1"""))
+    assert(line.contains(""""other":"""))
+    val expectTotal = walls.map(_._2).sum
+    val gotTotal = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(gotTotal - expectTotal) < 0.01)
+    // every kept per-query value plus "other" must re-sum to the total
+    val qBlock = Bench.braceBlock(line, line.indexOf("\"queries\""))
+    val entries = """"[^"]+":([0-9.]+)""".r.findAllMatchIn(qBlock)
+      .map(_.group(1).toDouble).toSeq
+    assert(math.abs(entries.sum - expectTotal) < 0.05)
+  }
+
   test("the committed r12 artifact parses (the baseline the r13 run will use)") {
     // repo-root artifact: the real input to the first adjudicating round
     val repo = new java.io.File(".")

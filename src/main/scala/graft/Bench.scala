@@ -892,9 +892,21 @@ object Bench {
       scaleRatios: Seq[(String, Int, String, Double)], sfDir: String,
       verdicts: Seq[String]): String = {
     val total = walls.map(_._2).sum
+    // the failed list is budgeted too: a mass-failure round (the moment
+    // the artifact matters most) must not overflow the tail window.
+    // failed_n always carries the TRUE count; the name list is truncated
+    // to what ~600 chars hold
     val failedJson =
       if (failedNames.isEmpty) ""
-      else s""","failed":${failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else {
+        val kept = ArrayBuffer.empty[String]
+        var used = 0
+        failedNames.foreach { n =>
+          if (used + n.length + 3 <= 600) { kept += "\"" + n + "\""; used += n.length + 3 }
+        }
+        val listJson = kept.mkString("[", ",", "]")
+        s""","failed_n":${failedNames.size},"failed":$listJson"""
+      }
     val adjJson =
       if (verdicts.isEmpty) ""
       else {

@@ -58,23 +58,42 @@ object JPath {
     * carry whitespace (parse_test.go feeds "[ 1 : 5 : 2 ]").
     */
   private def parseBracket(body: String): Seg = {
+    // malformed selectors must surface as IllegalArgumentException — the
+    // spec-validation layers (Transformer.parseSpec / TransformRunner)
+    // wrap that into their Left/"bad transformer spec" paths, where a bare
+    // NumberFormatException would escape them with a useless message
+    def bad(): Nothing =
+      throw new IllegalArgumentException(s"bad path selector [$body]")
+    def int(s: String): Int =
+      try s.toInt catch { case _: NumberFormatException => bad() }
     val trimmed = body.trim
     if (trimmed.isEmpty || trimmed == ":" || trimmed == "*") AllItems
     // ojg's quoted member selector: ['key with . or spaces'] / ["key"]
-    else if (trimmed.length >= 2 &&
-        ((trimmed.head == '\'' && trimmed.last == '\'') ||
-          (trimmed.head == '"' && trimmed.last == '"')))
-      Field(trimmed.substring(1, trimmed.length - 1))
-    else if (trimmed.contains(':')) {
+    else if (trimmed.head == '\'' || trimmed.head == '"') {
+      if (trimmed.length >= 2 && trimmed.last == trimmed.head)
+        Field(trimmed.substring(1, trimmed.length - 1))
+      else bad() // mismatched quotes
+    } else if (trimmed.contains(':')) {
       // keep empty parts: "::−1" must read as (None, None, −1)
       val parts = trimmed.split(":", -1).map(_.trim)
+      if (parts.length > 3) bad()
       def bound(i: Int): Option[Int] =
-        if (i < parts.length && parts(i).nonEmpty) Some(parts(i).toInt) else None
+        if (i < parts.length && parts(i).nonEmpty) Some(int(parts(i))) else None
       val step = bound(2).getOrElse(1)
       val (st, en) = (bound(0), bound(1))
       if (st.isEmpty && en.isEmpty && step == 1) AllItems
       else Slice(st, en, step)
-    } else Index(trimmed.toInt)
+    } else Index(int(trimmed))
+  }
+
+  /** Is any segment multi-valued (fans out in [[getAll]], invalid in point
+    * [[get]]/[[set]]/[[delete]])? The single source of truth for the
+    * projection test Arg and Template share.
+    */
+  def isProjection(segs: Seq[Seg]): Boolean = segs.exists {
+    case AllItems => true
+    case Slice(_, _, _) => true
+    case _ => false
   }
 
   /** The index sequence an RFC 9535 slice selects from a `len`-element

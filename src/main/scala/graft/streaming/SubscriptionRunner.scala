@@ -470,6 +470,12 @@ object SubscriptionRunner {
       trigger: Trigger = Trigger.AvailableNow(),
       onBatch: Map[String, BatchResult] => Unit = _ => ()): StreamingQuery = {
     require(subs.nonEmpty, "startShared needs at least one subscription")
+    // ids key the per-batch results map AND the retry/DLQ stamps — a
+    // duplicate would silently drop one subscription's accounting and
+    // make the two indistinguishable on spool release
+    val ids = subs.map(_._1.config.subscriptionId)
+    require(ids.distinct.size == ids.size,
+      s"duplicate subscriptionIds in startShared: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
     subs.foreach { case (spec, _) =>
       require(
         spec.config.dedupHorizon.isEmpty && spec.config.neardupHorizon.isEmpty,

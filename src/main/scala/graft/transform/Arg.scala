@@ -61,11 +61,7 @@ object Arg {
 
   final case class DataPath(path: String, original: String) extends Arg {
     private val segs = JPath.parse(path)
-    private val isProjection = segs.exists {
-      case JPath.AllItems => true
-      case JPath.Slice(_, _, _) => true
-      case _ => false
-    }
+    private val isProjection = JPath.isProjection(segs)
     def evaluate(ctx: Ctx): Either[String, JValue] =
       // `[:]` projections resolve to the collected array (ojg GetNodes —
       // the reference's arg form for e.g. join over alerts[:].URL,

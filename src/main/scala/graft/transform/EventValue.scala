@@ -64,10 +64,12 @@ final case class EventValue(
       case ext =>
         // extension names lowercase + validate like the CE SDK's
         // SetExtension (event_test.go:99-107: "Vanus" lands as "vanus",
-        // "vanus.vanus" is an error)
+        // "vanus.vanus" is an error) — same name rule Arg.validate
+        // enforces at spec time (pkg/event.go:21-32: 1..20 chars, a-z0-9)
         val lower = ext.toLowerCase
-        if (!lower.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
-          Left(s"extension name $ext invalid: only [a-z0-9] allowed")
+        if (lower.isEmpty || lower.length > 20 ||
+            !lower.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+          Left(s"extension name $ext invalid: 1..20 chars of [a-z0-9]")
         else
           VCast.toText(value).map(s => copy(extensions = extensions.updated(lower, s)))
     }
@@ -79,7 +81,11 @@ final case class EventValue(
     * deletes from the map unconditionally), and deleting
     * subject/time/dataschema/datacontenttype is a silent NO-OP (they are
     * not in the extensions map, and the reference never clears them) —
-    * a quirk, preserved deliberately for parity.
+    * a quirk, preserved deliberately for parity. The name is deleted RAW
+    * (no lowercasing) — also the reference's behavior: SetExtension
+    * lowercases on write, DeleteAttribute deletes the literal key, so
+    * `deleteAttr("Vanus")` after `setAttr("Vanus", …)` is a no-op on
+    * both sides (the map holds "vanus").
     */
   def deleteAttr(name: String): Either[String, EventValue] = name match {
     case "id" | "source" | "specversion" | "type" =>

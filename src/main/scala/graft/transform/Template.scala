@@ -33,16 +33,15 @@ object Template {
   type Resolver = String => Option[JValue]
 
   def resolver(ctx: Ctx): Resolver = { name =>
-    if (name.startsWith("$.data")) {
+    // the data branch requires the "$.data." separator (Arg.parse's rule):
+    // "$.dataschema" / "$.datacontenttype" are ATTRIBUTE holes, and a bare
+    // startsWith("$.data") would misroute them into a data-path miss
+    if (name == "$.data" || name.startsWith("$.data.")) {
       val p = if (name == "$.data") "" else name.substring(7)
       if (p.isEmpty) Some(ctx.data)
       else {
         val segs = JPath.parse(p)
-        val multi = segs.exists {
-          case JPath.AllItems => true
-          case JPath.Slice(_, _, _) => true
-          case _ => false
-        }
+        val multi = JPath.isProjection(segs)
         // projection paths resolve like the reference's template segments
         // (pkg/template/json/segment.go:92-137: 0 results = miss,
         // 1 = the value, many = an array)

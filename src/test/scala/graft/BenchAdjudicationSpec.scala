@@ -166,6 +166,16 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     val entries = """"[^"]+":([0-9.]+)""".r.findAllMatchIn(qBlock)
       .map(_.group(1).toDouble).toSeq
     assert(math.abs(entries.sum - expectTotal) < 0.05)
+
+    // mass-failure round: the failed LIST is budgeted (a ~70-name list
+    // alone would overflow the tail), but failed_n carries the true count
+    val massFailed = (1 to 150).map(i => f"failed_query_with_long_name_$i%03d")
+    val line2 = Bench.buildFinalLine(walls, massFailed, ratios,
+      "/root/testdata/sf0.1", verdicts)
+    assert(line2.length <= Bench.LineBudget,
+      s"mass-failure line is ${line2.length} chars")
+    assert(line2.contains(""""failed_n":150"""))
+    assert(line2.contains(""""failed":["""))
   }
 
   test("the committed r12 artifact parses (the baseline the r13 run will use)") {

@@ -75,6 +75,15 @@ class JPathSpec extends AnyFunSuite {
     assert(JPath.delete(arr, "a[1:3]").isLeft)
   }
 
+  test("malformed bracket selectors fail as IllegalArgumentException") {
+    // NumberFormatException would escape the transformer's spec-validation
+    // wrapping with a useless bare message
+    for (bad <- Seq("a[1:x]", "a[x]", "a[1:2:3:4]", "a['k\"]", "a['unterminated]")) {
+      val e = intercept[IllegalArgumentException] { JPath.parse(bad) }
+      assert(e.getMessage.contains("bad path selector"), s"$bad -> ${e.getMessage}")
+    }
+  }
+
   test("quoted bracket keys select members with dots/spaces (ojg ['k'])") {
     val d = JValue.parse("""{"a b":1,"x.y":{"z":2},"plain":3}""")
     assert(JPath.get(d, "['a b']").contains(JInt(1)))

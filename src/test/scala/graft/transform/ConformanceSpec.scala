@@ -292,6 +292,21 @@ class ConformanceSpec extends AnyFunSuite {
     Template.renderJson(node, Template.resolver(ctx)).render
   }
 
+  test("template holes route $.dataschema/$.datacontenttype as ATTRIBUTES, not data paths") {
+    // the data branch requires the "$.data." separator — a bare
+    // startsWith("$.data") misrouted these into data-path misses
+    val ctx = Ctx.of(EventValue.simple("id", "src", "t", """{"x":1}""")
+      .copy(dataschema = Some("http://schema.com/1")))
+    val node = Template.parseJson(
+      """{"s": "<$.dataschema>", "ct": "<$.datacontenttype>"}""")
+      .getOrElse(fail("parse"))
+    assert(Template.renderJson(node, Template.resolver(ctx)).render
+      == """{"s":"http://schema.com/1","ct":"application/json"}""")
+    // and an unknown data*-prefixed attribute is a MISS, never the body
+    val node2 = Template.parseJson("""{"k": <$.datax>}""").getOrElse(fail("parse"))
+    assert(Template.renderJson(node2, Template.resolver(ctx)).render == "{}")
+  }
+
   test("json template: array-slice variable paths (lib/json/path slices)") {
     val data = """{"arr":[10,20,30,40,50]}"""
     // multi-result projection renders as an array
@@ -373,6 +388,15 @@ class ConformanceSpec extends AnyFunSuite {
     val withExt = base.setAttr("Vanus", JStr("vanusV")).toOption.get
     assert(withExt.extensions.get("vanus") == Some("vanusV"))
     assert(base.setAttr("vanus.vanus", JStr("vanusV")).isLeft)
+    // the same 1..20-char name rule Arg.validate enforces (pkg/event.go:21-32)
+    assert(base.setAttr("a" * 21, JStr("v")).isLeft)
+    assert(base.setAttr("a" * 20, JStr("v")).isRight)
+    assert(base.setAttr("", JStr("v")).isLeft)
+    // delete uses the RAW key (reference asymmetry: SetExtension
+    // lowercases, DeleteAttribute deletes the literal key) — deleting
+    // "Vanus" after setting "Vanus" is a no-op on both sides
+    assert(withExt.deleteAttr("Vanus").toOption.get.extensions.contains("vanus"))
+    assert(!withExt.deleteAttr("vanus").toOption.get.extensions.contains("vanus"))
   }
 
   test("DeleteAttribute vectors (server/trigger/util/event_test.go:118-145)") {

@@ -696,11 +696,12 @@ object Bench {
             val ratio = m.wall / math.max(base, 1e-9)
             System.err.println(
               f"[bench] $tag:$n%-22s ${m.wall}%7.2f s (base $base%.2f s, ratio $ratio%.1f)")
-            // A ratio whose BASE is under 0.5 s is overhead-dominated
-            // (documented caveat above) and says nothing — those stay
-            // stderr-only (VERDICT r8 #9 line budget)
-            if (base >= 0.5)
-              scaleRows += ScaleRow(tag, factor, n, ratio, m.wall, base, m.cpu)
+            // EVERY measured row lands in the detail artifact (r15: the
+            // phash 100x headline row was stderr-only because its 0.41 s
+            // base tripped the old gate); the 0.5 s overhead-dominated-
+            // base floor now applies only to the budgeted stdout line
+            // (see emitFinal)
+            scaleRows += ScaleRow(tag, factor, n, ratio, m.wall, base, m.cpu)
           }
         }
       }
@@ -868,9 +869,13 @@ object Bench {
   private def emitFinal(resultSeq: Seq[(String, Meas)],
       failed: LinkedHashSet[String], scaleRows: Seq[ScaleRow], sfDir: String,
       adjRows: Seq[Adj]): Unit = {
+    // the stdout line keeps the 0.5 s base floor: a ratio whose base is
+    // overhead-dominated spends line budget saying nothing (VERDICT r8
+    // #9) — the full rows, floor included, are in the detail artifact
     val line = buildFinalLine(
       resultSeq.map { case (n, m) => (n, m.wall) }, failed.toSeq,
-      scaleRows.map(r => (r.tag, r.factor, r.name, r.ratio)), sfDir,
+      scaleRows.filter(_.base >= 0.5)
+        .map(r => (r.tag, r.factor, r.name, r.ratio)), sfDir,
       adjRows.map(_.verdict))
     if (line.length > LineBudget)
       System.err.println(s"[bench] WARNING: stdout line ${line.length} chars " +

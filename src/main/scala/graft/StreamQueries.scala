@@ -782,6 +782,67 @@ object StreamQueries {
       ORDER BY 1
     """))
 
+  /** Executor-side delivery capture for [[sharedFanoutQ]]: an object field
+    * is a JVM singleton, so serialized sink closures resolve back to this
+    * instance in local mode (the EndToEndSpec pattern).
+    */
+  private object SharedFanoutCapture {
+    val a = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val b = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  }
+
+  /** Shared-scan fan-out through the REAL
+    * [[graft.streaming.SubscriptionRunner.startShared]]: one streaming
+    * read of the bus feeds TWO subscriptions' filter/deliver routing (the
+    * N-subscriptions-per-bus shape where read I/O must stay constant in
+    * the subscription count). The oracle replays both filters from the
+    * source table — every event must reach exactly the subscriptions
+    * whose filter admits it, once each.
+    */
+  private val sharedFanoutQ = Q(
+    "stream_shared_fanout",
+    (s, d) => {
+      import graft.streaming.{EventBus, SubscriptionRunner}
+      import graft.model.FilterSpec
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("shfan").toString
+      val bus = EventBus(s"$tmp/src")
+      bus.append(EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 500))
+      SharedFanoutCapture.a.clear(); SharedFanoutCapture.b.clear()
+      val subA = (SubscriptionRunner.Spec(
+        Seq(FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+        SubscriptionRunner.Config("sub-a")),
+        { (del: SubscriptionRunner.Deliverable) =>
+          SharedFanoutCapture.a.add(del.id.toLong); Right(())
+        }: SubscriptionRunner.Sink)
+      val subB = (SubscriptionRunner.Spec(
+        Seq(FilterSpec.Exact(Seq("type" -> "signup"))), None,
+        SubscriptionRunner.Config("sub-b")),
+        { (del: SubscriptionRunner.Deliverable) =>
+          SharedFanoutCapture.b.add(del.id.toLong); Right(())
+        }: SubscriptionRunner.Sink)
+      val q = SubscriptionRunner.startShared(
+        s, bus, Seq(subA, subB), None, None, s"$tmp/ck")
+      try {
+        if (!q.awaitTermination(120000))
+          throw new RuntimeException("shared fan-out did not drain in 120 s")
+      } finally if (q.isActive) q.stop()
+      import s.implicits._
+      (SharedFanoutCapture.a.asScala.toSeq.map(("sub-a", _)) ++
+        SharedFanoutCapture.b.asScala.toSeq.map(("sub-b", _)))
+        .toDF("subscription_id", "sequence_number")
+        .orderBy(col("subscription_id"), col("sequence_number"))
+    },
+    Some("""
+      SELECT 'sub-a' AS subscription_id, event_id AS sequence_number
+      FROM events WHERE event_type = 'purchase' AND event_id < 500
+      UNION ALL
+      SELECT 'sub-b', event_id
+      FROM events WHERE event_type = 'signup' AND event_id < 500
+      ORDER BY 1, 2
+    """))
+
   /** Gap sessionization via the REAL session_window operator; the oracle
     * rebuilds sessions with the islands technique (gap-break flags +
     * running sum).
@@ -911,5 +972,5 @@ object StreamQueries {
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
     protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,
-    neardupHorizonQ)
+    neardupHorizonQ, sharedFanoutQ)
 }

@@ -93,9 +93,20 @@ object ScaleData {
     * written — the 26× capped-operator bench section reads only
     * documents+embeddings, and writing a 26× lineitem (~15M rows) for
     * queries that never open it is pure synthesis wall-time.
+    *
+    * `freshenEvents`: by default the events copies repeat `props` verbatim
+    * (only `event_id` is offset) — a 10× corpus that is 90% duplicates,
+    * the regime where stream-dedup state stays FLAT. Setting it applies
+    * the documents freshener to `props` (per-copy rotation × case-swap ×
+    * per-word reversal), producing factor× DISTINCT content — the regime
+    * where dedup state grows toward the TTL/cap bound (r15 VERDICT #2:
+    * both regimes must be measured, they stress opposite halves of the
+    * design). `event_type` stays unchanged so the cohort/group count is
+    * constant across regimes and factors.
     */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int, tables: Set[String] = AllTables): Unit = {
+      factor: Int, tables: Set[String] = AllTables,
+      freshenEvents: Boolean = false): Unit = {
     require(factor >= 1 && factor <= 104,
       s"factor must be in [1, 104] (the rotation×case×reversal variant " +
         s"space degenerates past 104), got $factor")
@@ -122,8 +133,12 @@ object ScaleData {
     // session config), so the scaled table round-trips the same schema and
     // Tables.events applies the identical µs conversion on read
     if (tables("events")) {
-      val events = withCopies(Tables.table(spark, srcDir, "events"), factor)
+      val base = withCopies(Tables.table(spark, srcDir, "events"), factor)
         .withColumn("event_id", offsetId(col("event_id"), copy))
+      val events =
+        if (freshenEvents)
+          base.withColumn("props", rotated(col("props"), copy, factor))
+        else base
       write(events, outDir, "events")
     }
 

@@ -782,6 +782,77 @@ object StreamQueries {
       ORDER BY 1
     """))
 
+  /** BOTH horizon knobs composed in ONE state operator
+    * ([[graft.streaming.StreamNearDedup.keepFirstBoth]], batch form: one
+    * fold from empty state — the same operator the streaming plan runs
+    * when a subscription sets `dedupHorizon` AND `neardupHorizon`). Every
+    * 7th event is republished under its original (source, id) with a
+    * shifted sequence — the exact knob's drop; natural near-dup content
+    * among the originals is the near knob's. The contract: each knob is
+    * judged against ALL arrivals, an event is kept iff neither flags. The
+    * oracle replays the republication, the min-sequence exact pick, and
+    * the brute-force any-earlier-within-hamming-2 scan over the SAME
+    * unioned arrivals.
+    */
+  private val bothHorizonsQ = Q(
+    "stream_both_horizons",
+    (s, d) => {
+      val base = EventView.fromEventsTable(Tables.events(s, d))
+      val arrivals = base.unionByName(
+        base.filter(col("sequence_number") % 7 === 0)
+          .withColumn("sequence_number",
+            col("sequence_number") + lit(10000000L)))
+      graft.streaming.StreamNearDedup
+        .keepFirstBoth(arrivals,
+          exactTtl = Some(java.time.Duration.ofHours(1)),
+          nearTtl = Some(java.time.Duration.ofHours(1)))
+        .select(col("sequence_number"), col("id"), col("type"), col("data"))
+        .orderBy(col("sequence_number"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT event_id AS seq, CAST(event_id AS VARCHAR) AS id,
+               event_type, coalesce(epoch_us(ts), 0) AS tus, props
+        FROM events
+        UNION ALL
+        SELECT event_id + 10000000, CAST(event_id AS VARCHAR),
+               event_type, coalesce(epoch_us(ts), 0), props
+        FROM events WHERE event_id % 7 = 0
+      ), f AS (
+        SELECT seq, id, event_type, tus,
+          coalesce(event_type, chr(26)) AS cohort, props,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN list_sum(list_transform(
+                string_split(coalesce(props, chr(26)), ' '), x ->
+              CASE WHEN CAST(floor(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                              / power(2, b)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END)) >= 0
+              THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fp
+        FROM u
+      ), x AS (
+        -- the exact knob: an earlier arrival (min-sequence pick) with the
+        -- same (source, id) identity
+        SELECT seq, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq) AS rn
+        FROM f
+      ), m AS (
+        -- the near knob: any earlier arrival (admitted or not) of the same
+        -- cohort within hamming <= 2; "earlier" = (event time, sequence)
+        SELECT a.seq, COUNT(b.seq) AS nm
+        FROM f a JOIN f b
+          ON b.cohort = a.cohort
+         AND (b.tus < a.tus OR (b.tus = a.tus AND b.seq < a.seq))
+         AND bit_count(xor(a.fp, b.fp)) <= 2
+        GROUP BY a.seq
+      )
+      SELECT f.seq AS sequence_number, f.id, f.event_type AS "type",
+             f.props AS data
+      FROM f
+      JOIN x ON x.seq = f.seq
+      LEFT JOIN m ON m.seq = f.seq
+      WHERE x.rn = 1 AND COALESCE(m.nm, 0) = 0
+      ORDER BY 1
+    """))
+
   /** Executor-side delivery capture for [[sharedFanoutQ]]: an object field
     * is a JVM singleton, so serialized sink closures resolve back to this
     * instance in local mode (the EndToEndSpec pattern).
@@ -831,6 +902,85 @@ object StreamQueries {
       import s.implicits._
       (SharedFanoutCapture.a.asScala.toSeq.map(("sub-a", _)) ++
         SharedFanoutCapture.b.asScala.toSeq.map(("sub-b", _)))
+        .toDF("subscription_id", "sequence_number")
+        .orderBy(col("subscription_id"), col("sequence_number"))
+    },
+    Some("""
+      SELECT 'sub-a' AS subscription_id, event_id AS sequence_number
+      FROM events WHERE event_type = 'purchase' AND event_id < 500
+      UNION ALL
+      SELECT 'sub-b', event_id
+      FROM events WHERE event_type = 'signup' AND event_id < 500
+      ORDER BY 1, 2
+    """))
+
+  private object LateAttachCapture {
+    val a = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val b = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  }
+
+  /** Mid-stream attach on the REAL running shared group
+    * ([[graft.streaming.SubscriptionRunner.SharedGroup.attach]]): sub-a
+    * founds the group and processes the first half of the bus; sub-b
+    * attaches AFTERWARDS with `OffsetReset.Earliest` — its catch-up batch
+    * read must replay every pre-attach signup exactly once — then the
+    * second half lands and both members see it through the shared scan.
+    * The oracle replays both filters over the full range: exactly-once
+    * across the attach boundary means neither a missing pre-attach event
+    * nor a double delivery survives the hash compare.
+    */
+  private val sharedLateAttachQ = Q(
+    "stream_shared_late_attach",
+    (s, d) => {
+      import graft.streaming.{EventBus, SubscriptionRunner}
+      import graft.model.FilterSpec
+      import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("shlate").toString
+      val bus = EventBus(s"$tmp/src")
+      val events = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 500)
+      bus.append(events.filter(col("sequence_number") < 250))
+      LateAttachCapture.a.clear(); LateAttachCapture.b.clear()
+      val expectA1 = events
+        .filter(col("sequence_number") < 250 && col("type") === "purchase")
+        .count()
+      val subA = (SubscriptionRunner.Spec(
+        Seq(FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+        SubscriptionRunner.Config("sub-a")),
+        SubscriptionRunner.Delivery.PerEvent { del =>
+          LateAttachCapture.a.add(del.id.toLong); Right(())
+        }: SubscriptionRunner.Delivery)
+      val group = SubscriptionRunner.startSharedGroup(
+        s, bus, Seq(subA), None, None, s"$tmp/ck",
+        trigger = Trigger.ProcessingTime("200 milliseconds"))
+      try {
+        val d1 = System.currentTimeMillis() + 120000
+        while (LateAttachCapture.a.size < expectA1 &&
+          System.currentTimeMillis() < d1) Thread.sleep(50)
+        if (LateAttachCapture.a.size < expectA1)
+          throw new RuntimeException("founding member did not drain half 1")
+        // LATE ATTACH from earliest: catch-up replays the first half
+        val specB = SubscriptionRunner.Spec(
+          Seq(FilterSpec.Exact(Seq("type" -> "signup"))), None,
+          SubscriptionRunner.Config("sub-b"))
+        group.attach(specB,
+          SubscriptionRunner.Delivery.PerEvent { del =>
+            LateAttachCapture.b.add(del.id.toLong); Right(())
+          }, SubscriptionRunner.OffsetReset.Earliest)
+        // the second half lands AFTER the attach; both members drain it
+        bus.append(events.filter(col("sequence_number") >= 250))
+        val expectA = events.filter(col("type") === "purchase").count()
+        val expectB = events.filter(col("type") === "signup").count()
+        val d2 = System.currentTimeMillis() + 120000
+        while ((LateAttachCapture.a.size < expectA ||
+          LateAttachCapture.b.size < expectB) &&
+          System.currentTimeMillis() < d2) Thread.sleep(50)
+        Thread.sleep(500) // a wrong double delivery needs time to surface
+      } finally if (group.query.isActive) group.query.stop()
+      import s.implicits._
+      (LateAttachCapture.a.asScala.toSeq.map(("sub-a", _)) ++
+        LateAttachCapture.b.asScala.toSeq.map(("sub-b", _)))
         .toDF("subscription_id", "sequence_number")
         .orderBy(col("subscription_id"), col("sequence_number"))
     },
@@ -972,5 +1122,5 @@ object StreamQueries {
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
     protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,
-    neardupHorizonQ, sharedFanoutQ)
+    neardupHorizonQ, bothHorizonsQ, sharedFanoutQ, sharedLateAttachQ)
 }

@@ -42,11 +42,27 @@ object JPath {
         case '.' => flushName()
         case '[' =>
           flushName()
+          // quote-aware scan (ADVICE r15): a quoted member selector may
+          // contain ']' (['a]b'] is legal in ojg/RFC 9535) and
+          // backslash-escaped quotes — only an UNQUOTED ']' closes the
+          // selector. An unterminated quote consumes to end-of-path and
+          // parseBracket rejects the mismatched body.
           val idx = new StringBuilder
-          while (it.hasNext && it.head != ']') idx.append(it.next())
-          if (it.hasNext) it.next() // consume ']'
-          val body = idx.toString
-          segs += parseBracket(body)
+          var quote: Char = 0
+          var escaped = false
+          var closed = false
+          while (it.hasNext && !closed) {
+            val c = it.head
+            if (quote != 0) {
+              idx.append(it.next())
+              if (escaped) escaped = false
+              else if (c == '\\') escaped = true
+              else if (c == quote) quote = 0
+            } else if (c == '\'' || c == '"') { quote = c; idx.append(it.next()) }
+            else if (c == ']') { it.next(); closed = true }
+            else idx.append(it.next())
+          }
+          segs += parseBracket(idx.toString)
         case c => name.append(c)
       }
     }
@@ -68,11 +84,27 @@ object JPath {
       try s.toInt catch { case _: NumberFormatException => bad() }
     val trimmed = body.trim
     if (trimmed.isEmpty || trimmed == ":" || trimmed == "*") AllItems
-    // ojg's quoted member selector: ['key with . or spaces'] / ["key"]
+    // ojg's quoted member selector: ['key with . ] or spaces'] / ["key"];
+    // backslash un-escapes the quote char and itself, other backslashes
+    // stay literal
     else if (trimmed.head == '\'' || trimmed.head == '"') {
-      if (trimmed.length >= 2 && trimmed.last == trimmed.head)
-        Field(trimmed.substring(1, trimmed.length - 1))
-      else bad() // mismatched quotes
+      val q = trimmed.head
+      val inner = trimmed.substring(1)
+      val sb = new StringBuilder
+      var i = 0
+      var terminated = false
+      while (i < inner.length && !terminated) {
+        val c = inner.charAt(i)
+        if (c == '\\' && i + 1 < inner.length &&
+          (inner.charAt(i + 1) == q || inner.charAt(i + 1) == '\\')) {
+          sb.append(inner.charAt(i + 1)); i += 2
+        } else if (c == q) terminated = true
+        else { sb.append(c); i += 1 }
+      }
+      // the close quote must be the selector's last character (mismatched
+      // or early-terminated quotes are malformed)
+      if (terminated && i == inner.length - 1) Field(sb.toString)
+      else bad()
     } else if (trimmed.contains(':')) {
       // keep empty parts: "::−1" must read as (None, None, −1)
       val parts = trimmed.split(":", -1).map(_.trim)

@@ -103,9 +103,13 @@ object StreamNearDedup {
 
   /** The probe-and-insert fold, generic over the row's carried payload so
     * the CE-frame form ([[verdictsStream]]) reuses the exact state shape,
-    * sub-indexing and cap of the events-table form.
+    * sub-indexing and cap of the events-table form. `ttlMsOf` maps the
+    * group's block index to its timeout — the combined exact+near operator
+    * ([[verdictsStreamBoth]]) gives the exact-identity groups (block
+    * [[ExactBlock]]) their own horizon; single-knob callers pass a
+    * constant.
     */
-  private def updateG[R, O](maxState: Int, ttlMs: Option[Long],
+  private def updateG[R, O](maxState: Int, ttlMsOf: Int => Option[Long],
       block: R => Int, at: R => Long, eid: R => Long, fpOf: R => Long,
       mk: (R, Boolean) => O)(
       key: String, rows: Iterator[R],
@@ -123,7 +127,8 @@ object StreamNearDedup {
     })
     val rs = rows.toSeq
     // every row in the group shares the block index (it's in the key)
-    val b2 = rs.headOption.map(r => (block(r) + 1) % Blocks).getOrElse(0)
+    val blk = rs.headOption.map(block).getOrElse(0)
+    val b2 = (blk + 1) % Blocks
     val shift = Shifts(b2)
     val width = Widths(b2)
     val mask = (1L << width) - 1
@@ -138,14 +143,14 @@ object StreamNearDedup {
       mk(r, m)
     }
     state.update(FpState(buckets.toMap))
-    ttlMs.foreach(state.setTimeoutDuration)
+    ttlMsOf(blk).foreach(state.setTimeoutDuration)
     out.iterator
   }
 
   private def update(maxState: Int, ttlMs: Option[Long])(
       key: String, rows: Iterator[BlockRow],
       state: GroupState[FpState]): Iterator[BlockMatch] =
-    updateG[BlockRow, BlockMatch](maxState, ttlMs,
+    updateG[BlockRow, BlockMatch](maxState, _ => ttlMs,
       _.block, _.atMicros, _.eventId, _.fp,
       (r, m) => BlockMatch(r.eventId, r.fp, m))(key, rows, state)
 
@@ -261,10 +266,132 @@ object StreamNearDedup {
       .as[CeBlockRow]
       .groupByKey(_.gk)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
-        updateG[CeBlockRow, CeVerdict](maxState, ttl.map(_.toMillis),
+        updateG[CeBlockRow, CeVerdict](maxState, _ => ttl.map(_.toMillis),
           _.block, _.atMicros, _.eventId, _.fp,
           (r, m) => CeVerdict(r.eventId, m, r.payload)))
   }
+
+  // ==== Combined exact + near-dup operator (both horizon knobs, ONE plan) ====
+
+  /** The exact-identity rows' block index in the combined operator — one
+    * past the fingerprint blocks, so the two group kinds are disjoint and
+    * each can carry its own TTL.
+    */
+  val ExactBlock: Int = Blocks
+
+  /** One state-operator output row of the combined operator: the exact
+    * (source, id) verdict and the near-dup content verdict, separated so
+    * [[SubscriptionRunner]] can keep the two drop counters distinct.
+    */
+  final case class CeVerdict2(eventId: Long, exactDup: Boolean,
+      nearDup: Boolean, payload: Option[IngestDedup.Ce])
+
+  /** BOTH horizon knobs in ONE `flatMapGroupsWithState` stage. Spark
+    * cannot chain two stateful stages in a streaming plan (empirically the
+    * first micro-batch deadlocks on 4.1.2; the pre-r16 code rejected the
+    * combination and required an intermediate bus, doubling bus I/O), so
+    * the exact (source, id) identity check rides the SAME state operator
+    * as the fingerprint probe: each event emits its 3 fingerprint block
+    * rows plus ONE exact-identity row keyed
+    * `source ␟ "X" ␟ id` (the "X" middle segment can never collide with a
+    * fingerprint key's 0|1|2 block segment) with block [[ExactBlock]] and
+    * fp = 0 — first-arrival-wins falls out of the same probe-and-insert
+    * fold (every fp in an exact group is 0, so any prior state is a
+    * distance-0 match), and ordering by (0, sequence_number) reproduces
+    * [[IngestDedup]]'s min-sequence pick. Each group kind gets its own
+    * sliding TTL ([[updateG]]'s per-block timeout), so the two horizons
+    * age independently.
+    *
+    * Composition semantics (the one-plan contract, and what
+    * `processBatchWith` replays in batch): each knob is judged against ALL
+    * arrivals — exactDup = an earlier arrival with the same (source, id)
+    * inside the exact horizon; nearDup = an earlier arrival (admitted or
+    * not) whose content is within hamming ≤ [[MaxDist]] inside the near
+    * horizon; an event is kept iff neither flags. This differs from the
+    * old two-subscriptions-chained workaround only when a (source, id)
+    * republish carries MATERIALLY different content: the chain never let
+    * that content into near state, the combined operator does — for a
+    * training-data ingest the content DID arrive, so later copies of it
+    * are duplicates. State cost: +1 singleton group per distinct
+    * (source, id) within the exact horizon, and one extra small shuffle
+    * row per event (the payload still rides only the fingerprint block-0
+    * row).
+    */
+  def verdictsStreamBoth(events: DataFrame, maxState: Int = 1 << 20,
+      exactTtl: Option[java.time.Duration] = None,
+      nearTtl: Option[java.time.Duration] = None): Dataset[CeVerdict2] = {
+    implicit val rEnc = Encoders.product[CeBlockRow]
+    implicit val oEnc = Encoders.product[CeVerdict2]
+    implicit val kEnc = Encoders.STRING
+    implicit val sEnc = Encoders.product[FpState]
+    val fp = graft.functions.SimHash(
+      split(coalesce(col("data"), lit("\u001a")), " ", -1), Bits)
+    val ctype = coalesce(col("type"), lit("\u001a"))
+    val blockCols = (0 until Blocks).map { b =>
+      struct(lit(b).as("block"),
+        concat_ws("\u001f", ctype, lit(b),
+          shiftright(col("fp"), Shifts(b))
+            .bitwiseAND(lit((1L << Widths(b)) - 1))).as("gk"))
+    } :+ struct(lit(ExactBlock).as("block"),
+      concat_ws("\u001f", coalesce(col("source"), lit("\u001a")), lit("X"),
+        coalesce(col("id"), lit("\u001a"))).as("gk"))
+    val timeout =
+      if (exactTtl.isDefined || nearTtl.isDefined)
+        GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val ttlOf: Int => Option[Long] = b =>
+      (if (b == ExactBlock) exactTtl else nearTtl).map(_.toMillis)
+    events
+      .withColumn("fp", fp)
+      .withColumn("atMicros",
+        coalesce(unix_micros(col("time")), lit(0L)))
+      .select(col("sequence_number"), col("atMicros"), col("fp"),
+        explode(array(blockCols: _*)).as("bk"),
+        struct(events.columns.map(col): _*).as("ce"))
+      .select(col("bk.gk").as("gk"), col("bk.block").as("block"),
+        col("sequence_number").as("eventId"),
+        // exact rows order by sequence alone (IngestDedup's contract);
+        // fp rows keep the (event-time, sequence) order
+        when(col("bk.block") === ExactBlock, lit(0L))
+          .otherwise(col("atMicros")).as("atMicros"),
+        when(col("bk.block") === ExactBlock, lit(0L))
+          .otherwise(col("fp")).as("fp"),
+        when(col("bk.block") === 0, col("ce")).as("payload"))
+      .as[CeBlockRow]
+      .groupByKey(_.gk)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        updateG[CeBlockRow, CeVerdict2](maxState, ttlOf,
+          _.block, _.atMicros, _.eventId, _.fp,
+          (r, m) => CeVerdict2(r.eventId,
+            exactDup = r.block == ExactBlock && m,
+            nearDup = r.block != ExactBlock && m, r.payload)))
+  }
+
+  /** Per-event rollup of [[CeVerdict2]] rows: the recovered payload struct
+    * plus both verdict flags — `exact_dup` (an earlier same-(source, id)
+    * arrival) and `near_dup` (earlier content within distance, NOT
+    * exact-flagged, so the two drop counters partition the drops). Plain
+    * batch aggregation — in streaming this runs inside foreachBatch.
+    */
+  def rollupBoth(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy(col("eventId"))
+      .agg(max(col("exactDup")).as("exact_dup"),
+        max(col("nearDup")).as("raw_near"),
+        first(col("payload"), ignoreNulls = true).as("payload"))
+      .select(col("payload"), col("exact_dup"),
+        (!col("exact_dup") && col("raw_near")).as("near_dup"))
+
+  /** Batch form of the composed knobs (one fold from empty state — the
+    * oracle surface and the `processBatch` path): the input CE frame minus
+    * exact and near-dup arrivals.
+    */
+  def keepFirstBoth(events: DataFrame, maxState: Int = 1 << 20,
+      exactTtl: Option[java.time.Duration] = None,
+      nearTtl: Option[java.time.Duration] = None): DataFrame =
+    rollupBoth(verdictsStreamBoth(events, maxState, exactTtl, nearTtl).toDF())
+      .filter(!col("exact_dup") && !col("near_dup"))
+      .select(col("payload.*"))
 
   /** Reduce a (micro-)batch of [[CeVerdict]] rows back to the CE frame of
     * the events that are NOT near-dups of earlier content. An event is

@@ -70,11 +70,13 @@ object SubscriptionRunner {
     * event inside the horizon ([[StreamNearDedup.verdictsStream]]) —
     * re-worded/templated copies that (source, id) identity misses. Same
     * bounded-state contract: per-(type, block, value) fingerprint sets
-    * with a sliding TTL. In a STREAMING plan the two knobs are mutually
-    * exclusive (Spark rejects two flatMapGroupsWithState stages in one
-    * query); compose them as two subscriptions chained through an
-    * intermediate bus. A pure-batch `processBatch` applies both in
-    * sequence (exact first).
+    * with a sliding TTL. Setting BOTH knobs composes them in ONE state
+    * operator ([[StreamNearDedup.verdictsStreamBoth]] — Spark cannot chain
+    * two flatMapGroupsWithState stages in a streaming plan, so the exact
+    * identity check rides the fingerprint operator as a 4th state row per
+    * event); each knob is judged against all arrivals and an event is
+    * kept iff neither flags, in streaming and in pure-batch
+    * `processBatch` alike.
     */
   final case class Config(
       subscriptionId: String,
@@ -89,7 +91,12 @@ object SubscriptionRunner {
       filters: Seq[FilterSpec],
       transformerJson: Option[String],
       config: Config) {
-    def predicate: Column = FilterCompiler.compileList(filters)
+    // compiled once per Spec instance, not per micro-batch: under a
+    // streaming query processBatch re-reads this every trigger, and a
+    // def would re-parse CEL/CESQL filters (and re-emit parse warnings)
+    // per batch (ADVICE r15). @transient: the Column tree is driver-side
+    // plan metadata; a deserialized Spec recompiles on first use.
+    @transient lazy val predicate: Column = FilterCompiler.compileList(filters)
   }
 
   /** `dedupDropped`/`neardupDropped` close the books when a horizon is
@@ -145,41 +152,55 @@ object SubscriptionRunner {
       try processBatchCached(cached, spec, delivery, retryBus, dlqBus,
         nowEpochSec)
       finally { cached.unpersist(); () }
+    } else if (exactH.isDefined && nearH.isDefined) {
+      // BOTH knobs: the combined single-operator fold
+      // ([[StreamNearDedup.verdictsStreamBoth]] — the same operator the
+      // streaming plan runs), so batch and streaming agree exactly: each
+      // knob judged against all arrivals, kept iff neither flags. The
+      // per-event verdict frame is pinned once; the two drop counters and
+      // the kept frame read it, the kept frame is pinned for the routing
+      // fan-out.
+      val raw = batch.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val verdicts = StreamNearDedup.rollupBoth(
+          StreamNearDedup.verdictsStreamBoth(raw,
+            exactTtl = exactH, nearTtl = nearH).toDF())
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dc = verdicts.agg(
+            count(when(col("exact_dup"), 1)),
+            count(when(col("near_dup"), 1))).head
+          val kept = verdicts
+            .filter(!col("exact_dup") && !col("near_dup"))
+            .select(col("payload.*"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val r = processBatchCached(kept, spec, delivery, retryBus,
+              dlqBus, nowEpochSec)
+            r.copy(dedupDropped = dc.getLong(0),
+              neardupDropped = dc.getLong(1))
+          } finally { kept.unpersist(); () }
+        } finally { verdicts.unpersist(); () }
+      } finally { raw.unpersist(); () }
     } else {
-      // pin the RAW batch too: the input count (for drop accounting) and
-      // the dedup fold(s) must not re-scan the source
+      // ONE knob: pin the RAW batch (the input count for drop accounting
+      // and the dedup fold must not re-scan the source); the survivor
+      // count falls out of the routing sums, no extra action
       val raw = batch.persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val totalIn = raw.count()
-        val bothStages = exactH.isDefined && nearH.isDefined
-        // the stage boundary is persisted + counted only when BOTH stages
-        // run — the two drop counters need it; a single-stage config
-        // derives its count from the routing sums, no extra action
-        val afterExact = exactH.map { h =>
-          val d = IngestDedup.firstArrivals(raw, h).toDF()
-          if (bothStages) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+        val staged = exactH match {
+          case Some(h) => IngestDedup.firstArrivals(raw, h).toDF()
+          case None => StreamNearDedup.keepFirstContent(raw, ttl = nearH)
         }
-        val exactCount = if (bothStages) afterExact.get.count() else -1L
-        val afterNear = nearH
-          .map(h => StreamNearDedup
-            .keepFirstContent(afterExact.getOrElse(raw), ttl = Some(h)))
-        val cached = afterNear.getOrElse(afterExact.get)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cached = staged.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val r = processBatchCached(cached, spec, delivery, retryBus,
             dlqBus, nowEpochSec)
           val routed = r.delivered + r.filteredOut + r.toRetry + r.toDlq
-          val exactSurvivors =
-            if (exactH.isEmpty) totalIn
-            else if (bothStages) exactCount
-            else routed // exact is the only stage: survivors == routed
-          r.copy(dedupDropped = totalIn - exactSurvivors,
-            neardupDropped = exactSurvivors - routed)
-        } finally {
-          cached.unpersist()
-          if (bothStages) afterExact.foreach(_.unpersist())
-          ()
-        }
+          if (exactH.isDefined) r.copy(dedupDropped = totalIn - routed)
+          else r.copy(neardupDropped = totalIn - routed)
+        } finally { cached.unpersist(); () }
       } finally { raw.unpersist(); () }
     }
   }
@@ -400,22 +421,34 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    require(
-      spec.config.dedupHorizon.isEmpty || spec.config.neardupHorizon.isEmpty,
-      "dedupHorizon and neardupHorizon cannot share one streaming plan " +
-        "(Spark rejects two flatMapGroupsWithState stages in a query); " +
-        "chain two subscriptions through an intermediate bus")
     val source = sourceBus.readStream(spark)
-    // the stateful stage (either knob) dedupes with cross-batch state;
-    // clear the knobs so processBatch doesn't re-fold every micro-batch
+    // the stateful stage (either or both knobs) dedupes with cross-batch
+    // state; clear the knobs so processBatch doesn't re-fold every
+    // micro-batch
     val batchSpec = spec.copy(config =
       spec.config.copy(dedupHorizon = None, neardupHorizon = None))
     val deliver = (batch: DataFrame) => {
       processBatch(batch, spec = batchSpec, sink, retryBus, dlqBus)
       ()
     }
-    spec.config.neardupHorizon match {
-      case Some(h) =>
+    (spec.config.dedupHorizon, spec.config.neardupHorizon) match {
+      case (Some(eh), Some(nh)) =>
+        // BOTH knobs in ONE state operator (the exact identity check
+        // rides the fingerprint stage as a 4th state row per event —
+        // Spark cannot chain two flatMapGroupsWithState stages); the
+        // per-event rollup runs inside foreachBatch
+        StreamNearDedup.verdictsStreamBoth(source,
+          exactTtl = Some(eh), nearTtl = Some(nh)).toDF()
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            deliver(StreamNearDedup.rollupBoth(batch)
+              .filter(!col("exact_dup") && !col("near_dup"))
+              .select(col("payload.*")))
+          }
+          .start()
+      case (None, Some(h)) =>
         // near-dup stage emits 3 block rows per event (no post-state agg
         // allowed in-plan); the per-event rollup runs inside foreachBatch
         StreamNearDedup.verdictsStream(source, ttl = Some(h)).toDF()
@@ -426,8 +459,8 @@ object SubscriptionRunner {
             deliver(StreamNearDedup.rollupKept(batch))
           }
           .start()
-      case None =>
-        val deduped = spec.config.dedupHorizon match {
+      case (exactH, None) =>
+        val deduped = exactH match {
           case Some(h) => IngestDedup.firstArrivals(source, h).toDF()
           case None => source
         }
@@ -437,6 +470,143 @@ object SubscriptionRunner {
           .trigger(trigger)
           .foreachBatch { (batch: DataFrame, _: Long) => deliver(batch) }
           .start()
+    }
+  }
+
+  /** Where a late-attaching subscription starts reading
+    * (the reference's per-subscription offset-reset policy,
+    * server/trigger/worker.go + offset/offset.go:27-139): from the bus's
+    * beginning, from now, or from the first offset whose event time is at
+    * or after a timestamp (QueryOffsetByTime, [[EventBus.offsetByTime]]).
+    */
+  sealed trait OffsetReset extends Serializable
+  object OffsetReset {
+    case object Earliest extends OffsetReset
+    case object Latest extends OffsetReset
+    final case class ByTime(ts: java.sql.Timestamp) extends OffsetReset
+  }
+
+  /** A running shared-scan fan-out group ([[startSharedGroup]]): the
+    * streaming query plus the live subscription roster. [[attach]] adds a
+    * subscription to the RUNNING group from its own offset-reset policy —
+    * the first operational divergence from the reference's
+    * reader-per-subscription model the r15 shape had (a late subscription
+    * could not replay from earliest without restarting the whole group).
+    *
+    * Exactly-once across the attach boundary: `attach` synchronizes with
+    * the micro-batch loop, snapshots the group's processed high-watermark
+    * W (max `sequence_number` delivered so far), serves `[reset, W]` as
+    * one BATCH read of the bus (partition-pruned parquet scan — no second
+    * streaming query), and registers the subscription with a `seq > W`
+    * guard on all future shared micro-batches. Every event lands in
+    * exactly one of the two ranges.
+    *
+    * The roster (and each member's guard) is driver memory, not
+    * checkpoint state: a restarted group is rebuilt by the caller
+    * (initial members see nothing twice — the shared checkpoint skips
+    * processed batches; re-attaching a former member should use
+    * `OffsetReset.Latest` or tolerate a replayed catch-up).
+    */
+  final class SharedGroup private[SubscriptionRunner] (
+      spark: SparkSession,
+      sourceBus: EventBus,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      onBatch: Map[String, BatchResult] => Unit) {
+    import org.apache.spark.storage.StorageLevel
+    // (spec, delivery, guard): rows with sequence_number <= guard are
+    // skipped for this member (already served by its catch-up read)
+    private var members = Vector.empty[(Spec, Delivery, Long)]
+    private var watermark = Long.MinValue
+    private[SubscriptionRunner] var queryRef: StreamingQuery = _
+    def query: StreamingQuery = queryRef
+
+    private[SubscriptionRunner] def addInitial(subs: Seq[(Spec, Delivery)]): Unit =
+      synchronized {
+        subs.foreach { case (spec, d) =>
+          requireJoinable(spec)
+          members :+= ((spec, d, Long.MinValue))
+        }
+      }
+
+    private def requireJoinable(spec: Spec): Unit = {
+      require(
+        spec.config.dedupHorizon.isEmpty && spec.config.neardupHorizon.isEmpty,
+        s"subscription ${spec.config.subscriptionId}: horizon knobs are " +
+          "per-subscription streaming state — run it as a dedicated query")
+      // ids key the per-batch results map AND the retry/DLQ stamps — a
+      // duplicate would silently drop one subscription's accounting and
+      // make the two indistinguishable on spool release
+      require(!members.exists(_._1.config.subscriptionId == spec.config.subscriptionId),
+        s"duplicate subscriptionId in shared group: ${spec.config.subscriptionId}")
+    }
+
+    /** One shared micro-batch: pin ONCE, run every member's routing over
+      * the cached copy (each behind its attach guard), advance the
+      * watermark. Holding the group lock for the batch means [[attach]]
+      * only ever observes a quiesced watermark.
+      */
+    private[SubscriptionRunner] def processShared(batch: DataFrame): Unit =
+      synchronized {
+        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val maxSeq = cached.agg(max(col("sequence_number"))).head
+          val results = members.map { case (spec, delivery, guard) =>
+            val in =
+              if (guard == Long.MinValue) cached
+              else cached.filter(col("sequence_number") > guard)
+            spec.config.subscriptionId ->
+              processBatchCached(in, spec, delivery, retryBus, dlqBus,
+                System.currentTimeMillis() / 1000)
+          }.toMap
+          if (!maxSeq.isNullAt(0))
+            watermark = math.max(watermark, maxSeq.getLong(0))
+          onBatch(results)
+        } finally { cached.unpersist(); () }
+      }
+
+    /** Add a subscription to the running group. Returns the catch-up
+      * pass's [[BatchResult]] (zeros for `Latest`). The catch-up is a
+      * batch read of the bus — `[reset offset, W]` through the full
+      * filter/transform/deliver routing — so the earliest-policy
+      * subscriber sees every pre-attach event exactly once, then joins
+      * the shared cadence behind a `seq > W` guard.
+      */
+    def attach(spec: Spec, delivery: Delivery,
+        reset: OffsetReset): BatchResult = synchronized {
+      requireJoinable(spec)
+      val w = watermark
+      val guard = reset match {
+        case OffsetReset.Latest =>
+          // "from now": skip what the stream processed AND what is
+          // already on disk awaiting the next trigger
+          val onDisk = sourceBus.read(spark)
+            .agg(max(col("sequence_number"))).head
+          if (onDisk.isNullAt(0)) w else math.max(w, onDisk.getLong(0))
+        case _ => w
+      }
+      val catchup: Option[DataFrame] = reset match {
+        case OffsetReset.Earliest if w > Long.MinValue =>
+          Some(sourceBus.read(spark)
+            .filter(col("sequence_number") <= w))
+        case OffsetReset.ByTime(ts) if w > Long.MinValue =>
+          // an offset SEEK (block_seek.go:45-86), not a time filter:
+          // out-of-order event times after the first qualifying offset
+          // are included, exactly as the reference replays them
+          val first = sourceBus.offsetByTime(spark, ts).head
+          if (first.isNullAt(0)) None
+          else Some(sourceBus.read(spark)
+            .filter(col("sequence_number") >= first.getLong(0) &&
+              col("sequence_number") <= w))
+        case _ => None
+      }
+      val res = catchup match {
+        case Some(df) =>
+          processBatchWith(df, spec, delivery, retryBus, dlqBus)
+        case None => BatchResult(0L, 0L, 0L, 0L)
+      }
+      members :+= ((spec, delivery, guard))
+      res
     }
   }
 
@@ -450,15 +620,44 @@ object SubscriptionRunner {
     * routing passes over the cache, so bus-read I/O is constant in the
     * subscription count.
     *
-    * Horizon knobs (dedup/near-dup) are per-subscription streaming STATE
-    * and cannot ride a shared plan — such specs are rejected; run them as
-    * dedicated [[start]] queries. Offset semantics: all subscriptions
-    * share the checkpoint, i.e. they advance together (the trade for the
-    * shared scan; per-subscription offsets need per-subscription
-    * queries).
+    * Each subscription brings its own [[Delivery]] (per-event or batched
+    * — trigger.go:342-375 applies send batching per subscription
+    * regardless of how the read is shared). Horizon knobs are
+    * per-subscription streaming STATE and cannot ride a shared plan —
+    * such specs are rejected; run them as dedicated [[start]] queries.
+    * Initial members advance together on the shared checkpoint; a
+    * subscription added later via [[SharedGroup.attach]] starts from its
+    * own offset-reset policy.
     *
     * `onBatch` receives every subscription's [[BatchResult]] after each
     * micro-batch, keyed by subscriptionId.
+    */
+  def startSharedGroup(
+      spark: SparkSession,
+      sourceBus: EventBus,
+      subs: Seq[(Spec, Delivery)],
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onBatch: Map[String, BatchResult] => Unit = _ => ()): SharedGroup = {
+    require(subs.nonEmpty, "startSharedGroup needs at least one subscription")
+    val group = new SharedGroup(spark, sourceBus, retryBus, dlqBus, onBatch)
+    group.addInitial(subs)
+    group.queryRef = sourceBus.readStream(spark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        group.processShared(batch)
+        ()
+      }
+      .start()
+    group
+  }
+
+  /** [[startSharedGroup]] with per-event sinks and no attach handle — the
+    * original r15 surface, kept for fixed-roster callers.
     */
   def startShared(
       spark: SparkSession,
@@ -468,40 +667,10 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      onBatch: Map[String, BatchResult] => Unit = _ => ()): StreamingQuery = {
-    require(subs.nonEmpty, "startShared needs at least one subscription")
-    // ids key the per-batch results map AND the retry/DLQ stamps — a
-    // duplicate would silently drop one subscription's accounting and
-    // make the two indistinguishable on spool release
-    val ids = subs.map(_._1.config.subscriptionId)
-    require(ids.distinct.size == ids.size,
-      s"duplicate subscriptionIds in startShared: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
-    subs.foreach { case (spec, _) =>
-      require(
-        spec.config.dedupHorizon.isEmpty && spec.config.neardupHorizon.isEmpty,
-        s"subscription ${spec.config.subscriptionId}: horizon knobs are " +
-          "per-subscription streaming state — run it as a dedicated query")
-    }
-    import org.apache.spark.storage.StorageLevel
-    sourceBus.readStream(spark)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // pin ONCE; every subscription's routing reads the cached copy
-        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val results = subs.map { case (spec, sink) =>
-            spec.config.subscriptionId ->
-              processBatchCached(cached, spec, Delivery.PerEvent(sink),
-                retryBus, dlqBus, System.currentTimeMillis() / 1000)
-          }.toMap
-          onBatch(results)
-        } finally { cached.unpersist(); () }
-        ()
-      }
-      .start()
-  }
+      onBatch: Map[String, BatchResult] => Unit = _ => ()): StreamingQuery =
+    startSharedGroup(spark, sourceBus,
+      subs.map { case (spec, sink) => (spec, Delivery.PerEvent(sink)) },
+      retryBus, dlqBus, checkpoint, trigger, onBatch).query
 
   /** One release pass over a due-time-bucketed retry spool: process every
     * fully-matured bucket (partition-pruned read — pending buckets are

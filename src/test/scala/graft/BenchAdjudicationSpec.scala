@@ -30,10 +30,12 @@ class BenchAdjudicationSpec extends AnyFunSuite {
         |"scale26":{"factor":26,"rows":{"dedup_phash_neardup":{"ratio":45.41,"sec":48.686,"base":1.072}}},
         |"probe_group_histograms":{}}""".stripMargin)
     val prior = Bench.priorDetail(13, dir)
-    assert(prior("q1_agg") == 1.087)
-    assert(prior("filter_cel_time") == 13.826)
-    assert(prior("scale:q1_agg") == 0.674)
-    assert(prior("scale26:dedup_phash_neardup") == 48.686)
+    // scalar format carries no cpu: recorded as -1 (the cpu trigger's
+    // "no prior cpu" sentinel)
+    assert(prior("q1_agg") == ((1.087, -1.0)))
+    assert(prior("filter_cel_time") == ((13.826, -1.0)))
+    assert(prior("scale:q1_agg") == ((0.674, -1.0)))
+    assert(prior("scale26:dedup_phash_neardup") == ((48.686, -1.0)))
   }
 
   test("priorDetail parses the r13+ object format and picks the newest prior round") {
@@ -50,8 +52,9 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     Files.writeString(new java.io.File(dir, "bench_detail_r13.json").toPath,
       """{"queries":{"q1_agg":5.555}}""")
     val prior = Bench.priorDetail(13, dir)
-    assert(prior("q1_agg") == 1.087)
-    assert(prior("scale:q1_agg") == 0.674)
+    // the object format carries cpu_sec alongside sec
+    assert(prior("q1_agg") == ((1.087, 4.2)))
+    assert(prior("scale:q1_agg") == ((0.674, 2.0)))
   }
 
   test("priorDetail is empty (not throwing) without committed artifacts") {
@@ -61,8 +64,9 @@ class BenchAdjudicationSpec extends AnyFunSuite {
   }
 
   test("trigger matrix: regression, prior-inflation, idle-heavy, and the floors") {
+    // wall-only helper: prior cpu unavailable (-1), the pre-r16 shape
     def t(prior: Option[Double], wall: Double, cpu: Double) =
-      Bench.triggerOf(prior, wall, cpu)
+      Bench.triggerOf(prior.map(p => (p, -1.0)), wall, cpu)
     // regression: wall > 3x prior, but only at >= 0.75s wall
     assert(t(Some(0.55), 13.83, 100.0).exists(_.startsWith("wall>3x_prior")))
     assert(t(Some(0.10), 0.50, 10.0).isEmpty) // under the 0.75s floor
@@ -86,6 +90,25 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(t(None, 3.0, -1.0).isEmpty) // cpu bean unavailable
     // no prior, honest busy query: nothing fires
     assert(t(None, 10.0, 200.0).isEmpty)
+  }
+
+  test("cpu trigger closes the 1.5-3x wall blind spot (r15 VERDICT #2)") {
+    def tc(priorWall: Double, priorCpu: Double, wall: Double, cpu: Double) =
+      Bench.triggerOf(Some((priorWall, priorCpu)), wall, cpu)
+    // the r15 escape: dedup_minhash_sig 0.66s/9.1cpu -> 1.72s/27.6cpu —
+    // wall 2.6x (under the 3x trigger) but cpu 3x; must now fire
+    assert(tc(0.66, 9.1, 1.72, 27.6).exists(_.startsWith("cpu>2x_prior")))
+    // floors: absolute magnitude below 5 cpu-sec never fires (sub-second
+    // noise), and exactly 2x is not > 2x
+    assert(tc(0.20, 1.5, 0.50, 4.0).isEmpty)
+    assert(tc(1.00, 10.0, 1.50, 20.0).isEmpty)
+    assert(tc(1.00, 10.0, 1.50, 20.1).exists(_.startsWith("cpu>2x_prior")))
+    // no prior cpu recorded (pre-r16 artifact, or bean unavailable): the
+    // cpu rule stays silent rather than comparing against -1
+    assert(Bench.triggerOf(Some((1.0, -1.0)), 1.5, 30.0).isEmpty)
+    // wall rules outrank the cpu rule: a 3x wall regression keeps its
+    // wall label even when cpu also doubled
+    assert(tc(0.50, 5.0, 1.60, 12.0).exists(_.startsWith("wall>3x_prior")))
   }
 
   test("verdictOf is three-valued and symmetric around the 1.5x envelope") {
@@ -147,7 +170,8 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     val ratios =
       (1 to 120).map(i => ("scale", 10, s"scaled_query_name_$i", i * 0.31)) ++
         (1 to 40).map(i => ("scale26", 26, s"capped_query_name_$i", i * 0.17)) ++
-        (1 to 10).map(i => ("scale100", 100, s"headline_query_$i", i * 1.1))
+        (1 to 10).map(i => ("scale100", 100, s"headline_query_$i", i * 1.1)) ++
+        (1 to 6).map(i => ("scaleF", 10, s"fresh_stream_query_$i", i * 0.9))
     val verdicts = Seq("reproduced", "environmental", "chunk-deflated",
       "unresolved", "reproduced")
     val line = Bench.buildFinalLine(walls, failed, ratios,

@@ -96,6 +96,40 @@ class ScaleDataSpec extends SparkSpec {
       "copy 25 must be the pure 25-rotation of copy 0 — a transform axis leaked below 26")
   }
 
+  test("freshenEvents: copies carry fresh props, the default repeats them verbatim") {
+    // the two stream-dedup regimes (r15 VERDICT #2): the default corpus is
+    // duplicate-heavy (props verbatim per copy — distinct-content count
+    // constant in the factor), the freshened corpus is fresh-content
+    // (distinct props scale ~linearly; cohorts and times unchanged)
+    val dDup = s"${System.getProperty("java.io.tmpdir")}/graft_scale_spec_evdup"
+    val dFresh = s"${System.getProperty("java.io.tmpdir")}/graft_scale_spec_evfr"
+    ScaleData.synthesize(spark, sf, dDup, factor = 3, tables = Set("events"))
+    ScaleData.synthesize(spark, sf, dFresh, factor = 3, tables = Set("events"),
+      freshenEvents = true)
+    val base = Tables.events(spark, sf)
+    val dup = Tables.events(spark, dDup)
+    val fresh = Tables.events(spark, dFresh)
+    val baseDistinct = base.select("props").distinct().count()
+    assert(dup.select("props").distinct().count() === baseDistinct,
+      "default regime must repeat props verbatim")
+    val freshDistinct = fresh.select("props").distinct().count()
+    assert(freshDistinct > baseDistinct * 2,
+      s"freshened regime must multiply distinct content ($freshDistinct vs $baseDistinct)")
+    // cohort key and event times are regime-invariant: the two corpora
+    // differ ONLY in content freshness
+    assert(fresh.select("event_type").distinct().count() ===
+      base.select("event_type").distinct().count())
+    assert(fresh.count() === base.count() * 3)
+    // copy 0 is the identity: its props equal the source rows'
+    val c0 = fresh.filter(copyOf(col("event_id")) === 0)
+      .select((col("event_id") % ScaleData.IdStride).as("base_id"), col("props"))
+    val src = base.select(col("event_id").as("base_id"),
+      col("props").as("expected"))
+    assert(c0.join(src, "base_id")
+      .filter(!(col("props") <=> col("expected"))).count() === 0,
+      "copy 0 must be the identity transform")
+  }
+
   test("embedding copies are distinct vectors") {
     val emb = Tables.embeddings(spark, outDir)
     val dup = emb

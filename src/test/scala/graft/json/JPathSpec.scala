@@ -92,6 +92,23 @@ class JPathSpec extends AnyFunSuite {
       .flatMap(JPath.get(_, "['a b']")).contains(JInt(9)))
   }
 
+  test("quoted bracket keys may contain ']' and escaped quotes (ADVICE r15)") {
+    val d = JValue.parse("""{"a]b":1,"q'k":2,"c\\d":3}""")
+    // ']' inside a quoted selector does not close the bracket
+    assert(JPath.parse("['a]b']") == Vector(JPath.Field("a]b")))
+    assert(JPath.get(d, "['a]b']").contains(JInt(1)))
+    // backslash-escaped quote of the SAME kind, and escaped backslash
+    assert(JPath.parse("['q\\'k']") == Vector(JPath.Field("q'k")))
+    assert(JPath.get(d, "['q\\'k']").contains(JInt(2)))
+    assert(JPath.parse("['c\\\\d']") == Vector(JPath.Field("c\\d")))
+    assert(JPath.get(d, "['c\\\\d']").contains(JInt(3)))
+    // a quote closing EARLY (trailing junk inside the bracket) is malformed,
+    // as is an unterminated quote swallowing the rest of the path
+    for (bad <- Seq("['k'x]", "['a]b]", "['a\\']"))
+      assert(intercept[IllegalArgumentException] { JPath.parse(bad) }
+        .getMessage.contains("bad path selector"), bad)
+  }
+
   test("negative read indexes and [*] wildcard (ojg semantics)") {
     val arr = JValue.parse("""{"a":[10,20,30]}""")
     assert(JPath.get(arr, "a[-1]").contains(JInt(30)))

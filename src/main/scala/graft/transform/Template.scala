@@ -33,24 +33,41 @@ object Template {
   type Resolver = String => Option[JValue]
 
   def resolver(ctx: Ctx): Resolver = { name =>
-    // the data branch requires the "$.data." separator (Arg.parse's rule):
-    // "$.dataschema" / "$.datacontenttype" are ATTRIBUTE holes, and a bare
-    // startsWith("$.data") would misroute them into a data-path miss
-    if (name == "$.data" || name.startsWith("$.data.")) {
-      val p = if (name == "$.data") "" else name.substring(7)
-      if (p.isEmpty) Some(ctx.data)
-      else {
-        val segs = JPath.parse(p)
-        val multi = JPath.isProjection(segs)
-        // projection paths resolve like the reference's template segments
-        // (pkg/template/json/segment.go:92-137: 0 results = miss,
-        // 1 = the value, many = an array)
-        if (multi) JPath.getAll(ctx.data, segs) match {
-          case Vector() => None
-          case Vector(one) => Some(one)
-          case many => Some(JArr(many))
-        }
-        else JPath.get(ctx.data, segs)
+    // projection paths resolve like the reference's template segments
+    // (pkg/template/json/segment.go:92-137: 0 results = miss,
+    // 1 = the value, many = an array)
+    def dataLookup(segs: Vector[JPath.Seg]): Option[JValue] =
+      if (segs.isEmpty) Some(ctx.data)
+      else if (JPath.isProjection(segs)) JPath.getAll(ctx.data, segs) match {
+        case Vector() => None
+        case Vector(one) => Some(one)
+        case many => Some(JArr(many))
+      }
+      else JPath.get(ctx.data, segs)
+    def parsed(p: String): Option[Vector[JPath.Seg]] =
+      try Some(JPath.parse(p))
+      catch { case _: IllegalArgumentException => None } // malformed = miss
+    // the data branch requires a "." or "[" separator after "$.data"
+    // (Arg.parse's rule): "$.dataschema" / "$.datacontenttype" are
+    // ATTRIBUTE holes, and a bare startsWith("$.data") would misroute
+    // them into a data-path miss. The bracket form `$.data["k"]`
+    // (template_test.go "refer data of model") routes here too.
+    if (name == "$.data" || name.startsWith("$.data.") ||
+      name.startsWith("$.data[")) {
+      val p =
+        if (name == "$.data") ""
+        else if (name.charAt(6) == '[') name.substring(6)
+        else name.substring(7)
+      if (p.isEmpty) Some(ctx.data) else parsed(p).flatMap(dataLookup)
+    } else if (name.startsWith("$[")) {
+      // bracket-rooted hole (<$["i"].j>, parser_test.go template): the
+      // quoted root segment routes exactly like its dotted spelling —
+      // 'data' into the body, a single other segment as an attribute
+      parsed(name.substring(1)).flatMap {
+        case JPath.Field("data") +: rest => dataLookup(rest.toVector)
+        case Vector(JPath.Field(attr)) =>
+          ctx.event.flatMap(_.lookupAttr(attr.toLowerCase)).map(JStr(_))
+        case _ => None
       }
     } else if (name.startsWith("$.")) {
       ctx.event.flatMap(_.lookupAttr(name.substring(2).toLowerCase)).map(JStr(_))
@@ -63,6 +80,30 @@ object Template {
   private final case class Lit(s: String) extends Seg
   private final case class Hole(name: String) extends Seg
 
+  /** Index of the unquoted '>' closing a hole opened at `lt`
+    * (`t(lt) == '<'`), or -1. '>' inside a '…'/"…" bracket-key segment
+    * does not close the hole, and backslash escapes the quote char inside
+    * one — the reference's tokenizer plan (pkg/template/json/tokenize.go;
+    * parser_test.go feeds the path `$.c[2].d['e-f g\'"<>'].h` inside a
+    * hole).
+    */
+  private def holeEnd(t: String, lt: Int): Int = {
+    var i = lt + 1
+    var quote: Char = 0
+    var escaped = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
+
   private def parseSegments(t: String): Vector[Seg] = {
     val segs = Vector.newBuilder[Seg]
     val sb = new StringBuilder
@@ -71,7 +112,7 @@ object Template {
       t(i) match {
         case '\\' if i + 1 < t.length => sb.append(t(i + 1)); i += 2
         case '<' =>
-          val j = t.indexOf('>', i + 1)
+          val j = holeEnd(t, i)
           if (j < 0) { sb.append(t(i)); i += 1 }
           else {
             if (sb.nonEmpty) { segs += Lit(sb.toString); sb.clear() }
@@ -120,7 +161,7 @@ object Template {
         case '[' => parseArray()
         case '"' => parseString()
         case '<' =>
-          val j = t.indexOf('>', i + 1)
+          val j = holeEnd(t, i)
           if (j < 0) fail("unterminated hole")
           val name = t.substring(i + 1, j); i = j + 1
           JTHole(name)
@@ -167,7 +208,7 @@ object Template {
             }
             i += 2
           case '<' =>
-            val j = t.indexOf('>', i + 1)
+            val j = holeEnd(t, i)
             if (j < 0) { sb.append('<'); i += 1 }
             else {
               if (sb.nonEmpty) { segs += Lit(sb.toString); sb.clear() }

@@ -366,6 +366,83 @@ class ConformanceSpec extends AnyFunSuite {
       == "{\"key\":\"<a\\r\\nb>\",\"key2\":\"<b\\r\\na>\"}")
   }
 
+  test("json template: bracket data holes (template_test.go 'refer data of model')") {
+    val t = """{"key":<$.data["var"]>,"key2":"<$.data['var2']>"}"""
+    // missing: unquoted member DROPPED, quoted ""
+    assert(render(t, "{}") == """{"key2":""}""")
+    // nil is a VALUE, not a miss: member kept as null / "null"
+    assert(render(t, """{"var":null,"var2":null}""")
+      == """{"key":null,"key2":"null"}""")
+    assert(render(t, """{"var":"var","var2":"var2"}""")
+      == """{"key":"var","key2":"var2"}""")
+    assert(render(t, """{"var":123.456,"var2":321.654}""")
+      == """{"key":123.456,"key2":"321.654"}""")
+    assert(render(t, """{"var":true,"var2":true}""")
+      == """{"key":true,"key2":"true"}""")
+  }
+
+  test("json template: nil model value is kept, missing is omitted (template_test.go)") {
+    val t = """{"key":<$.data.var>,"key2":"<$.data.var2>"}"""
+    assert(render(t, """{"var":null,"var2":null}""")
+      == """{"key":null,"key2":"null"}""")
+    assert(render(t, "{}") == """{"key2":""}""")
+  }
+
+  test("json template: the parser_test.go master template parses and renders") {
+    // pkg/template/json/parser_test.go's template, verbatim: dynamic
+    // string with \</br> escape, \r and \u000A escapes, a quoted bracket
+    // key containing \' " < and >, a bracket-rooted hole, literals of
+    // every JSON kind, a negative fraction, and an empty object
+    val template =
+      "{\n" +
+        "  \"foo\": \"str\",\n" +
+        "  \"bar\": [\n" +
+        "    <var>,\n" +
+        // the reference's free-form model root maps to our CE `data` body,
+        // so its `$.c[2]...` spells `$.data.c[2]...` here — the path's
+        // quoted-key torture (\' " < > inside a hole) is unchanged
+        "    \"<a0> baz <b1> \\</br>\\r\\" + "u000A<$.data.c[2].d['e-f g\\'\"<>'].h>\",\n" +
+        "    \"<h>\",\n" +
+        "    \"que\",\n" +
+        "    true,\n" +
+        "    false,\n" +
+        "    null,\n" +
+        "    {},\n" +
+        "    []\n" +
+        "  ],\n" +
+        "  \"quux\": <$[\"i\"].j>,\n" +
+        "  \"num\": -0.0123,\n" +
+        "  \"empty\": {\n" +
+        "  }\n" +
+        "}"
+    val data = """{"c":[0,0,{"d":{"e-f g'\"<>":{"h":"HH"}}}]}"""
+    val rendered = render(template, data,
+      "a0" -> JStr("A0"), "b1" -> JStr("B1"))
+    val v = JValue.parse(rendered).asInstanceOf[JObj]
+    assert(JPath.get(v, "foo").contains(JStr("str")))
+    val bar = JPath.get(v, "bar").get.asInstanceOf[JArr].items
+    assert(bar(0) == JNull) // missing VARIABLE hole renders null
+    // the dynamic string: defines, the escaped </br>, CR, LF (\ u000A),
+    // and the quoted-bracket-key data path all interpolate
+    assert(bar(1) == JStr("A0 baz B1 </br>\r\nHH"))
+    assert(bar(2) == JStr("")) // missing define in a string: ""
+    assert(bar(3) == JStr("que"))
+    assert(bar.slice(4, 9) == Vector(JBool(true), JBool(false), JNull,
+      JObj.empty, JArr(Vector.empty)))
+    // <$["i"].j> is a missing model hole: the member is omitted
+    assert(JPath.get(v, "quux").isEmpty)
+    assert(JPath.get(v, "num").contains(JDouble(-0.0123)))
+    assert(JPath.get(v, "empty").contains(JObj.empty))
+  }
+
+  test("json template: bracket-rooted attribute hole <$['type']>") {
+    // the dotted and bracket spellings of an attribute hole agree
+    assert(render("""{"k":<$["type"]>}""", "{}") == """{"k":"t"}""")
+    assert(render("""{"k":<$.type>}""", "{}") == """{"k":"t"}""")
+    // and the 'data' root routes into the body
+    assert(render("""{"k":<$["data"].x>}""", """{"x":7}""") == """{"k":7}""")
+  }
+
   // ===== trigger/util attribute semantics ================================
 
   test("SetAttribute vectors (server/trigger/util/event_test.go:53-113)") {

@@ -575,14 +575,25 @@ object SubscriptionRunner {
     def attach(spec: Spec, delivery: Delivery,
         reset: OffsetReset): BatchResult = synchronized {
       requireJoinable(spec)
-      val w = watermark
+      // the catch-up boundary. Mid-stream, it is the processed watermark
+      // (unprocessed on-disk tail arrives via the next shared batches).
+      // Before ANY batch has run in this process — a fresh group, or a
+      // RESTARTED group whose checkpoint already covers old data the
+      // stream will never re-emit — it falls back to the bus's on-disk
+      // high-water mark: the catch-up read serves everything up to it and
+      // the guard skips it in the stream, so history an existing
+      // checkpoint would silently swallow still reaches an Earliest
+      // attacher exactly once.
+      lazy val onDisk: Long = {
+        val r = sourceBus.read(spark).agg(max(col("sequence_number"))).head
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      }
+      val w = if (watermark > Long.MinValue) watermark else onDisk
       val guard = reset match {
         case OffsetReset.Latest =>
           // "from now": skip what the stream processed AND what is
           // already on disk awaiting the next trigger
-          val onDisk = sourceBus.read(spark)
-            .agg(max(col("sequence_number"))).head
-          if (onDisk.isNullAt(0)) w else math.max(w, onDisk.getLong(0))
+          math.max(w, onDisk)
         case _ => w
       }
       val catchup: Option[DataFrame] = reset match {

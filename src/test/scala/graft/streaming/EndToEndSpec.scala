@@ -486,6 +486,71 @@ class EndToEndSpec extends SparkSpec {
     } finally if (group.query.isActive) group.query.stop()
   }
 
+  test("SharedGroup restart: an Earliest attacher still sees checkpoint-covered history") {
+    // the r16 review gap: after a group RESTART (fresh driver memory,
+    // existing checkpoint) the watermark is unknown and the stream never
+    // re-emits processed data — the attach boundary must fall back to the
+    // bus's on-disk high-water mark so history reaches the attacher
+    // exactly once via the catch-up read
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    val sourceBus = EventBus(tmp("rasrc"))
+    val ckpt = tmp("rack")
+    RestartAttachE2E.a.clear(); RestartAttachE2E.b.clear()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("type").isin("purchase", "signup"))
+      .filter(col("sequence_number") < 120)
+    val batch1 = events.filter(col("sequence_number") < 60)
+    val batch2 = events.filter(col("sequence_number") >= 60)
+    def idsOf(df: org.apache.spark.sql.DataFrame, t: String): Set[String] =
+      df.filter(col("type") === t).select("id").collect()
+        .map(_.getString(0)).toSet
+    sourceBus.append(batch1)
+    val specA = SubscriptionRunner.Spec(
+      Seq(graft.model.FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+      SubscriptionRunner.Config("sub-a"))
+    val sinkA: SubscriptionRunner.Sink = { d => RestartAttachE2E.a.add(d.id); Right(()) }
+
+    // run 1: the founding member drains batch1, then the group stops
+    val g1 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus, Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, ckpt)
+    try { assert(g1.query.awaitTermination(60000)) }
+    finally if (g1.query.isActive) g1.query.stop()
+    assert(RestartAttachE2E.a.asScala.toSet == idsOf(batch1, "purchase"))
+
+    // run 2 (RESTART: same checkpoint, fresh group object): attach an
+    // Earliest subscriber BEFORE any batch runs in this process
+    val g2 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus, Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, ckpt, trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      val specB = SubscriptionRunner.Spec(
+        Seq(graft.model.FilterSpec.Exact(Seq("type" -> "signup"))), None,
+        SubscriptionRunner.Config("sub-b"))
+      val sinkB: SubscriptionRunner.Sink = { d => RestartAttachE2E.b.add(d.id); Right(()) }
+      val res = g2.attach(specB,
+        SubscriptionRunner.Delivery.PerEvent(sinkB),
+        SubscriptionRunner.OffsetReset.Earliest)
+      assert(res.delivered == idsOf(batch1, "signup").size.toLong,
+        "catch-up must serve checkpoint-covered history on a restarted group")
+      assert(RestartAttachE2E.b.asScala.toSet == idsOf(batch1, "signup"))
+      // batch2 lands after the attach: both members see it exactly once,
+      // and NOTHING from batch1 is re-delivered (checkpoint + guard)
+      sourceBus.append(batch2)
+      val expectA = idsOf(batch1, "purchase") ++ idsOf(batch2, "purchase")
+      val expectB = idsOf(batch1, "signup") ++ idsOf(batch2, "signup")
+      val d2 = System.currentTimeMillis() + 60000
+      def settled: Boolean =
+        RestartAttachE2E.a.asScala.toSet == expectA &&
+          RestartAttachE2E.b.asScala.toSet == expectB
+      while (!settled && System.currentTimeMillis() < d2) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(RestartAttachE2E.a.asScala.toSeq.sorted == expectA.toSeq.sorted)
+      assert(RestartAttachE2E.b.asScala.toSeq.sorted == expectB.toSeq.sorted)
+    } finally if (g2.query.isActive) g2.query.stop()
+  }
+
   test("startSharedGroup: a member's batched delivery chunks like stream_send_batches") {
     import scala.jdk.CollectionConverters._
     val sourceBus = EventBus(tmp("sbsrc"))
@@ -576,6 +641,11 @@ object LateAttachE2E {
   val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val c = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object RestartAttachE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 object SharedBatchedE2E {

@@ -28,42 +28,54 @@ object JPath {
     */
   final case class Slice(start: Option[Int], end: Option[Int], step: Int) extends Seg
 
+  /** Index of the first `end` char at/after `from` that sits OUTSIDE any
+    * '…'/"…" span (backslash escapes the next char inside a span), or -1.
+    * The ONE quote-aware scanner (ADVICE r15): the path bracket lexer
+    * below and the template hole scanner
+    * ([[graft.transform.Template]]) both delegate here, so the quoting
+    * rules cannot drift apart.
+    */
+  private[graft] def scanToUnquoted(t: String, from: Int, end: Char): Int = {
+    var i = from
+    var quote: Char = 0
+    var escaped = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == end) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Parse a path body ("a.b[2]", already stripped of `$.data.` / `@.`). */
   def parse(path: String): Vector[Seg] = {
     if (path.isEmpty) return Vector.empty
     val segs = Vector.newBuilder[Seg]
-    val it = path.iterator.buffered
     val name = new StringBuilder
     def flushName(): Unit = {
       if (name.nonEmpty) { segs += Field(name.toString); name.clear() }
     }
-    while (it.hasNext) {
-      it.next() match {
-        case '.' => flushName()
+    var i = 0
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' => flushName(); i += 1
         case '[' =>
           flushName()
-          // quote-aware scan (ADVICE r15): a quoted member selector may
+          // quote-aware (ADVICE r15): a quoted member selector may
           // contain ']' (['a]b'] is legal in ojg/RFC 9535) and
           // backslash-escaped quotes — only an UNQUOTED ']' closes the
           // selector. An unterminated quote consumes to end-of-path and
           // parseBracket rejects the mismatched body.
-          val idx = new StringBuilder
-          var quote: Char = 0
-          var escaped = false
-          var closed = false
-          while (it.hasNext && !closed) {
-            val c = it.head
-            if (quote != 0) {
-              idx.append(it.next())
-              if (escaped) escaped = false
-              else if (c == '\\') escaped = true
-              else if (c == quote) quote = 0
-            } else if (c == '\'' || c == '"') { quote = c; idx.append(it.next()) }
-            else if (c == ']') { it.next(); closed = true }
-            else idx.append(it.next())
-          }
-          segs += parseBracket(idx.toString)
-        case c => name.append(c)
+          val j = scanToUnquoted(path, i + 1, ']')
+          val stop = if (j < 0) path.length else j
+          segs += parseBracket(path.substring(i + 1, stop))
+          i = stop + 1
+        case c => name.append(c); i += 1
       }
     }
     flushName()

@@ -320,6 +320,13 @@ object StreamNearDedup {
   def verdictsStreamBoth(events: DataFrame, maxState: Int = 1 << 20,
       exactTtl: Option[java.time.Duration] = None,
       nearTtl: Option[java.time.Duration] = None): Dataset[CeVerdict2] = {
+    // both-or-neither: with exactly one TTL set the timeout mode is
+    // ProcessingTimeTimeout but the other group kind never arms a
+    // timeout, so half the state would accumulate forever under a
+    // streaming query — an unbounded-state footgun, rejected
+    require(exactTtl.isDefined == nearTtl.isDefined,
+      "verdictsStreamBoth needs both TTLs or neither (a single-knob " +
+        "horizon is verdictsStream/IngestDedup's job)")
     implicit val rEnc = Encoders.product[CeBlockRow]
     implicit val oEnc = Encoders.product[CeVerdict2]
     implicit val kEnc = Encoders.STRING
@@ -382,6 +389,15 @@ object StreamNearDedup {
       .select(col("payload"), col("exact_dup"),
         (!col("exact_dup") && col("raw_near")).as("near_dup"))
 
+  /** The keep-frame of a [[rollupBoth]] output: events neither knob
+    * flagged, payload expanded back to the CE frame. The ONE spelling of
+    * the keep-iff-neither-flags contract — batch, streaming and the
+    * oracle all call this.
+    */
+  def keptOfBoth(verdictRollup: DataFrame): DataFrame =
+    verdictRollup.filter(!col("exact_dup") && !col("near_dup"))
+      .select(col("payload.*"))
+
   /** Batch form of the composed knobs (one fold from empty state — the
     * oracle surface and the `processBatch` path): the input CE frame minus
     * exact and near-dup arrivals.
@@ -389,9 +405,8 @@ object StreamNearDedup {
   def keepFirstBoth(events: DataFrame, maxState: Int = 1 << 20,
       exactTtl: Option[java.time.Duration] = None,
       nearTtl: Option[java.time.Duration] = None): DataFrame =
-    rollupBoth(verdictsStreamBoth(events, maxState, exactTtl, nearTtl).toDF())
-      .filter(!col("exact_dup") && !col("near_dup"))
-      .select(col("payload.*"))
+    keptOfBoth(rollupBoth(
+      verdictsStreamBoth(events, maxState, exactTtl, nearTtl).toDF()))
 
   /** Reduce a (micro-)batch of [[CeVerdict]] rows back to the CE frame of
     * the events that are NOT near-dups of earlier content. An event is

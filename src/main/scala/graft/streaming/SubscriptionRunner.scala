@@ -170,9 +170,7 @@ object SubscriptionRunner {
           val dc = verdicts.agg(
             count(when(col("exact_dup"), 1)),
             count(when(col("near_dup"), 1))).head
-          val kept = verdicts
-            .filter(!col("exact_dup") && !col("near_dup"))
-            .select(col("payload.*"))
+          val kept = StreamNearDedup.keptOfBoth(verdicts)
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
             val r = processBatchCached(kept, spec, delivery, retryBus,
@@ -443,9 +441,8 @@ object SubscriptionRunner {
           .option("checkpointLocation", checkpoint)
           .trigger(trigger)
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            deliver(StreamNearDedup.rollupBoth(batch)
-              .filter(!col("exact_dup") && !col("near_dup"))
-              .select(col("payload.*")))
+            deliver(StreamNearDedup.keptOfBoth(
+              StreamNearDedup.rollupBoth(batch)))
           }
           .start()
       case (None, Some(h)) =>
@@ -494,12 +491,20 @@ object SubscriptionRunner {
     * could not replay from earliest without restarting the whole group).
     *
     * Exactly-once across the attach boundary: `attach` synchronizes with
-    * the micro-batch loop, snapshots the group's processed high-watermark
-    * W (max `sequence_number` delivered so far), serves `[reset, W]` as
-    * one BATCH read of the bus (partition-pruned parquet scan — no second
-    * streaming query), and registers the subscription with a `seq > W`
-    * guard on all future shared micro-batches. Every event lands in
-    * exactly one of the two ranges.
+    * the micro-batch loop (so no shared batch is in flight), snapshots
+    * the bus's ON-DISK high-water mark B (max `sequence_number` written),
+    * serves `[reset offset, B]` as one BATCH read of the bus
+    * (partition-pruned parquet scan — no second streaming query), and
+    * registers the subscription with a `seq > B` guard on all future
+    * shared micro-batches. Every event lands in exactly one of the two
+    * ranges: everything ≤ B is on disk and readable by the catch-up,
+    * everything arriving later has seq > B (the bus's sequence numbers
+    * are monotone). B deliberately sits at-or-above the group's processed
+    * offset — rows the stream has not yet processed are served by the
+    * catch-up and guarded off the member's stream view, which also makes
+    * attach restart-safe with zero per-batch bookkeeping (a RESTARTED
+    * group's checkpoint never re-emits processed history, but the
+    * catch-up read does).
     *
     * The roster (and each member's guard) is driver memory, not
     * checkpoint state: a restarted group is rebuilt by the caller
@@ -517,7 +522,6 @@ object SubscriptionRunner {
     // (spec, delivery, guard): rows with sequence_number <= guard are
     // skipped for this member (already served by its catch-up read)
     private var members = Vector.empty[(Spec, Delivery, Long)]
-    private var watermark = Long.MinValue
     private[SubscriptionRunner] var queryRef: StreamingQuery = _
     def query: StreamingQuery = queryRef
 
@@ -542,15 +546,14 @@ object SubscriptionRunner {
     }
 
     /** One shared micro-batch: pin ONCE, run every member's routing over
-      * the cached copy (each behind its attach guard), advance the
-      * watermark. Holding the group lock for the batch means [[attach]]
-      * only ever observes a quiesced watermark.
+      * the cached copy (each behind its attach guard). Holding the group
+      * lock for the batch means [[attach]] never races an in-flight
+      * batch.
       */
     private[SubscriptionRunner] def processShared(batch: DataFrame): Unit =
       synchronized {
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val maxSeq = cached.agg(max(col("sequence_number"))).head
           val results = members.map { case (spec, delivery, guard) =>
             val in =
               if (guard == Long.MinValue) cached
@@ -559,56 +562,48 @@ object SubscriptionRunner {
               processBatchCached(in, spec, delivery, retryBus, dlqBus,
                 System.currentTimeMillis() / 1000)
           }.toMap
-          if (!maxSeq.isNullAt(0))
-            watermark = math.max(watermark, maxSeq.getLong(0))
           onBatch(results)
         } finally { cached.unpersist(); () }
       }
 
     /** Add a subscription to the running group. Returns the catch-up
       * pass's [[BatchResult]] (zeros for `Latest`). The catch-up is a
-      * batch read of the bus — `[reset offset, W]` through the full
+      * batch read of the bus — `[reset offset, B]` through the full
       * filter/transform/deliver routing — so the earliest-policy
       * subscriber sees every pre-attach event exactly once, then joins
-      * the shared cadence behind a `seq > W` guard.
+      * the shared cadence behind a `seq > B` guard (B = the on-disk
+      * high-water mark at attach time; see the class scaladoc for the
+      * exactly-once argument).
       */
     def attach(spec: Spec, delivery: Delivery,
         reset: OffsetReset): BatchResult = synchronized {
       requireJoinable(spec)
-      // the catch-up boundary. Mid-stream, it is the processed watermark
-      // (unprocessed on-disk tail arrives via the next shared batches).
-      // Before ANY batch has run in this process — a fresh group, or a
-      // RESTARTED group whose checkpoint already covers old data the
-      // stream will never re-emit — it falls back to the bus's on-disk
-      // high-water mark: the catch-up read serves everything up to it and
-      // the guard skips it in the stream, so history an existing
-      // checkpoint would silently swallow still reaches an Earliest
-      // attacher exactly once.
-      lazy val onDisk: Long = {
-        val r = sourceBus.read(spark).agg(max(col("sequence_number"))).head
-        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-      }
-      val w = if (watermark > Long.MinValue) watermark else onDisk
-      val guard = reset match {
-        case OffsetReset.Latest =>
-          // "from now": skip what the stream processed AND what is
-          // already on disk awaiting the next trigger
-          math.max(w, onDisk)
-        case _ => w
-      }
+      // B: the on-disk high-water mark. MinValue on a bus that is empty
+      // or has never been written (spark.read on a nonexistent/empty
+      // parquet dir throws — there is nothing to catch up, the member
+      // simply joins the stream unguarded).
+      val boundary: Long =
+        try {
+          val r = sourceBus.read(spark)
+            .agg(max(col("sequence_number"))).head
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        } catch { case _: org.apache.spark.sql.AnalysisException => Long.MinValue }
       val catchup: Option[DataFrame] = reset match {
-        case OffsetReset.Earliest if w > Long.MinValue =>
+        case OffsetReset.Earliest if boundary > Long.MinValue =>
           Some(sourceBus.read(spark)
-            .filter(col("sequence_number") <= w))
-        case OffsetReset.ByTime(ts) if w > Long.MinValue =>
-          // an offset SEEK (block_seek.go:45-86), not a time filter:
-          // out-of-order event times after the first qualifying offset
-          // are included, exactly as the reference replays them
+            .filter(col("sequence_number") <= boundary))
+        case OffsetReset.ByTime(ts) if boundary > Long.MinValue =>
+          // an offset SEEK (block_seek.go:45-86), not a time filter: the
+          // reset point is the FIRST offset with time >= ts; everything
+          // at-or-after it (out-of-order times included) is delivered,
+          // everything before it is skipped. No qualifying offset yet =
+          // positioned at the log end (catch-up empty; future appends all
+          // land past the guard).
           val first = sourceBus.offsetByTime(spark, ts).head
           if (first.isNullAt(0)) None
           else Some(sourceBus.read(spark)
             .filter(col("sequence_number") >= first.getLong(0) &&
-              col("sequence_number") <= w))
+              col("sequence_number") <= boundary))
         case _ => None
       }
       val res = catchup match {
@@ -616,7 +611,7 @@ object SubscriptionRunner {
           processBatchWith(df, spec, delivery, retryBus, dlqBus)
         case None => BatchResult(0L, 0L, 0L, 0L)
       }
-      members :+= ((spec, delivery, guard))
+      members :+= ((spec, delivery, boundary))
       res
     }
   }

@@ -85,24 +85,12 @@ object Template {
     * does not close the hole, and backslash escapes the quote char inside
     * one — the reference's tokenizer plan (pkg/template/json/tokenize.go;
     * parser_test.go feeds the path `$.c[2].d['e-f g\'"<>'].h` inside a
-    * hole).
+    * hole). Delegates to the one shared quote-aware scanner
+    * ([[JPath.scanToUnquoted]]) so the hole lexer and the path bracket
+    * lexer can never disagree on quoting.
     */
-  private def holeEnd(t: String, lt: Int): Int = {
-    var i = lt + 1
-    var quote: Char = 0
-    var escaped = false
-    while (i < t.length) {
-      val c = t.charAt(i)
-      if (quote != 0) {
-        if (escaped) escaped = false
-        else if (c == '\\') escaped = true
-        else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"') quote = c
-      else if (c == '>') return i
-      i += 1
-    }
-    -1
-  }
+  private def holeEnd(t: String, lt: Int): Int =
+    JPath.scanToUnquoted(t, lt + 1, '>')
 
   private def parseSegments(t: String): Vector[Seg] = {
     val segs = Vector.newBuilder[Seg]

@@ -401,7 +401,8 @@ class EndToEndSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.streaming.Trigger
     val sourceBus = EventBus(tmp("lasrc"))
-    LateAttachE2E.a.clear(); LateAttachE2E.b.clear(); LateAttachE2E.c.clear()
+    LateAttachE2E.a.clear(); LateAttachE2E.b.clear()
+    LateAttachE2E.c.clear(); LateAttachE2E.d.clear()
     val events = EventView.fromEventsTable(Tables.events(spark, sf))
       .filter(col("type").isin("purchase", "signup"))
       .filter(col("sequence_number") < 120)
@@ -452,16 +453,41 @@ class EndToEndSpec extends SparkSpec {
         SubscriptionRunner.Delivery.PerEvent(sinkC),
         SubscriptionRunner.OffsetReset.Latest).delivered == 0L)
 
-      // batch2 lands AFTER both attaches: every member sees it once
+      // BY-TIME attach: an offset SEEK — catch-up starts at the FIRST
+      // offset whose event time is >= ts and runs to the disk boundary;
+      // later out-of-order times are included (block_seek.go semantics)
+      val rows1 = batch1.select("sequence_number", "time", "type", "id")
+        .collect().sortBy(_.getLong(0))
+      val ts = rows1(rows1.length / 2).getTimestamp(1)
+      val firstSeq = rows1.filter(r => !r.getTimestamp(1).before(ts))
+        .map(_.getLong(0)).min
+      val expectD1 = rows1.filter(r => r.getLong(0) >= firstSeq &&
+        r.getString(2) == "signup").map(_.getString(3)).toSet
+      val specD = SubscriptionRunner.Spec(
+        Seq(graft.model.FilterSpec.Exact(Seq("type" -> "signup"))), None,
+        SubscriptionRunner.Config("sub-d"))
+      val sinkD: SubscriptionRunner.Sink = { d => LateAttachE2E.d.add(d.id); Right(()) }
+      val resD = group.attach(specD,
+        SubscriptionRunner.Delivery.PerEvent(sinkD),
+        SubscriptionRunner.OffsetReset.ByTime(ts))
+      assert(resD.delivered == expectD1.size.toLong,
+        "by-time catch-up must start at the seek offset")
+      assert(LateAttachE2E.d.asScala.toSet == expectD1)
+
+      // batch2 lands AFTER all attaches: every member sees it once —
+      // including the by-time member, whose seek offset precedes ALL of
+      // batch2 regardless of batch2's event times
       sourceBus.append(batch2)
       val expectA = idsOf(batch1, "purchase") ++ idsOf(batch2, "purchase")
       val expectB = idsOf(batch1, "signup") ++ idsOf(batch2, "signup")
       val expectC = idsOf(batch2, "signup")
+      val expectD = expectD1 ++ idsOf(batch2, "signup")
       val d2 = System.currentTimeMillis() + 60000
       def settled: Boolean =
         LateAttachE2E.a.asScala.toSet == expectA &&
           LateAttachE2E.b.asScala.toSet == expectB &&
-          LateAttachE2E.c.asScala.toSet == expectC
+          LateAttachE2E.c.asScala.toSet == expectC &&
+          LateAttachE2E.d.asScala.toSet == expectD
       while (!settled && System.currentTimeMillis() < d2) Thread.sleep(50)
       Thread.sleep(500) // a wrongly re-delivered duplicate needs time to surface
       assert(LateAttachE2E.a.asScala.toSeq.sorted ==
@@ -470,6 +496,8 @@ class EndToEndSpec extends SparkSpec {
         "earliest attacher: catch-up + live stream, each event exactly once")
       assert(LateAttachE2E.c.asScala.toSeq.sorted == expectC.toSeq.sorted,
         "latest attacher: post-attach events only")
+      assert(LateAttachE2E.d.asScala.toSeq.sorted == expectD.toSeq.sorted,
+        "by-time attacher: seek-offset catch-up + live stream, exactly once")
 
       // duplicate id and horizon specs stay rejected on attach
       intercept[IllegalArgumentException] {
@@ -641,6 +669,7 @@ object LateAttachE2E {
   val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val c = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val d = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 object RestartAttachE2E {

@@ -614,6 +614,21 @@ object SubscriptionRunner {
       members :+= ((spec, delivery, boundary))
       res
     }
+
+    /** Remove a subscription from the running group (the reference
+      * deletes a subscription from its live trigger worker,
+      * server/trigger/worker.go RemoveSubscription). Synchronizes with
+      * the micro-batch loop, so the member either fully processes the
+      * in-flight batch or sees none of it — never half. Returns false if
+      * no member has the id. The id becomes free for a later re-attach
+      * (which starts from its own offset-reset policy, as any attach
+      * does).
+      */
+    def detach(subscriptionId: String): Boolean = synchronized {
+      val before = members.size
+      members = members.filterNot(_._1.config.subscriptionId == subscriptionId)
+      members.size < before
+    }
   }
 
   /** One stream, N subscriptions — the fan-out shape a 100 TB bus needs:

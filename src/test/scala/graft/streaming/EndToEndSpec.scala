@@ -511,6 +511,32 @@ class EndToEndSpec extends SparkSpec {
           SubscriptionRunner.Delivery.PerEvent(sinkB),
           SubscriptionRunner.OffsetReset.Latest)
       }
+
+      // DETACH: sub-c leaves the live group; the next batch reaches the
+      // remaining members but never sub-c, and its id frees for re-attach
+      assert(group.detach("sub-c"))
+      assert(!group.detach("sub-c"), "double detach must report false")
+      val cBefore = LateAttachE2E.c.asScala.toSet
+      val extra = EventView.fromEventsTable(Tables.events(spark, sf))
+        .filter(col("type").isin("purchase", "signup"))
+        .filter(col("sequence_number") >= 120 && col("sequence_number") < 160)
+      sourceBus.append(extra)
+      val expectA2 = expectA ++ idsOf(extra, "purchase")
+      val expectB2 = expectB ++ idsOf(extra, "signup")
+      val d3 = System.currentTimeMillis() + 60000
+      def settled2: Boolean =
+        LateAttachE2E.a.asScala.toSet == expectA2 &&
+          LateAttachE2E.b.asScala.toSet == expectB2
+      while (!settled2 && System.currentTimeMillis() < d3) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(LateAttachE2E.a.asScala.toSet == expectA2)
+      assert(LateAttachE2E.b.asScala.toSet == expectB2)
+      assert(LateAttachE2E.c.asScala.toSet == cBefore,
+        "a detached member must see nothing after detach")
+      // the freed id re-attaches cleanly
+      assert(group.attach(specC,
+        SubscriptionRunner.Delivery.PerEvent(sinkC),
+        SubscriptionRunner.OffsetReset.Latest).delivered == 0L)
     } finally if (group.query.isActive) group.query.stop()
   }
 

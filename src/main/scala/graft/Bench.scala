@@ -222,11 +222,17 @@ object Bench {
   }
 
   /** Per-query (wall, cpu) seconds from the newest committed
-    * `bench_detail_r<k>.json` with k < the current round — the
-    * cross-round baseline the adjudicator compares against. Base queries
-    * key as their name; scale rows as "tag:name". Parses both the pre-r13
-    * scalar format (`"q":1.234` — cpu recorded as -1) and the r13+ object
-    * format (`"q":{"sec":1.234,"cpu_sec":...}`).
+    * `bench_detail_r<k>.json` with k ≤ the current round — the baseline
+    * the adjudicator compares against. Same-round artifacts are PREFERRED
+    * over the previous round's (r16): the builder commits a full-run
+    * artifact before the driver's official run, and baselining the
+    * driver's run against those same-code numbers makes the wall/cpu
+    * triggers fire on environment inflation alone, instead of mixing it
+    * with a round's worth of code changes. (This run's own artifact is
+    * only written at the very end, so the read never sees itself.) Base
+    * queries key as their name; scale rows as "tag:name". Parses both
+    * the pre-r13 scalar format (`"q":1.234` — cpu recorded as -1) and
+    * the r13+ object format (`"q":{"sec":1.234,"cpu_sec":...}`).
     */
   private[graft] def priorDetail(round: Int,
       dir: java.io.File = new java.io.File(".")): Map[String, (Double, Double)] = try {
@@ -234,7 +240,7 @@ object Bench {
     val files = Option(dir.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => pat.findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f))
-      .filter(_._1 < round)
+      .filter(_._1 <= round)
     if (files.isEmpty) Map.empty
     else {
       val txt = java.nio.file.Files.readString(files.maxBy(_._1)._2.toPath)

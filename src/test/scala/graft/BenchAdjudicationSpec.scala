@@ -38,7 +38,7 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(prior("scale26:dedup_phash_neardup") == ((48.686, -1.0)))
   }
 
-  test("priorDetail parses the r13+ object format and picks the newest prior round") {
+  test("priorDetail parses the r13+ object format and picks the newest eligible round") {
     val dir = Files.createTempDirectory("prior_new").toFile
     // an older file that must NOT win
     Files.writeString(new java.io.File(dir, "bench_detail_r11.json").toPath,
@@ -48,13 +48,21 @@ class BenchAdjudicationSpec extends AnyFunSuite {
         |"queries":{"q1_agg":{"sec":1.087,"cpu_sec":4.2,"gc_ms":12,"load0":0.5,"load1":0.6}},
         |"scale":{"factor":10,"rows":{"q1_agg":{"ratio":0.62,"sec":0.674,"base":1.087,"cpu_sec":2.0}}},
         |"adjudication":[],"probe_group_histograms":{}}""".stripMargin)
-    // a FUTURE file (same round) that must be ignored
-    Files.writeString(new java.io.File(dir, "bench_detail_r13.json").toPath,
+    // a LATER round's file must be ignored...
+    Files.writeString(new java.io.File(dir, "bench_detail_r14.json").toPath,
       """{"queries":{"q1_agg":5.555}}""")
     val prior = Bench.priorDetail(13, dir)
     // the object format carries cpu_sec alongside sec
     assert(prior("q1_agg") == ((1.087, 4.2)))
     assert(prior("scale:q1_agg") == ((0.674, 2.0)))
+    // ...but a SAME-round artifact (the builder's committed full run) is
+    // the PREFERRED baseline (r16): the driver's official run adjudicates
+    // against same-code numbers, so its triggers fire on environment
+    // inflation alone
+    Files.writeString(new java.io.File(dir, "bench_detail_r13.json").toPath,
+      """{"queries":{"q1_agg":{"sec":2.222,"cpu_sec":8.8,"gc_ms":1,"load0":0.1,"load1":0.1}}}""")
+    val prior2 = Bench.priorDetail(13, dir)
+    assert(prior2("q1_agg") == ((2.222, 8.8)))
   }
 
   test("priorDetail is empty (not throwing) without committed artifacts") {

@@ -321,4 +321,33 @@ class StreamDedupStateSpec extends SparkSpec {
       "exact duplicates in later batches must match the first batch's stored fingerprint")
     assert(!got(50L), "the first copy must not match")
   }
+
+  test("the composed both-horizons fold is exactly ONE state operator") {
+    // the design invariant behind Config.dedupHorizon + neardupHorizon
+    // composing in one streaming plan: chaining two
+    // flatMapGroupsWithState stages deadlocks the first micro-batch on
+    // Spark 4.1.2 (measured in r16), so the exact identity check MUST
+    // ride the fingerprint operator as extra state rows — pin the plan
+    // shape so a refactor can't silently regress to the hung shape (or
+    // fan payloads onto more than the 4 rows per event the shuffle
+    // budget assumes)
+    import org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+    val base = EventView.fromEventsTable(
+      ev(Seq((1L, "t", "alpha beta", 1L), (2L, "t", "gamma delta", 2L))))
+    val plan = StreamNearDedup.keepFirstBoth(base,
+      exactTtl = Some(java.time.Duration.ofHours(1)),
+      nearTtl = Some(java.time.Duration.ofHours(1)))
+      .queryExecution.optimizedPlan
+    val stateOps = plan.collect { case f: FlatMapGroupsWithState => f }
+    assert(stateOps.size == 1,
+      s"the composed fold must be ONE state operator, got ${stateOps.size}")
+    // and each event contributes exactly 4 state rows (3 fingerprint
+    // blocks + 1 exact-identity row)
+    val rows = StreamNearDedup.verdictsStreamBoth(base,
+      exactTtl = Some(java.time.Duration.ofHours(1)),
+      nearTtl = Some(java.time.Duration.ofHours(1))).toDF()
+    assert(rows.count() == 2 * 4)
+    // payload rides exactly one row per event
+    assert(rows.filter(col("payload").isNotNull).count() == 2)
+  }
 }

@@ -836,11 +836,14 @@ object StreamQueries {
         FROM f
       ), m AS (
         -- the near knob: any earlier arrival (admitted or not) of the same
-        -- cohort within hamming <= 2; "earlier" = (event time, sequence)
+        -- cohort within hamming <= 2; "earlier" = arrival (sequence) order,
+        -- the SAME total order the exact knob uses (r17: one shared order —
+        -- a mixed exact-by-seq/near-by-time pick could drop ALL copies of
+        -- an earlier-event-time republish)
         SELECT a.seq, COUNT(b.seq) AS nm
         FROM f a JOIN f b
           ON b.cohort = a.cohort
-         AND (b.tus < a.tus OR (b.tus = a.tus AND b.seq < a.seq))
+         AND b.seq < a.seq
          AND bit_count(xor(a.fp, b.fp)) <= 2
         GROUP BY a.seq
       )

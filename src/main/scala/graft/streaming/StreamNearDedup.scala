@@ -292,31 +292,63 @@ object StreamNearDedup {
     * combination and required an intermediate bus, doubling bus I/O), so
     * the exact (source, id) identity check rides the SAME state operator
     * as the fingerprint probe: each event emits its 3 fingerprint block
-    * rows plus ONE exact-identity row keyed
-    * `source ␟ "X" ␟ id` (the "X" middle segment can never collide with a
-    * fingerprint key's 0|1|2 block segment) with block [[ExactBlock]] and
+    * rows plus ONE exact-identity row with block [[ExactBlock]] and
     * fp = 0 — first-arrival-wins falls out of the same probe-and-insert
     * fold (every fp in an exact group is 0, so any prior state is a
-    * distance-0 match), and ordering by (0, sequence_number) reproduces
-    * [[IngestDedup]]'s min-sequence pick. Each group kind gets its own
-    * sliding TTL ([[updateG]]'s per-block timeout), so the two horizons
-    * age independently.
+    * distance-0 match). Each group kind gets its own sliding TTL
+    * ([[updateG]]'s per-block timeout), so the two horizons age
+    * independently.
+    *
+    * State-key format: the two group kinds carry distinct leading
+    * markers (`E ␟ source ␟ id` vs `F ␟ type ␟ block ␟ value`) and every
+    * attribute segment is U+001E-escaped ([[escSeg]]) before the U+001F
+    * join, so neither a cross-kind nor a boundary-shift collision is
+    * possible even when attribute values themselves contain the
+    * delimiter (ADVICE r16 — `source ␟ "X" ␟ id` collided with a
+    * fingerprint key when `type`/`id` embedded U+001F). The format is
+    * part of the state contract: a checkpoint written by the pre-r17
+    * key format holds its groups under the old keys, so restore such
+    * queries from a fresh checkpoint.
+    *
+    * Ordering: BOTH knobs judge "earlier" by arrival order
+    * (`sequence_number` — the bus append order; [[EventBus.append]]'s
+    * monotonicity precondition). One shared total order is load-bearing:
+    * with the pre-r17 mix (exact by sequence, near by event time) a
+    * (source, id) republish carrying a strictly EARLIER event time
+    * seeded near state first and near-flagged the exact winner while
+    * itself being exact-flagged — content arrived but NO copy was ever
+    * delivered (ADVICE r16). Under one order the first arrival of any
+    * content neighborhood is kept by construction. The min-sequence
+    * exact pick equals [[IngestDedup]]'s, so enabling the second knob
+    * never changes which exact copy wins; the near knob's tie-break
+    * differs from single-knob [[verdictsStream]] (event time) exactly
+    * when arrival and event-time order disagree inside a near-cluster —
+    * the composed operator prefers the copy that reached the bus first.
     *
     * Composition semantics (the one-plan contract, and what
     * `processBatchWith` replays in batch): each knob is judged against ALL
     * arrivals — exactDup = an earlier arrival with the same (source, id)
     * inside the exact horizon; nearDup = an earlier arrival (admitted or
     * not) whose content is within hamming ≤ [[MaxDist]] inside the near
-    * horizon; an event is kept iff neither flags. This differs from the
-    * old two-subscriptions-chained workaround only when a (source, id)
-    * republish carries MATERIALLY different content: the chain never let
-    * that content into near state, the combined operator does — for a
-    * training-data ingest the content DID arrive, so later copies of it
-    * are duplicates. State cost: +1 singleton group per distinct
-    * (source, id) within the exact horizon, and one extra small shuffle
-    * row per event (the payload still rides only the fingerprint block-0
-    * row).
+    * horizon; an event is kept iff neither flags. Against the old
+    * two-subscriptions-chained workaround this differs when a
+    * (source, id) republish carries MATERIALLY different content (the
+    * chain never let that content into near state, the combined operator
+    * does — for a training-data ingest the content DID arrive, so later
+    * copies of it are duplicates). State cost: +1 singleton group per
+    * distinct (source, id) within the exact horizon, and one extra small
+    * shuffle row per event (the payload still rides only the fingerprint
+    * block-0 row).
     */
+  /** U+001E-escape a key segment so a later U+001F `concat_ws` join is
+    * unambiguous: the escape char doubles, the delimiter becomes
+    * ␞␟ — no escaped segment contains a raw U+001F, so segment
+    * boundaries can never shift between two distinct attribute tuples.
+    */
+  private def escSeg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(replace(c, lit("\u001e"), lit("\u001e\u001e")),
+      lit("\u001f"), lit("\u001e\u001f"))
+
   def verdictsStreamBoth(events: DataFrame, maxState: Int = 1 << 20,
       exactTtl: Option[java.time.Duration] = None,
       nearTtl: Option[java.time.Duration] = None): Dataset[CeVerdict2] = {
@@ -334,14 +366,19 @@ object StreamNearDedup {
     val fp = graft.functions.SimHash(
       split(coalesce(col("data"), lit("\u001a")), " ", -1), Bits)
     val ctype = coalesce(col("type"), lit("\u001a"))
+    // distinct kind markers ("F" fingerprint / "E" exact) + escaped
+    // attribute segments: no cross-kind or boundary-shift key collision
+    // is possible (block/value segments are numeric renderings,
+    // inherently delimiter-free)
     val blockCols = (0 until Blocks).map { b =>
       struct(lit(b).as("block"),
-        concat_ws("\u001f", ctype, lit(b),
+        concat_ws("\u001f", lit("F"), escSeg(ctype), lit(b),
           shiftright(col("fp"), Shifts(b))
             .bitwiseAND(lit((1L << Widths(b)) - 1))).as("gk"))
     } :+ struct(lit(ExactBlock).as("block"),
-      concat_ws("\u001f", coalesce(col("source"), lit("\u001a")), lit("X"),
-        coalesce(col("id"), lit("\u001a"))).as("gk"))
+      concat_ws("\u001f", lit("E"),
+        escSeg(coalesce(col("source"), lit("\u001a"))),
+        escSeg(coalesce(col("id"), lit("\u001a")))).as("gk"))
     val timeout =
       if (exactTtl.isDefined || nearTtl.isDefined)
         GroupStateTimeout.ProcessingTimeTimeout()
@@ -350,17 +387,16 @@ object StreamNearDedup {
       (if (b == ExactBlock) exactTtl else nearTtl).map(_.toMillis)
     events
       .withColumn("fp", fp)
-      .withColumn("atMicros",
-        coalesce(unix_micros(col("time")), lit(0L)))
-      .select(col("sequence_number"), col("atMicros"), col("fp"),
+      .select(col("sequence_number"), col("fp"),
         explode(array(blockCols: _*)).as("bk"),
         struct(events.columns.map(col): _*).as("ce"))
       .select(col("bk.gk").as("gk"), col("bk.block").as("block"),
         col("sequence_number").as("eventId"),
-        // exact rows order by sequence alone (IngestDedup's contract);
-        // fp rows keep the (event-time, sequence) order
-        when(col("bk.block") === ExactBlock, lit(0L))
-          .otherwise(col("atMicros")).as("atMicros"),
+        // ONE shared total order for both knobs — arrival (sequence)
+        // order, so the first arrival of any content neighborhood is
+        // kept by construction (see the ordering scaladoc above; the
+        // pre-r17 event-time order on fp rows could drop ALL copies)
+        lit(0L).as("atMicros"),
         when(col("bk.block") === ExactBlock, lit(0L))
           .otherwise(col("fp")).as("fp"),
         when(col("bk.block") === 0, col("ce")).as("payload"))

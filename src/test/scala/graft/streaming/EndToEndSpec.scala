@@ -321,6 +321,70 @@ class EndToEndSpec extends SparkSpec {
       s"re-worded carrier content is the near knob's drop: $r")
   }
 
+  test("both horizons: an earlier-event-time republish cannot drop ALL copies") {
+    // ADVICE r16: with the exact knob picking by sequence but the near
+    // knob ordering by (event time, sequence), a same-(source, id)
+    // republish carrying a strictly EARLIER event time seeded near state
+    // first and near-flagged the exact winner while itself being
+    // exact-flagged — content arrived but NO copy was ever delivered.
+    // r17 judges both knobs by ONE shared order (arrival = sequence), so
+    // the first arrival must always survive.
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") === 1)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    def ev(seq: Long, id: String, text: String, t: String) =
+      base.withColumn("sequence_number", lit(seq))
+        .withColumn("id", lit(id))
+        .withColumn("data", lit(text))
+        .withColumn("time", lit(java.sql.Timestamp.valueOf(t)))
+    // the republish (seq 2) carries the SAME content but an EARLIER
+    // event time than the original (seq 1)
+    val batch = ev(1, "1", textA, "2024-05-01 10:00:00")
+      .unionByName(ev(2, "1", textA, "2024-05-01 05:00:00"))
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-early-republish",
+        dedupHorizon = Some(java.time.Duration.ofHours(1)),
+        neardupHorizon = Some(java.time.Duration.ofHours(1))))
+    val r = SubscriptionRunner.processBatch(
+      batch, spec, _ => Right(()), None, None)
+    assert(r.delivered == 1,
+      s"the first arrival must be delivered — drop-all is the r16 bug: $r")
+    assert(r.dedupDropped == 1 && r.neardupDropped == 0,
+      s"the republish is the exact knob's drop, not the near knob's: $r")
+    // and the kept row is the ORIGINAL (min-sequence) copy
+    val kept = graft.streaming.StreamNearDedup.keepFirstBoth(batch,
+      exactTtl = Some(java.time.Duration.ofHours(1)),
+      nearTtl = Some(java.time.Duration.ofHours(1)))
+      .select("sequence_number").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"min-sequence pick must win: $kept")
+  }
+
+  test("both horizons: U+001F in attribute values cannot collide state keys") {
+    // ADVICE r16: the pre-r17 exact key source+US+"X"+US+id could equal
+    // another identity's key (or a fingerprint key) when attribute values
+    // embed U+001F — e.g. (source="aX", id="b") and (source="a",
+    // id="Xb") rendered identically, so the second DISTINCT
+    // identity was wrongly exact-flagged. r17 escapes segments and
+    // prefixes the two key kinds, so both events must be kept.
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") === 1)
+    def ev(seq: Long, src: String, id: String, text: String) =
+      base.withColumn("sequence_number", lit(seq))
+        .withColumn("source", lit(src))
+        .withColumn("id", lit(id))
+        .withColumn("data", lit(text))
+    val batch = ev(1, "aX", "b",
+      "alpha beta gamma delta epsilon zeta eta theta")
+      .unionByName(ev(2, "a", "Xb",
+        "solar panel output dropped after the hail storm yesterday"))
+    val kept = graft.streaming.StreamNearDedup.keepFirstBoth(batch,
+      exactTtl = Some(java.time.Duration.ofHours(1)),
+      nearTtl = Some(java.time.Duration.ofHours(1)))
+      .select("sequence_number").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L),
+      s"distinct identities with embedded U+001F must not merge: $kept")
+  }
+
   test("batch processBatch applies both horizons with split accounting") {
     val base = EventView.fromEventsTable(Tables.events(spark, sf))
       .filter(col("sequence_number") === 1)

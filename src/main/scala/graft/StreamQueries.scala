@@ -1120,10 +1120,89 @@ object StreamQueries {
       FROM events ORDER BY event_id
     """))
 
+  private object RosterResumeCapture {
+    val a = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val b = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  }
+
+  /** Durable shared-group roster through the REAL
+    * [[graft.streaming.SubscriptionRunner.resumeSharedGroup]] (the
+    * reference persists subscription assignment in its controller,
+    * server/controller/trigger/): run 1 founds the group with a roster
+    * file, drains the first half, attaches sub-b from Earliest (catch-up
+    * replays the half), and dies; run 2 rebuilds BOTH members from the
+    * roster alone — no specs re-supplied, no catch-up replayed — and
+    * drains the second half on the same checkpoint. The oracle replays
+    * both filters over the full range: a lost member, a replayed
+    * catch-up, or a double delivery all break the hash.
+    */
+  private val sharedRosterResumeQ = Q(
+    "stream_shared_resume",
+    (s, d) => {
+      import graft.streaming.{EventBus, SubscriptionRunner}
+      import graft.model.FilterSpec
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("shros").toString
+      val bus = EventBus(s"$tmp/src")
+      val roster = s"$tmp/roster.json"
+      val ckpt = s"$tmp/ck"
+      val events = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 500)
+      bus.append(events.filter(col("sequence_number") < 250))
+      RosterResumeCapture.a.clear(); RosterResumeCapture.b.clear()
+      val sinkA: SubscriptionRunner.Sink = { del =>
+        RosterResumeCapture.a.add(del.id.toLong); Right(())
+      }
+      val sinkB: SubscriptionRunner.Sink = { del =>
+        RosterResumeCapture.b.add(del.id.toLong); Right(())
+      }
+      val specA = SubscriptionRunner.Spec(
+        Seq(FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+        SubscriptionRunner.Config("sub-a"))
+      val specB = SubscriptionRunner.Spec(
+        Seq(FilterSpec.Exact(Seq("type" -> "signup"))), None,
+        SubscriptionRunner.Config("sub-b"))
+      val g1 = SubscriptionRunner.startSharedGroup(
+        s, bus, Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+        None, None, ckpt, rosterPath = Some(roster))
+      try {
+        if (!g1.query.awaitTermination(120000))
+          throw new RuntimeException("roster run 1 did not drain in 120 s")
+        g1.attach(specB, SubscriptionRunner.Delivery.PerEvent(sinkB),
+          SubscriptionRunner.OffsetReset.Earliest)
+      } finally if (g1.query.isActive) g1.query.stop()
+      // the RESTART: second half lands first, then the group self-rebuilds
+      // from the roster file — both members must see exactly the new rows
+      bus.append(events.filter(col("sequence_number") >= 250))
+      val g2 = SubscriptionRunner.resumeSharedGroup(
+        s, bus, roster,
+        id => SubscriptionRunner.Delivery.PerEvent(
+          if (id == "sub-a") sinkA else sinkB),
+        None, None, ckpt)
+      try {
+        if (!g2.query.awaitTermination(120000))
+          throw new RuntimeException("roster run 2 did not drain in 120 s")
+      } finally if (g2.query.isActive) g2.query.stop()
+      import s.implicits._
+      (RosterResumeCapture.a.asScala.toSeq.map(("sub-a", _)) ++
+        RosterResumeCapture.b.asScala.toSeq.map(("sub-b", _)))
+        .toDF("subscription_id", "sequence_number")
+        .orderBy(col("subscription_id"), col("sequence_number"))
+    },
+    Some("""
+      SELECT 'sub-a' AS subscription_id, event_id AS sequence_number
+      FROM events WHERE event_type = 'purchase' AND event_id < 500
+      UNION ALL
+      SELECT 'sub-b', event_id
+      FROM events WHERE event_type = 'signup' AND event_id < 500
+      ORDER BY 1, 2
+    """))
+
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
     retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
     protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,
-    neardupHorizonQ, bothHorizonsQ, sharedFanoutQ, sharedLateAttachQ)
+    neardupHorizonQ, bothHorizonsQ, sharedFanoutQ, sharedLateAttachQ,
+    sharedRosterResumeQ)
 }

@@ -68,4 +68,30 @@ object FilterSpec {
     case JNull => Seq(NoFilter)
     case other => throw new IllegalArgumentException(s"filters must be an array, got ${JPath.typeName(other)}")
   }
+
+  /** Render one filter node back to its JSON object form — the exact
+    * inverse of [[fromJson]] (round-trip identity; the shared-group roster
+    * file persists specs through this). Exact/Prefix/Suffix pair values
+    * that [[fromJson]] lifted from non-string JSON stay strings here: the
+    * compiled predicate compares rendered text either way.
+    */
+  def toJson(f: FilterSpec): JValue = {
+    def pairs(ps: Seq[(String, String)]): JValue =
+      JObj(scala.collection.immutable.VectorMap.from(
+        ps.map { case (k, v) => k -> (JStr(v): JValue) }))
+    f match {
+      case Exact(ps) => JObj.of("exact" -> pairs(ps))
+      case Prefix(ps) => JObj.of("prefix" -> pairs(ps))
+      case Suffix(ps) => JObj.of("suffix" -> pairs(ps))
+      case Not(child) => JObj.of("not" -> toJson(child))
+      case CeSql(e) => JObj.of("sql" -> JStr(e))
+      case Cel(e) => JObj.of("cel" -> JStr(e))
+      case All(cs) => JObj.of("all" -> JArr(cs.map(toJson).toVector))
+      case Any(cs) => JObj.of("any" -> JArr(cs.map(toJson).toVector))
+      case NoFilter => JObj.empty
+    }
+  }
+
+  /** Render a filter list as a JSON array ([[listFromJson]]'s inverse). */
+  def listToJson(fs: Seq[FilterSpec]): JValue = JArr(fs.map(toJson).toVector)
 }

@@ -274,6 +274,19 @@ object SubscriptionRunner {
     val bodyIdx = schema.fieldIndex("body")
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    // The delivery mapPartitions below is SIDE-EFFECTING (it calls the
+    // sink), so it must never sit under a plan fragment Spark may
+    // evaluate more than once. A cached DataFrame gives no such
+    // guarantee: AQE can re-execute the subtree when a replanned stage
+    // misses the cache — observed as double-delivery of a whole
+    // micro-batch with zero task failures (r17, surfaced by a delayed
+    // delivery task). Pinning the OUTCOMES as RDD blocks fixes the class:
+    // the aggregate below materializes them in exactly one job, and every
+    // downstream frame (counts, failure join) scans a LogicalRDD over
+    // those blocks — the delivery subtree is unreachable afterwards.
+    // Block loss on executor failure recomputes a partition
+    // (= re-delivery), which is the at-least-once contract retries
+    // already carry.
     val outcomes = toDeliver.mapPartitions { rows =>
       var windowStart = System.nanoTime()
       var inWindow = 0
@@ -321,20 +334,21 @@ object SubscriptionRunner {
             badOut ++ okOut
           }
       }
-    }.toDF("sequence_number", "code").cache()
+    }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // one aggregation job materializes the cached outcomes frame AND
-    // yields both counts (passed = all outcomes, delivered = code 0) —
-    // micro-batch latency is driver job count, so counts are merged
-    val oc = outcomes.agg(
-      count(lit(1)), count(when(col("code") === 0, 1))).head
-    val passedCount = oc.getLong(0)
-    val deliveredCount = oc.getLong(1)
+    // one job materializes the outcome blocks AND yields both counts
+    // (passed = all outcomes, delivered = code 0) — micro-batch latency
+    // is driver job count, so counts ride the materializing action
+    val (passedCount, deliveredCount) = outcomes.aggregate((0L, 0L))(
+      (acc, r) => (acc._1 + 1L, if (r._2 == 0) acc._2 + 1L else acc._2),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
     if (deliveredCount == passedCount) { // happy path: no routing work at all
       outcomes.unpersist()
       return BatchResult(deliveredCount, total - passedCount, 0L, 0L)
     }
-    val failed = outcomes.filter(col("code") =!= 0)
+    val session = batch.sparkSession
+    val failed = session.createDataset(outcomes)(enc)
+      .toDF("sequence_number", "code").filter(col("code") =!= 0)
 
     // failure routing. The join reads the persisted batch, not the source;
     // no broadcast — on a sink outage `failed` is the whole batch, and
@@ -483,6 +497,107 @@ object SubscriptionRunner {
     final case class ByTime(ts: java.sql.Timestamp) extends OffsetReset
   }
 
+  /** Sentinel guard of a member whose attach catch-up is still in flight:
+    * shared batches skip it entirely (and `seq > Long.MaxValue` admits
+    * nothing even if one raced), and the roster file never records it.
+    */
+  private val PendingGuard = Long.MaxValue
+
+  /** One persisted roster entry ([[resumeSharedGroup]]): everything a
+    * group restart needs except the sink function itself (functions
+    * don't serialize — the caller re-supplies them by subscription id).
+    */
+  final case class RosterEntry(
+      spec: Spec, deliveryKind: String, maxBatchSize: Option[Int],
+      guard: Long)
+
+  /** Render the (non-pending) membership as the roster file's JSON — the
+    * Spark-side analogue of the reference controller's persisted
+    * subscription assignment (server/controller/trigger/). Specs persist
+    * whole (filters via [[graft.model.FilterSpec.toJson]], transformer
+    * JSON verbatim, config knobs); deliveries persist by KIND only.
+    */
+  private def rosterJson(ms: Seq[(Spec, Delivery, Long)]): String = {
+    import graft.json._
+    JObj.of("members" -> JArr(ms.map { case (spec, d, guard) =>
+      val dj = d match {
+        case Delivery.PerEvent(_) => JObj.of("kind" -> JStr("perEvent"))
+        case Delivery.Batched(_, n) =>
+          JObj.of("kind" -> JStr("batched"), "maxBatchSize" -> JInt(n))
+      }
+      JObj.of(
+        "guard" -> JInt(guard),
+        "delivery" -> dj,
+        "spec" -> JObj.of(
+          "subscriptionId" -> JStr(spec.config.subscriptionId),
+          "filters" -> graft.model.FilterSpec.listToJson(spec.filters),
+          "transformer" -> spec.transformerJson
+            .map(t => JValue.parse(t): JValue).getOrElse(JNull),
+          "config" -> JObj.of(
+            "maxRetryAttempts" -> JInt(spec.config.maxRetryAttempts),
+            "disableDeadLetter" -> JBool(spec.config.disableDeadLetter),
+            "orderedEvent" -> JBool(spec.config.orderedEvent),
+            "rateLimitPerSec" -> JInt(spec.config.rateLimitPerSec)))): JValue
+    }.toVector)).render
+  }
+
+  /** Parse a roster file back to its entries ([[rosterJson]]'s inverse). */
+  def loadRoster(rosterPath: String): Seq[RosterEntry] = {
+    import graft.json._
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rosterPath)),
+      "UTF-8")
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"roster $rosterPath: $msg")
+    JValue.parse(raw) match {
+      case o: JObj => o.get("members") match {
+        case Some(JArr(items)) => items.map {
+          case m: JObj =>
+            val spec = m.get("spec") match {
+              case Some(sj: JObj) =>
+                val cfg = sj.get("config") match {
+                  case Some(c: JObj) => Config(
+                    subscriptionId = sj.get("subscriptionId")
+                      .collect { case JStr(s) => s }
+                      .getOrElse(fail("spec.subscriptionId missing")),
+                    maxRetryAttempts = c.get("maxRetryAttempts")
+                      .collect { case JInt(v) => v.toInt }.getOrElse(32),
+                    disableDeadLetter = c.get("disableDeadLetter")
+                      .collect { case JBool(b) => b }.getOrElse(false),
+                    orderedEvent = c.get("orderedEvent")
+                      .collect { case JBool(b) => b }.getOrElse(false),
+                    rateLimitPerSec = c.get("rateLimitPerSec")
+                      .collect { case JInt(v) => v.toInt }.getOrElse(0))
+                  case _ => fail("spec.config missing")
+                }
+                Spec(
+                  filters = sj.get("filters")
+                    .map(f => graft.model.FilterSpec.listFromJson(f.render))
+                    .getOrElse(Seq.empty),
+                  transformerJson = sj.get("transformer").collect {
+                    case t if t != JNull => t.render
+                  },
+                  config = cfg)
+              case _ => fail("member.spec missing")
+            }
+            val (kind, mbs) = m.get("delivery") match {
+              case Some(dj: JObj) =>
+                (dj.get("kind").collect { case JStr(s) => s }
+                  .getOrElse(fail("delivery.kind missing")),
+                  dj.get("maxBatchSize").collect { case JInt(v) => v.toInt })
+              case _ => fail("member.delivery missing")
+            }
+            RosterEntry(spec, kind, mbs,
+              m.get("guard").collect { case JInt(v) => v }
+                .getOrElse(fail("member.guard missing")))
+          case _ => fail("members[] entry must be an object")
+        }
+        case _ => fail("members array missing")
+      }
+      case _ => fail("roster must be a JSON object")
+    }
+  }
+
   /** A running shared-scan fan-out group ([[startSharedGroup]]): the
     * streaming query plus the live subscription roster. [[attach]] adds a
     * subscription to the RUNNING group from its own offset-reset policy —
@@ -490,26 +605,48 @@ object SubscriptionRunner {
     * reader-per-subscription model the r15 shape had (a late subscription
     * could not replay from earliest without restarting the whole group).
     *
-    * Exactly-once across the attach boundary: `attach` synchronizes with
-    * the micro-batch loop (so no shared batch is in flight), snapshots
-    * the bus's ON-DISK high-water mark B (max `sequence_number` written),
-    * serves `[reset offset, B]` as one BATCH read of the bus
-    * (partition-pruned parquet scan — no second streaming query), and
-    * registers the subscription with a `seq > B` guard on all future
-    * shared micro-batches. Every event lands in exactly one of the two
-    * ranges: everything ≤ B is on disk and readable by the catch-up,
-    * everything arriving later has seq > B (the bus's sequence numbers
-    * are monotone). B deliberately sits at-or-above the group's processed
-    * offset — rows the stream has not yet processed are served by the
-    * catch-up and guarded off the member's stream view, which also makes
-    * attach restart-safe with zero per-batch bookkeeping (a RESTARTED
-    * group's checkpoint never re-emits processed history, but the
-    * catch-up read does).
+    * Exactly-once across the attach boundary: `attach` first registers
+    * the subscription as PENDING under a short group lock (a pending
+    * member is skipped by every shared micro-batch — no batch between
+    * registration and cutover can leak rows past it), then serves the
+    * catch-up OUTSIDE the lock as BATCH reads of the bus (partition-
+    * pruned parquet scans — no second streaming query): the range
+    * `[reset offset, B₀]` for the boundary B₀ (on-disk high-water mark,
+    * max `sequence_number` written — [[EventBus.maxSequenceFrame]], a
+    * newest-date-partition read on a partitioned bus) snapshotted at
+    * attach, then delta ranges `(Bᵢ₋₁, Bᵢ]` for whatever landed while the
+    * previous chunk was delivering. Cutover happens under the lock: one
+    * final (bounded — only the last delta round's appends) catch-up
+    * read, then the member joins the shared cadence behind a
+    * `seq > B_final` guard. Every event lands in exactly one range:
+    * everything ≤ B_final is on disk and served by exactly one catch-up
+    * chunk, everything later has seq > B_final (the bus's sequence
+    * numbers are monotone — [[EventBus.append]]'s precondition). The
+    * boundary deliberately sits at-or-above the group's processed offset
+    * — rows the stream has not yet processed are served by the catch-up
+    * and guarded off the member's stream view, which also makes attach
+    * restart-safe with zero per-batch bookkeeping (a RESTARTED group's
+    * checkpoint never re-emits processed history, but the catch-up read
+    * does).
     *
-    * The roster (and each member's guard) is driver memory, not
-    * checkpoint state: a restarted group is rebuilt by the caller
-    * (initial members see nothing twice — the shared checkpoint skips
-    * processed batches; re-attaching a former member should use
+    * Liveness (r16's one design finding): existing members' micro-batches
+    * proceed WHILE an Earliest attach catches up on a deep bus — the
+    * group lock is held only for the pending registration, the bounded
+    * final delta, and the guard arm, never for the bulk catch-up read
+    * (the reference's AddSubscription likewise never pauses other
+    * subscriptions' readers, server/trigger/worker.go). Delivery-order
+    * contract: the attaching member receives its history in ascending
+    * contiguous sequence ranges and only then its live rows — catch-up
+    * never interleaves with the member's live deliveries, because the
+    * member stays pending until cutover.
+    *
+    * The roster (and each member's guard) is driver memory unless a
+    * roster path is configured ([[startSharedGroup]]'s `rosterPath` —
+    * then membership persists across restarts and
+    * [[SubscriptionRunner.resumeSharedGroup]] rebuilds the group
+    * self-contained); without one, a restarted group is rebuilt by the
+    * caller (initial members see nothing twice — the shared checkpoint
+    * skips processed batches; re-attaching a former member should use
     * `OffsetReset.Latest` or tolerate a replayed catch-up).
     */
   final class SharedGroup private[SubscriptionRunner] (
@@ -517,10 +654,13 @@ object SubscriptionRunner {
       sourceBus: EventBus,
       retryBus: Option[EventBus],
       dlqBus: Option[EventBus],
-      onBatch: Map[String, BatchResult] => Unit) {
+      onBatch: Map[String, BatchResult] => Unit,
+      rosterPath: Option[String]) {
     import org.apache.spark.storage.StorageLevel
     // (spec, delivery, guard): rows with sequence_number <= guard are
-    // skipped for this member (already served by its catch-up read)
+    // skipped for this member (already served by its catch-up read).
+    // guard == PendingGuard marks a member whose attach catch-up is in
+    // flight: shared batches skip it entirely until cutover.
     private var members = Vector.empty[(Spec, Delivery, Long)]
     private[SubscriptionRunner] var queryRef: StreamingQuery = _
     def query: StreamingQuery = queryRef
@@ -531,7 +671,52 @@ object SubscriptionRunner {
           requireJoinable(spec)
           members :+= ((spec, d, Long.MinValue))
         }
+        saveRoster()
       }
+
+    /** Rebuild a persisted roster ([[resumeSharedGroup]]): members join
+      * with their SAVED guards, so no catch-up replays — the shared
+      * checkpoint already covers their history.
+      */
+    private[SubscriptionRunner] def addRestored(
+        subs: Seq[(Spec, Delivery, Long)]): Unit =
+      synchronized {
+        subs.foreach { case (spec, d, guard) =>
+          requireJoinable(spec)
+          members :+= ((spec, d, guard))
+        }
+        saveRoster()
+      }
+
+    /** Persist the (non-pending) roster to the configured path, atomically
+      * (write-temp + rename). Always called under the group lock, so the
+      * file is a consistent snapshot of the membership.
+      */
+    private def saveRoster(): Unit = rosterPath.foreach { rp =>
+      val json = rosterJson(members.filter(_._3 != PendingGuard))
+      val p = java.nio.file.Paths.get(rp)
+      Option(p.getParent).foreach { d =>
+        java.nio.file.Files.createDirectories(d); ()
+      }
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+    /** The bus's on-disk high-water mark (max sequence number), or
+      * Long.MinValue on an empty/never-written bus (spark.read on a
+      * nonexistent/empty parquet dir throws — nothing to catch up).
+      * Bounded on a partitioned bus: [[EventBus.maxSequenceFrame]] reads
+      * only the newest date partition.
+      */
+    private def boundary(): Long =
+      try {
+        val r = sourceBus.maxSequenceFrame(spark).head
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      } catch { case _: org.apache.spark.sql.AnalysisException => Long.MinValue }
 
     private def requireJoinable(spec: Spec): Unit = {
       require(
@@ -547,72 +732,138 @@ object SubscriptionRunner {
 
     /** One shared micro-batch: pin ONCE, run every member's routing over
       * the cached copy (each behind its attach guard). Holding the group
-      * lock for the batch means [[attach]] never races an in-flight
-      * batch.
+      * lock for the batch means [[attach]]'s registration/cutover never
+      * races an in-flight batch; a PENDING member (attach catch-up in
+      * flight) is skipped outright — its rows are the catch-up's to
+      * serve, and its per-pass results return from `attach` itself.
       */
     private[SubscriptionRunner] def processShared(batch: DataFrame): Unit =
       synchronized {
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val results = members.map { case (spec, delivery, guard) =>
-            val in =
-              if (guard == Long.MinValue) cached
-              else cached.filter(col("sequence_number") > guard)
-            spec.config.subscriptionId ->
-              processBatchCached(in, spec, delivery, retryBus, dlqBus,
-                System.currentTimeMillis() / 1000)
+          val results = members.collect {
+            case (spec, delivery, guard) if guard != PendingGuard =>
+              val in =
+                if (guard == Long.MinValue) cached
+                else cached.filter(col("sequence_number") > guard)
+              spec.config.subscriptionId ->
+                processBatchCached(in, spec, delivery, retryBus, dlqBus,
+                  System.currentTimeMillis() / 1000)
           }.toMap
           onBatch(results)
         } finally { cached.unpersist(); () }
       }
 
     /** Add a subscription to the running group. Returns the catch-up
-      * pass's [[BatchResult]] (zeros for `Latest`). The catch-up is a
-      * batch read of the bus — `[reset offset, B]` through the full
-      * filter/transform/deliver routing — so the earliest-policy
-      * subscriber sees every pre-attach event exactly once, then joins
-      * the shared cadence behind a `seq > B` guard (B = the on-disk
-      * high-water mark at attach time; see the class scaladoc for the
-      * exactly-once argument).
+      * pass's [[BatchResult]] (zeros for `Latest`). The catch-up is
+      * batch reads of the bus — `[reset offset, B]` plus bounded deltas,
+      * through the full filter/transform/deliver routing — so the
+      * earliest-policy subscriber sees every pre-attach event exactly
+      * once, then joins the shared cadence behind a `seq > B_final`
+      * guard. The bulk of the catch-up runs OUTSIDE the group lock (the
+      * member is registered PENDING first, so no shared batch can leak
+      * rows past it); existing members' micro-batches proceed throughout
+      * — see the class scaladoc for the exactly-once and liveness
+      * arguments. Blocks the CALLING thread until catch-up completes.
       */
     def attach(spec: Spec, delivery: Delivery,
-        reset: OffsetReset): BatchResult = synchronized {
-      requireJoinable(spec)
-      // B: the on-disk high-water mark. MinValue on a bus that is empty
-      // or has never been written (spark.read on a nonexistent/empty
-      // parquet dir throws — there is nothing to catch up, the member
-      // simply joins the stream unguarded).
-      val boundary: Long =
-        try {
-          val r = sourceBus.read(spark)
-            .agg(max(col("sequence_number"))).head
-          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-        } catch { case _: org.apache.spark.sql.AnalysisException => Long.MinValue }
-      val catchup: Option[DataFrame] = reset match {
-        case OffsetReset.Earliest if boundary > Long.MinValue =>
-          Some(sourceBus.read(spark)
-            .filter(col("sequence_number") <= boundary))
-        case OffsetReset.ByTime(ts) if boundary > Long.MinValue =>
+        reset: OffsetReset): BatchResult = {
+      // the reset start offset (inclusive); None = no history to serve,
+      // the member joins "from now" (guarded at the current high-water
+      // mark, all under one short lock)
+      val startSeq: Option[Long] = reset match {
+        case OffsetReset.Earliest => Some(Long.MinValue)
+        case OffsetReset.Latest => None
+        case OffsetReset.ByTime(ts) =>
           // an offset SEEK (block_seek.go:45-86), not a time filter: the
           // reset point is the FIRST offset with time >= ts; everything
           // at-or-after it (out-of-order times included) is delivered,
           // everything before it is skipped. No qualifying offset yet =
-          // positioned at the log end (catch-up empty; future appends all
-          // land past the guard).
-          val first = sourceBus.offsetByTime(spark, ts).head
-          if (first.isNullAt(0)) None
-          else Some(sourceBus.read(spark)
-            .filter(col("sequence_number") >= first.getLong(0) &&
-              col("sequence_number") <= boundary))
-        case _ => None
+          // positioned at the log end (catch-up empty; future appends
+          // all land past the guard).
+          try {
+            val first = sourceBus.offsetByTime(spark, ts).head
+            if (first.isNullAt(0)) None else Some(first.getLong(0))
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
       }
-      val res = catchup match {
-        case Some(df) =>
-          processBatchWith(df, spec, delivery, retryBus, dlqBus)
-        case None => BatchResult(0L, 0L, 0L, 0L)
+      startSeq match {
+        case None =>
+          synchronized {
+            requireJoinable(spec)
+            members :+= ((spec, delivery, boundary()))
+            saveRoster()
+          }
+          BatchResult(0L, 0L, 0L, 0L)
+        case Some(s0) =>
+          // phase 1 — short lock: validate + register PENDING, so every
+          // shared batch from here on skips the member (nothing can leak
+          // past an unregistered member, nothing double-delivers)
+          synchronized {
+            requireJoinable(spec)
+            members :+= ((spec, delivery, PendingGuard))
+          }
+          val id = spec.config.subscriptionId
+          try {
+            def chunk(servedUpTo: Long, hi: Long): BatchResult = {
+              val lo =
+                if (servedUpTo == Long.MinValue)
+                  col("sequence_number") >= s0
+                else col("sequence_number") > servedUpTo
+              processBatchWith(
+                sourceBus.read(spark)
+                  .filter(lo && col("sequence_number") <= hi),
+                spec, delivery, retryBus, dlqBus)
+            }
+            def add(a: BatchResult, b: BatchResult) = BatchResult(
+              a.delivered + b.delivered, a.filteredOut + b.filteredOut,
+              a.toRetry + b.toRetry, a.toDlq + b.toDlq,
+              a.dedupDropped + b.dedupDropped,
+              a.neardupDropped + b.neardupDropped)
+            // phase 2 — OUTSIDE the lock: serve [s0, B0], then delta
+            // ranges for whatever landed while the previous chunk was
+            // delivering (rows <= each boundary are immutable on disk);
+            // a few rounds shrink the remaining delta to ~one chunk's
+            // worth of appends
+            var acc = BatchResult(0L, 0L, 0L, 0L)
+            var served = Long.MinValue
+            var target = boundary()
+            var rounds = 0
+            while (target > served && rounds < 3) {
+              acc = add(acc, chunk(served, target))
+              served = target
+              target = boundary()
+              rounds += 1
+            }
+            // phase 3 — cutover under the lock: one final BOUNDED delta
+            // (only the last round's appends), then arm the live guard
+            synchronized {
+              val fin = boundary()
+              if (fin > served) {
+                acc = add(acc, chunk(served, fin))
+                served = fin
+              }
+              members = members.map {
+                case (sp, d, g)
+                    if sp.config.subscriptionId == id && g == PendingGuard =>
+                  (sp, d, served)
+                case m => m
+              }
+              saveRoster()
+            }
+            acc
+          } catch {
+            case t: Throwable =>
+              // a failed catch-up must not leave a permanently-pending
+              // (skip-all) member on the roster
+              synchronized {
+                members = members.filterNot(m =>
+                  m._1.config.subscriptionId == id && m._3 == PendingGuard)
+              }
+              throw t
+          }
       }
-      members :+= ((spec, delivery, boundary))
-      res
     }
 
     /** Remove a subscription from the running group (the reference
@@ -627,7 +878,9 @@ object SubscriptionRunner {
     def detach(subscriptionId: String): Boolean = synchronized {
       val before = members.size
       members = members.filterNot(_._1.config.subscriptionId == subscriptionId)
-      members.size < before
+      val removed = members.size < before
+      if (removed) saveRoster()
+      removed
     }
   }
 
@@ -651,7 +904,11 @@ object SubscriptionRunner {
     * own offset-reset policy.
     *
     * `onBatch` receives every subscription's [[BatchResult]] after each
-    * micro-batch, keyed by subscriptionId.
+    * micro-batch, keyed by subscriptionId. `rosterPath` (optional) makes
+    * the membership durable: every attach/detach atomically rewrites the
+    * bus-adjacent roster file, and [[resumeSharedGroup]] rebuilds the
+    * group from it after a restart — members rejoin with their saved
+    * guards, no catch-up replays.
     */
   def startSharedGroup(
       spark: SparkSession,
@@ -661,10 +918,65 @@ object SubscriptionRunner {
       dlqBus: Option[EventBus],
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      onBatch: Map[String, BatchResult] => Unit = _ => ()): SharedGroup = {
+      onBatch: Map[String, BatchResult] => Unit = _ => (),
+      rosterPath: Option[String] = None): SharedGroup = {
     require(subs.nonEmpty, "startSharedGroup needs at least one subscription")
-    val group = new SharedGroup(spark, sourceBus, retryBus, dlqBus, onBatch)
+    val group = new SharedGroup(spark, sourceBus, retryBus, dlqBus, onBatch,
+      rosterPath)
     group.addInitial(subs)
+    startGroupQuery(spark, sourceBus, group, checkpoint, trigger)
+    group
+  }
+
+  /** Rebuild a shared group from its persisted roster — the self-contained
+    * restart [[startSharedGroup]]'s `rosterPath` buys (the reference
+    * persists subscription→worker assignment in the controller,
+    * server/controller/trigger/). Every persisted member rejoins with its
+    * SAVED guard: the shared checkpoint skips processed batches, the
+    * guard keeps catch-up-served history off the stream view, so a former
+    * Earliest attacher replays NOTHING. Sinks don't serialize —
+    * `deliveries` re-supplies each member's [[Delivery]] by subscription
+    * id, and the persisted delivery KIND is validated against it (a
+    * per-event sink wired where a batched one was registered is a
+    * configuration bug worth failing fast on).
+    */
+  def resumeSharedGroup(
+      spark: SparkSession,
+      sourceBus: EventBus,
+      rosterPath: String,
+      deliveries: String => Delivery,
+      retryBus: Option[EventBus],
+      dlqBus: Option[EventBus],
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onBatch: Map[String, BatchResult] => Unit = _ => ()): SharedGroup = {
+    val entries = loadRoster(rosterPath)
+    require(entries.nonEmpty, s"roster $rosterPath has no members")
+    val restored = entries.map { e =>
+      val id = e.spec.config.subscriptionId
+      val d = deliveries(id)
+      val kind = d match {
+        case Delivery.PerEvent(_) => "perEvent"
+        case Delivery.Batched(_, _) => "batched"
+      }
+      require(kind == e.deliveryKind,
+        s"subscription $id: roster records ${e.deliveryKind} delivery, " +
+          s"caller wired $kind")
+      (e.spec, d, e.guard)
+    }
+    val group = new SharedGroup(spark, sourceBus, retryBus, dlqBus, onBatch,
+      Some(rosterPath))
+    group.addRestored(restored)
+    startGroupQuery(spark, sourceBus, group, checkpoint, trigger)
+    group
+  }
+
+  private def startGroupQuery(
+      spark: SparkSession,
+      sourceBus: EventBus,
+      group: SharedGroup,
+      checkpoint: String,
+      trigger: Trigger): Unit = {
     group.queryRef = sourceBus.readStream(spark)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -674,7 +986,6 @@ object SubscriptionRunner {
         ()
       }
       .start()
-    group
   }
 
   /** [[startSharedGroup]] with per-event sinks and no attach handle — the

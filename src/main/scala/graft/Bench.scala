@@ -174,6 +174,61 @@ object Bench {
         Dedup.probeGroupHistogram(fps, "fp",
           maxDist = StreamNearDedup.MaxDist, bits = StreamNearDedup.Bits,
           maxBlock = 1 << 20, blockBy = Seq("event_type"))
+      }),
+      // the CE-frame near-dup horizon's fingerprint state (r16 VERDICT
+      // #4): `Config.neardupHorizon`'s stage keys (type, block, value)
+      // over the `data` SimHash — same distinct-fp state law as the
+      // events-table form, attributed on ITS OWN input frame
+      "stream_neardup_horizon" -> ((s: SparkSession, d: String) => {
+        import graft.streaming.StreamNearDedup
+        val ce = graft.model.EventView.fromEventsTable(Tables.events(s, d))
+        val fps = ce.select(
+          coalesce(col("type"), lit("\u001a")).as("ctype"),
+          graft.functions.SimHash(
+            split(coalesce(col("data"), lit("\u001a")), " ", -1),
+            StreamNearDedup.Bits).as("fp"))
+          .distinct()
+        Dedup.probeGroupHistogram(fps, "fp",
+          maxDist = StreamNearDedup.MaxDist, bits = StreamNearDedup.Bits,
+          maxBlock = 1 << 20, blockBy = Seq("ctype"))
+      }),
+      // the composed both-horizons operator's FINGERPRINT state over its
+      // exact query input (base arrivals + the %7 republication) — the
+      // republished copies carry identical content, so distinct() shows
+      // whether fp state stays flat under verbatim copies and grows
+      // linearly under the scaleF freshener (r16 VERDICT #4)
+      "stream_both_horizons" -> ((s: SparkSession, d: String) => {
+        import graft.streaming.StreamNearDedup
+        val base = graft.model.EventView.fromEventsTable(Tables.events(s, d))
+        val arrivals = base.unionByName(
+          base.filter(col("sequence_number") % 7 === 0)
+            .withColumn("sequence_number",
+              col("sequence_number") + lit(10000000L)))
+        val fps = arrivals.select(
+          coalesce(col("type"), lit("\u001a")).as("ctype"),
+          graft.functions.SimHash(
+            split(coalesce(col("data"), lit("\u001a")), " ", -1),
+            StreamNearDedup.Bits).as("fp"))
+          .distinct()
+        Dedup.probeGroupHistogram(fps, "fp",
+          maxDist = StreamNearDedup.MaxDist, bits = StreamNearDedup.Bits,
+          maxBlock = 1 << 20, blockBy = Seq("ctype"))
+      }),
+      // ... and its EXACT-IDENTITY state: one singleton group per
+      // distinct (source, id) in the horizon (the 4th state row per
+      // event). Group COUNT grows with the corpus in every regime (ids
+      // are always fresh — freshened or not); width stays 1-2 (the %7
+      // republication) — n_groups is the state-size law, maxBlock mirrors
+      // the stage's maxState cap
+      "stream_both_horizons_exact" -> ((s: SparkSession, d: String) => {
+        val base = graft.model.EventView.fromEventsTable(Tables.events(s, d))
+        val arrivals = base.unionByName(
+          base.filter(col("sequence_number") % 7 === 0)
+            .withColumn("sequence_number",
+              col("sequence_number") + lit(10000000L)))
+        Dedup.blockGroupHistogram(
+          arrivals.select(col("source"), col("id")),
+          Seq("source", "id"), maxBlock = 1 << 20)
       }))
   }
 
@@ -858,7 +913,13 @@ object Bench {
     val factorF =
       if (factor <= 1) 1
       else sys.env.getOrElse("SPARK_GRAFT_SCALEF", "10").toInt
-    val freshSet = Seq("stream_dedup_ingest", "stream_neardup_ingest")
+    // r17 (r16 VERDICT #4): the composed both-horizons fold and the
+    // CE-frame near-dup horizon join the fresh-content tier — their
+    // fingerprint buckets and the exact-identity singleton groups are the
+    // state the TTL/cap design bounds, measured here in the regime where
+    // it actually grows
+    val freshSet = Seq("stream_dedup_ingest", "stream_neardup_ingest",
+      "stream_neardup_horizon", "stream_both_horizons")
     scaleSection("scaleF", factorF, freshSet,
       tables = Set("events"), freshEvents = true)
     // the capped set reads only documents+embeddings — don't spend
@@ -899,14 +960,18 @@ object Bench {
           GraftSession.sweepPersisted(spark)
         }
     val tmpDir = System.getProperty("java.io.tmpdir")
-    histAt("base", sfDir, scaleSet)
+    // the scaleF histogram names: the timed fresh set plus the composed
+    // operator's exact-identity state probe (histogram-only — not a
+    // SparkEntry query, so scaleSection ignores it)
+    val freshHistSet = freshSet :+ "stream_both_horizons_exact"
+    histAt("base", sfDir, scaleSet ++ freshHistSet)
     if (factor > 1 && tierOn("scale") && new java.io.File(s"$tmpDir/graft_scale_${factor}x/_synth.ok").exists)
       histAt("scale", s"$tmpDir/graft_scale_${factor}x", scaleSet)
     // the fresh-events regime's state histogram: LINEAR growth in distinct
     // content here vs the flat duplicate-heavy rows above is the tier's
     // whole point
     if (factorF > 1 && tierOn("scaleF") && new java.io.File(s"$tmpDir/graft_scale_${factorF}xf/_synth.ok").exists)
-      histAt("scaleF", s"$tmpDir/graft_scale_${factorF}xf", freshSet)
+      histAt("scaleF", s"$tmpDir/graft_scale_${factorF}xf", freshHistSet)
     if (factor26 > 1 && tierOn("scale26") && new java.io.File(s"$tmpDir/graft_scale_${factor26}x/_synth.ok").exists)
       histAt("scale26", s"$tmpDir/graft_scale_${factor26}x", cappedSet)
     if (factor100 > 1 && tierOn("scale100") && new java.io.File(s"$tmpDir/graft_scale_${factor100}x/_synth.ok").exists)

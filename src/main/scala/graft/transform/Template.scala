@@ -92,13 +92,78 @@ object Template {
   private def holeEnd(t: String, lt: Int): Int =
     JPath.scanToUnquoted(t, lt + 1, '>')
 
+  /** Decode one `\`-escape of a TEXT template starting at `esc`
+    * (`t(esc) == '\\'`), appending the decoded character(s) to `sb`;
+    * returns the index just past the escape. Reference-exact
+    * ConsumeEscaped parity (lib/bytes/escape.go:67-102 with the text
+    * parser's escapePlan, pkg/template/text/parse.go:30-38):
+    *
+    *  - self escapes: `\<  \>  \\`
+    *  - control escapes: `\b  \f  \n  \r  \t`
+    *  - `\uNNNN`: a UTF-16 code unit; a high surrogate MUST be followed
+    *    by a second `\uNNNN` carrying the low surrogate (the escape_test.go
+    *    supplementary-plane vector, U+10437); a lone low surrogate is an
+    *    error
+    *  - `\xNN`: one byte from two hex digits
+    *  - `\NNN`: one byte from exactly three octal digits
+    *  - anything else (including a trailing `\`) is a PARSE ERROR, not a
+    *    literal — the reference rejects the template
+    *
+    * Byte escapes ≥ 0x80 append the code point of the byte value (the Go
+    * form emits the raw byte into a UTF-8 string; for the ASCII range the
+    * two agree, which is every vector the reference tests).
+    */
+  private def consumeEscaped(t: String, esc: Int, sb: StringBuilder): Int = {
+    def bad(what: String): Nothing =
+      throw new IllegalArgumentException(s"invalid $what in text template at offset $esc")
+    def hex1(j: Int): Int = {
+      if (j >= t.length) bad("hexadecimal character")
+      val c = t(j)
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else bad("hexadecimal character")
+    }
+    def hex4(j: Int): Int = (hex1(j) << 12) | (hex1(j + 1) << 8) | (hex1(j + 2) << 4) | hex1(j + 3)
+    def oct1(j: Int): Int = {
+      if (j >= t.length) bad("octal character")
+      val c = t(j)
+      if (c >= '0' && c <= '7') c - '0' else bad("octal character")
+    }
+    if (esc + 1 >= t.length) bad("escape character")
+    t(esc + 1) match {
+      case c @ ('<' | '>' | '\\') => sb.append(c); esc + 2
+      case 'b' => sb.append('\b'); esc + 2
+      case 'f' => sb.append('\f'); esc + 2
+      case 'n' => sb.append('\n'); esc + 2
+      case 'r' => sb.append('\r'); esc + 2
+      case 't' => sb.append('\t'); esc + 2
+      case 'x' => sb.append(((hex1(esc + 2) << 4) | hex1(esc + 3)).toChar); esc + 4
+      case o if o >= '0' && o <= '7' =>
+        sb.append(((o - '0') * 64 + oct1(esc + 2) * 8 + oct1(esc + 3)).toChar)
+        esc + 4
+      case 'u' =>
+        val hi = hex4(esc + 2)
+        if (hi < 0xD800 || hi > 0xDFFF) { sb.append(hi.toChar); esc + 6 }
+        else if (hi > 0xDBFF) bad("unicode character") // lone low surrogate
+        else {
+          if (!t.startsWith("\\u", esc + 6)) bad("unicode character")
+          val lo = hex4(esc + 8)
+          if (lo < 0xDC00 || lo > 0xDFFF) bad("unicode character")
+          sb.append(hi.toChar).append(lo.toChar)
+          esc + 12
+        }
+      case _ => bad("escape character")
+    }
+  }
+
   private def parseSegments(t: String): Vector[Seg] = {
     val segs = Vector.newBuilder[Seg]
     val sb = new StringBuilder
     var i = 0
     while (i < t.length) {
       t(i) match {
-        case '\\' if i + 1 < t.length => sb.append(t(i + 1)); i += 2
+        case '\\' => i = consumeEscaped(t, i, sb)
         case '<' =>
           val j = holeEnd(t, i)
           if (j < 0) { sb.append(t(i)); i += 1 }

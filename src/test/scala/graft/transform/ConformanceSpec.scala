@@ -7,8 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * conformance suite (r12 VERDICT #3). Sources:
   * `pkg/transform/action/strings` (every `_test.go`),
   * `action/structs` and `action/math` test files,
-  * `pkg/template/json/template_test.go`
-  * (`pkg/template/text` ships no test file to port). Each table row is
+  * `pkg/template/json/template_test.go`,
+  * and `lib/bytes/escape_test.go` (the text template parser's
+  * `\`-escape decoder — `pkg/template/text` ships no test file of its
+  * own, so the escape vectors come from the library the parser calls,
+  * run through the text parser's escapePlan). Each table row is
   * one reference assertion: same inputs, same expected output or error.
   * Go indexes strings by UTF-8 BYTE, so the positional splice tables
   * include multibyte vectors whose expectations are computed from Go's
@@ -441,6 +444,41 @@ class ConformanceSpec extends AnyFunSuite {
     assert(render("""{"k":<$.type>}""", "{}") == """{"k":"t"}""")
     // and the 'data' root routes into the body
     assert(render("""{"k":<$["data"].x>}""", """{"x":7}""") == """{"k":7}""")
+  }
+
+  test("text template escapes (escape_test.go through text/parse.go's escapePlan)") {
+    val none: Template.Resolver = _ => None
+    def txt(t: String): String = Template.renderText(t, none)
+    // self escapes: backslash and the angled brackets — an escaped '<'
+    // must NOT open a hole ("self" vector + escapePlan 0x3c/0x3e/0x5c)
+    assert(txt("a\\\\b") == "a\\b")
+    assert(txt("\\<var>") == "<var>")
+    assert(txt("a\\>b") == "a>b")
+    // control escapes (the 0x60 escapePlan row: \b \f \n \r \t)
+    assert(txt("a\\nb\\tc\\rd\\be\\ff") == "a\nb\tc\rd\be\ff")
+    // "unicode character / basic multilingual plane": € = '€'
+    assert(txt("x\\u20ACy") == "x€y")
+    // "unicode character / supplementary plane": 𐐷 = U+10437
+    assert(txt("\\uD801\\uDC37") == new String(Character.toChars(0x10437)))
+    // "hexadecimal character": \x12
+    assert(txt("a\\x12b") == "a\u0012b")
+    // "octal character": \123 = 'S' (ExpectOctCharExt('1', "23"))
+    assert(txt("a\\123b") == "aSb")
+    // "invalid" vectors: ConsumeEscaped ERRORS — never a silent literal
+    intercept[IllegalArgumentException](txt("a\\qb")) // not in the plan
+    intercept[IllegalArgumentException](txt("bad\\")) // trailing backslash
+    intercept[IllegalArgumentException](txt("\\u12")) // short unicode
+    intercept[IllegalArgumentException](txt("\\x1")) // short hex
+    intercept[IllegalArgumentException](txt("\\12")) // short octal
+    intercept[IllegalArgumentException](txt("\\18")) // non-octal digit
+    intercept[IllegalArgumentException](txt("\\uDC37")) // lone low surrogate
+    intercept[IllegalArgumentException](txt("\\uD801x")) // unpaired high
+    intercept[IllegalArgumentException](txt("\\uD801\\uD801")) // bad low half
+    // missing variable renders as NOTHING (text/segment.go:25-72), and a
+    // present define renders its text — escapes compose around holes
+    val defs: Template.Resolver =
+      n => if (n == "var") Some(JStr("V")) else None
+    assert(Template.renderText("a <var>\\n<nope> b", defs) == "a V\n b")
   }
 
   // ===== trigger/util attribute semantics ================================

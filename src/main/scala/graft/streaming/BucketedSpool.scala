@@ -43,8 +43,14 @@ final class BucketedSpool(path: String, val tickSeconds: Long)
     val deliverAt = col("attributes").getItem("xvanusdeliverytime").cast("timestamp")
     val bucket = floor(coalesce(unix_timestamp(deliverAt), lit(0L)) / tickSeconds)
       .cast("long")
-    df.withColumn(BucketCol, bucket)
-      .write.mode("append").partitionBy(BucketCol).parquet(path)
+    // same per-path serialization as EventBus.append (the override would
+    // otherwise dodge it): a shared group's catch-up and a live batch can
+    // both route failures into this spool concurrently, and the shared
+    // _temporary staging loses files under concurrent same-dir commits
+    EventBus.appendLock(path).synchronized {
+      df.withColumn(BucketCol, bucket)
+        .write.mode("append").partitionBy(BucketCol).parquet(path)
+    }
   }
 
   /** Buckets strictly before the current one — every event inside is due. */

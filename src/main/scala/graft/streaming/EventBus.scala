@@ -127,9 +127,16 @@ object EventBus {
   def apply(path: String): EventBus = new EventBus(path)
 
   // one lock object per bus path (see [[EventBus.append]]); paths are
-  // few and long-lived, so the map never needs eviction
+  // few and long-lived, so the map never needs eviction. Keyed by the
+  // NORMALIZED absolute path — two EventBus instances spelling the same
+  // directory differently ("/data/bus" vs "/data/bus/" vs a relative
+  // form) must share one lock, or the committer race reopens.
   private val appendLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[streaming] def appendLock(path: String): Object =
-    appendLocks.computeIfAbsent(path, _ => new Object)
+  private[streaming] def appendLock(path: String): Object = {
+    val key =
+      try java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+      catch { case _: java.nio.file.InvalidPathException => path }
+    appendLocks.computeIfAbsent(key, _ => new Object)
+  }
 }

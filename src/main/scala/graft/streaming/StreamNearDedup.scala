@@ -286,6 +286,14 @@ object StreamNearDedup {
   final case class CeVerdict2(eventId: Long, exactDup: Boolean,
       nearDup: Boolean, payload: Option[IngestDedup.Ce])
 
+  /** [[CeBlockRow]] minus the event-time column: the combined operator
+    * orders every row by sequence alone, so shuffling a constant-zero
+    * atMicros on all 4 state rows per event would be 32 dead bytes per
+    * event on the hot shuffle.
+    */
+  final case class CeBlockRowB(gk: String, block: Int, eventId: Long,
+      fp: Long, payload: Option[IngestDedup.Ce])
+
   /** BOTH horizon knobs in ONE `flatMapGroupsWithState` stage. Spark
     * cannot chain two stateful stages in a streaming plan (empirically the
     * first micro-batch deadlocks on 4.1.2; the pre-r16 code rejected the
@@ -359,7 +367,7 @@ object StreamNearDedup {
     require(exactTtl.isDefined == nearTtl.isDefined,
       "verdictsStreamBoth needs both TTLs or neither (a single-knob " +
         "horizon is verdictsStream/IngestDedup's job)")
-    implicit val rEnc = Encoders.product[CeBlockRow]
+    implicit val rEnc = Encoders.product[CeBlockRowB]
     implicit val oEnc = Encoders.product[CeVerdict2]
     implicit val kEnc = Encoders.STRING
     implicit val sEnc = Encoders.product[FpState]
@@ -392,19 +400,19 @@ object StreamNearDedup {
         struct(events.columns.map(col): _*).as("ce"))
       .select(col("bk.gk").as("gk"), col("bk.block").as("block"),
         col("sequence_number").as("eventId"),
-        // ONE shared total order for both knobs — arrival (sequence)
-        // order, so the first arrival of any content neighborhood is
-        // kept by construction (see the ordering scaladoc above; the
-        // pre-r17 event-time order on fp rows could drop ALL copies)
-        lit(0L).as("atMicros"),
         when(col("bk.block") === ExactBlock, lit(0L))
           .otherwise(col("fp")).as("fp"),
         when(col("bk.block") === 0, col("ce")).as("payload"))
-      .as[CeBlockRow]
+      .as[CeBlockRowB]
       .groupByKey(_.gk)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
-        updateG[CeBlockRow, CeVerdict2](maxState, ttlOf,
-          _.block, _.atMicros, _.eventId, _.fp,
+        // ONE shared total order for both knobs — arrival (sequence)
+        // order via the constant at=0, so the first arrival of any
+        // content neighborhood is kept by construction (see the ordering
+        // scaladoc above; the pre-r17 event-time order on fp rows could
+        // drop ALL copies of an earlier-event-time republish)
+        updateG[CeBlockRowB, CeVerdict2](maxState, ttlOf,
+          _.block, _ => 0L, _.eventId, _.fp,
           (r, m) => CeVerdict2(r.eventId,
             exactDup = r.block == ExactBlock && m,
             nearDup = r.block != ExactBlock && m, r.payload)))

@@ -531,8 +531,12 @@ object SubscriptionRunner {
         "spec" -> JObj.of(
           "subscriptionId" -> JStr(spec.config.subscriptionId),
           "filters" -> graft.model.FilterSpec.listToJson(spec.filters),
+          // the raw transformer text as a STRING member — parsing it here
+          // would make saveRoster throw on a not-quite-JSON transformer
+          // that the runtime otherwise degrades to per-event transform
+          // errors (and byte-exact round-trip beats a re-render anyway)
           "transformer" -> spec.transformerJson
-            .map(t => JValue.parse(t): JValue).getOrElse(JNull),
+            .map(t => JStr(t): JValue).getOrElse(JNull),
           "config" -> JObj.of(
             "maxRetryAttempts" -> JInt(spec.config.maxRetryAttempts),
             "disableDeadLetter" -> JBool(spec.config.disableDeadLetter),
@@ -575,7 +579,7 @@ object SubscriptionRunner {
                     .map(f => graft.model.FilterSpec.listFromJson(f.render))
                     .getOrElse(Seq.empty),
                   transformerJson = sj.get("transformer").collect {
-                    case t if t != JNull => t.render
+                    case JStr(t) => t
                   },
                   config = cfg)
               case _ => fail("member.spec missing")
@@ -693,17 +697,26 @@ object SubscriptionRunner {
       * file is a consistent snapshot of the membership.
       */
     private def saveRoster(): Unit = rosterPath.foreach { rp =>
-      val json = rosterJson(members.filter(_._3 != PendingGuard))
-      val p = java.nio.file.Paths.get(rp)
-      Option(p.getParent).foreach { d =>
-        java.nio.file.Files.createDirectories(d); ()
+      // IO failures are logged, not thrown: by the time this runs the
+      // membership change is already live (an armed attach, a completed
+      // detach), and failing the caller would report a member as dead
+      // while it keeps delivering. Durability degrades; liveness doesn't.
+      try {
+        val json = rosterJson(members.filter(_._3 != PendingGuard))
+        val p = java.nio.file.Paths.get(rp)
+        Option(p.getParent).foreach { d =>
+          java.nio.file.Files.createDirectories(d); ()
+        }
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[shared-group] roster write to $rp failed: $e")
       }
-      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
     }
 
     /** The bus's on-disk high-water mark (max sequence number), or
@@ -713,16 +726,42 @@ object SubscriptionRunner {
       * only the newest date partition.
       */
     private def boundary(): Long =
-      try {
-        val r = sourceBus.maxSequenceFrame(spark).head
-        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-      } catch { case _: org.apache.spark.sql.AnalysisException => Long.MinValue }
+      // under the bus's append lock: a same-JVM multi-file append commits
+      // files one rename at a time, and a probe landing mid-commit could
+      // observe a high-seq file while a lower-seq sibling is still
+      // staged — the boundary would overshoot the servable range and the
+      // guard would exclude the unseen rows forever. Inside the lock an
+      // append is either fully visible or not started. (Lock order is
+      // always group lock -> append lock, same as a batch routing an
+      // append; never the reverse, so no deadlock.)
+      EventBus.appendLock(sourceBus.path).synchronized {
+        try {
+          val r = sourceBus.maxSequenceFrame(spark).head
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        } catch { case _: org.apache.spark.sql.AnalysisException => Long.MinValue }
+      }
 
     private def requireJoinable(spec: Spec): Unit = {
       require(
         spec.config.dedupHorizon.isEmpty && spec.config.neardupHorizon.isEmpty,
         s"subscription ${spec.config.subscriptionId}: horizon knobs are " +
           "per-subscription streaming state — run it as a dedicated query")
+      // a DURABLE group only admits specs its roster can round-trip:
+      // duplicate Exact/Prefix/Suffix keys collapse through the JSON
+      // object form (silently WIDENING the AND-of-pairs filter on
+      // resume), and empty pair values fail fromJson's validation at
+      // load — both must surface here, before the member is live, not
+      // on the restart that tries to rebuild it
+      if (rosterPath.isDefined) {
+        val rt =
+          try graft.model.FilterSpec.listFromJson(
+            graft.model.FilterSpec.listToJson(spec.filters).render) == spec.filters
+          catch { case _: IllegalArgumentException => false }
+        require(rt,
+          s"subscription ${spec.config.subscriptionId}: filters do not " +
+            "round-trip through the roster JSON (duplicate pair keys or " +
+            "empty values) — a resumed group would compile a different filter")
+      }
       // ids key the per-batch results map AND the retry/DLQ stamps — a
       // duplicate would silently drop one subscription's accounting and
       // make the two indistinguishable on spool release
@@ -876,6 +915,14 @@ object SubscriptionRunner {
       * does).
       */
     def detach(subscriptionId: String): Boolean = synchronized {
+      // a PENDING member is mid-attach: removing it here would let the
+      // attach cutover arm nothing while still returning success — the
+      // caller would hold a "live" subscription that never delivers.
+      // Detach it after its attach returns.
+      if (members.exists(m => m._1.config.subscriptionId == subscriptionId &&
+          m._3 == PendingGuard))
+        throw new IllegalStateException(
+          s"subscription $subscriptionId: attach in flight — detach after it completes")
       val before = members.size
       members = members.filterNot(_._1.config.subscriptionId == subscriptionId)
       val removed = members.size < before

@@ -109,6 +109,13 @@ object Template {
     *  - anything else (including a trailing `\`) is a PARSE ERROR, not a
     *    literal — the reference rejects the template
     *
+    * One documented deviation: the reference's low-surrogate bound check
+    * is vacuous (`lowSurrogateMin < 0xDC00` in escape.go:129 is always
+    * false), so it ACCEPTS a high surrogate followed by `\u` of any
+    * value ≤ 0xDFFF and renders a garbage rune; this port rejects a low
+    * half outside [0xDC00, 0xDFFF] — strictly tighter, never
+    * silently-wrong output. escape_test.go carries no vector either way.
+    *
     * Byte escapes ≥ 0x80 append the code point of the byte value (the Go
     * form emits the raw byte into a UTF-8 string; for the ASCII range the
     * two agree, which is every vector the reference tests).
@@ -140,7 +147,9 @@ object Template {
       case 't' => sb.append('\t'); esc + 2
       case 'x' => sb.append(((hex1(esc + 2) << 4) | hex1(esc + 3)).toChar); esc + 4
       case o if o >= '0' && o <= '7' =>
-        sb.append(((o - '0') * 64 + oct1(esc + 2) * 8 + oct1(esc + 3)).toChar)
+        // Go's byte arithmetic wraps mod 256: \400-\777 are one byte,
+        // not a U+01xx code point (ExpectOctCharExt returns a byte)
+        sb.append((((o - '0') * 64 + oct1(esc + 2) * 8 + oct1(esc + 3)) & 0xFF).toChar)
         esc + 4
       case 'u' =>
         val hi = hex4(esc + 2)
@@ -178,6 +187,17 @@ object Template {
     if (sb.nonEmpty) segs += Lit(sb.toString)
     segs.result()
   }
+
+  /** Parse-time validation of a TEXT template — the reference rejects a
+    * bad escape when the template is PARSED at subscription create
+    * (text/parse.go returns the error from ConsumeEscaped), not on each
+    * event. [[graft.transform.Transformer.parseSpec]] calls this so a
+    * stored subscription with a broken template fails fast instead of
+    * mass-DLQing every event at delivery time.
+    */
+  def validateText(template: String): Either[String, Unit] =
+    try { parseSegments(template); Right(()) }
+    catch { case e: IllegalArgumentException => Left(e.getMessage) }
 
   /** Render a text template; missing holes render as nothing
     * (text/segment.go:25-72).

@@ -64,9 +64,26 @@ object Transformer {
           (k.orElse(kind), to.get("template").collect { case JStr(s) => s })
         case _ => (kind, None)
       }
+      // text templates parse-validate at CREATE time, like the reference
+      // (pkg/template/text/parse.go errors reject the subscription): a
+      // broken escape must fail here, not turn every event into a
+      // transform error at delivery. A JSON-typed template that fails the
+      // JSON parse degrades to the text renderer (below), so its text
+      // parse must hold too.
+      val templateE: Either[String, Unit] = tText match {
+        case Some(t) =>
+          val kind = tKind.getOrElse(Template.sniffKind(t))
+          val textRendered = kind == Template.TextKind ||
+            (kind == Template.JsonKind && Template.parseJson(t).isLeft)
+          if (textRendered)
+            Template.validateText(t).left.map(e => s"template: $e")
+          else Right(())
+        case None => Right(())
+      }
       for {
         defines <- definesE
         p <- pipelineE
+        _ <- templateE
       } yield Spec(defines, p, tKind, tText)
     case other => Left(s"transformer spec must be an object, got ${JPath.typeName(other)}")
   }

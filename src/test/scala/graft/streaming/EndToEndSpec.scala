@@ -737,6 +737,10 @@ class EndToEndSpec extends SparkSpec {
         60, java.util.concurrent.TimeUnit.SECONDS),
         "catch-up never reached the blocking sink")
 
+      // a detach of the mid-attach member must refuse (the cutover would
+      // otherwise arm nothing while attach still reported success)
+      intercept[IllegalStateException](group.detach("sub-b"))
+
       // fresh events land while the catch-up is frozen: the LIVENESS
       // claim — the founding member must drain them through the shared
       // cadence before the attach completes
@@ -850,6 +854,23 @@ class EndToEndSpec extends SparkSpec {
         _ => SubscriptionRunner.Delivery.Batched(_ => Right(()), 7),
         None, None, tmp("rock2"))
     }
+
+    // a DURABLE group refuses filters that cannot round-trip its roster:
+    // duplicate Exact keys collapse through the JSON object form (the
+    // resumed member would compile a WIDER filter)
+    val g3 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus, Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, tmp("rock3"), rosterPath = Some(tmp("roster3") + "/g.json"))
+    try {
+      intercept[IllegalArgumentException] {
+        g3.attach(SubscriptionRunner.Spec(
+          Seq(graft.model.FilterSpec.Exact(
+            Seq("type" -> "purchase", "type" -> "signup"))), None,
+          SubscriptionRunner.Config("sub-dup")),
+          SubscriptionRunner.Delivery.PerEvent(sinkB),
+          SubscriptionRunner.OffsetReset.Latest)
+      }
+    } finally if (g3.query.isActive) g3.query.stop()
   }
 
   test("shared-group members keep rate-limit and ordered-mode semantics") {

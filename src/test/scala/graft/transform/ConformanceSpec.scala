@@ -464,6 +464,9 @@ class ConformanceSpec extends AnyFunSuite {
     assert(txt("a\\x12b") == "a\u0012b")
     // "octal character": \123 = 'S' (ExpectOctCharExt('1', "23"))
     assert(txt("a\\123b") == "aSb")
+    // Go's byte arithmetic wraps mod 256: \777 is one 0xFF byte, never
+    // a U+01FF code point
+    assert(txt("a\\777b") == "a\u00ffb")
     // "invalid" vectors: ConsumeEscaped ERRORS — never a silent literal
     intercept[IllegalArgumentException](txt("a\\qb")) // not in the plan
     intercept[IllegalArgumentException](txt("bad\\")) // trailing backslash
@@ -479,6 +482,13 @@ class ConformanceSpec extends AnyFunSuite {
     val defs: Template.Resolver =
       n => if (n == "var") Some(JStr("V")) else None
     assert(Template.renderText("a <var>\\n<nope> b", defs) == "a V\n b")
+    // and a broken escape is a CREATE-time error: parseSpec rejects the
+    // subscription (the reference's text/parse.go error path), so the
+    // template never reaches per-event rendering
+    assert(Transformer.parseSpec(
+      """{"template_type":"text","template":"C:\\qusers"}""").isLeft)
+    assert(Transformer.parseSpec(
+      """{"template_type":"text","template":"id=<$.id>"}""").isRight)
   }
 
   // ===== trigger/util attribute semantics ================================

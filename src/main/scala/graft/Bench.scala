@@ -946,9 +946,14 @@ object Bench {
     // synthesized (marker check — a SPARK_GRAFT_ONLY run without the probe
     // queries must not pay corpus synthesis here).
     val histRows = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
+    // a "<query>_exact" probe is histogram-only (no timed query of its
+    // own), so under a chunk child's SPARK_GRAFT_ONLY it must ride its
+    // companion timed query's membership — without the suffix rule no
+    // chunk ever admits it and the probe silently never runs (r17)
     def histAt(tag: String, dir: String, names: Seq[String]): Unit =
       probeHistograms.keys.toSeq.sorted
-        .filter(n => names.contains(n) && (only.isEmpty || only(n)))
+        .filter(n => names.contains(n) &&
+          (only.isEmpty || only(n) || only(n.stripSuffix("_exact"))))
         .foreach { n =>
           try probeHistograms(n)(spark, dir).collect().foreach { r =>
             histRows += ((tag, n, r.getInt(0), r.getLong(1), r.getLong(2),

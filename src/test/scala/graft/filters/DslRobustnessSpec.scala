@@ -65,4 +65,34 @@ class DslRobustnessSpec extends AnyFunSuite {
     rejects("deep NOT")(CESQL.compile("NOT " * 5000 + "TRUE"))
     assert(CESQL.compile("(" * 50 + "TRUE" + ")" * 50) != null)
   }
+
+  test("FilterSpec JSON round-trip: toJson is fromJson's exact inverse") {
+    import graft.model.FilterSpec
+    import graft.model.FilterSpec._
+    // every dialect, nested — the shared-group roster persists specs
+    // through this pair, so round-trip identity is load-bearing
+    val trees: Seq[FilterSpec] = Seq(
+      Exact(Seq("type" -> "purchase", "source" -> "s1")),
+      Prefix(Seq("subject" -> "ord-")),
+      Suffix(Seq("id" -> "-99")),
+      Not(Exact(Seq("type" -> "x"))),
+      CeSql("type = 'a' AND EXISTS k"),
+      Cel("$type == 'a'"),
+      All(Seq(Exact(Seq("a" -> "1")), Any(Seq(Cel("$x == 'y'"),
+        Suffix(Seq("b" -> "2")))))),
+      NoFilter)
+    trees.foreach { t =>
+      assert(FilterSpec.fromJson(FilterSpec.toJson(t)) == t, t.toString)
+    }
+    val list = trees.take(5)
+    assert(FilterSpec.listFromJson(FilterSpec.listToJson(list).render) == list)
+    // the documented non-round-trippables: duplicate pair keys collapse
+    // (last wins through the JSON object form), empty values reject on
+    // the way back in — both are what SharedGroup.requireJoinable screens
+    val dup = Exact(Seq("k" -> "a", "k" -> "b"))
+    assert(FilterSpec.fromJson(FilterSpec.toJson(dup)) == Exact(Seq("k" -> "b")))
+    intercept[IllegalArgumentException] {
+      FilterSpec.fromJson(FilterSpec.toJson(Exact(Seq("k" -> ""))))
+    }
+  }
 }

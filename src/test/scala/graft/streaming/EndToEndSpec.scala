@@ -787,9 +787,9 @@ class EndToEndSpec extends SparkSpec {
     val ckpt = tmp("rock")
     val roster = tmp("roster") + "/group.json"
     RosterResumeE2E.a.clear(); RosterResumeE2E.b.clear()
-    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+    val events0 = EventView.fromEventsTable(Tables.events(spark, sf))
       .filter(col("type").isin("purchase", "signup"))
-      .filter(col("sequence_number") < 120)
+    val events = events0.filter(col("sequence_number") < 120)
     val batch1 = events.filter(col("sequence_number") < 60)
     val batch2 = events.filter(col("sequence_number") >= 60)
     def idsOf(df: org.apache.spark.sql.DataFrame, t: String): Set[String] =
@@ -854,6 +854,42 @@ class EndToEndSpec extends SparkSpec {
         _ => SubscriptionRunner.Delivery.Batched(_ => Right(()), 7),
         None, None, tmp("rock2"))
     }
+
+    // DETACH persists: drop sub-b, resume again — the roster must no
+    // longer carry it, and the resumed group must run with sub-a alone
+    val g4 = SubscriptionRunner.resumeSharedGroup(
+      spark, sourceBus, roster,
+      {
+        case "sub-a" => SubscriptionRunner.Delivery.PerEvent(sinkA)
+        case "sub-b" => SubscriptionRunner.Delivery.PerEvent(sinkB)
+        case other => fail(s"unexpected subscription $other")
+      },
+      None, None, ckpt)
+    try {
+      assert(g4.query.awaitTermination(60000))
+      assert(g4.detach("sub-b"))
+    } finally if (g4.query.isActive) g4.query.stop()
+    val afterDetach = SubscriptionRunner.loadRoster(roster)
+    assert(afterDetach.map(_.spec.config.subscriptionId) == Seq("sub-a"),
+      "detach must rewrite the roster without the member")
+    val bBefore = RosterResumeE2E.b.asScala.toSet
+    val batch3 = events0.filter(col("sequence_number") >= 120 &&
+      col("sequence_number") < 160)
+    sourceBus.append(batch3)
+    val g5 = SubscriptionRunner.resumeSharedGroup(
+      spark, sourceBus, roster,
+      {
+        case "sub-a" => SubscriptionRunner.Delivery.PerEvent(sinkA)
+        case other => fail(s"detached member resurrected: $other")
+      },
+      None, None, ckpt)
+    try { assert(g5.query.awaitTermination(60000)) }
+    finally if (g5.query.isActive) g5.query.stop()
+    Thread.sleep(200)
+    assert(RosterResumeE2E.b.asScala.toSet == bBefore,
+      "a detached member must see nothing after a roster resume")
+    assert(idsOf(batch3, "purchase").subsetOf(RosterResumeE2E.a.asScala.toSet),
+      "the remaining member keeps draining after the detach-resume")
 
     // a DURABLE group refuses filters that cannot round-trip its roster:
     // duplicate Exact keys collapse through the JSON object form (the

@@ -350,4 +350,84 @@ class StreamDedupStateSpec extends SparkSpec {
     // payload rides exactly one row per event
     assert(rows.filter(col("payload").isNotNull).count() == 2)
   }
+
+  test("property: keepFirstBoth equals a brute-force arrival-order replay") {
+    // the r17 semantic pin: BOTH knobs judge "earlier" by sequence
+    // (arrival) order, each against ALL arrivals, kept iff neither
+    // flags. Randomized corpora with planted exact republishes,
+    // near-variant content, shared content across identities, and
+    // RANDOM event times (the r16 bug lived exactly in the gap between
+    // event-time and arrival order) are replayed by a 20-line in-memory
+    // fold; the operator must agree event-for-event.
+    import org.apache.spark.sql.Row
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (1 to 6).foreach { corpus =>
+      val rnd = new scala.util.Random(9000 + corpus)
+      // content pool: base texts + one-word-swapped variants, so the
+      // corpus carries exact-content copies AND fuzzy neighbors; the
+      // replay uses the ACTUAL SimHash distances, so nothing is assumed
+      // about which variants land within the hamming band
+      val bases = Vector.tabulate(6) { i =>
+        Vector.tabulate(8)(j => words((i * 5 + j * 3) % words.length))
+      }
+      val contentPool = bases.map(_.mkString(" ")) ++ bases.map { b =>
+        b.updated(rnd.nextInt(b.length),
+          words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      val types = Vector("t1", "t2")
+      val n = 100
+      val evs = (1 to n).map { seq =>
+        (seq.toLong,
+          s"s${1 + rnd.nextInt(2)}",                 // source
+          (rnd.nextInt(15)).toString,                 // id (republishes!)
+          types(rnd.nextInt(types.length)),           // type cohort
+          contentPool(rnd.nextInt(contentPool.length)),
+          // random event time, deliberately uncorrelated with sequence
+          java.sql.Timestamp.valueOf(
+            s"2024-05-01 ${10 + rnd.nextInt(10)}:${10 + rnd.nextInt(49)}:00"))
+      }
+      val rows = evs.map { case (seq, src, id, t, data, ts) =>
+        Row(seq, id, src, "1.0", t, null, ts, null, "application/json",
+          Map.empty[String, String], data)
+      }
+      val frame = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), EventView.schema)
+
+      // actual fingerprints, computed once per distinct content by the
+      // SAME expression the operator uses
+      import spark.implicits._
+      val fpMap = contentPool.toDS().toDF("data")
+        .select(col("data"), graft.functions.SimHash(
+          split(col("data"), " ", -1), StreamNearDedup.Bits).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // the replay: one pass in arrival (sequence) order; every arrival
+      // probes both states, then inserts into both (flagged or not)
+      val seenIds = scala.collection.mutable.Set.empty[(String, String)]
+      val seenFps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Buffer[Long]]
+      val expectKept = evs.sortBy(_._1).flatMap {
+        case (seq, src, id, t, data, _) =>
+          val fp = fpMap(data)
+          val exact = seenIds.contains((src, id))
+          val near = seenFps.getOrElse(t, Nil).exists(f =>
+            java.lang.Long.bitCount(f ^ fp) <= StreamNearDedup.MaxDist)
+          seenIds += ((src, id))
+          seenFps.getOrElseUpdate(t,
+            scala.collection.mutable.Buffer.empty) += fp
+          if (!exact && !near) Some(seq) else None
+      }.toSet
+
+      val got = StreamNearDedup.keepFirstBoth(frame,
+        exactTtl = Some(java.time.Duration.ofHours(1)),
+        nearTtl = Some(java.time.Duration.ofHours(1)))
+        .select("sequence_number").collect().map(_.getLong(0)).toSet
+      assert(got == expectKept,
+        s"corpus $corpus: operator vs replay diverged — " +
+          s"only-op=${(got -- expectKept).toSeq.sorted.take(5)} " +
+          s"only-replay=${(expectKept -- got).toSeq.sorted.take(5)}")
+    }
+  }
 }

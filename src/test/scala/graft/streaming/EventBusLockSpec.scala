@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.model.EventView
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The r17 append-safety seams: the per-path append lock (one lock per
+  * DIRECTORY, however the path is spelled — the FileOutputCommitter's
+  * shared `_temporary` staging loses files under concurrent same-dir
+  * commits) and the boundary probe's partition-scheme guard (only
+  * ISO-date partition values justify newest-partition pruning; any other
+  * scheme must fall back to the full aggregate rather than read a
+  * lexicographic-max directory that need not hold the max sequence).
+  */
+class EventBusLockSpec extends SparkSpec {
+
+  test("appendLock: one lock per directory across path spellings") {
+    val dir = Files.createTempDirectory("lockid").toString
+    assert(EventBus.appendLock(dir) eq EventBus.appendLock(dir + "/"),
+      "trailing-slash spelling must share the lock")
+    assert(EventBus.appendLock(dir) eq
+      EventBus.appendLock(dir + "/sub/.."),
+      "normalized spelling must share the lock")
+  }
+
+  test("concurrent appends to one bus lose nothing") {
+    val bus = EventBus(Files.createTempDirectory("lockcc").toString)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 64)
+    // 8 threads x 4 disjoint slices each, all racing the same directory;
+    // with the per-path lock every commit lands whole
+    val slices = (0 until 32).map(i =>
+      base.filter(col("sequence_number") % 32 === i))
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 4).foreach { j =>
+        bus.append(slices(t * 4 + j))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(bus.read(spark).count() == base.count(),
+      "every concurrently-appended row must survive commit")
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == base.count())
+  }
+
+  test("maxSequenceFrame: non-date partition schemes fall back to the full aggregate") {
+    val dir = Files.createTempDirectory("busnp").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 40)
+    // partitioned by bus NAME: the lexicographically greatest directory
+    // ("z-bus") holds the LOWEST sequences — pruning here would answer
+    // the wrong max
+    bus.appendPartitioned(base.filter(col("sequence_number") < 20)
+      .withColumn("bus", lit("z-bus")), "bus")
+    bus.appendPartitioned(base.filter(col("sequence_number") >= 20)
+      .withColumn("bus", lit("a-bus")), "bus")
+    val expected = bus.read(spark).agg(max(col("sequence_number")))
+      .head.getLong(0)
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected,
+      "non-date partition values must not be trusted for pruning")
+    // numeric date-SHAPED but non-ISO values fall back too
+    val dir2 = Files.createTempDirectory("busnp2").toString
+    val bus2 = EventBus(dir2)
+    bus2.appendPartitioned(base.filter(col("sequence_number") < 20)
+      .withColumn("d", lit("9")), "d")
+    bus2.appendPartitioned(base.filter(col("sequence_number") >= 20)
+      .withColumn("d", lit("10")), "d")
+    assert(bus2.maxSequenceFrame(spark).head.getLong(0) ==
+      bus2.read(spark).agg(max(col("sequence_number"))).head.getLong(0))
+  }
+}

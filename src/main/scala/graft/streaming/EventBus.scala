@@ -71,9 +71,12 @@ class EventBus(val path: String) extends Serializable {
     * reads prune whole directories (PartitionFilters) before any file IO.
     * Readers are unchanged: `read`/`readStream` see partition columns as
     * ordinary columns. The [[append]] monotonicity precondition applies
-    * here too; with a date partition column, monotone sequences imply the
-    * bus's append invariant — the max sequence always lives in the newest
-    * date partition ([[maxSequenceFrame]] leans on this).
+    * here too. NOTE the partition value is usually derived from EVENT
+    * time (`to_date(time)`), which is NOT append-monotone — an
+    * out-of-order event time legitimately lands a top-sequence row in an
+    * older date directory, so nothing may assume the max sequence lives
+    * in the lexicographically newest partition ([[maxSequenceFrame]] is
+    * footer-stats-exact for precisely this reason; ADVICE r17).
     */
   def appendPartitioned(df: DataFrame, partitionCols: String*): Unit =
     EventBus.appendLock(path).synchronized {
@@ -91,40 +94,156 @@ class EventBus(val path: String) extends Serializable {
   /** The on-disk high-water mark `max(sequence_number)` as a 1-row frame —
     * the [[SubscriptionRunner.SharedGroup.attach]] boundary probe.
     *
-    * Bounded at scale: on a date-partitioned bus (`date=YYYY-MM-DD`
-    * directories — the [[appendPartitioned]] layout) only the newest date
-    * partition is read, as a real partition filter (PartitionFilters in
-    * the scan, pinned by PlanSpec), because the append invariant puts the
-    * max sequence there — a full-listing metadata scan per attach would
-    * be O(bus size) at 100 TB. A flat bus falls back to the whole-dir
-    * footer-stats aggregate. Only ISO-date-shaped partition values are
-    * trusted for the pruning (lexicographic max == newest day); any other
-    * partition scheme (e.g. bus-name) reads everything, staying correct.
+    * EXACT, with no data IO: the max is computed from the parquet FOOTER
+    * statistics of every committed file (int64 min/max stats are exact),
+    * so the probe is metadata-bounded regardless of partition scheme.
+    * The pre-r18 newest-date-partition pruning was UNSOUND: the partition
+    * value is usually derived from EVENT time, which is not
+    * append-monotone — an out-of-order event time puts a top-sequence row
+    * in an older date directory, the pruned probe undershoots the true
+    * high-water mark, and an attaching member permanently loses every
+    * already-stream-processed row above it (ADVICE r17 high). Per-file
+    * footer maxima are memoized by (path, length, mtime) — committed
+    * parquet files are immutable — so a repeat probe (the attach delta
+    * loop calls this once per round) pays one directory listing plus
+    * footers for NEW files only. Any file whose stats are missing or
+    * untrusted degrades the whole probe to the full data aggregate —
+    * slower, never wrong. At 100 TB the production variant would maintain
+    * a high-water sidecar at append time (the reference's log metadata
+    * does exactly this); the listing here is the local stand-in's cost.
     */
-  def maxSequenceFrame(spark: SparkSession): DataFrame = {
-    val agg0 = (df: DataFrame) => df.agg(max(col("sequence_number")))
-    val p = new org.apache.hadoop.fs.Path(path)
-    val newest: Option[(String, String)] =
-      try {
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dirs = fs.listStatus(p).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.contains("="))
-        val kvs = dirs.map { n => val i = n.indexOf('='); (n.take(i), n.drop(i + 1)) }
-        val keys = kvs.map(_._1).distinct
-        val isoDate = "\\d{4}-\\d{2}-\\d{2}".r
-        if (keys.length == 1 && kvs.forall(kv => isoDate.matches(kv._2)))
-          kvs.sortBy(_._2).lastOption
-        else None
-      } catch { case _: java.io.IOException => None }
-    newest match {
-      case Some((k, v)) => agg0(read(spark).filter(col(k) === lit(v)))
-      case None => agg0(read(spark))
+  def maxSequenceFrame(spark: SparkSession): DataFrame =
+    footerMaxSequence(spark) match {
+      case Some(Some(m)) =>
+        spark.range(1).select(lit(m).as("max_sequence_number"))
+      case _ =>
+        // untrusted/missing stats, or no committed files: the full
+        // aggregate (empty dir throws AnalysisException — the callers'
+        // nothing-on-disk contract; all-null stats yield a null row)
+        read(spark).agg(max(col("sequence_number")))
     }
-  }
+
+  /** Per-file-footer max of `sequence_number` across the whole bus.
+    * `Some(Some(m))` = every committed file carries trusted stats, max is
+    * `m`; `Some(None)` = trusted but no rows carry the column; `None` =
+    * stats missing/unreadable somewhere — callers must fall back to a
+    * data aggregate.
+    */
+  private[streaming] def footerMaxSequence(
+      spark: SparkSession): Option[Option[Long]] =
+    try {
+      val stats = EventBus.footerStats(spark, path)
+      if (stats.exists(!_.trusted)) None
+      else Some(
+        stats.filter(_.hasMax).map(_.max) match {
+          case s if s.isEmpty => None
+          case s => Some(s.max)
+        })
+    } catch { case _: java.io.IOException => None }
+
+  /** Read only the files that can hold rows with `sequence_number > lo` —
+    * the attach delta-round read ([[SubscriptionRunner.SharedGroup]]):
+    * a file whose footer max is ≤ `lo` is pruned before any data IO
+    * (exact for any partition scheme, unlike date pruning — see
+    * [[maxSequenceFrame]]); untrusted-stats files are conservatively
+    * included. `basePath` keeps partition columns identical to [[read]].
+    * Callers still apply the `sequence_number > lo` row filter — this
+    * prunes FILES, not rows.
+    */
+  def readAboveSequence(spark: SparkSession, lo: Long): DataFrame =
+    try {
+      val stats = EventBus.footerStats(spark, path)
+      val wanted = stats.filter(f => !f.trusted || (f.hasMax && f.max > lo))
+      if (wanted.isEmpty || wanted.size == stats.size) read(spark)
+      else spark.read.option("basePath", path)
+        .parquet(wanted.map(_.file): _*)
+    } catch { case _: java.io.IOException => read(spark) }
 }
 
 object EventBus {
   def apply(path: String): EventBus = new EventBus(path)
+
+  /** One committed file's footer verdict for `sequence_number`: `trusted`
+    * = every row group either carries exact int64 stats or provably holds
+    * no values of the column; `hasMax`/`max` = the file-level max when any
+    * values exist. An untrusted file poisons footer-only answers for its
+    * whole bus (callers fall back to data aggregates).
+    */
+  private[streaming] final case class FileFooter(
+      file: String, trusted: Boolean, hasMax: Boolean, max: Long)
+
+  // per-bus memo of per-file footer verdicts, keyed by
+  // (name, length, mtime) — committed parquet files are immutable, so an
+  // entry never goes stale; a rewritten file gets a new key. Bounded by a
+  // coarse clear at 256k entries per bus (footers are simply re-read).
+  private val footerMemos =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, FileFooter]]()
+
+  /** Footer verdicts for every committed data file under `path` (listing
+    * is fresh each call; footer reads hit the memo for files already
+    * seen). Throws IOException when the directory cannot be listed.
+    */
+  private[streaming] def footerStats(
+      spark: SparkSession, path: String): Seq[FileFooter] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val memo = footerMemos.computeIfAbsent(appendLockKey(path),
+      _ => new java.util.concurrent.ConcurrentHashMap[String, FileFooter]())
+    if (memo.size > 262144) memo.clear()
+    val out = Vector.newBuilder[FileFooter]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      // Spark's data files only; _SUCCESS/_temporary/.crc are not data
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        out += memo.computeIfAbsent(key, _ => readFooter(conf, st))
+      }
+    }
+    out.result()
+  }
+
+  /** One file's footer verdict — see [[FileFooter]]. Never throws: an
+    * unreadable/garbled footer is an untrusted file, not a probe crash.
+    */
+  private def readFooter(conf: org.apache.hadoop.conf.Configuration,
+      st: org.apache.hadoop.fs.FileStatus): FileFooter = {
+    import scala.jdk.CollectionConverters._
+    val file = st.getPath.toString
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        var trusted = true
+        var hasMax = false
+        var mx = Long.MinValue
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == "sequence_number") match {
+            case None => ()
+            case Some(cc) =>
+              val stats: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
+              if (stats == null ||
+                  (stats.isEmpty && block.getRowCount > 0)) trusted = false
+              else if (stats.hasNonNullValue) stats.genericGetMax match {
+                case l: java.lang.Long =>
+                  hasMax = true; if (l > mx) mx = l.longValue
+                case _ => trusted = false // not int64 — schema drifted
+              }
+            // else: all values in the block are null — contributes nothing
+          }
+        }
+        FileFooter(file, trusted, hasMax, mx)
+      } finally reader.close()
+    } catch {
+      case _: Exception => FileFooter(file, trusted = false,
+        hasMax = false, max = Long.MinValue)
+    }
+  }
 
   // one lock object per bus path (see [[EventBus.append]]); paths are
   // few and long-lived, so the map never needs eviction. Keyed by the
@@ -133,10 +252,9 @@ object EventBus {
   // form) must share one lock, or the committer race reopens.
   private val appendLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[streaming] def appendLock(path: String): Object = {
-    val key =
-      try java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
-      catch { case _: java.nio.file.InvalidPathException => path }
-    appendLocks.computeIfAbsent(key, _ => new Object)
-  }
+  private def appendLockKey(path: String): String =
+    try java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    catch { case _: java.nio.file.InvalidPathException => path }
+  private[streaming] def appendLock(path: String): Object =
+    appendLocks.computeIfAbsent(appendLockKey(path), _ => new Object)
 }

@@ -51,6 +51,59 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamNearDedup {
 
+  /** Version of the streaming-state CONTRACT (group-key format + state
+    * schema) of the horizon operators here and in [[IngestDedup]].
+    * v2 = the r17 format: E/F kind markers + U+001E-escaped key segments
+    * ([[verdictsStreamBoth]]) and the bucketed [[FpState]]. A checkpoint
+    * written under an older format holds its groups under DIFFERENT keys,
+    * so a restored query would silently miss duplicates until the stale
+    * state ages out — [[ensureStateFormat]] fails fast instead
+    * (ADVICE r17 low).
+    */
+  val StateFormatVersion = 2
+  private val StateFormatMarker = "graft-state-format"
+
+  /** Fail fast when `checkpointDir` carries streaming state written under
+    * a different state-format version; stamp fresh checkpoints with the
+    * current version. Pre-versioned checkpoints (any prior state, no
+    * marker) are rejected — restoring them requires a fresh checkpoint
+    * (re-seeding dedup state from the horizon's worth of replayed bus
+    * reads), an operational step the silent alternative (missed
+    * duplicates until TTL) does not advertise.
+    */
+  def ensureStateFormat(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, StateFormatMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (text.toIntOption != Some(StateFormatVersion))
+        throw new IllegalStateException(
+          s"checkpoint $checkpointDir: state format '$text' != current " +
+            s"$StateFormatVersion — dedup state keys are incompatible; " +
+            "restart the query from a fresh checkpoint")
+    } else {
+      val hasState = Seq("offsets", "commits", "state").exists { d =>
+        val dp = new org.apache.hadoop.fs.Path(p, d)
+        fs.exists(dp) && fs.listStatus(dp).nonEmpty
+      }
+      if (hasState)
+        throw new IllegalStateException(
+          s"checkpoint $checkpointDir: carries streaming state but no " +
+            "state-format marker (written by a pre-versioned, " +
+            "r17-or-earlier build) — its dedup state keys may be " +
+            "incompatible; restart the query from a fresh checkpoint")
+      fs.mkdirs(p)
+      val out = fs.create(marker, true)
+      try out.write(StateFormatVersion.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   val Bits = 32
   val MaxDist = 2
   // pigeonhole widths for 32/3: 11, 11, 10

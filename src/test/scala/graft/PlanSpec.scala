@@ -312,37 +312,76 @@ class PlanSpec extends SparkSpec {
       s"pair expansion crept in:\n$plan")
   }
 
-  test("attach boundary probe prunes to the newest date partition") {
-    // SharedGroup.attach's boundary is EventBus.maxSequenceFrame — on a
-    // date-partitioned bus it must be a real PartitionFilters scan of the
-    // newest day, not a full-listing aggregate (O(bus) per attach at
-    // 100 TB; VERDICT r16 #3)
+  test("attach boundary probe is footer-exact with no data scan — " +
+      "out-of-order event-time partitions included") {
+    // SharedGroup.attach's boundary is EventBus.maxSequenceFrame. The
+    // r17 newest-date-partition pruning was UNSOUND (ADVICE r17 high):
+    // date partitions derive from EVENT time, which is not
+    // append-monotone — a later append carrying an OLDER date puts the
+    // top sequence in an old directory and the pruned probe undershoots,
+    // permanently losing rows for the attaching member. The r18 probe
+    // answers from parquet footer stats: exact for ANY partition scheme,
+    // and metadata-only (no file scan of the bus in the returned plan).
     import graft.streaming.EventBus
     import graft.model.EventView
     val dir = java.nio.file.Files.createTempDirectory("busmax").toString
     val bus = EventBus(dir)
     val base = EventView.fromEventsTable(Tables.events(spark, sf))
-      .filter(col("sequence_number") < 40)
+      .filter(col("sequence_number") < 60)
     bus.appendPartitioned(base.filter(col("sequence_number") < 20)
       .withColumn("date", lit("2024-05-01")), "date")
-    bus.appendPartitioned(base.filter(col("sequence_number") >= 20)
+    bus.appendPartitioned(base.filter(col("sequence_number") >= 20 &&
+        col("sequence_number") < 40)
       .withColumn("date", lit("2024-05-02")), "date")
+    // the regression case: the LATEST append (highest sequences) carries
+    // the OLDEST event date — exactly the out-of-order republish the
+    // streaming dedup fix treats as first-class
+    bus.appendPartitioned(base.filter(col("sequence_number") >= 40)
+      .withColumn("date", lit("2024-04-30")), "date")
     val frame = bus.maxSequenceFrame(spark)
-    val plan = executedPlan(frame)
-    assert(plan.contains("PartitionFilters: [isnotnull(date"),
-      s"boundary probe must carry a partition filter:\n$plan")
-    assert(plan.contains("2024-05-02"),
-      s"boundary probe must pin the NEWEST partition:\n$plan")
-    // and the pruned probe still answers the true global max (the append
-    // invariant: monotone sequences put it in the newest day)
     val expected = bus.read(spark).agg(max(col("sequence_number")))
       .head.getLong(0)
-    assert(frame.head.getLong(0) == expected)
-    // a flat (unpartitioned) bus falls back to the whole-dir aggregate
+    assert(frame.head.getLong(0) == expected,
+      "probe must answer the true global max despite the newest " +
+        "sequences living in the OLDEST date partition")
+    // footer path: the answer is a driver-side literal, not a bus scan
+    val plan = executedPlan(frame)
+    assert(!plan.contains("Scan parquet"),
+      s"boundary probe must not scan bus data:\n$plan")
+    // a flat (unpartitioned) bus answers identically
     val flatDir = java.nio.file.Files.createTempDirectory("busflat").toString
     val flat = EventBus(flatDir)
     flat.append(base)
     assert(flat.maxSequenceFrame(spark).head.getLong(0) ==
       flat.read(spark).agg(max(col("sequence_number"))).head.getLong(0))
+  }
+
+  test("attach delta-round reads prune files below the served boundary") {
+    // SharedGroup.attach's delta rounds read (B_{i-1}, B_i]; a file whose
+    // footer max sequence is ≤ B_{i-1} cannot hold delta rows and must be
+    // pruned before any data IO (VERDICT r17 #6 — footer-based, because
+    // date-partition pruning is unsound for event-time partitions)
+    import graft.streaming.EventBus
+    import graft.model.EventView
+    val dir = java.nio.file.Files.createTempDirectory("busdelta").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 60)
+    bus.append(base.filter(col("sequence_number") < 20).repartition(2))
+    bus.append(base.filter(col("sequence_number") >= 20 &&
+      col("sequence_number") < 40).repartition(2))
+    val oldFiles = bus.read(spark).inputFiles.toSet
+    bus.append(base.filter(col("sequence_number") >= 40).repartition(2))
+    val delta = bus.readAboveSequence(spark, 39L)
+      .filter(col("sequence_number") > 39L)
+    assert(delta.inputFiles.forall(f => !oldFiles.contains(f)),
+      s"delta read must touch only files appended past the boundary; " +
+        s"read: ${delta.inputFiles.mkString(", ")}")
+    assert(delta.count() == base.filter(col("sequence_number") >= 40).count())
+    // correctness across the boundary: a mid-range read still sees every
+    // qualifying row even when it spans multiple appends
+    assert(bus.readAboveSequence(spark, 19L)
+      .filter(col("sequence_number") > 19L).count() ==
+      base.filter(col("sequence_number") >= 20).count())
   }
 }

@@ -1033,6 +1033,192 @@ class EndToEndSpec extends SparkSpec {
       "the per-event member is unaffected by its sibling's delivery mode")
   }
 
+  test("shared-batch members route CONCURRENTLY: one slow sink cannot stall its sibling") {
+    // VERDICT r17 #1: the r17 shape routed members SEQUENTIALLY under the
+    // group lock — shared-batch wall time was the SUM of member delivery
+    // times and one slow sink stalled every other member. The proof here
+    // is latch-based, not wall-clock: each member's sink signals its own
+    // start and then waits (bounded) for the sibling's start. Under
+    // sequential routing the first member's wait can never be satisfied
+    // (the sibling won't start until it finishes); under concurrent
+    // routing both proceed. The reference delivers per-subscription
+    // concurrently (server/trigger/trigger/trigger.go:97,134,314).
+    import scala.jdk.CollectionConverters._
+    val sourceBus = EventBus(tmp("pmsrc"))
+    ParallelMembersE2E.reset()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 40)
+    sourceBus.append(events)
+    val allIds = events.select("id").collect().map(_.getString(0)).toSet
+    val specA = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-a"))
+    val specB = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-b"))
+    val sinkA: SubscriptionRunner.Sink = { d =>
+      if (ParallelMembersE2E.aClaimed.compareAndSet(false, true)) {
+        ParallelMembersE2E.aStarted.countDown()
+        ParallelMembersE2E.aSawB.set(ParallelMembersE2E.bStarted.await(
+          30, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      ParallelMembersE2E.a.add(d.id); Right(())
+    }
+    val sinkB: SubscriptionRunner.Sink = { d =>
+      if (ParallelMembersE2E.bClaimed.compareAndSet(false, true)) {
+        ParallelMembersE2E.bStarted.countDown()
+        ParallelMembersE2E.bSawA.set(ParallelMembersE2E.aStarted.await(
+          30, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      ParallelMembersE2E.b.add(d.id); Right(())
+    }
+    val group = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus,
+      Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA)),
+        (specB, SubscriptionRunner.Delivery.PerEvent(sinkB))),
+      None, None, tmp("pmck"))
+    try { assert(group.query.awaitTermination(120000)) }
+    finally if (group.query.isActive) group.query.stop()
+    assert(ParallelMembersE2E.a.asScala.toSet == allIds)
+    assert(ParallelMembersE2E.b.asScala.toSet == allIds)
+    assert(ParallelMembersE2E.aSawB.get && ParallelMembersE2E.bSawA.get,
+      "both members must observe each other mid-delivery — sequential " +
+        "routing would leave one waiting until timeout")
+  }
+
+  test("attach: locked cutover delta stays bounded; a non-converging catch-up FAILS instead of stalling") {
+    // VERDICT r17 #4 / ADVICE r17: the r17 catch-up capped its delta loop
+    // at 3 fixed rounds, then served whatever remained UNDER the group
+    // lock — unbounded when the bus append rate outpaces catch-up
+    // throughput. r18 loops until a round's delta lands below the row
+    // threshold (the locked phase then serves at most ~one sub-threshold
+    // round's appends) and FAILS the attach at the round cap.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    val sourceBus = EventBus(tmp("cvsrc"))
+    ConvergenceE2E.reset()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+    sourceBus.append(events.filter(col("sequence_number") < 64))
+    val specA = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-a"))
+    val sinkA: SubscriptionRunner.Sink = { d =>
+      ConvergenceE2E.a.add(d.id); Right(())
+    }
+    val group = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus,
+      Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, tmp("cvck"),
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      val d1 = System.currentTimeMillis() + 60000
+      while (ConvergenceE2E.a.size < 64 && System.currentTimeMillis() < d1)
+        Thread.sleep(50)
+      assert(ConvergenceE2E.a.size == 64)
+
+      // an appender races the attach: continuous single-row appends keep
+      // every delta round non-empty, so with threshold=1 and a 2-round
+      // cap the attach must FAIL (and clean up its pending member)
+      // rather than take an ever-growing delta under the lock
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val appended = new java.util.concurrent.atomic.AtomicLong(64)
+      val appender = new Thread(() => {
+        while (!stop.get()) {
+          val s = appended.getAndIncrement()
+          sourceBus.append(events.filter(col("sequence_number") === s))
+        }
+      })
+      appender.start()
+      try {
+        val specB = SubscriptionRunner.Spec(Seq.empty, None,
+          SubscriptionRunner.Config("sub-b"))
+        val slowSink: SubscriptionRunner.Sink = { d =>
+          Thread.sleep(20); ConvergenceE2E.b1.add(d.id); Right(())
+        }
+        val ex = intercept[IllegalStateException] {
+          group.attach(specB, SubscriptionRunner.Delivery.PerEvent(slowSink),
+            SubscriptionRunner.OffsetReset.Earliest,
+            deltaRowThreshold = 1L, maxCatchupRounds = 2)
+        }
+        assert(ex.getMessage.contains("did not converge"))
+      } finally { stop.set(true); appender.join(60000) }
+      // the failed attach leaves no member behind — the id is free again
+      assert(!group.detach("sub-b"))
+
+      // with the appends quiet, the same attach converges; the locked
+      // phase handled at most ~one sub-threshold round's appends
+      val specB2 = SubscriptionRunner.Spec(Seq.empty, None,
+        SubscriptionRunner.Config("sub-b2"))
+      val sinkB2: SubscriptionRunner.Sink = { d =>
+        ConvergenceE2E.b2.add(d.id); Right(())
+      }
+      val total = appended.get()
+      val res = group.attach(specB2,
+        SubscriptionRunner.Delivery.PerEvent(sinkB2),
+        SubscriptionRunner.OffsetReset.Earliest)
+      assert(res.delivered == total,
+        s"catch-up must serve the full history: ${res.delivered} != $total")
+      assert(group.lastLockedDeltaRows >= 0 &&
+        group.lastLockedDeltaRows < 4096L,
+        s"locked delta must stay under the threshold: ${group.lastLockedDeltaRows}")
+      assert(ConvergenceE2E.b2.asScala.toSet ==
+        events.filter(col("sequence_number") < total).select("id")
+          .collect().map(_.getString(0)).toSet)
+      assert(ConvergenceE2E.b2.size == total,
+        "exactly-once across the catch-up chunks")
+    } finally if (group.query.isActive) group.query.stop()
+  }
+
+  test("ByTime attach never loses a qualifying event appended around the probe") {
+    // ADVICE r17 medium: the r17 attach probed offsetByTime BEFORE
+    // registering the member, so an event with time >= ts appended AND
+    // batch-processed between the probe and the locked registration was
+    // silently lost (guard sat at-or-above its sequence, no catch-up
+    // ran). r18 registers PENDING first and re-probes under the cutover
+    // lock. This case races a qualifying append against the attach: under
+    // EVERY interleaving the event must reach the member exactly once —
+    // via the locked re-probe chunk or via the guarded stream.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    val sourceBus = EventBus(tmp("btsrc"))
+    ByTimeRaceE2E.reset()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+    // history all strictly BEFORE the reset point
+    val history = events.filter(col("sequence_number") < 40)
+      .withColumn("time", lit("2030-01-01 00:00:00").cast("timestamp"))
+    sourceBus.append(history)
+    val ts = java.sql.Timestamp.valueOf("2031-06-01 00:00:00")
+    // the qualifying event: one row, time past the reset point
+    val qualifying = events.filter(col("sequence_number") === 40)
+      .withColumn("time", lit("2031-06-02 00:00:00").cast("timestamp"))
+    val specA = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-a"))
+    val sinkA: SubscriptionRunner.Sink = { _ => Right(()) }
+    val group = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus,
+      Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, tmp("btck"),
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      val specB = SubscriptionRunner.Spec(Seq.empty, None,
+        SubscriptionRunner.Config("sub-b"))
+      val sinkB: SubscriptionRunner.Sink = { d =>
+        ByTimeRaceE2E.b.add(d.id); Right(())
+      }
+      val appender = new Thread(() => sourceBus.append(qualifying))
+      appender.start() // race the append against the probe/cutover
+      group.attach(specB, SubscriptionRunner.Delivery.PerEvent(sinkB),
+        SubscriptionRunner.OffsetReset.ByTime(ts))
+      appender.join(60000)
+      val d1 = System.currentTimeMillis() + 60000
+      while (ByTimeRaceE2E.b.isEmpty && System.currentTimeMillis() < d1)
+        Thread.sleep(50)
+      Thread.sleep(500) // give a double delivery time to surface
+      assert(ByTimeRaceE2E.b.asScala.toSeq == Seq("40"),
+        "the qualifying event must reach the ByTime member exactly once, " +
+          s"whatever the interleaving: ${ByTimeRaceE2E.b.asScala.toSeq}")
+      // nothing from the pre-ts history leaked through the reset point
+      assert(!ByTimeRaceE2E.b.asScala.exists(_ != "40"))
+    } finally if (group.query.isActive) group.query.stop()
+  }
+
   test("drain() quiesces a dedup-horizon subscription without hand-rolled polling") {
     import scala.jdk.CollectionConverters._
     val sourceBus = EventBus(tmp("drsrc"))
@@ -1112,6 +1298,37 @@ object NonBlockAttachE2E {
 object RosterResumeE2E {
   val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object ParallelMembersE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var aClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var bClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var aStarted = new java.util.concurrent.CountDownLatch(1)
+  @volatile var bStarted = new java.util.concurrent.CountDownLatch(1)
+  val aSawB = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val bSawA = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    a.clear(); b.clear()
+    aClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    bClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    aStarted = new java.util.concurrent.CountDownLatch(1)
+    bStarted = new java.util.concurrent.CountDownLatch(1)
+    aSawB.set(false); bSawA.set(false)
+  }
+}
+
+object ConvergenceE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { a.clear(); b1.clear(); b2.clear() }
+}
+
+object ByTimeRaceE2E {
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = b.clear()
 }
 
 object SharedRateOrderedE2E {

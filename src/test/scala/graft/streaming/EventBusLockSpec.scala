@@ -8,10 +8,9 @@ import java.nio.file.Files
 /** The r17 append-safety seams: the per-path append lock (one lock per
   * DIRECTORY, however the path is spelled — the FileOutputCommitter's
   * shared `_temporary` staging loses files under concurrent same-dir
-  * commits) and the boundary probe's partition-scheme guard (only
-  * ISO-date partition values justify newest-partition pruning; any other
-  * scheme must fall back to the full aggregate rather than read a
-  * lexicographic-max directory that need not hold the max sequence).
+  * commits) and the boundary probe's partition-scheme independence (r18:
+  * footer-stats-exact for ANY scheme — a lexicographic-max directory
+  * need not hold the max sequence, so no directory pruning is trusted).
   */
 class EventBusLockSpec extends SparkSpec {
 
@@ -44,14 +43,15 @@ class EventBusLockSpec extends SparkSpec {
       == base.count())
   }
 
-  test("maxSequenceFrame: non-date partition schemes fall back to the full aggregate") {
+  test("maxSequenceFrame: exact under partition schemes where directory " +
+      "order contradicts sequence order") {
     val dir = Files.createTempDirectory("busnp").toString
     val bus = EventBus(dir)
     val base = EventView.fromEventsTable(Tables.events(spark, sf))
       .filter(col("sequence_number") < 40)
     // partitioned by bus NAME: the lexicographically greatest directory
-    // ("z-bus") holds the LOWEST sequences — pruning here would answer
-    // the wrong max
+    // ("z-bus") holds the LOWEST sequences — any directory pruning here
+    // would answer the wrong max; the footer-stats probe doesn't care
     bus.appendPartitioned(base.filter(col("sequence_number") < 20)
       .withColumn("bus", lit("z-bus")), "bus")
     bus.appendPartitioned(base.filter(col("sequence_number") >= 20)
@@ -59,8 +59,8 @@ class EventBusLockSpec extends SparkSpec {
     val expected = bus.read(spark).agg(max(col("sequence_number")))
       .head.getLong(0)
     assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected,
-      "non-date partition values must not be trusted for pruning")
-    // numeric date-SHAPED but non-ISO values fall back too
+      "directory order must not influence the probe")
+    // numeric date-SHAPED but non-ISO values too
     val dir2 = Files.createTempDirectory("busnp2").toString
     val bus2 = EventBus(dir2)
     bus2.appendPartitioned(base.filter(col("sequence_number") < 20)

@@ -380,11 +380,30 @@ object Bench {
     * resolved case the SOLO number is authoritative (see coordinate):
     * a solo child is a cold JVM with no sibling-query warmth, which is
     * what a real per-query deployment pays.
+    *
+    * r18 (VERDICT r17 #3): the wall comparison alone can mask a CPU
+    * story — the keep_best 100× row produced three mutually inconsistent
+    * (wall, cpu) profiles on unchanged code, and the adjudicator adopted
+    * solo walls while the cpu said the two runs did 26× different WORK.
+    * When both cpu numbers are known and material (≥ 5 cpu-s on either
+    * side), a >2× cpu disagreement makes the row `cpu-divergent(<wall>)`:
+    * not reproduced — investigate; the solo number is NEVER silently
+    * adopted for such a row (coordinate keeps the published number and
+    * the detail artifact carries both).
     */
-  private[graft] def verdictOf(published: Double, solo: Double): String =
-    if (solo < published / 1.5) "environmental"
-    else if (solo > published * 1.5) "chunk-deflated"
-    else "reproduced"
+  private[graft] def verdictOf(published: Double, solo: Double,
+      publishedCpu: Double = -1.0, soloCpu: Double = -1.0): String = {
+    val wall =
+      if (solo < published / 1.5) "environmental"
+      else if (solo > published * 1.5) "chunk-deflated"
+      else "reproduced"
+    val cpuKnown = publishedCpu > 0 && soloCpu > 0
+    val cpuMaterial = math.max(publishedCpu, soloCpu) >= 5.0
+    if (cpuKnown && cpuMaterial &&
+        (soloCpu > 2 * publishedCpu || publishedCpu > 2 * soloCpu))
+      s"cpu-divergent($wall)"
+    else wall
+  }
 
   /** Fork one child JVM running `graft.Bench` with `env` merged in; child
     * stdout (Spark console noise) goes to a temp log so it cannot pollute
@@ -548,13 +567,15 @@ object Bench {
             .map(r => (r.sec, r.cpu))
         solo match {
           case Some((sw, sc)) =>
-            // three-valued (r13 VERDICT #1): the old two-valued form labeled
-            // chunk-warmed numbers `reproduced` when the solo re-run came
-            // back 3-5x SLOWER than the published chunk time — the exact
-            // class of claim this machinery exists to stop
-            val verdict = verdictOf(pub, sw)
+            // three-valued (r13 VERDICT #1), cpu-checked (r18): a solo
+            // whose WALL agrees but whose CPU disagrees >2× did different
+            // WORK — flagged cpu-divergent, never silently adopted
+            val verdict = verdictOf(pub, sw, pubCpu, sc)
             System.err.println(
-              f"[bench] verdict $tag:$name published=$pub%.2f solo=$sw%.2f → $verdict")
+              f"[bench] verdict $tag:$name published=$pub%.2f/$pubCpu%.1fcpu " +
+                f"solo=$sw%.2f/$sc%.1fcpu → $verdict" +
+                (if (verdict.startsWith("cpu-divergent"))
+                  " (NOT reproduced — investigate)" else ""))
             adjRows += Adj(tag, name, trigger, pub, pubCpu, sw, sc, verdict)
           case None =>
             System.err.println(s"[bench] solo $tag:$name reported nothing; " +
@@ -568,11 +589,12 @@ object Bench {
       if (!suspectTags("base"))
         for (q <- soloQ.find(_._1 == name); p <- qMeas.find(_._1 == name))
           adjRows += Adj("base", name, "companion", p._2.wall, p._2.cpu,
-            q._2.wall, q._2.cpu, verdictOf(p._2.wall, q._2.wall))
+            q._2.wall, q._2.cpu,
+            verdictOf(p._2.wall, q._2.wall, p._2.cpu, q._2.cpu))
       soloS.filter(r => r.name == name && !suspectTags(r.tag)).foreach { r =>
         scaleRows.find(p => p.tag == r.tag && p.name == name).foreach { p =>
           adjRows += Adj(r.tag, name, "companion", p.sec, p.cpu,
-            r.sec, r.cpu, verdictOf(p.sec, r.sec))
+            r.sec, r.cpu, verdictOf(p.sec, r.sec, p.cpu, r.cpu))
         }
       }
     }
@@ -585,9 +607,14 @@ object Bench {
     // child). A solo child is a cold JVM with no sibling-query
     // JIT/page-cache warmth and no chunk co-tenancy, which is what a real
     // per-query deployment pays in either direction. The published chunk
-    // number stays visible in the adjudication rows.
+    // number stays visible in the adjudication rows. EXCEPTION (r18,
+    // VERDICT r17 #3): a cpu-divergent row measured different WORK, not a
+    // different environment — adopting its solo wall would publish a
+    // number whose cpu story contradicts the artifact; such rows keep
+    // their published numbers and carry the divergence in the verdict.
     val soloOf: Map[(String, String), (Double, Double)] =
-      adjRows.filter(_.solo >= 0)
+      adjRows.filter(a => a.solo >= 0 &&
+          !a.verdict.startsWith("cpu-divergent"))
         .map(a => (a.tag, a.name) -> (a.solo, a.soloCpu)).toMap
     val qAuth = qMeas.toSeq.map { case (n, m) =>
       soloOf.get(("base", n))

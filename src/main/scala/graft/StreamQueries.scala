@@ -699,8 +699,14 @@ object StreamQueries {
     * form: one fold from empty state — the deterministic face of the
     * sliding-TTL streaming semantics EndToEndSpec exercises). Every 7th
     * event is re-published with a shifted sequence number; the stage must
-    * keep exactly the first arrival per (source, id). The oracle replays
-    * the republication and the min-sequence pick.
+    * keep exactly the first arrival per (source, id). Every 11th event is
+    * ALSO republished under the same `id` but a DIFFERENT `source` — a
+    * distinct CloudEvents identity that must NOT dedup (VERDICT r17 #5:
+    * with a constant source the compound key degenerated to id alone and
+    * an id-only dedup bug was invisible to this oracle). The oracle
+    * replays the republications and the min-sequence pick per
+    * (source, id); `source` rides the result so the compound identity is
+    * under the hash.
     */
   private val ingestHorizonQ = Q(
     "stream_ingest_horizon",
@@ -710,24 +716,40 @@ object StreamQueries {
         base.filter(col("sequence_number") % 7 === 0)
           .withColumn("sequence_number",
             col("sequence_number") + lit(10000000L)))
+        .unionByName(
+          base.filter(col("sequence_number") % 11 === 0)
+            .withColumn("sequence_number",
+              col("sequence_number") + lit(20000000L))
+            .withColumn("source", concat(col("source"), lit("-alt"))))
       graft.streaming.IngestDedup
         .firstArrivals(republished, java.time.Duration.ofHours(1))
         .toDF()
-        .select(col("sequence_number"), col("id"), col("type"), col("data"))
+        .select(col("sequence_number"), col("id"), col("source"),
+          col("type"), col("data"))
         .orderBy(col("sequence_number"))
     },
     Some("""
       WITH u AS (
         SELECT event_id AS seq, CAST(event_id AS VARCHAR) AS id,
+               '/testdata/events/' || CAST(user_id % 4 AS VARCHAR) AS source,
                event_type, props
         FROM events
         UNION ALL
         SELECT event_id + 10000000, CAST(event_id AS VARCHAR),
+               '/testdata/events/' || CAST(user_id % 4 AS VARCHAR),
                event_type, props
         FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        -- same id, DIFFERENT source: a distinct identity, must survive
+        SELECT event_id + 20000000, CAST(event_id AS VARCHAR),
+               '/testdata/events/' || CAST(user_id % 4 AS VARCHAR) || '-alt',
+               event_type, props
+        FROM events WHERE event_id % 11 = 0
       )
-      SELECT seq AS sequence_number, id, event_type AS "type", props AS data
-      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq) AS rn
+      SELECT seq AS sequence_number, id, source,
+             event_type AS "type", props AS data
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, id
+              ORDER BY seq) AS rn
             FROM u)
       WHERE rn = 1 ORDER BY 1
     """))
@@ -788,11 +810,15 @@ object StreamQueries {
     * when a subscription sets `dedupHorizon` AND `neardupHorizon`). Every
     * 7th event is republished under its original (source, id) with a
     * shifted sequence — the exact knob's drop; natural near-dup content
-    * among the originals is the near knob's. The contract: each knob is
+    * among the originals is the near knob's; every 11th event is
+    * republished under the same `id` but a DIFFERENT `source` AND fresh
+    * content — a distinct identity with distant content that must survive
+    * BOTH knobs (VERDICT r17 #5: the compound key was degenerate under a
+    * constant source). The contract: each knob is
     * judged against ALL arrivals, an event is kept iff neither flags. The
-    * oracle replays the republication, the min-sequence exact pick, and
-    * the brute-force any-earlier-within-hamming-2 scan over the SAME
-    * unioned arrivals.
+    * oracle replays the republications, the min-sequence exact pick per
+    * (source, id), and the brute-force any-earlier-within-hamming-2 scan
+    * over the SAME unioned arrivals.
     */
   private val bothHorizonsQ = Q(
     "stream_both_horizons",
@@ -802,24 +828,43 @@ object StreamQueries {
         base.filter(col("sequence_number") % 7 === 0)
           .withColumn("sequence_number",
             col("sequence_number") + lit(10000000L)))
+        .unionByName(
+          base.filter(col("sequence_number") % 11 === 0)
+            .withColumn("sequence_number",
+              col("sequence_number") + lit(20000000L))
+            .withColumn("source", concat(col("source"), lit("-alt")))
+            .withColumn("data", concat_ws(" ", lit("altsrc"), col("id"),
+              lit("repub"), concat(lit("zz"), col("id")))))
       graft.streaming.StreamNearDedup
         .keepFirstBoth(arrivals,
           exactTtl = Some(java.time.Duration.ofHours(1)),
           nearTtl = Some(java.time.Duration.ofHours(1)))
-        .select(col("sequence_number"), col("id"), col("type"), col("data"))
+        .select(col("sequence_number"), col("id"), col("source"),
+          col("type"), col("data"))
         .orderBy(col("sequence_number"))
     },
     Some("""
       WITH u AS (
         SELECT event_id AS seq, CAST(event_id AS VARCHAR) AS id,
+               '/testdata/events/' || CAST(user_id % 4 AS VARCHAR) AS source,
                event_type, coalesce(epoch_us(ts), 0) AS tus, props
         FROM events
         UNION ALL
         SELECT event_id + 10000000, CAST(event_id AS VARCHAR),
+               '/testdata/events/' || CAST(user_id % 4 AS VARCHAR),
                event_type, coalesce(epoch_us(ts), 0), props
         FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        -- same id, DIFFERENT source + fresh distant content: must survive
+        -- the exact knob (distinct compound identity) AND the near knob
+        SELECT event_id + 20000000, CAST(event_id AS VARCHAR),
+               '/testdata/events/' || CAST(user_id % 4 AS VARCHAR) || '-alt',
+               event_type, coalesce(epoch_us(ts), 0),
+               'altsrc ' || CAST(event_id AS VARCHAR) || ' repub zz' ||
+                 CAST(event_id AS VARCHAR)
+        FROM events WHERE event_id % 11 = 0
       ), f AS (
-        SELECT seq, id, event_type, tus,
+        SELECT seq, id, source, event_type, tus,
           coalesce(event_type, chr(26)) AS cohort, props,
           CAST(list_sum(list_transform(range(0, 32), b ->
             CASE WHEN list_sum(list_transform(
@@ -832,7 +877,8 @@ object StreamQueries {
       ), x AS (
         -- the exact knob: an earlier arrival (min-sequence pick) with the
         -- same (source, id) identity
-        SELECT seq, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq) AS rn
+        SELECT seq, ROW_NUMBER() OVER (PARTITION BY source, id
+          ORDER BY seq) AS rn
         FROM f
       ), m AS (
         -- the near knob: any earlier arrival (admitted or not) of the same
@@ -847,8 +893,8 @@ object StreamQueries {
          AND bit_count(xor(a.fp, b.fp)) <= 2
         GROUP BY a.seq
       )
-      SELECT f.seq AS sequence_number, f.id, f.event_type AS "type",
-             f.props AS data
+      SELECT f.seq AS sequence_number, f.id, f.source,
+             f.event_type AS "type", f.props AS data
       FROM f
       JOIN x ON x.seq = f.seq
       LEFT JOIN m ON m.seq = f.seq
@@ -1120,6 +1166,120 @@ object StreamQueries {
       FROM events ORDER BY event_id
     """))
 
+  private object ByTimeAttachCapture {
+    val a = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val b = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val c = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  }
+
+  /** ByTime attach on the REAL running shared group — the offset SEEK
+    * semantics (block_seek.go:45-86) through
+    * [[graft.streaming.SubscriptionRunner.SharedGroup.attach]], r18's
+    * pending-first registration (ADVICE r17 medium: the r17 shape probed
+    * before registering and could silently lose a qualifying event
+    * appended in the gap). Two attachers:
+    *  - sub-b resets to a MID-BUS timestamp: catch-up serves everything
+    *    from the first offset with time >= T_mid (out-of-order times
+    *    after that offset included — a seek, not a time filter), then
+    *    live appends arrive via the guard;
+    *  - sub-c resets to a FUTURE timestamp nothing on the bus satisfies:
+    *    the probe finds no offset, the member is positioned at the log
+    *    END, and it receives exactly the post-attach appends.
+    * The oracle replays the seek (min event_id with ts >= ts(250) among
+    * the pre-attach rows) and both filters over the full range.
+    */
+  private val sharedAttachByTimeQ = Q(
+    "stream_shared_attach_bytime",
+    (s, d) => {
+      import graft.streaming.{EventBus, SubscriptionRunner}
+      import graft.model.FilterSpec
+      import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("shbt").toString
+      val bus = EventBus(s"$tmp/src")
+      val base = EventView.fromEventsTable(Tables.events(s, d))
+      val pre = base.filter(col("sequence_number") < 500)
+      // post-attach appends carry a FUTURE event time (they also satisfy
+      // sub-c's reset point — but sub-c receives them because they are
+      // post-position appends, which is the seek contract either way)
+      val late = base.filter(col("sequence_number") >= 500 &&
+          col("sequence_number") < 550)
+        .withColumn("time", lit("2035-01-01 00:00:00").cast("timestamp"))
+      bus.append(pre)
+      ByTimeAttachCapture.a.clear(); ByTimeAttachCapture.b.clear()
+      ByTimeAttachCapture.c.clear()
+      val tMid = pre.filter(col("sequence_number") === 250)
+        .select(col("time")).head.getTimestamp(0)
+      val expectA1 = pre.filter(col("type") === "purchase").count()
+      val subA = (SubscriptionRunner.Spec(
+        Seq(FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+        SubscriptionRunner.Config("sub-a")),
+        SubscriptionRunner.Delivery.PerEvent { del =>
+          ByTimeAttachCapture.a.add(del.id.toLong); Right(())
+        }: SubscriptionRunner.Delivery)
+      val group = SubscriptionRunner.startSharedGroup(
+        s, bus, Seq(subA), None, None, s"$tmp/ck",
+        trigger = Trigger.ProcessingTime("200 milliseconds"))
+      try {
+        val d1 = System.currentTimeMillis() + 120000
+        while (ByTimeAttachCapture.a.size < expectA1 &&
+          System.currentTimeMillis() < d1) Thread.sleep(50)
+        if (ByTimeAttachCapture.a.size < expectA1)
+          throw new RuntimeException("founding member did not drain half 1")
+        val specB = SubscriptionRunner.Spec(
+          Seq(FilterSpec.Exact(Seq("type" -> "signup"))), None,
+          SubscriptionRunner.Config("sub-b"))
+        group.attach(specB,
+          SubscriptionRunner.Delivery.PerEvent { del =>
+            ByTimeAttachCapture.b.add(del.id.toLong); Right(())
+          }, SubscriptionRunner.OffsetReset.ByTime(tMid))
+        val specC = SubscriptionRunner.Spec(Seq.empty, None,
+          SubscriptionRunner.Config("sub-c"))
+        group.attach(specC,
+          SubscriptionRunner.Delivery.PerEvent { del =>
+            ByTimeAttachCapture.c.add(del.id.toLong); Right(())
+          }, SubscriptionRunner.OffsetReset.ByTime(
+            java.sql.Timestamp.valueOf("2034-01-01 00:00:00")))
+        bus.append(late)
+        val s0b = pre.filter(col("time") >= lit(tMid))
+          .agg(min(col("sequence_number"))).head.getLong(0)
+        val expectA = expectA1 + late.filter(col("type") === "purchase").count()
+        val expectB = pre.filter(col("sequence_number") >= s0b &&
+          col("type") === "signup").count() +
+          late.filter(col("type") === "signup").count()
+        val expectC = late.count()
+        val d2 = System.currentTimeMillis() + 120000
+        while ((ByTimeAttachCapture.a.size < expectA ||
+          ByTimeAttachCapture.b.size < expectB ||
+          ByTimeAttachCapture.c.size < expectC) &&
+          System.currentTimeMillis() < d2) Thread.sleep(50)
+        Thread.sleep(500) // a wrong double delivery needs time to surface
+      } finally if (group.query.isActive) group.query.stop()
+      import s.implicits._
+      (ByTimeAttachCapture.a.asScala.toSeq.map(("sub-a", _)) ++
+        ByTimeAttachCapture.b.asScala.toSeq.map(("sub-b", _)) ++
+        ByTimeAttachCapture.c.asScala.toSeq.map(("sub-c", _)))
+        .toDF("subscription_id", "sequence_number")
+        .orderBy(col("subscription_id"), col("sequence_number"))
+    },
+    Some("""
+      WITH s0 AS (
+        SELECT MIN(event_id) AS v FROM events
+        WHERE event_id < 500
+          AND ts >= (SELECT ts FROM events WHERE event_id = 250)
+      )
+      SELECT 'sub-a' AS subscription_id, event_id AS sequence_number
+      FROM events WHERE event_type = 'purchase' AND event_id < 550
+      UNION ALL
+      SELECT 'sub-b', event_id
+      FROM events, s0
+      WHERE event_type = 'signup' AND event_id < 550 AND event_id >= s0.v
+      UNION ALL
+      SELECT 'sub-c', event_id
+      FROM events WHERE event_id >= 500 AND event_id < 550
+      ORDER BY 1, 2
+    """))
+
   private object RosterResumeCapture {
     val a = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val b = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -1204,5 +1364,5 @@ object StreamQueries {
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
     protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,
     neardupHorizonQ, bothHorizonsQ, sharedFanoutQ, sharedLateAttachQ,
-    sharedRosterResumeQ)
+    sharedAttachByTimeQ, sharedRosterResumeQ)
 }

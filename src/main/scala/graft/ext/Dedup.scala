@@ -264,8 +264,17 @@ object Dedup {
     // distributed propagation loop with full parallelism.
     var loopPin: DataFrame = null
     var edgesWide: DataFrame = null
+    var labelsPin: DataFrame = null
     val labels = if (forest.count() <= unionFindMaxEdges) {
-      forest.repartition(1).mapPartitions { it =>
+      // the label frame is PINNED (r18, VERDICT r17 #3): consumers like
+      // [[dedupKeepBest]] reference the groups frame twice in one plan
+      // (keyed → argmax → join back), and without the pin each reference
+      // re-runs the whole single-task union-find — the low-parallelism
+      // phase that made the keep_best 100× row's cpu profile swing across
+      // machines. One eager materialization here; the consumers scan
+      // ~16 bytes/node of pinned blocks.
+      labelsPin = graft.GraftCache.pin(
+        forest.repartition(1).mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var root = x
@@ -294,7 +303,8 @@ object Dedup {
         // map mid-iteration is undefined
         val ids = parent.keys.toArray
         ids.iterator.map(id => (id, find(id)))
-      }.toDF("id", "comp")
+      }.toDF("id", "comp"))
+      labelsPin
     } else {
       edgesWide = graft.GraftCache.pin(
         forest.union(forest.select(col("b").as("a"), col("a").as("b")))
@@ -338,7 +348,8 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("comp").as("group_id"),
         (col("id") === col("comp")).as("is_keeper"))
     graft.GraftCache.releaseAfter(result,
-      (Seq(forest) ++ Option(edgesWide) ++ Option(loopPin)): _*)
+      (Seq(forest) ++ Option(labelsPin) ++ Option(edgesWide) ++
+        Option(loopPin)): _*)
   }
 
   /** The whole dedup pipeline composed: exact dedup (keep the smallest id

@@ -37,7 +37,13 @@ object EventView {
     events.select(
       col("event_id").as("sequence_number"),
       col("event_id").cast("string").as("id"),
-      lit("/testdata/events").as("source"),
+      // source VARIES with the corpus (derived from the producing user):
+      // a constant source degenerated every (source, id) identity oracle
+      // to id alone (VERDICT r17 #5) — the compound CloudEvents identity
+      // is only exercised end-to-end when distinct sources coexist.
+      // DuckDB mirror: '/testdata/events/' || CAST(user_id % 4 AS VARCHAR)
+      concat(lit("/testdata/events/"),
+        pmod(col("user_id"), lit(4)).cast("string")).as("source"),
       lit("1.0").as("specversion"),
       col("event_type").as("type"),
       lit(null).cast("string").as("subject"),

@@ -137,6 +137,25 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.verdictOf(2.0, 3.0) == "reproduced")
   }
 
+  test("verdictOf flags a >2x cpu disagreement as cpu-divergent, never silently adopted") {
+    // VERDICT r17 #3: keep_best 100× — wall within envelope, cpu 26× apart
+    // (12.6 s/50 cpu builder vs 45.2 s/1299 cpu driver-solo): the row
+    // measured different WORK and must read as not-reproduced
+    assert(Bench.verdictOf(12.6, 45.2, 50.0, 1299.0) ==
+      "cpu-divergent(chunk-deflated)")
+    assert(Bench.verdictOf(12.6, 13.8, 50.0, 1299.0) ==
+      "cpu-divergent(reproduced)")
+    assert(Bench.verdictOf(12.6, 13.8, 1299.0, 50.0) ==
+      "cpu-divergent(reproduced)")
+    // agreement within 2x cpu stays a plain wall verdict
+    assert(Bench.verdictOf(12.6, 13.8, 50.0, 80.0) == "reproduced")
+    // immaterial cpu (< 5 cpu-s both sides) never triggers the flag —
+    // sub-second cpu is scheduler noise
+    assert(Bench.verdictOf(0.5, 0.6, 0.2, 0.9) == "reproduced")
+    // unknown cpu (-1 sentinel) degrades to the wall-only verdict
+    assert(Bench.verdictOf(2.0, 2.9, -1.0, 140.0) == "reproduced")
+  }
+
   test("stream_neardup_ingest histogram reports distinct-fp state widths") {
     // needs a real session + testdata - guard like the artifact test
     val sf = "/root/testdata/sf0.001"

@@ -623,11 +623,22 @@ object Bench {
     }
     val baseAuth = qAuth.toMap
     val scaleAuth = scaleRows.toSeq.map { r =>
-      val (sec, cpu) = soloOf.getOrElse((r.tag, r.name), (r.sec, r.cpu))
-      val base = baseAuth.get(r.name).map(_.wall).getOrElse(r.base)
-      val baseCpu = baseAuth.get(r.name).map(_.cpu).getOrElse(r.baseCpu)
-      r.copy(sec = sec, cpu = cpu, base = base, baseCpu = baseCpu,
-        ratio = sec / math.max(base, 1e-9))
+      soloOf.get((r.tag, r.name)) match {
+        case Some((sec, cpu)) =>
+          // solo-adopted tier: pair with the (solo-adopted) base — the
+          // companion mechanism re-measures a suspect's whole row family
+          // in ONE child, so both ends come from the same JVM
+          val base = baseAuth.get(r.name).map(_.wall).getOrElse(r.base)
+          val baseCpu = baseAuth.get(r.name).map(_.cpu).getOrElse(r.baseCpu)
+          r.copy(sec = sec, cpu = cpu, base = base, baseCpu = baseCpu,
+            ratio = sec / math.max(base, 1e-9))
+        case None =>
+          // unadopted tier (no adjudication, unresolved, or
+          // cpu-divergent): keep the CHUNK pair — pairing a chunk
+          // numerator with a solo-adopted base would publish a
+          // mixed-regime ratio, the class r15 VERDICT #1 eliminated
+          r.copy(ratio = r.sec / math.max(r.base, 1e-9))
+      }
     }
     writeDetail(qAuth, failed, scaleAuth, histRows.toSeq, sfDir,
       adjRows.toSeq, loadStart)

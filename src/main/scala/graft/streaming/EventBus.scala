@@ -192,13 +192,31 @@ object EventBus {
     val memo = footerMemos.computeIfAbsent(appendLockKey(path),
       _ => new java.util.concurrent.ConcurrentHashMap[String, FileFooter]())
     if (memo.size > 262144) memo.clear()
+    val root = fs.makeQualified(p)
+    // committed data only: exclude a file whose OWN name is hidden
+    // (_SUCCESS, .crc) or that sits under a hidden ANCESTOR directory —
+    // the recursive listing otherwise surfaces parts staged under a
+    // committer's `_temporary`, and a mid-commit (or crashed) append's
+    // staged files would poison the probe (garbled footers read as
+    // untrusted) or OVERSHOOT the high-water mark (complete-but-
+    // uncommitted parts read as trusted maxima — the attach guard would
+    // then exclude sequences that commit later, permanently). Spark's
+    // own file index applies the same hidden-ancestor rule.
+    def committed(file: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = file
+      var ok = true
+      while (ok && cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) ok = false
+        cur = cur.getParent
+      }
+      ok
+    }
     val out = Vector.newBuilder[FileFooter]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      // Spark's data files only; _SUCCESS/_temporary/.crc are not data
-      if (!name.startsWith("_") && !name.startsWith(".")) {
+      if (committed(st.getPath)) {
         val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
         out += memo.computeIfAbsent(key, _ => readFooter(conf, st))
       }

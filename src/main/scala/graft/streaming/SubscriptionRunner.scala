@@ -100,14 +100,20 @@ object SubscriptionRunner {
     @transient lazy val predicate: Column = FilterCompiler.compileList(filters)
   }
 
-  /** `dedupDropped`/`neardupDropped` close the books when a horizon is
-    * configured: delivered + filteredOut + toRetry + toDlq + dedupDropped
-    * + neardupDropped = input rows — the at-least-once audit a caller
-    * reconciles against batch.count().
+  /** Closed books: delivered + filteredOut + toRetry + toDlq +
+    * dedupDropped + neardupDropped + undeliverable = input rows — the
+    * at-least-once audit a caller reconciles against batch.count().
+    * `undeliverable` (r18) counts failures with NO route: no retry bus
+    * (or ordered mode) AND no DLQ (or dead-letter disabled) — before r18
+    * these fell out of the books entirely, so a bus-less caller's sums
+    * silently under-read the input (and the attach convergence
+    * accounting with a failing sink read near-zero rows for a round that
+    * handled thousands).
     */
   final case class BatchResult(
       delivered: Long, filteredOut: Long, toRetry: Long, toDlq: Long,
-      dedupDropped: Long = 0L, neardupDropped: Long = 0L)
+      dedupDropped: Long = 0L, neardupDropped: Long = 0L,
+      undeliverable: Long = 0L)
 
   private def stampAttrs(attrs: Column, kvs: (String, Column)*): Column =
     Attrs.stamp(attrs, kvs: _*)
@@ -196,7 +202,8 @@ object SubscriptionRunner {
         try {
           val r = processBatchCached(cached, spec, delivery, retryBus,
             dlqBus, nowEpochSec)
-          val routed = r.delivered + r.filteredOut + r.toRetry + r.toDlq
+          val routed = r.delivered + r.filteredOut + r.toRetry + r.toDlq +
+            r.undeliverable
           if (exactH.isDefined) r.copy(dedupDropped = totalIn - routed)
           else r.copy(neardupDropped = totalIn - routed)
         } finally { cached.unpersist(); () }
@@ -394,7 +401,9 @@ object SubscriptionRunner {
           dlqN
         case _ => 0L
       }
-      BatchResult(deliveredCount, total - passedCount, retryCount, dlqCount)
+      BatchResult(deliveredCount, total - passedCount, retryCount, dlqCount,
+        undeliverable =
+          (passedCount - deliveredCount) - retryCount - dlqCount)
     } finally { outcomes.unpersist(); () }
   }
 
@@ -420,9 +429,15 @@ object SubscriptionRunner {
       outcomes: Dataset[(Long, Int)]): (RDD[(Long, Int)], Long, Long) = {
     val rdd = outcomes.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (passed, delivered) = rdd.aggregate((0L, 0L))(
-      (acc, r) => (acc._1 + 1L, if (r._2 == 0) acc._2 + 1L else acc._2),
-      (a, b) => (a._1 + b._1, a._2 + b._2))
+    // a throwing sink (raw exception instead of Left) fails this job
+    // BEFORE the caller receives the handle — unpersist here or every
+    // failed micro-batch of a long-running query leaks the partial
+    // blocks (the same class as the failure-routing finally)
+    val (passed, delivered) =
+      try rdd.aggregate((0L, 0L))(
+        (acc, r) => (acc._1 + 1L, if (r._2 == 0) acc._2 + 1L else acc._2),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      catch { case t: Throwable => rdd.unpersist(blocking = false); throw t }
     (rdd, passed, delivered)
   }
 
@@ -541,14 +556,15 @@ object SubscriptionRunner {
     */
   private def rowsOf(r: BatchResult): Long =
     r.delivered + r.filteredOut + r.toRetry + r.toDlq +
-      r.dedupDropped + r.neardupDropped
+      r.dedupDropped + r.neardupDropped + r.undeliverable
 
   private def addResults(a: BatchResult, b: BatchResult): BatchResult =
     BatchResult(
       a.delivered + b.delivered, a.filteredOut + b.filteredOut,
       a.toRetry + b.toRetry, a.toDlq + b.toDlq,
       a.dedupDropped + b.dedupDropped,
-      a.neardupDropped + b.neardupDropped)
+      a.neardupDropped + b.neardupDropped,
+      a.undeliverable + b.undeliverable)
 
   /** Shared bounded pool for concurrent member routing inside a shared
     * micro-batch ([[SharedGroup.processShared]]). Routing is driver-side
@@ -889,6 +905,20 @@ object SubscriptionRunner {
                 catch {
                   case e: java.util.concurrent.ExecutionException =>
                     Left(Option(e.getCause).getOrElse(e))
+                  case e: InterruptedException =>
+                    // the stream thread is being torn down (query.stop
+                    // interrupts the micro-batch thread): cancel what
+                    // hasn't started, then drain the in-flight members
+                    // NON-interruptibly — returning early would leave
+                    // orphan routing tasks delivering into a torn-down
+                    // query (and racing a post-restart replay of the
+                    // same batch)
+                    fs.foreach(_._2.cancel(true))
+                    fs.foreach { p =>
+                      try { p._2.get(); () } catch { case _: Throwable => () }
+                    }
+                    Thread.currentThread().interrupt()
+                    throw e
                 })
               }
               done.foreach { case (_, Left(t)) => throw t; case _ => () }
@@ -925,6 +955,19 @@ object SubscriptionRunner {
     private def probeByTime(ts: java.sql.Timestamp): Option[Long] =
       try {
         val first = sourceBus.offsetByTime(spark, ts).head
+        if (first.isNullAt(0)) None else Some(first.getLong(0))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+    /** [[probeByTime]] restricted to rows with `sequence_number > lo` —
+      * a footer-pruned tail scan for the locked ByTime re-probe, sound
+      * because the unrestricted probe already cleared everything ≤ `lo`.
+      */
+    private def probeByTimeAbove(ts: java.sql.Timestamp,
+        lo: Long): Option[Long] =
+      try {
+        val first = sourceBus.readAboveSequence(spark, lo)
+          .filter(col("time") >= lit(ts) && col("sequence_number") > lo)
+          .agg(min(col("sequence_number"))).head
         if (first.isNullAt(0)) None else Some(first.getLong(0))
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
@@ -981,6 +1024,12 @@ object SubscriptionRunner {
               catchupAndCutover(id, spec, delivery, Long.MinValue,
                 deltaRowThreshold, maxCatchupRounds)
             case OffsetReset.ByTime(ts) =>
+              // b0 BEFORE the probe: if the probe finds nothing, every
+              // qualifying row that can appear later has seq > b0
+              // (monotone appends + nothing ≤ b0 qualified at probe
+              // time), so the locked re-probe below scans only the
+              // footer-pruned tail, never the whole bus
+              val b0 = boundary()
               probeByTime(ts) match {
                 case Some(s0) =>
                   catchupAndCutover(id, spec, delivery, s0,
@@ -999,16 +1048,16 @@ object SubscriptionRunner {
                   synchronized {
                     val (reprobe, fin) =
                       EventBus.appendLock(sourceBus.path).synchronized {
-                        (probeByTime(ts), boundary())
+                        (probeByTimeAbove(ts, b0), boundary())
                       }
                     val res = reprobe match {
                       case Some(s) =>
-                        // serve [s, fin], bounded by the race window's
-                        // appends; rows appended from here on carry
-                        // seq > fin (monotone appends) and arrive via
-                        // the guarded stream
+                        // serve [s, fin] from the pruned tail, bounded
+                        // by the race window's appends; rows appended
+                        // from here on carry seq > fin (monotone
+                        // appends) and arrive via the guarded stream
                         val r = processBatchWith(
-                          sourceBus.read(spark)
+                          sourceBus.readAboveSequence(spark, b0)
                             .filter(col("sequence_number") >= s &&
                               col("sequence_number") <= fin),
                           spec, delivery, retryBus, dlqBus)
@@ -1062,28 +1111,44 @@ object SubscriptionRunner {
         processBatchWith(src.filter(lo && col("sequence_number") <= hi),
           spec, delivery, retryBus, dlqBus)
       }
-      // phase 2 — OUTSIDE the lock: serve [s0, B0], then delta ranges
-      // for whatever landed while the previous chunk was delivering
-      // (rows <= each boundary are immutable on disk), until a round
-      // lands under the threshold or the round cap fails the attach
+      // rows waiting in (servedUpTo, hi] — a footer-pruned count, so the
+      // loop decides on what is actually LEFT, not on the previous
+      // round's row count (a slow low-row round — a rate-limited sink
+      // serving just under the threshold over minutes — would otherwise
+      // exit the loop with minutes of appends remaining for the LOCKED
+      // phase, the group-wide stall this loop exists to prevent)
+      def pendingRows(servedUpTo: Long, hi: Long): Long =
+        if (hi <= servedUpTo) 0L
+        else sourceBus.readAboveSequence(spark, servedUpTo)
+          .filter(col("sequence_number") > servedUpTo &&
+            col("sequence_number") <= hi).count()
+      // phase 2 — OUTSIDE the lock: serve the bulk [s0, B0], then delta
+      // ranges for whatever landed while the previous chunk was
+      // delivering (rows <= each boundary are immutable on disk), until
+      // the MEASURED remaining delta is under the threshold or the round
+      // cap fails the attach
       var acc = BatchResult(0L, 0L, 0L, 0L)
       var served = Long.MinValue
-      var target = boundary()
       var rounds = 0
-      var lastDelta = Long.MaxValue
-      while (target > served && rounds < maxCatchupRounds &&
-          lastDelta >= deltaRowThreshold) {
-        val r = chunk(served, target)
-        lastDelta = rowsOf(r)
-        acc = addResults(acc, r)
+      var target = boundary()
+      if (target > served) {
+        acc = addResults(acc, chunk(served, target))
         served = target
-        target = boundary()
         rounds += 1
       }
-      if (target > served && lastDelta >= deltaRowThreshold)
+      target = boundary()
+      var remaining = pendingRows(served, target)
+      while (remaining >= deltaRowThreshold && rounds < maxCatchupRounds) {
+        acc = addResults(acc, chunk(served, target))
+        served = target
+        rounds += 1
+        target = boundary()
+        remaining = pendingRows(served, target)
+      }
+      if (remaining >= deltaRowThreshold)
         throw new IllegalStateException(
           s"subscription $id: attach catch-up did not converge in " +
-            s"$maxCatchupRounds rounds (last delta $lastDelta rows >= " +
+            s"$maxCatchupRounds rounds ($remaining rows still pending >= " +
             s"threshold $deltaRowThreshold — the bus append rate " +
             "outpaces catch-up throughput); attach aborted")
       // phase 3 — cutover under the lock: one final BOUNDED delta (at

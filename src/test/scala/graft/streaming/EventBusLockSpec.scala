@@ -43,6 +43,33 @@ class EventBusLockSpec extends SparkSpec {
       == base.count())
   }
 
+  test("footer probe ignores files staged under a hidden directory") {
+    // a mid-commit (or crashed) append leaves parts under the
+    // committer's `_temporary`: complete-but-uncommitted files must not
+    // OVERSHOOT the high-water mark (the attach guard would then exclude
+    // sequences that commit later, permanently), and a garbled staged
+    // footer must not poison the probe
+    val dir = Files.createTempDirectory("busstg").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+    bus.append(base.filter(col("sequence_number") < 40))
+    // stage a COMPLETE part carrying much higher sequences where a
+    // crashed commit would leave it
+    val stage = Files.createTempDirectory("busstg2").toString
+    base.filter(col("sequence_number") >= 100 && col("sequence_number") < 120)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val tmpDir = Files.createDirectories(
+      java.nio.file.Paths.get(dir, "_temporary", "0"))
+    Files.copy(part.toPath, tmpDir.resolve(part.getName))
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 39L,
+      "staged parts must not overshoot the boundary")
+    assert(bus.readAboveSequence(spark, 39L)
+      .filter(col("sequence_number") > 39L).count() == 0L,
+      "delta reads must not surface staged parts")
+  }
+
   test("maxSequenceFrame: exact under partition schemes where directory " +
       "order contradicts sequence order") {
     val dir = Files.createTempDirectory("busnp").toString

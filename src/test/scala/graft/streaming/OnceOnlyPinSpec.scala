@@ -55,10 +55,12 @@ class OnceOnlyPinSpec extends SparkSpec {
       // decision can ever re-execute the sink-calling stage
       val leaves = plan.collectLeaves()
       assert(leaves.nonEmpty && leaves.forall {
+        // IDENTITY, not shape: a leaf over some OTHER RDD (e.g. a fresh
+        // .rdd re-derivation that re-executes the delivery stage) must
+        // fail — only the pinned RDD itself is a once-only scan
         case e: org.apache.spark.sql.execution.ExternalRDD[_] => e.rdd eq rdd
-        case _: org.apache.spark.sql.execution.LogicalRDD => true
         case _ => false
-      }, s"downstream frame must scan the pinned RDD leaf:\n$plan")
+      }, s"downstream frame must scan the pinned RDD leaf (by identity):\n$plan")
       // a `.cache()` regression would reintroduce the original subtree
       // (an InMemoryRelation wrapping the delivery mapPartitions)
       val forbidden = plan.collect {

@@ -52,6 +52,31 @@ class SubscriptionRunnerSpec extends SparkSpec {
     assert(dattrs("lastdeliveryerror") == "400")
   }
 
+  test("closed books: routeless failures land in undeliverable, sums equal the input") {
+    // no retry bus, no DLQ (the bus-less caller shape): failures were
+    // counted NOWHERE pre-r18, so the audit under-read the input and the
+    // attach convergence accounting with a failing sink read near-zero
+    // rows for rounds that handled thousands
+    val sink: SubscriptionRunner.Sink = { d =>
+      if (d.sequenceNumber % 3 == 0) Left(503) else Right(())
+    }
+    val res = SubscriptionRunner.processBatch(view, spec, sink, None, None,
+      nowEpochSec = 1704240000L)
+    val purchases = view.filter(col("type") === "purchase")
+    assert(res.undeliverable ==
+      purchases.filter(col("sequence_number") % 3 === 0).count())
+    assert(res.toRetry == 0L && res.toDlq == 0L)
+    assert(res.delivered + res.filteredOut + res.toRetry + res.toDlq +
+      res.dedupDropped + res.neardupDropped + res.undeliverable ==
+      view.count(), "the BatchResult books must close for bus-less callers")
+    // with a DLQ wired, the same failures route there and undeliverable
+    // stays zero — the field only absorbs what has NO route
+    val dlqBus = EventBus(tmp("udlq"))
+    val res2 = SubscriptionRunner.processBatch(view, spec, sink, None,
+      Some(dlqBus), nowEpochSec = 1704240000L)
+    assert(res2.undeliverable == 0L && res2.toDlq == res.undeliverable)
+  }
+
   test("ordered-mode rate limit: one delivery task gets the whole budget and paces the batch") {
     // 20 events at 8/sec through the single ordered task: windows of 8,8,4
     // ⇒ two 1 s sleeps. Assert the pacing happened (≥ ~2 s wall) without

@@ -907,12 +907,20 @@ object SubscriptionRunner {
                     Left(Option(e.getCause).getOrElse(e))
                   case e: InterruptedException =>
                     // the stream thread is being torn down (query.stop
-                    // interrupts the micro-batch thread): cancel what
-                    // hasn't started, then drain the in-flight members
-                    // NON-interruptibly — returning early would leave
-                    // orphan routing tasks delivering into a torn-down
-                    // query (and racing a post-restart replay of the
-                    // same batch)
+                    // interrupts the micro-batch thread). cancel(true):
+                    // an un-started member never begins delivering, and
+                    // an in-flight member's routing thread is
+                    // interrupted — it dies at its next blocking point
+                    // (a job await), submitting no further routing jobs
+                    // into the torn-down query. What this CANNOT undo:
+                    // executor tasks already mid-partition finish that
+                    // partition (their sink calls included) — the same
+                    // at-least-once surface as a crash here, and why a
+                    // post-restart replay asserts set-, not
+                    // count-equality (EndToEndSpec stop-drain case). The
+                    // get() sweep merely observes cancellation; a
+                    // cancelled FutureTask's get() returns immediately,
+                    // it does not wait out the Callable.
                     fs.foreach(_._2.cancel(true))
                     fs.foreach { p =>
                       try { p._2.get(); () } catch { case _: Throwable => () }

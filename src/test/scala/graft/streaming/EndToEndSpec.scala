@@ -1084,6 +1084,83 @@ class EndToEndSpec extends SparkSpec {
         "routing would leave one waiting until timeout")
   }
 
+  test("query.stop mid-shared-batch: teardown does not hang on latched sinks; restart redelivers at-least-once") {
+    // r18's processShared awaits ALL member futures; when query.stop
+    // interrupts the stream thread mid-await, the handler cancels
+    // un-started members, interrupts in-flight routing threads, and
+    // rethrows — so stop() must return promptly even while a member's
+    // sink task sits latched on an executor thread (the latched task
+    // itself finishes its partition later; the contract is
+    // at-least-once, same as a crash at that point). The replay half:
+    // the interrupted batch never committed, so a restart on the same
+    // checkpoint redelivers it and every member converges to the full
+    // event set.
+    import scala.jdk.CollectionConverters._
+    val sourceBus = EventBus(tmp("sdsrc"))
+    val ckpt = tmp("sdck")
+    StopDrainE2E.reset()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 30)
+    sourceBus.append(events)
+    val allIds = events.select("id").collect().map(_.getString(0)).toSet
+    val specA = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-a"))
+    val specB = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-b"))
+    // each member's FIRST delivery signals its start and then blocks on
+    // the shared gate (far longer than the stop bound below, so a
+    // teardown that waits for latched sinks fails the elapsed assert)
+    val sinkA: SubscriptionRunner.Sink = { d =>
+      if (StopDrainE2E.aClaimed.compareAndSet(false, true)) {
+        StopDrainE2E.aStarted.countDown()
+        StopDrainE2E.gate.await(180, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      StopDrainE2E.a.add(d.id); Right(())
+    }
+    val sinkB: SubscriptionRunner.Sink = { d =>
+      if (StopDrainE2E.bClaimed.compareAndSet(false, true)) {
+        StopDrainE2E.bStarted.countDown()
+        StopDrainE2E.gate.await(180, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      StopDrainE2E.b.add(d.id); Right(())
+    }
+    def members = Seq(
+      (specA, SubscriptionRunner.Delivery.PerEvent(sinkA)),
+      (specB, SubscriptionRunner.Delivery.PerEvent(sinkB)))
+    val g1 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus, members, None, None, ckpt)
+    try {
+      // both members mid-delivery => the stream thread is in the
+      // await-all over member futures
+      assert(StopDrainE2E.aStarted.await(60,
+        java.util.concurrent.TimeUnit.SECONDS), "member A never started")
+      assert(StopDrainE2E.bStarted.await(60,
+        java.util.concurrent.TimeUnit.SECONDS), "member B never started")
+      val t0 = System.nanoTime()
+      g1.query.stop()
+      val stopSec = (System.nanoTime() - t0) / 1e9
+      assert(stopSec < 60.0,
+        f"stop() must not wait out latched sinks (took $stopSec%.1f s)")
+    } finally {
+      StopDrainE2E.gate.countDown() // never leave executor tasks latched
+      if (g1.query.isActive) g1.query.stop()
+    }
+    // restart on the same checkpoint: the interrupted batch replays
+    // (its offsets never committed) and both members converge on the
+    // full set — duplicates from the orphaned first attempt are the
+    // documented at-least-once surface, so the assert is set equality
+    val g2 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus, members, None, None, ckpt)
+    try { assert(g2.query.awaitTermination(120000)) }
+    finally if (g2.query.isActive) g2.query.stop()
+    assert(StopDrainE2E.a.asScala.toSet == allIds,
+      "member A must converge to the full event set across the restart")
+    assert(StopDrainE2E.b.asScala.toSet == allIds,
+      "member B must converge to the full event set across the restart")
+  }
+
   test("attach: locked cutover delta stays bounded; a non-converging catch-up FAILS instead of stalling") {
     // VERDICT r17 #4 / ADVICE r17: the r17 catch-up capped its delta loop
     // at 3 fixed rounds, then served whatever remained UNDER the group
@@ -1324,6 +1401,24 @@ object ConvergenceE2E {
   val b1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val b2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   def reset(): Unit = { a.clear(); b1.clear(); b2.clear() }
+}
+
+object StopDrainE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var aClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var bClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var aStarted = new java.util.concurrent.CountDownLatch(1)
+  @volatile var bStarted = new java.util.concurrent.CountDownLatch(1)
+  @volatile var gate = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    a.clear(); b.clear()
+    aClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    bClaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    aStarted = new java.util.concurrent.CountDownLatch(1)
+    bStarted = new java.util.concurrent.CountDownLatch(1)
+    gate = new java.util.concurrent.CountDownLatch(1)
+  }
 }
 
 object ByTimeRaceE2E {

@@ -106,11 +106,12 @@ class EventBus(val path: String) extends Serializable {
     * footer maxima are memoized by (path, length, mtime) — committed
     * parquet files are immutable — so a repeat probe (the attach delta
     * loop calls this once per round) pays one directory listing plus
-    * footers for NEW files only. Any file whose stats are missing or
-    * untrusted degrades the whole probe to the full data aggregate —
-    * slower, never wrong. At 100 TB the production variant would maintain
-    * a high-water sidecar at append time (the reference's log metadata
-    * does exactly this); the listing here is the local stand-in's cost.
+    * footers for NEW files only, and those new-file reads run
+    * concurrently (bounded driver pool; ONE distributed Spark job above
+    * `graft.bus.footer.distributedThreshold`, so a cold driver probing a
+    * million-file bus scales with the cluster, not one thread). Any file
+    * whose stats are missing or untrusted degrades the whole probe to
+    * the full data aggregate — slower, never wrong.
     */
   def maxSequenceFrame(spark: SparkSession): DataFrame =
     footerMaxSequence(spark) match {
@@ -180,9 +181,55 @@ object EventBus {
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentHashMap[String, FileFooter]]()
 
+  /** Misses above this count are read as ONE distributed Spark job
+    * instead of on the driver: a cold driver probing a 100 TB bus
+    * (~10⁶ files) must not serialize a million footer RPCs through one
+    * thread — 1000 executor cores turn hours into seconds. Overridable
+    * per session for tests and tuning.
+    */
+  private val DistributedFooterThresholdKey =
+    "graft.bus.footer.distributedThreshold"
+  private val DistributedFooterThresholdDefault = 4096
+
+  /** Bounded driver pool for moderate miss counts (footer reads are
+    * short blocking RPCs; daemon threads so the pool never pins the JVM).
+    */
+  private lazy val footerPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(32, Runtime.getRuntime.availableProcessors),
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
+  /** Hadoop `Configuration` is Writable, not Serializable — the standard
+    * wrapper so a distributed footer read can ship the session's conf to
+    * executors (same pattern as Spark's own SerializableConfiguration,
+    * which is private[spark]).
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Footer verdicts for every committed data file under `path` (listing
     * is fresh each call; footer reads hit the memo for files already
-    * seen). Throws IOException when the directory cannot be listed.
+    * seen). Memo MISSES are read concurrently: a bounded driver pool for
+    * moderate counts, one distributed Spark job above
+    * `graft.bus.footer.distributedThreshold` — the probe's cost model at
+    * 100 TB is one directory listing plus footers for NEW files only,
+    * and the new-file reads scale with the cluster, not the driver.
+    * Throws IOException when the directory cannot be listed.
     */
   private[streaming] def footerStats(
       spark: SparkSession, path: String): Seq[FileFooter] = {
@@ -212,55 +259,110 @@ object EventBus {
       }
       ok
     }
-    val out = Vector.newBuilder[FileFooter]
+    // pass 1: list, split into memo hits and misses (order preserved —
+    // the result carries every committed file exactly once)
+    val files = Vector.newBuilder[(String, org.apache.hadoop.fs.FileStatus)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
       if (committed(st.getPath)) {
         val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-        out += memo.computeIfAbsent(key, _ => readFooter(conf, st))
+        files += key -> st
       }
     }
-    out.result()
+    val listed = files.result()
+    val misses = listed.filter { case (key, _) => !memo.containsKey(key) }
+    // pass 2: read the missing footers concurrently and fill the memo
+    if (misses.size > 1) {
+      val distThreshold =
+        try spark.conf.get(DistributedFooterThresholdKey,
+          DistributedFooterThresholdDefault.toString).toInt
+        catch { case _: NumberFormatException => DistributedFooterThresholdDefault }
+      if (misses.size > distThreshold) {
+        // one Spark job: footer RPCs scale with the cluster. Ship only
+        // the path strings; HadoopInputFile.fromPath re-stats on the
+        // executor (one extra RPC per file, amortized by the fan-out).
+        val sconf = new SerializableHadoopConf(conf)
+        val paths = misses.map(_._2.getPath.toString)
+        val read = spark.sparkContext
+          .parallelize(paths, math.min(paths.size,
+            spark.sparkContext.defaultParallelism * 4))
+          .map(f => f -> readFooterAt(sconf.value, f))
+          .collect().toMap
+        misses.foreach { case (key, st) =>
+          memo.putIfAbsent(key, read.getOrElse(st.getPath.toString,
+            readFooter(conf, st)))
+        }
+      } else {
+        import scala.jdk.CollectionConverters._
+        val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+          misses.map[java.util.concurrent.Callable[Unit]] { case (key, st) =>
+            () => { memo.computeIfAbsent(key, _ => readFooter(conf, st)); () }
+          }.asJava
+        footerPool.invokeAll(tasks).asScala.foreach(_.get())
+      }
+    }
+    listed.map { case (key, st) =>
+      memo.computeIfAbsent(key, _ => readFooter(conf, st))
+    }
   }
 
   /** One file's footer verdict — see [[FileFooter]]. Never throws: an
     * unreadable/garbled footer is an untrusted file, not a probe crash.
     */
-  private def readFooter(conf: org.apache.hadoop.conf.Configuration,
-      st: org.apache.hadoop.fs.FileStatus): FileFooter = {
-    import scala.jdk.CollectionConverters._
-    val file = st.getPath.toString
-    try {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-      try {
-        var trusted = true
-        var hasMax = false
-        var mx = Long.MinValue
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          block.getColumns.asScala
-            .find(_.getPath.toDotString == "sequence_number") match {
-            case None => ()
-            case Some(cc) =>
-              val stats: org.apache.parquet.column.statistics.Statistics[_] =
-                cc.getStatistics
-              if (stats == null ||
-                  (stats.isEmpty && block.getRowCount > 0)) trusted = false
-              else if (stats.hasNonNullValue) stats.genericGetMax match {
-                case l: java.lang.Long =>
-                  hasMax = true; if (l > mx) mx = l.longValue
-                case _ => trusted = false // not int64 — schema drifted
-              }
-            // else: all values in the block are null — contributes nothing
-          }
-        }
-        FileFooter(file, trusted, hasMax, mx)
-      } finally reader.close()
-    } catch {
+  /** [[readFooter]] from a bare path — the distributed-read variant (an
+    * executor has no FileStatus; fromPath stats the file itself).
+    */
+  private def readFooterAt(conf: org.apache.hadoop.conf.Configuration,
+      file: String): FileFooter =
+    try footerVerdict(file,
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), conf)))
+    catch {
       case _: Exception => FileFooter(file, trusted = false,
         hasMax = false, max = Long.MinValue)
     }
+
+  private def readFooter(conf: org.apache.hadoop.conf.Configuration,
+      st: org.apache.hadoop.fs.FileStatus): FileFooter = {
+    val file = st.getPath.toString
+    try footerVerdict(file,
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)))
+    catch {
+      case _: Exception => FileFooter(file, trusted = false,
+        hasMax = false, max = Long.MinValue)
+    }
+  }
+
+  /** The per-file verdict from an open reader (closes it). */
+  private def footerVerdict(file: String,
+      reader: org.apache.parquet.hadoop.ParquetFileReader): FileFooter = {
+    import scala.jdk.CollectionConverters._
+    try {
+      var trusted = true
+      var hasMax = false
+      var mx = Long.MinValue
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == "sequence_number") match {
+          case None => ()
+          case Some(cc) =>
+            val stats: org.apache.parquet.column.statistics.Statistics[_] =
+              cc.getStatistics
+            if (stats == null ||
+                (stats.isEmpty && block.getRowCount > 0)) trusted = false
+            else if (stats.hasNonNullValue) stats.genericGetMax match {
+              case l: java.lang.Long =>
+                hasMax = true; if (l > mx) mx = l.longValue
+              case _ => trusted = false // not int64 — schema drifted
+            }
+          // else: all values in the block are null — contributes nothing
+        }
+      }
+      FileFooter(file, trusted, hasMax, mx)
+    } finally reader.close()
   }
 
   // one lock object per bus path (see [[EventBus.append]]); paths are

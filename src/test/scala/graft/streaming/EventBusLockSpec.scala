@@ -97,4 +97,55 @@ class EventBusLockSpec extends SparkSpec {
     assert(bus2.maxSequenceFrame(spark).head.getLong(0) ==
       bus2.read(spark).agg(max(col("sequence_number"))).head.getLong(0))
   }
+
+  test("footer probe: concurrent cold reads (driver pool) stay exact on a many-file bus") {
+    // a cold probe's memo-miss footers are read by the bounded driver
+    // pool (> 1 miss) — the path a restarted driver takes on a bus its
+    // memo has never seen. 80 single-row files make the fan-out real.
+    val dir = Files.createTempDirectory("buspool").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 80).repartition(80, col("id"))
+    bus.append(base)
+    val expected = bus.read(spark).agg(max(col("sequence_number")))
+      .head.getLong(0)
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected)
+    // memo-warm repeat answers the same (listing-only path)
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected)
+    assert(bus.readAboveSequence(spark, expected)
+      .filter(col("sequence_number") > expected).count() == 0L)
+  }
+
+  test("footer probe: the distributed read path (threshold forced low) stays exact") {
+    // above graft.bus.footer.distributedThreshold the memo-miss footers
+    // are read as ONE Spark job — the 100 TB cold-driver path (a million
+    // serial driver-side footer RPCs would take hours; executors turn it
+    // into a fan-out). Force the threshold to 2 so a 12-file bus takes it.
+    val dir = Files.createTempDirectory("busdist").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 48).repartition(12, col("id"))
+    bus.append(base)
+    val prior = spark.conf.getOption("graft.bus.footer.distributedThreshold")
+    spark.conf.set("graft.bus.footer.distributedThreshold", "2")
+    try {
+      val expected = bus.read(spark).agg(max(col("sequence_number")))
+        .head.getLong(0)
+      assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected,
+        "distributed footer read must answer the exact max")
+      // delta pruning rides the same stats: nothing above the max
+      assert(bus.readAboveSequence(spark, expected)
+        .filter(col("sequence_number") > expected).count() == 0L)
+      // and a mid-range boundary still surfaces exactly the tail
+      val mid = expected / 2
+      assert(bus.readAboveSequence(spark, mid)
+        .filter(col("sequence_number") > mid).count() ==
+        bus.read(spark).filter(col("sequence_number") > mid).count())
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.bus.footer.distributedThreshold", v)
+        case None => spark.conf.unset("graft.bus.footer.distributedThreshold")
+      }
+    }
+  }
 }

@@ -175,8 +175,9 @@ object EventBus {
 
   // per-bus memo of per-file footer verdicts, keyed by
   // (name, length, mtime) — committed parquet files are immutable, so an
-  // entry never goes stale; a rewritten file gets a new key. Bounded by a
-  // coarse clear at 256k entries per bus (footers are simply re-read).
+  // entry never goes stale; a rewritten file gets a new key. Bounded by
+  // pruning against each probe's fresh listing (memory = O(live files)
+  // per bus), with a 4M-entry clear as the last-resort guard.
   private val footerMemos =
     new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentHashMap[String, FileFooter]]()
@@ -222,6 +223,12 @@ object EventBus {
     }
   }
 
+  /** Current memo entry count for a bus (spec hook for the prune bound). */
+  private[streaming] def footerMemoSize(path: String): Int = {
+    val m = footerMemos.get(appendLockKey(path))
+    if (m == null) 0 else m.size
+  }
+
   /** Footer verdicts for every committed data file under `path` (listing
     * is fresh each call; footer reads hit the memo for files already
     * seen). Memo MISSES are read concurrently: a bounded driver pool for
@@ -238,7 +245,6 @@ object EventBus {
     val fs = p.getFileSystem(conf)
     val memo = footerMemos.computeIfAbsent(appendLockKey(path),
       _ => new java.util.concurrent.ConcurrentHashMap[String, FileFooter]())
-    if (memo.size > 262144) memo.clear()
     val root = fs.makeQualified(p)
     // committed data only: exclude a file whose OWN name is hidden
     // (_SUCCESS, .crc) or that sits under a hidden ANCESTOR directory —
@@ -271,6 +277,22 @@ object EventBus {
       }
     }
     val listed = files.result()
+    // keep the memo at exactly the live file set: entries for files no
+    // longer listed (compaction, cleanup, a rewritten part under a new
+    // (len, mtime)) are dropped, so memory is O(live files) per bus —
+    // never a coarse clear that would force a >cap bus to re-read EVERY
+    // footer on EVERY probe (the pre-r18 262k clear did exactly that).
+    // The hard clear survives only as a last-resort bound for a
+    // pathological live set.
+    if (memo.size > listed.size) {
+      val live = listed.iterator.map(_._1).toSet
+      val ks = memo.keys()
+      while (ks.hasMoreElements) {
+        val k = ks.nextElement()
+        if (!live.contains(k)) memo.remove(k)
+      }
+    }
+    if (memo.size > (1 << 22)) memo.clear()
     val misses = listed.filter { case (key, _) => !memo.containsKey(key) }
     // pass 2: read the missing footers concurrently and fill the memo
     if (misses.size > 1) {

@@ -116,6 +116,36 @@ class EventBusLockSpec extends SparkSpec {
       .filter(col("sequence_number") > expected).count() == 0L)
   }
 
+  test("footer memo tracks the live file set: stale entries pruned, probe stays exact") {
+    // memory bound = O(live files) per bus, enforced by pruning against
+    // each probe's fresh listing — NOT a coarse clear, which on a bus
+    // above the cap would force every probe to re-read every footer
+    // (O(files) metadata RPCs per delta round at the 100 TB layout)
+    val dir = Files.createTempDirectory("busmemo").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 40).repartition(10, col("id"))
+    bus.append(base)
+    val n0 = bus.read(spark).inputFiles.length
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) ==
+      bus.read(spark).agg(max(col("sequence_number"))).head.getLong(0))
+    assert(EventBus.footerMemoSize(dir) == n0,
+      s"memo must hold exactly the live files after a probe ($n0)")
+    // a compaction-style rewrite: delete the file holding the max, the
+    // next probe prunes its entry and answers from what remains
+    val stats = EventBus.footerStats(spark, dir)
+    val top = stats.maxBy(_.max)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(top.file), false)
+    val expected = bus.read(spark).agg(max(col("sequence_number")))
+      .head.getLong(0)
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected,
+      "probe must answer from the surviving files")
+    assert(EventBus.footerMemoSize(dir) == n0 - 1,
+      "the deleted file's memo entry must be pruned")
+  }
+
   test("footer probe: the distributed read path (threshold forced low) stays exact") {
     // above graft.bus.footer.distributedThreshold the memo-miss footers
     // are read as ONE Spark job — the 100 TB cold-driver path (a million

@@ -245,37 +245,31 @@ object EventBus {
     val fs = p.getFileSystem(conf)
     val memo = footerMemos.computeIfAbsent(appendLockKey(path),
       _ => new java.util.concurrent.ConcurrentHashMap[String, FileFooter]())
-    val root = fs.makeQualified(p)
-    // committed data only: exclude a file whose OWN name is hidden
-    // (_SUCCESS, .crc) or that sits under a hidden ANCESTOR directory —
-    // the recursive listing otherwise surfaces parts staged under a
-    // committer's `_temporary`, and a mid-commit (or crashed) append's
-    // staged files would poison the probe (garbled footers read as
-    // untrusted) or OVERSHOOT the high-water mark (complete-but-
-    // uncommitted parts read as trusted maxima — the attach guard would
-    // then exclude sequences that commit later, permanently). Spark's
-    // own file index applies the same hidden-ancestor rule.
-    def committed(file: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = file
-      var ok = true
-      while (ok && cur != null && cur != root) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) ok = false
-        cur = cur.getParent
-      }
-      ok
-    }
-    // pass 1: list, split into memo hits and misses (order preserved —
-    // the result carries every committed file exactly once)
+    // pass 1: list committed data files by a manual listStatus walk.
+    // NOT `fs.listFiles(p, true)`: that iterator builds a
+    // LocatedFileStatus per file (block locations, and on the local FS a
+    // per-file permission exec) — measured 11.8 s vs 0.14 s for a
+    // 3,000-file bus, an 84× constant on the probe's dominant cost that
+    // the memo cannot absorb because every probe must re-list. The walk
+    // also enforces the committed-data rule at DESCENT time: a hidden
+    // directory (`_temporary`, `.spark-staging`) is never entered, so a
+    // mid-commit (or crashed) append's staged parts can neither poison
+    // the probe (garbled footers read as untrusted) nor OVERSHOOT the
+    // high-water mark (complete-but-uncommitted parts read as trusted
+    // maxima — the attach guard would then exclude sequences that commit
+    // later, permanently); hidden files (_SUCCESS, .crc) are skipped the
+    // same way. Spark's own file index applies the same rule.
     val files = Vector.newBuilder[(String, org.apache.hadoop.fs.FileStatus)]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (committed(st.getPath)) {
-        val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-        files += key -> st
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else files +=
+            s"${st.getPath}:${st.getLen}:${st.getModificationTime}" -> st
+        }
       }
-    }
+    walk(p) // the bus root itself is exempt from the name rule
     val listed = files.result()
     // keep the memo at exactly the live file set: entries for files no
     // longer listed (compaction, cleanup, a rewritten part under a new

@@ -146,6 +146,43 @@ class EventBusLockSpec extends SparkSpec {
       "the deleted file's memo entry must be pruned")
   }
 
+  test("untrusted footer stats degrade the probe to the data aggregate — slower, never wrong") {
+    // the load-bearing fallback: a committed file whose sequence_number
+    // stats are MISSING (here: written with statistics disabled) must
+    // poison footer-only answers for the whole bus — the probe computes
+    // from DATA and still finds that file's sequences. A refactor that
+    // skipped untrusted files instead of falling back would answer the
+    // trusted-footer max (39 here) and silently lose the catch-up rows
+    // above it.
+    val dir = Files.createTempDirectory("busnostat").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+    bus.append(base.filter(col("sequence_number") < 40))
+    // a stats-less int64 part, committed (not hidden), holding the true max
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message spark_schema { required int64 sequence_number; }")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/part-nostats-0.parquet"))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(schema)
+      .withStatisticsEnabled(false)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    (100L to 110L).foreach { s =>
+      w.write(gf.newGroup().append("sequence_number", s))
+    }
+    w.close()
+    val stats = EventBus.footerStats(spark, dir)
+    assert(stats.exists(!_.trusted),
+      "a stats-less file must read as untrusted, not be skipped")
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 110L,
+      "the probe must fall back to the data aggregate and find the true max")
+    // delta reads conservatively include the untrusted file
+    assert(bus.readAboveSequence(spark, 39L)
+      .filter(col("sequence_number") > 39L).count() == 11L,
+      "rows above the trusted-footer max must still be served")
+  }
+
   test("footer probe: the distributed read path (threshold forced low) stays exact") {
     // above graft.bus.footer.distributedThreshold the memo-miss footers
     // are read as ONE Spark job — the 100 TB cold-driver path (a million

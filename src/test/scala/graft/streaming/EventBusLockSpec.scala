@@ -144,6 +144,84 @@ class EventBusLockSpec extends SparkSpec {
       "probe must answer from the surviving files")
     assert(EventBus.footerMemoSize(dir) == n0 - 1,
       "the deleted file's memo entry must be pruned")
+    // BALANCED churn (ADVICE r18): one delete + one append keeps
+    // memo.size == listed.size, which the old size-triggered prune never
+    // fired on — the stale entry persisted. The unconditional prune drops
+    // it on the next probe: memo holds exactly the live files.
+    val stats2 = EventBus.footerStats(spark, dir)
+    val victim = stats2.minBy(_.max)
+    bus.append(base.filter(col("sequence_number") === 777).coalesce(1))
+    fs.delete(new org.apache.hadoop.fs.Path(victim.file), false)
+    val expected2 = bus.read(spark).agg(max(col("sequence_number")))
+      .head.getLong(0)
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected2)
+    assert(EventBus.footerMemoSize(dir) ==
+      bus.read(spark).inputFiles.length,
+      "balanced delete+append must still prune the stale entry")
+  }
+
+  test("max-only distributed probe collects O(partitions), not O(files)") {
+    // VERDICT r18 #5: the boundary probe needs ONE long, but the cold
+    // distributed path collected a FileFooter per miss (~10^6 path
+    // strings at the 100 TB layout). The max-only reduce returns one
+    // (trusted, max) partial per partition — bounded by
+    // 4*defaultParallelism regardless of file count.
+    val dir = Files.createTempDirectory("busmaxonly").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 130).repartition(130)
+    bus.append(base)
+    val nFiles = bus.read(spark).inputFiles.length
+    assert(nFiles > spark.sparkContext.defaultParallelism * 4 / 2,
+      s"need enough files to make the bound meaningful (got $nFiles)")
+    val prior = spark.conf.getOption("graft.bus.footer.distributedThreshold")
+    spark.conf.set("graft.bus.footer.distributedThreshold", "2")
+    EventBus.lastMaxOnlyPartials = -1
+    try {
+      val expected = bus.read(spark).agg(max(col("sequence_number")))
+        .head.getLong(0)
+      assert(bus.footerMaxSequence(spark) == Some(Some(expected)),
+        "max-only distributed reduce must stay exact")
+      assert(EventBus.lastMaxOnlyPartials > 0,
+        "the distributed max-only path must have run")
+      assert(EventBus.lastMaxOnlyPartials <=
+        spark.sparkContext.defaultParallelism * 4,
+        "partials must be bounded by the partition cap")
+      assert(EventBus.lastMaxOnlyPartials < nFiles,
+        "the collect must be strictly smaller than the file count")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.bus.footer.distributedThreshold", v)
+        case None => spark.conf.unset("graft.bus.footer.distributedThreshold")
+      }
+    }
+  }
+
+  test("bus walk survives a symlinked directory cycle") {
+    // ADVICE r18: the recursive walk blew the thread stack on a symlink
+    // cycle — StackOverflowError is an Error, so the probe CRASHED
+    // instead of degrading. The iterative walk skips already-visited
+    // canonical directories: it terminates, and the probe stays exact.
+    val dir = Files.createTempDirectory("buscycle").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 40)
+    bus.append(base)
+    // expected BEFORE the cycle exists: Spark's own recursive file index
+    // (bus.read) has no cycle guard — only OUR walk is under test here
+    val expected = bus.read(spark).agg(max(col("sequence_number")))
+      .head.getLong(0)
+    val sub = Files.createDirectories(java.nio.file.Paths.get(dir, "loopdir"))
+    Files.createSymbolicLink(sub.resolve("back"),
+      java.nio.file.Paths.get(dir))
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected,
+      "a directory cycle must neither crash nor distort the probe")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = EventBus.listCommittedFiles(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    assert(listed.map(_._2.getPath.getName).distinct.size == listed.size,
+      "the cycle must not double-list any file")
   }
 
   test("untrusted footer stats degrade the probe to the data aggregate — slower, never wrong") {

@@ -60,10 +60,27 @@ class EventBus(val path: String) extends Serializable {
     * catch-up both append to the same retry/DLQ bus — hence the per-path
     * lock. Cross-driver concurrency needs a unique-staging committer
     * (cloud committers do this); out of scope for the local stand-in.
+    *
+    * MANIFESTED (r19, VERDICT r18 #1): by default every append also
+    * records its commit in the bus manifest ([[BusManifest]]) — the
+    * frame is written to a hidden per-commit staging directory, its
+    * per-file footer maxima are read while the files are one-commit
+    * small, an atomic record is written, the files rename into place,
+    * and the atomic LATEST pointer advances. Boundary probes then answer
+    * from LATEST (O(1)) and delta reads select files from records past
+    * the boundary (O(new commits)) — no per-probe O(files) directory
+    * listing. The first manifested append to a pre-existing bus
+    * BACKFILLS a record covering the existing files from one footer
+    * walk. `graft.bus.manifest.enabled=false` restores the plain append
+    * (probes then take the footer-walk path). Rename is O(1) on
+    * HDFS-like stores; an S3-class store wants a committer-integrated
+    * manifest instead — out of scope with the cross-driver caveat above.
     */
   def append(df: DataFrame): Unit =
     EventBus.appendLock(path).synchronized {
-      df.write.mode("append").parquet(path)
+      if (EventBus.manifestEnabled(df.sparkSession))
+        EventBus.appendManifested(df, path, Seq.empty)
+      else df.write.mode("append").parquet(path)
     }
 
   /** Partitioned append — the 100 TB layout: one directory level per
@@ -80,7 +97,10 @@ class EventBus(val path: String) extends Serializable {
     */
   def appendPartitioned(df: DataFrame, partitionCols: String*): Unit =
     EventBus.appendLock(path).synchronized {
-      df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+      if (EventBus.manifestEnabled(df.sparkSession))
+        EventBus.appendManifested(df, path, partitionCols)
+      else
+        df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
     }
 
   /** First offset with stime >= ts per eventlog — QueryOffsetByTime
@@ -112,16 +132,28 @@ class EventBus(val path: String) extends Serializable {
     * million-file bus scales with the cluster, not one thread). Any file
     * whose stats are missing or untrusted degrades the whole probe to
     * the full data aggregate — slower, never wrong.
+    *
+    * r19 (VERDICT r18 #1): a MANIFESTED bus ([[BusManifest]] — every bus
+    * written through [[append]]/[[appendPartitioned]]) answers from the
+    * manifest's LATEST pointer: O(1) — two small metadata reads,
+    * independent of file count, no directory listing at all. The footer
+    * walk above is the fallback for manifestless/legacy buses and for
+    * an untrusted manifest.
     */
   def maxSequenceFrame(spark: SparkSession): DataFrame =
-    footerMaxSequence(spark) match {
-      case Some(Some(m)) =>
-        spark.range(1).select(lit(m).as("max_sequence_number"))
+    EventBus.manifestLatest(spark, path) match {
+      case Some(l) if l.trusted && l.hasMax =>
+        spark.range(1).select(lit(l.max).as("max_sequence_number"))
       case _ =>
-        // untrusted/missing stats, or no committed files: the full
-        // aggregate (empty dir throws AnalysisException — the callers'
-        // nothing-on-disk contract; all-null stats yield a null row)
-        read(spark).agg(max(col("sequence_number")))
+        footerMaxSequence(spark) match {
+          case Some(Some(m)) =>
+            spark.range(1).select(lit(m).as("max_sequence_number"))
+          case _ =>
+            // untrusted/missing stats, or no committed files: the full
+            // aggregate (empty dir throws AnalysisException — the callers'
+            // nothing-on-disk contract; all-null stats yield a null row)
+            read(spark).agg(max(col("sequence_number")))
+        }
     }
 
   /** Per-file-footer max of `sequence_number` across the whole bus.
@@ -148,7 +180,28 @@ class EventBus(val path: String) extends Serializable {
     * Callers still apply the `sequence_number > lo` row filter — this
     * prunes FILES, not rows.
     */
-  def readAboveSequence(spark: SparkSession, lo: Long): DataFrame =
+  def readAboveSequence(spark: SparkSession, lo: Long): DataFrame = {
+    // manifested bus: walk records BACKWARD from LATEST until one's max
+    // falls at-or-under `lo` — sequence numbers are append-monotone, so
+    // every earlier record is entirely ≤ that max (O(new commits) small
+    // reads, no directory listing). Covers every COMMITTED row > lo; an
+    // append in flight is above any boundary handed out under the append
+    // lock, so its rows are never this read's to serve.
+    EventBus.manifestFilesAbove(spark, path, lo) match {
+      case Some(files) if files.nonEmpty =>
+        return spark.read.option("basePath", path).parquet(files: _*)
+      case Some(_) =>
+        // trusted manifest, nothing above lo: an empty frame with the
+        // bus schema (from the newest committed file — O(1)); the
+        // filter folds to an empty LocalRelation, no scan
+        EventBus.manifestNewestFile(spark, path) match {
+          case Some(f) =>
+            return spark.read.option("basePath", path).parquet(f)
+              .filter(lit(false))
+          case None => () // no committed files at all — footer fallback
+        }
+      case None => () // no/untrusted manifest — footer fallback
+    }
     try {
       val stats = EventBus.footerStats(spark, path)
       val wanted = stats.filter(f => !f.trusted || (f.hasMax && f.max > lo))
@@ -156,6 +209,7 @@ class EventBus(val path: String) extends Serializable {
       else spark.read.option("basePath", path)
         .parquet(wanted.map(_.file): _*)
     } catch { case _: java.io.IOException => read(spark) }
+  }
 }
 
 object EventBus {
@@ -436,6 +490,245 @@ object EventBus {
         Some(if (maxes.isEmpty) None else Some(maxes.max))
       }
     }
+  }
+
+  /** Manifest kill switch: `graft.bus.manifest.enabled` (default true)
+    * gates BOTH maintenance (append) and consultation (probes) — false
+    * restores the plain footer-walk engine end-to-end (specs that pin
+    * the footer path, out-of-band bus surgery).
+    */
+  private[streaming] def manifestEnabled(spark: SparkSession): Boolean =
+    try spark.conf.get("graft.bus.manifest.enabled", "true").toBoolean
+    catch { case _: IllegalArgumentException => true }
+
+  /** The bus's manifest commit pointer, replaying a crashed append's
+    * dangling record first (under the append lock — reentrant for
+    * callers already holding it, e.g. a boundary probe). None = no
+    * manifest / disabled / unreadable — callers take the footer walk.
+    * The no-dangling-record fast path is LOCK-FREE: LATEST is replaced
+    * atomically, and a record landing right after the existence check
+    * belongs to an append whose rows are above any boundary this probe
+    * could correctly hand out anyway (callers that need
+    * appends-frozen-now semantics hold the append lock around the call,
+    * as [[SubscriptionRunner.SharedGroup]]'s boundary() does).
+    */
+  private[streaming] def manifestLatest(
+      spark: SparkSession, path: String): Option[BusManifest.Latest] =
+    if (!manifestEnabled(spark)) None
+    else try {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      BusManifest.readLatest(fs, root) match {
+        case Some(l)
+            if !fs.exists(BusManifest.recordPath(root, l.id + 1)) =>
+          Some(l)
+        case None if !fs.exists(BusManifest.dir(root)) => None
+        case _ =>
+          appendLock(path).synchronized { BusManifest.current(fs, root) }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Absolute paths of every committed file that can hold rows with
+    * `sequence_number > lo`, from the manifest: records are scanned
+    * BACKWARD from LATEST and the scan stops at the first record whose
+    * max is ≤ lo — every earlier record is entirely ≤ that max
+    * (append-monotone sequences), so the cost is O(commits past the
+    * boundary), not O(files). None = no trusted manifest — caller falls
+    * back to the footer walk. Some(empty) = trusted manifest, nothing
+    * above lo.
+    */
+  private[streaming] def manifestFilesAbove(
+      spark: SparkSession, path: String, lo: Long): Option[Vector[String]] =
+    manifestLatest(spark, path) match {
+      case Some(l) if l.trusted && l.id > 0 =>
+        try {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = Vector.newBuilder[String]
+          var id = l.id
+          var stop = false
+          while (id >= 1 && !stop) {
+            BusManifest.readRecord(fs, root, id) match {
+              case None => return None // gap — degrade to the footer walk
+              case Some(rec) =>
+                if (!rec.trusted) return None
+                if (rec.hasMax && rec.max <= lo) stop = true
+                else {
+                  rec.files.foreach { fe =>
+                    if (fe.hasMax && fe.max > lo)
+                      out += fs.makeQualified(
+                        new org.apache.hadoop.fs.Path(root, fe.rel)).toString
+                  }
+                  id -= 1
+                }
+            }
+          }
+          Some(out.result())
+        } catch { case _: java.io.IOException => None }
+      case _ => None
+    }
+
+  /** The newest committed file on a manifested bus (schema donor for the
+    * nothing-above-the-boundary empty frame). None = no trusted manifest
+    * or no committed files.
+    */
+  private[streaming] def manifestNewestFile(
+      spark: SparkSession, path: String): Option[String] =
+    manifestLatest(spark, path) match {
+      case Some(l) if l.trusted && l.id > 0 =>
+        try {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          var id = l.id
+          while (id >= 1) {
+            BusManifest.readRecord(fs, root, id) match {
+              case Some(rec) if rec.files.nonEmpty =>
+                return Some(fs.makeQualified(new org.apache.hadoop.fs.Path(
+                  root, rec.files.last.rel)).toString)
+              case Some(_) => id -= 1
+              case None => return None
+            }
+          }
+          None
+        } catch { case _: java.io.IOException => None }
+      case _ => None
+    }
+
+  /** Concurrent footer verdicts for a small (one-commit) file set. */
+  private def readFootersFor(conf: org.apache.hadoop.conf.Configuration,
+      sts: Vector[org.apache.hadoop.fs.FileStatus]): Vector[FileFooter] =
+    if (sts.sizeIs <= 1) sts.map(readFooter(conf, _))
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[FileFooter]] =
+        sts.map[java.util.concurrent.Callable[FileFooter]](st =>
+          () => readFooter(conf, st)).asJava
+      footerPool.invokeAll(tasks).asScala.toVector.map(_.get())
+    }
+
+  /** First manifested append to a PRE-EXISTING bus: one footer walk
+    * turns the current file set into record 1 (staging=None — the files
+    * are already in place), so legacy history rides the manifest from
+    * here on. Untrusted footers make an untrusted manifest — probes
+    * keep falling back, never answer wrong.
+    */
+  private def backfillManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String): BusManifest.Latest = {
+    val stats = footerStats(spark, path).toVector
+    val qRoot = fs.makeQualified(root).toUri.getPath
+    val files = stats.map { ff =>
+      val sp = new org.apache.hadoop.fs.Path(ff.file).toUri.getPath
+      if (!sp.startsWith(qRoot + "/"))
+        throw new java.io.IOException(s"bus file $sp outside $qRoot")
+      BusManifest.FileEntry(sp.substring(qRoot.length + 1), ff.hasMax, ff.max)
+    }
+    val maxes = stats.filter(_.hasMax).map(_.max)
+    val rec = BusManifest.Record(1L, None, stats.forall(_.trusted),
+      maxes.nonEmpty, if (maxes.nonEmpty) maxes.max else Long.MinValue, files)
+    fs.mkdirs(BusManifest.dir(root))
+    BusManifest.writeRecord(fs, root, rec)
+    val latest = BusManifest.combine(
+      BusManifest.Latest(0L, trusted = true, hasMax = false, Long.MinValue),
+      rec)
+    BusManifest.writeLatest(fs, root, latest)
+    latest
+  }
+
+  /** The manifested append (caller holds the per-path append lock): the
+    * frame lands in a hidden per-commit staging directory, its per-file
+    * footer maxima are read while the file set is one-commit small, the
+    * record is written atomically, the files rename into place, LATEST
+    * advances atomically. See [[BusManifest]] for the crash-window
+    * argument. Per-append cost is O(files in THIS commit) (+ one
+    * top-level listStatus for orphan-staging cleanup) — never O(bus).
+    */
+  private[streaming] def appendManifested(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val base: BusManifest.Latest =
+      (try BusManifest.current(fs, root) catch {
+        case _: java.io.IOException =>
+          // irrecoverable manifest (out-of-band mutation, torn record):
+          // drop it and rebuild from the disk truth below
+          fs.delete(BusManifest.dir(root), true)
+          None
+      }) match {
+        case Some(l) => l
+        case None =>
+          if (fs.exists(root) && listCommittedFiles(fs, root).nonEmpty)
+            backfillManifest(spark, fs, root, path)
+          else {
+            val l = BusManifest.Latest(0L, trusted = true, hasMax = false,
+              Long.MinValue)
+            fs.mkdirs(BusManifest.dir(root))
+            BusManifest.writeLatest(fs, root, l)
+            l
+          }
+      }
+    // orphaned staging from a crash BEFORE its record was written is
+    // invisible to every reader; sweep it here (top-level listing only)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith(".graft-staging-"))
+        .foreach { st => fs.delete(st.getPath, true); () }
+    val nextId = base.id + 1
+    val stagingName = BusManifest.stagingName(nextId)
+    val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+    val writer =
+      if (partitionCols.isEmpty) df.write
+      else df.write.partitionBy(partitionCols: _*)
+    writer.mode("overwrite").parquet(staging.toString)
+    val staged = listCommittedFiles(fs, staging)
+    val verdicts = readFootersFor(conf, staged.map(_._2))
+    val qStaging = fs.makeQualified(staging).toUri.getPath
+    val entries = staged.map(_._2).zip(verdicts).map { case (st, ff) =>
+      val sp = st.getPath.toUri.getPath
+      if (!sp.startsWith(qStaging + "/"))
+        throw new java.io.IOException(s"staged file $sp outside $qStaging")
+      var rel = sp.substring(qStaging.length + 1)
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, rel))) {
+        // part names carry a per-job UUID, so a collision means an
+        // external writer landed the same name; keep both — uniquify
+        // ours INSIDE staging before the record exists, so the record's
+        // rel always equals the staged layout (replay stays trivial)
+        val slash = rel.lastIndexOf('/')
+        val unique = (if (slash < 0) "" else rel.substring(0, slash + 1)) +
+          s"c$nextId-" + rel.substring(slash + 1)
+        if (!fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(staging, unique)))
+          throw new java.io.IOException(s"collision rename failed for $rel")
+        rel = unique
+      }
+      (rel, st, ff)
+    }
+    val maxes = verdicts.filter(_.hasMax).map(_.max)
+    val rec = BusManifest.Record(nextId, Some(stagingName),
+      verdicts.forall(_.trusted), maxes.nonEmpty,
+      if (maxes.nonEmpty) maxes.max else Long.MinValue,
+      entries.map { case (rel, _, ff) =>
+        BusManifest.FileEntry(rel, ff.hasMax, ff.max)
+      })
+    BusManifest.writeRecord(fs, root, rec)
+    val memo = footerMemos.computeIfAbsent(appendLockKey(path),
+      _ => new java.util.concurrent.ConcurrentHashMap[String, FileFooter]())
+    entries.foreach { case (rel, st, ff) =>
+      val target = new org.apache.hadoop.fs.Path(root, rel)
+      Option(target.getParent).foreach { p => fs.mkdirs(p); () }
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging, rel), target))
+        throw new java.io.IOException(s"commit rename of $rel failed")
+      // seed the footer memo under the FINAL key (rename preserves len;
+      // POSIX preserves mtime — a store that doesn't just misses later)
+      val q = fs.makeQualified(target)
+      memo.put(s"$q:${st.getLen}:${st.getModificationTime}",
+        ff.copy(file = q.toString))
+      ()
+    }
+    fs.delete(staging, true)
+    BusManifest.writeLatest(fs, root, BusManifest.combine(base, rec))
   }
 
   /** [[readFooter]] from a bare path + the driver's listing-time

@@ -14,6 +14,21 @@ import java.nio.file.Files
   */
 class EventBusLockSpec extends SparkSpec {
 
+  /** Run `body` with the bus manifest disabled: these tests pin the
+    * FOOTER-WALK engine (the manifestless/legacy fallback), and several
+    * perform out-of-band bus surgery (raw file writes/deletes) that the
+    * manifest, by documented invariant, does not track.
+    */
+  private def withoutManifest[A](body: => A): A = {
+    val prior = spark.conf.getOption("graft.bus.manifest.enabled")
+    spark.conf.set("graft.bus.manifest.enabled", "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set("graft.bus.manifest.enabled", v)
+      case None => spark.conf.unset("graft.bus.manifest.enabled")
+    }
+  }
+
   test("appendLock: one lock per directory across path spellings") {
     val dir = Files.createTempDirectory("lockid").toString
     assert(EventBus.appendLock(dir) eq EventBus.appendLock(dir + "/"),
@@ -43,7 +58,7 @@ class EventBusLockSpec extends SparkSpec {
       == base.count())
   }
 
-  test("footer probe ignores files staged under a hidden directory") {
+  test("footer probe ignores files staged under a hidden directory") { withoutManifest {
     // a mid-commit (or crashed) append leaves parts under the
     // committer's `_temporary`: complete-but-uncommitted files must not
     // OVERSHOOT the high-water mark (the attach guard would then exclude
@@ -68,7 +83,7 @@ class EventBusLockSpec extends SparkSpec {
     assert(bus.readAboveSequence(spark, 39L)
       .filter(col("sequence_number") > 39L).count() == 0L,
       "delta reads must not surface staged parts")
-  }
+  }}
 
   test("maxSequenceFrame: exact under partition schemes where directory " +
       "order contradicts sequence order") {
@@ -87,6 +102,10 @@ class EventBusLockSpec extends SparkSpec {
       .head.getLong(0)
     assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected,
       "directory order must not influence the probe")
+    // the answer must hold on BOTH engines: the manifest (the default
+    // probe above) and the footer walk (the manifestless fallback)
+    assert(bus.footerMaxSequence(spark) == Some(Some(expected)),
+      "the footer-walk fallback must agree")
     // numeric date-SHAPED but non-ISO values too
     val dir2 = Files.createTempDirectory("busnp2").toString
     val bus2 = EventBus(dir2)
@@ -98,7 +117,7 @@ class EventBusLockSpec extends SparkSpec {
       bus2.read(spark).agg(max(col("sequence_number"))).head.getLong(0))
   }
 
-  test("footer probe: concurrent cold reads (driver pool) stay exact on a many-file bus") {
+  test("footer probe: concurrent cold reads (driver pool) stay exact on a many-file bus") { withoutManifest {
     // a cold probe's memo-miss footers are read by the bounded driver
     // pool (> 1 miss) — the path a restarted driver takes on a bus its
     // memo has never seen. 80 single-row files make the fan-out real.
@@ -114,9 +133,9 @@ class EventBusLockSpec extends SparkSpec {
     assert(bus.maxSequenceFrame(spark).head.getLong(0) == expected)
     assert(bus.readAboveSequence(spark, expected)
       .filter(col("sequence_number") > expected).count() == 0L)
-  }
+  }}
 
-  test("footer memo tracks the live file set: stale entries pruned, probe stays exact") {
+  test("footer memo tracks the live file set: stale entries pruned, probe stays exact") { withoutManifest {
     // memory bound = O(live files) per bus, enforced by pruning against
     // each probe's fresh listing — NOT a coarse clear, which on a bus
     // above the cap would force every probe to re-read every footer
@@ -158,9 +177,9 @@ class EventBusLockSpec extends SparkSpec {
     assert(EventBus.footerMemoSize(dir) ==
       bus.read(spark).inputFiles.length,
       "balanced delete+append must still prune the stale entry")
-  }
+  }}
 
-  test("max-only distributed probe collects O(partitions), not O(files)") {
+  test("max-only distributed probe collects O(partitions), not O(files)") { withoutManifest {
     // VERDICT r18 #5: the boundary probe needs ONE long, but the cold
     // distributed path collected a FileFooter per miss (~10^6 path
     // strings at the 100 TB layout). The max-only reduce returns one
@@ -195,9 +214,9 @@ class EventBusLockSpec extends SparkSpec {
         case None => spark.conf.unset("graft.bus.footer.distributedThreshold")
       }
     }
-  }
+  }}
 
-  test("bus walk survives a symlinked directory cycle") {
+  test("bus walk survives a symlinked directory cycle") { withoutManifest {
     // ADVICE r18: the recursive walk blew the thread stack on a symlink
     // cycle — StackOverflowError is an Error, so the probe CRASHED
     // instead of degrading. The iterative walk skips already-visited
@@ -222,9 +241,9 @@ class EventBusLockSpec extends SparkSpec {
       fs, new org.apache.hadoop.fs.Path(dir))
     assert(listed.map(_._2.getPath.getName).distinct.size == listed.size,
       "the cycle must not double-list any file")
-  }
+  }}
 
-  test("untrusted footer stats degrade the probe to the data aggregate — slower, never wrong") {
+  test("untrusted footer stats degrade the probe to the data aggregate — slower, never wrong") { withoutManifest {
     // the load-bearing fallback: a committed file whose sequence_number
     // stats are MISSING (here: written with statistics disabled) must
     // poison footer-only answers for the whole bus — the probe computes
@@ -259,9 +278,9 @@ class EventBusLockSpec extends SparkSpec {
     assert(bus.readAboveSequence(spark, 39L)
       .filter(col("sequence_number") > 39L).count() == 11L,
       "rows above the trusted-footer max must still be served")
-  }
+  }}
 
-  test("footer probe: the distributed read path (threshold forced low) stays exact") {
+  test("footer probe: the distributed read path (threshold forced low) stays exact") { withoutManifest {
     // above graft.bus.footer.distributedThreshold the memo-miss footers
     // are read as ONE Spark job — the 100 TB cold-driver path (a million
     // serial driver-side footer RPCs would take hours; executors turn it
@@ -292,5 +311,5 @@ class EventBusLockSpec extends SparkSpec {
         case None => spark.conf.unset("graft.bus.footer.distributedThreshold")
       }
     }
-  }
+  }}
 }

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+/** Measurement harness (not a test): probe cost vs bus file count, for
+  * the README's scale paragraph. Run with
+  * `sbt "Test/runMain graft.streaming.ProbeCostMain"`.
+  *
+  * Compares the r19 manifest probe (LATEST pointer, O(1)) against the
+  * footer-walk fallback (re-lists the bus every probe, O(files)) on
+  * warm-memo buses of growing file counts — the VERDICT r18 #1 claim
+  * under test is that the manifest probe does NOT grow with file count.
+  */
+object ProbeCostMain {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    val reps = 20
+    println("[probecost] files  manifest_ms  footerwalk_ms  delta_files_read")
+    Seq(300, 1000, 3000).foreach { n =>
+      val dir = java.nio.file.Files.createTempDirectory(s"probecost$n")
+        .toString
+      val bus = EventBus(dir)
+      val perCommit = 100
+      (0 until n / perCommit).foreach { b =>
+        bus.append(spark.range(b.toLong * perCommit,
+          (b + 1).toLong * perCommit)
+          .select(col("id").as("sequence_number")).repartition(perCommit))
+      }
+      def timeProbes(): Double = {
+        bus.maxSequenceFrame(spark).head // warm
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => bus.maxSequenceFrame(spark).head)
+        (System.nanoTime() - t0) / reps / 1e6
+      }
+      val mfMs = timeProbes()
+      spark.conf.set("graft.bus.manifest.enabled", "false")
+      val fwMs = timeProbes()
+      spark.conf.unset("graft.bus.manifest.enabled")
+      // delta read just above the second-to-last commit: O(new commits)
+      val deltaFiles = bus.readAboveSequence(spark, n.toLong - perCommit - 1)
+        .filter(col("sequence_number") > n.toLong - perCommit - 1)
+        .inputFiles.length
+      println(f"[probecost] $n%5d  $mfMs%11.2f  $fwMs%13.2f  $deltaFiles%d")
+    }
+    spark.stop()
+  }
+}

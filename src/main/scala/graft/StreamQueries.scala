@@ -511,6 +511,68 @@ object StreamQueries {
       FROM events WHERE event_id < 2000 ORDER BY event_id
     """))
 
+  /** Manifest-backed boundary + delta read (r19, VERDICT r18 #1): three
+    * monotone appends land with OUT-OF-ORDER partition dates (partition
+    * values derive from event time — the newest commit carries the
+    * OLDEST date, exactly the shape that made directory pruning unsound),
+    * then the query serves `(lo, boundary]` the way a SharedGroup attach
+    * delta round does — the boundary from the manifest's LATEST pointer
+    * ([[graft.streaming.EventBus.maxSequenceFrame]], O(1), no listing),
+    * the file selection from manifest records past `lo`
+    * ([[graft.streaming.EventBus.readAboveSequence]], O(new commits)).
+    * The oracle recomputes the range straight from the source table, so
+    * a manifest that under-records a commit, mis-selects files, or a
+    * boundary that undershoots all hash-mismatch.
+    */
+  private val busDeltaReadQ = Q(
+    "bus_delta_read",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bus_delta"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val bus = graft.streaming.EventBus(dir)
+      val ev = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 3000)
+      // scale-aware slice bounds (sf0.001's events table tops out under
+      // 1000) — the oracle computes the same thirds/half in SQL
+      val mx = ev.agg(max(col("sequence_number"))).head.getLong(0)
+      val (a, b, lo) = (mx / 3, 2 * mx / 3, mx / 2)
+      // ascending sequence slices (the append-monotonicity precondition)
+      // carrying DESCENDING dates
+      bus.appendPartitioned(ev.filter(col("sequence_number") < a)
+        .withColumn("bus_date", lit("2024-05-03")), "bus_date")
+      bus.appendPartitioned(ev.filter(col("sequence_number") >= a &&
+        col("sequence_number") < b)
+        .withColumn("bus_date", lit("2024-05-02")), "bus_date")
+      bus.appendPartitioned(ev.filter(col("sequence_number") >= b)
+        .withColumn("bus_date", lit("2024-05-01")), "bus_date")
+      val hi = bus.maxSequenceFrame(s).head.getLong(0)
+      bus.readAboveSequence(s, lo)
+        .filter(col("sequence_number") > lo &&
+          col("sequence_number") <= hi)
+        .select(col("sequence_number"), col("id"), col("type"),
+          col("bus_date").cast("string").as("bus_date"), col("data"))
+        .orderBy(col("sequence_number"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT max(event_id) AS mx FROM events WHERE event_id < 3000
+      )
+      SELECT event_id AS sequence_number,
+             CAST(event_id AS VARCHAR) AS id,
+             event_type AS type,
+             CASE WHEN event_id < CAST(floor(mx / 3) AS BIGINT)
+                    THEN '2024-05-03'
+                  WHEN event_id < CAST(floor(2 * mx / 3) AS BIGINT)
+                    THEN '2024-05-02'
+                  ELSE '2024-05-01' END AS bus_date,
+             props AS data
+      FROM events, m
+      WHERE event_id > CAST(floor(mx / 2) AS BIGINT) AND event_id < 3000
+      ORDER BY event_id
+    """))
+
   /** Subscription dry-run (gateway ValidateSubscription RPC,
     * proxy.go:799-855; [[graft.streaming.ValidateSubscription]]): per
     * event, the filter verdict plus — for passing events — the transformed
@@ -1359,7 +1421,7 @@ object StreamQueries {
     """))
 
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
-    retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, validateSubQ,
+    retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, busDeltaReadQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
     protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,

@@ -573,6 +573,51 @@ object StreamQueries {
       ORDER BY event_id
     """))
 
+  /** Offline bus compaction (r19): eight micro-batch-sized manifested
+    * appends (the file-explosion shape a per-trigger append rate
+    * produces), then [[graft.streaming.EventBus.compact]] rewrites them
+    * into 3 files behind the crash-safe intent-marker swap and rebuilds
+    * the manifest, then one MORE append proves the rebuilt manifest
+    * accepts commits — and the full read-back hash-compares against the
+    * source table, so a swap that drops, duplicates, or corrupts any row
+    * (or a rebuilt manifest that mis-records the compacted files)
+    * mismatches. The before/after file counts and probe exactness are
+    * BusManifestSpec's to pin; the oracle pins the DATA.
+    */
+  private val busCompactReadQ = Q(
+    "bus_compact_read",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bus_compact"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val bus = graft.streaming.EventBus(dir)
+      val ev = EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") < 2000)
+      val mx = ev.agg(max(col("sequence_number"))).head.getLong(0)
+      val k = math.max(1L, (mx + 1) / 8)
+      (0 until 8).foreach { i =>
+        val sliceLo = i * k
+        val hi = if (i == 7) Long.MaxValue else (i + 1) * k
+        bus.append(ev.filter(col("sequence_number") >= sliceLo &&
+          col("sequence_number") < hi))
+      }
+      bus.compact(s, 3)
+      bus.append(EventView.fromEventsTable(Tables.events(s, d))
+        .filter(col("sequence_number") >= 2000 &&
+          col("sequence_number") < 2500))
+      bus.read(s)
+        .select(col("sequence_number"), col("id"), col("type"), col("data"))
+        .orderBy(col("sequence_number"))
+    },
+    Some("""
+      SELECT event_id AS sequence_number,
+             CAST(event_id AS VARCHAR) AS id,
+             event_type AS type,
+             props AS data
+      FROM events WHERE event_id < 2500 ORDER BY event_id
+    """))
+
   /** Subscription dry-run (gateway ValidateSubscription RPC,
     * proxy.go:799-855; [[graft.streaming.ValidateSubscription]]): per
     * event, the filter verdict plus — for passing events — the transformed
@@ -1421,7 +1466,7 @@ object StreamQueries {
     """))
 
   val all: Seq[Q] = Seq(backoffQ, delayQ, spoolBucketsQ, dlqQ, offsetResetQ, retryEscalationQ,
-    retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, busDeltaReadQ, validateSubQ,
+    retryableQ, sendBatchesQ, rateLimitQ, busRoundtripQ, busDeltaReadQ, busCompactReadQ, validateSubQ,
     httpDeliveryQ, lambdaDeliveryQ, gcloudDeliveryQ,
     orderedDlqQ, publishValidateQ, windowedRatesQ, userProfilesQ, sessionsQ, jsonIngestQ,
     protoIngestQ, streamDedupQ, streamNearDedupQ, ingestHorizonQ,

@@ -200,6 +200,43 @@ private[streaming] object BusManifest {
       Record(rid, staging, trusted, hasMax, max, files.result())
     }
 
+  /** Compaction intent marker — `<bus>/_graft_compact` (atomic
+    * temp+rename): the staging directory holding the complete compacted
+    * file set plus the bus-relative OLD data files to delete. Written
+    * AFTER the compacted set is fully staged, so a recovery
+    * ([[EventBus.recoverCompaction]]) can always finish the swap
+    * idempotently: move staged files whose targets are missing, delete
+    * old files that still exist, rebuild the manifest from the disk
+    * truth, drop the marker. A crash at ANY point leaves duplicates at
+    * worst (new files land before old ones delete), never loss.
+    */
+  final case class CompactIntent(staging: String, deletes: Seq[String])
+
+  def intentPath(root: Path): Path = new Path(root, "_graft_compact")
+
+  def writeIntent(fs: FileSystem, root: Path, in: CompactIntent): Unit =
+    writeAtomic(fs, intentPath(root),
+      s"graft-bus-compact v1\nstaging ${enc(in.staging)}\n" +
+        in.deletes.map(d => s"delete ${enc(d)}\n").mkString)
+
+  def readIntent(fs: FileSystem, root: Path): Option[CompactIntent] =
+    readSmall(fs, intentPath(root)).map { txt =>
+      val p = intentPath(root)
+      val lines = txt.linesIterator.toVector
+      if (lines.isEmpty || lines.head != "graft-bus-compact v1")
+        parseFail(p, "bad header")
+      var staging: Option[String] = None
+      val dels = Vector.newBuilder[String]
+      lines.tail.foreach(_.split(" ", 2) match {
+        case Array("staging", v) => staging = Some(dec(v))
+        case Array("delete", v) => dels += dec(v)
+        case Array("") => ()
+        case other => parseFail(p, s"unknown line '${other.mkString(" ")}'")
+      })
+      CompactIntent(staging.getOrElse(parseFail(p, "missing staging")),
+        dels.result())
+    }
+
   /** The manifest's current committed view, REPLAYING any records past
     * LATEST first (the crash window — see the object scaladoc). None =
     * no manifest on this bus. Throws IOException when a record

@@ -103,6 +103,65 @@ class EventBus(val path: String) extends Serializable {
         df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
     }
 
+  /** OFFLINE compaction: rewrite the bus's committed files into about
+    * `targetFiles` larger ones (per partition-column tuple when
+    * `partitionCols` are given), swap them in crash-safely, and rebuild
+    * the manifest — the log-lifecycle half the manifest made urgent:
+    * micro-batch appends at the 100 TB layout create one commit's worth
+    * of small files per trigger, and every reader's listing, footer
+    * memo, and manifest record chain grow with it. The reference
+    * compacts at the segment layer for the same reason.
+    *
+    * OFFLINE means NO CONCURRENT READERS: same-JVM probes and appends
+    * are excluded by the per-path lock, but a plain `read`/`readStream`
+    * takes no lock — a batch reader listing mid-swap can see duplicate
+    * rows (new files land before old ones delete; never loss), and a
+    * STREAMING query tracks files by path, so compaction under an
+    * active stream re-delivers the whole bus as "new" files. Run it
+    * like the maintenance window it is.
+    *
+    * Crash safety: the compacted set is fully staged in a hidden
+    * directory FIRST, then an atomic intent marker (staging name + old
+    * files to delete) commits the swap; every later step is idempotent
+    * replay of the marker, and [[EventBus.maxSequenceFrame]]/
+    * [[EventBus.readAboveSequence]]/footer probes/appends all finish a
+    * crashed swap before answering ([[BusManifest.CompactIntent]]). A
+    * crash BEFORE the marker leaves only the invisible staging
+    * directory.
+    */
+  def compact(spark: SparkSession, targetFiles: Int,
+      partitionCols: String*): Unit =
+    EventBus.appendLock(path).synchronized {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      EventBus.finishCompaction(spark, fs, root, path) // heal a crashed swap
+      if (!fs.exists(root)) return
+      val old = EventBus.listCommittedFiles(fs, root)
+      if (old.size <= math.max(1, targetFiles)) return
+      val qRoot = fs.makeQualified(root).toUri.getPath
+      // eager file index: the read plan resolves to the OLD files before
+      // the staging directory exists inside the same root
+      val df = read(spark)
+      val stagingName = s".graft-compact-${java.util.UUID.randomUUID}"
+      val staging = new org.apache.hadoop.fs.Path(root, stagingName)
+      val shaped =
+        if (partitionCols.isEmpty) df.repartition(targetFiles)
+        else df.repartition(targetFiles, partitionCols.map(col): _*)
+      (if (partitionCols.isEmpty) shaped.write
+       else shaped.write.partitionBy(partitionCols: _*))
+        .mode("overwrite").parquet(staging.toString)
+      val deletes = old.map { case (_, st) =>
+        val sp = st.getPath.toUri.getPath
+        if (!sp.startsWith(qRoot + "/"))
+          throw new java.io.IOException(s"bus file $sp outside $qRoot")
+        sp.substring(qRoot.length + 1)
+      }
+      BusManifest.writeIntent(fs, root,
+        BusManifest.CompactIntent(stagingName, deletes))
+      EventBus.finishCompaction(spark, fs, root, path)
+    }
+
   /** First offset with stime >= ts per eventlog — QueryOffsetByTime
     * (block_seek.go:45-86). Row-group stats give the same pruning the vsb
     * index gave.
@@ -360,6 +419,11 @@ object EventBus {
   private def listBus(spark: SparkSession, path: String): BusListing = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed compaction swap must finish before any footer answer:
+    // half-swapped disks carry duplicates (never loss), and the walk
+    // below would memoize verdicts for files about to be deleted
+    if (fs.exists(BusManifest.intentPath(p)))
+      appendLock(path).synchronized { finishCompaction(spark, fs, p, path) }
     val memo = footerMemos.computeIfAbsent(appendLockKey(path),
       _ => new java.util.concurrent.ConcurrentHashMap[String, FileFooter]())
     val listed = listCommittedFiles(fs, p)
@@ -492,6 +556,58 @@ object EventBus {
     }
   }
 
+  /** Idempotent tail of a compaction swap, replayed from the intent
+    * marker (no-op without one). Caller holds the bus append lock. Order
+    * and idempotence: (1) the manifest describes the OLD layout — drop
+    * it; (2) move staged files whose targets are missing; (3) delete the
+    * intent's old files that still exist (never one that a staged file
+    * re-landed — checked against the staged set); (4) rebuild the
+    * manifest from the disk truth; (5) drop staging, then the marker
+    * last, so a crash anywhere re-enters here.
+    */
+  private[streaming] def finishCompaction(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String): Unit =
+    BusManifest.readIntent(fs, root).foreach { in =>
+      fs.delete(BusManifest.dir(root), true)
+      val staging = new org.apache.hadoop.fs.Path(root, in.staging)
+      val stagedRels: Set[String] =
+        if (!fs.exists(staging)) Set.empty
+        else {
+          val qStaging = fs.makeQualified(staging).toUri.getPath
+          listCommittedFiles(fs, staging).map { case (_, st) =>
+            val sp = st.getPath.toUri.getPath
+            if (!sp.startsWith(qStaging + "/"))
+              throw new java.io.IOException(s"staged file $sp outside $qStaging")
+            sp.substring(qStaging.length + 1)
+          }.toSet
+        }
+      stagedRels.foreach { rel =>
+        val target = new org.apache.hadoop.fs.Path(root, rel)
+        if (!fs.exists(target)) {
+          Option(target.getParent).foreach { p => fs.mkdirs(p); () }
+          if (!fs.rename(new org.apache.hadoop.fs.Path(staging, rel), target))
+            throw new java.io.IOException(
+              s"compaction rename of $rel failed")
+        }
+      }
+      in.deletes.filterNot(stagedRels).foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), false); ()
+      }
+      // marker drops BEFORE the manifest rebuild: the disk is fully
+      // swapped here, so a crash in between merely leaves a healed,
+      // manifestless bus — footer probes stay correct and the next
+      // append backfills. (Rebuild-first would recurse: the backfill's
+      // footer walk re-checks this very marker.)
+      fs.delete(staging, true)
+      fs.delete(BusManifest.intentPath(root), false)
+      if (manifestEnabled(spark) &&
+          fs.exists(root) && listCommittedFiles(fs, root).nonEmpty) {
+        backfillManifest(spark, fs, root, path)
+        ()
+      }
+    }
+
   /** Manifest kill switch: `graft.bus.manifest.enabled` (default true)
     * gates BOTH maintenance (append) and consultation (probes) — false
     * restores the plain footer-walk engine end-to-end (specs that pin
@@ -518,6 +634,10 @@ object EventBus {
     else try {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(BusManifest.intentPath(root)))
+        appendLock(path).synchronized {
+          finishCompaction(spark, fs, root, path)
+        }
       BusManifest.readLatest(fs, root) match {
         case Some(l)
             if !fs.exists(BusManifest.recordPath(root, l.id + 1)) =>
@@ -649,6 +769,7 @@ object EventBus {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    finishCompaction(spark, fs, root, path) // heal a crashed swap first
     val base: BusManifest.Latest =
       (try BusManifest.current(fs, root) catch {
         case _: java.io.IOException =>

@@ -181,6 +181,77 @@ class BusManifestSpec extends SparkSpec {
       "encoded rel paths must decode to readable files")
   }
 
+  test("compact: fewer files, identical rows, exact probes, appendable rebuilt manifest") {
+    val dir = Files.createTempDirectory("mfcompact").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 80)
+    // micro-batch-shaped history: 8 commits, several files each
+    (0 until 8).foreach { i =>
+      bus.append(base.filter(col("sequence_number") >= i * 10 &&
+        col("sequence_number") < (i + 1) * 10).repartition(3))
+    }
+    val before = bus.read(spark).inputFiles.length
+    assert(before > 10, s"need a fragmented bus (got $before files)")
+    bus.compact(spark, 2)
+    val after = bus.read(spark).inputFiles.length
+    assert(after < before && after <= 4,
+      s"compaction must shrink the file set ($before -> $after)")
+    // rows byte-identical, probes exact, manifest rebuilt trusted
+    assert(bus.read(spark).count() == base.count())
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == base.count(), "no duplicate rows may survive the swap")
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 79L)
+    assert(EventBus.manifestLatest(spark, dir).exists(l =>
+      l.trusted && l.hasMax && l.max == 79L))
+    // the rebuilt manifest accepts appends and delta-reads exactly
+    val compacted = bus.read(spark).inputFiles.toSet
+    bus.append(EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") >= 80 && col("sequence_number") < 90))
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 89L)
+    val delta = bus.readAboveSequence(spark, 79L)
+      .filter(col("sequence_number") > 79L)
+    assert(delta.count() == 10L)
+    assert(delta.inputFiles.nonEmpty &&
+      delta.inputFiles.forall(f => !compacted.contains(f)),
+      "post-compact delta must not re-read the compacted history")
+  }
+
+  test("a crashed compaction swap heals at the next probe — duplicates at worst, never loss") {
+    val dir = Files.createTempDirectory("mfcompcrash").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 60)
+    (0 until 3).foreach { i =>
+      bus.append(base.filter(col("sequence_number") >= i * 20 &&
+        col("sequence_number") < (i + 1) * 20).repartition(2))
+    }
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    // stage a complete compacted set + intent, then "crash" before any
+    // move/delete (the worst window: everything still to do)
+    val stagingName = ".graft-compact-crashtest"
+    base.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, stagingName).toString)
+    val qRoot = fs.makeQualified(root).toUri.getPath
+    val olds = EventBus.listCommittedFiles(fs, root).map { case (_, st) =>
+      st.getPath.toUri.getPath.substring(qRoot.length + 1)
+    }
+    BusManifest.writeIntent(fs, root,
+      BusManifest.CompactIntent(stagingName, olds))
+    // next probe heals the whole swap: old files gone, compacted rows
+    // only, manifest rebuilt, marker dropped
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 59L)
+    assert(!fs.exists(BusManifest.intentPath(root)), "marker must drop")
+    assert(bus.read(spark).count() == base.count(),
+      "healed bus must hold exactly the compacted rows")
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == base.count())
+    assert(bus.read(spark).inputFiles.length == 1)
+    assert(EventBus.manifestLatest(spark, dir).exists(l =>
+      l.trusted && l.hasMax && l.max == 59L))
+  }
+
   test("kill switch: disabled buses never grow a manifest and probes stay exact") {
     val dir = Files.createTempDirectory("mfoff").toString
     val bus = EventBus(dir)

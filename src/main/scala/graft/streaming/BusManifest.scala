@@ -68,20 +68,36 @@ private[streaming] object BusManifest {
 
   /** The commit pointer: everything a boundary probe needs, in one small
     * atomically-replaced file. `trusted` is the AND over all records, so
-    * a trusted LATEST certifies every record it covers.
+    * a trusted LATEST certifies every record it covers. `ckpt` (r20,
+    * VERDICT r19 #1) is the id of the newest CHECKPOINT record — a
+    * folded record covering commits 1..ckpt, so backward walks stop
+    * there instead of reading every commit record serially (an Earliest
+    * attach on a bus with 10⁵ per-trigger commits would otherwise pay
+    * O(appends) small serial driver reads, and `_graft_manifest/` itself
+    * becomes the file explosion the manifest was built to remove — the
+    * reference's WAL compacts by committed offset for the same reason,
+    * server/store/wal/wal.go:195-210). 0 = no checkpoint yet.
     */
   final case class Latest(id: Long, trusted: Boolean, hasMax: Boolean,
-      max: Long)
+      max: Long, ckpt: Long = 0L)
 
   def dir(root: Path): Path = new Path(root, DirName)
   def latestPath(root: Path): Path = new Path(dir(root), "LATEST")
   def recordPath(root: Path, id: Long): Path =
     new Path(dir(root), f"commit-$id%016d")
+  def checkpointPath(root: Path, id: Long): Path =
+    new Path(dir(root), f"ckpt-$id%016d")
   def stagingName(id: Long): String = f".graft-staging-$id%016d"
+
+  /** Record/checkpoint files read since JVM start — the spec hook that
+    * pins the walk-back bound (BusManifestSpec: an Earliest read on a
+    * checkpointed chain reads ≤ interval + 1 record files).
+    */
+  val recordReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def combine(l: Latest, r: Record): Latest = Latest(
     r.id, l.trusted && r.trusted, l.hasMax || r.hasMax,
-    math.max(l.max, r.max))
+    math.max(l.max, r.max), l.ckpt)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -119,9 +135,9 @@ private[streaming] object BusManifest {
   def writeLatest(fs: FileSystem, root: Path, l: Latest): Unit =
     writeAtomic(fs, latestPath(root),
       s"graft-bus-manifest-latest v1\nid ${l.id}\ntrusted ${l.trusted}\n" +
-        s"max ${renderLong(l.hasMax, l.max)}\n")
+        s"max ${renderLong(l.hasMax, l.max)}\nckpt ${l.ckpt}\n")
 
-  def writeRecord(fs: FileSystem, root: Path, r: Record): Unit = {
+  private def writeRecordAt(fs: FileSystem, target: Path, r: Record): Unit = {
     val sb = new StringBuilder
     sb ++= s"graft-bus-manifest-record v1\nid ${r.id}\n"
     sb ++= s"staging ${r.staging.map(enc).getOrElse("-")}\n"
@@ -129,8 +145,18 @@ private[streaming] object BusManifest {
     r.files.foreach { fe =>
       sb ++= s"file ${renderLong(fe.hasMax, fe.max)} ${enc(fe.rel)}\n"
     }
-    writeAtomic(fs, recordPath(root, r.id), sb.toString)
+    writeAtomic(fs, target, sb.toString)
   }
+
+  def writeRecord(fs: FileSystem, root: Path, r: Record): Unit =
+    writeRecordAt(fs, recordPath(root, r.id), r)
+
+  /** A checkpoint record: same wire format as a commit record, distinct
+    * path. `r.files` must cover every committed file of commits 1..r.id,
+    * `r.trusted`/`r.max` the AND/max over them.
+    */
+  def writeCheckpoint(fs: FileSystem, root: Path, r: Record): Unit =
+    writeRecordAt(fs, checkpointPath(root, r.id), r)
 
   /** Parse failures throw IOException — a torn/garbled manifest file is
     * a degradable signal (probes fall back to the footer walk; the next
@@ -154,14 +180,26 @@ private[streaming] object BusManifest {
       val trusted = kv.get("trusted").flatMap(_.toBooleanOption)
         .getOrElse(parseFail(p, "missing trusted"))
       val mx = kv.getOrElse("max", parseFail(p, "missing max"))
-      if (mx == "-") Latest(id, trusted, hasMax = false, Long.MinValue)
+      // ckpt is optional: a pre-r20 LATEST simply has no checkpoint yet
+      val ckpt = kv.get("ckpt") match {
+        case None => 0L
+        case Some(v) => v.toLongOption.getOrElse(parseFail(p, "bad ckpt"))
+      }
+      if (mx == "-") Latest(id, trusted, hasMax = false, Long.MinValue, ckpt)
       else Latest(id, trusted, hasMax = true,
-        mx.toLongOption.getOrElse(parseFail(p, "bad max")))
+        mx.toLongOption.getOrElse(parseFail(p, "bad max")), ckpt)
     }
 
   def readRecord(fs: FileSystem, root: Path, id: Long): Option[Record] =
-    readSmall(fs, recordPath(root, id)).map { txt =>
-      val p = recordPath(root, id)
+    readRecordAt(fs, recordPath(root, id), id)
+
+  def readCheckpoint(fs: FileSystem, root: Path, id: Long): Option[Record] =
+    readRecordAt(fs, checkpointPath(root, id), id)
+
+  private def readRecordAt(fs: FileSystem, p: Path,
+      id: Long): Option[Record] =
+    readSmall(fs, p).map { txt =>
+      recordReads.incrementAndGet()
       val lines = txt.linesIterator.toVector
       if (lines.isEmpty || lines.head != "graft-bus-manifest-record v1")
         parseFail(p, "bad header")

@@ -252,6 +252,103 @@ class BusManifestSpec extends SparkSpec {
       l.trusted && l.hasMax && l.max == 59L))
   }
 
+  test("checkpoint fold bounds the record chain: Earliest walk reads <= K+1 records, dir stays <= K+2 files") {
+    val dir = Files.createTempDirectory("mfckpt").toString
+    val bus = EventBus(dir)
+    val k = 8
+    val prior = spark.conf.getOption("graft.bus.manifest.checkpointInterval")
+    spark.conf.set("graft.bus.manifest.checkpointInterval", k.toString)
+    try {
+      val appends = 20
+      (0 until appends).foreach { i =>
+        bus.append(spark.range(i.toLong * 10, (i + 1).toLong * 10)
+          .select(col("id").as("sequence_number")))
+      }
+      val fs = fsOf(dir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      // the chain is folded: LATEST points at a checkpoint, the folded
+      // commit records are gone, the dir is bounded by the interval
+      val latest = EventBus.manifestLatest(spark, dir)
+      assert(latest.exists(l => l.trusted && l.id == appends && l.ckpt == 16),
+        s"20 appends at K=8 must fold at 8 then 16: $latest")
+      val manifestFiles = fs.listStatus(BusManifest.dir(root))
+        .map(_.getPath.getName).toSeq
+      assert(manifestFiles.size <= k + 2,
+        s"manifest dir must stay bounded, got $manifestFiles")
+      assert(!manifestFiles.exists(_ == f"commit-${8L}%016d"),
+        "folded commit records must be swept")
+      assert(manifestFiles.contains(f"ckpt-${16L}%016d"))
+      // Earliest read: <= K+1 record-file reads, full coverage
+      BusManifest.recordReads.set(0L)
+      val all = bus.readAboveSequence(spark, Long.MinValue)
+      assert(all.count() == appends * 10L)
+      assert(BusManifest.recordReads.get() <= k + 1,
+        s"Earliest walk read ${BusManifest.recordReads.get()} records; " +
+          s"the checkpoint bounds it at ${k + 1}")
+      // probes and delta reads stay exact across the fold boundary
+      assert(bus.maxSequenceFrame(spark).head.getLong(0) == appends * 10L - 1)
+      assert(bus.readAboveSequence(spark, 54L)
+        .filter(col("sequence_number") > 54L).count() == appends * 10L - 55L)
+      // a read entirely below the checkpoint still serves (the fold keeps
+      // per-file maxima, it does not lose history)
+      assert(bus.readAboveSequence(spark, 3L)
+        .filter(col("sequence_number") > 3L && col("sequence_number") < 20L)
+        .count() == 16L)
+    } finally prior match {
+      case Some(v) =>
+        spark.conf.set("graft.bus.manifest.checkpointInterval", v)
+      case None =>
+        spark.conf.unset("graft.bus.manifest.checkpointInterval")
+    }
+  }
+
+  test("compactPartitionDirs: only the hot directory rewrites; cold partitions stay byte-identical") {
+    val dir = Files.createTempDirectory("mfcompdir").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 70)
+    // hot date: 6 commits of 2 files; cold date: one 2-file commit
+    (0 until 6).foreach { i =>
+      bus.appendPartitioned(base.filter(col("sequence_number") >= i * 10 &&
+        col("sequence_number") < (i + 1) * 10)
+        .withColumn("d", lit("2024-05-01")).repartition(2), "d")
+    }
+    bus.appendPartitioned(base.filter(col("sequence_number") >= 60)
+      .withColumn("d", lit("2024-05-02")).repartition(2), "d")
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def snapshot(date: String): Set[(String, Long, Long)] =
+      EventBus.listCommittedFiles(fs, root)
+        .map(_._2)
+        .filter(_.getPath.toString.contains(s"d=$date"))
+        .map(st => (st.getPath.toString, st.getLen,
+          st.getModificationTime)).toSet
+    val coldBefore = snapshot("2024-05-02")
+    val hotBefore = snapshot("2024-05-01")
+    assert(hotBefore.size == 12 && coldBefore.size == 2)
+    val rewritten = bus.compactPartitionDirs(spark, maxFilesPerDir = 4,
+      targetFilesPerDir = 2)
+    assert(rewritten == 1, s"only the hot directory is over threshold")
+    assert(snapshot("2024-05-02") == coldBefore,
+      "cold partition files must be byte-identical (path, len, mtime)")
+    assert(snapshot("2024-05-01").size == 2)
+    // rows identical, probes exact, manifest trusted and appendable
+    assert(bus.read(spark).count() == base.count())
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == base.count())
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 69L)
+    assert(EventBus.manifestLatest(spark, dir).exists(_.trusted))
+    assert(bus.read(spark).filter(col("d") === "2024-05-01").count() == 60L)
+    bus.appendPartitioned(
+      EventView.fromEventsTable(Tables.events(spark, sf))
+        .filter(col("sequence_number") >= 70 &&
+          col("sequence_number") < 80)
+        .withColumn("d", lit("2024-05-03")), "d")
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 79L)
+    assert(bus.readAboveSequence(spark, 69L)
+      .filter(col("sequence_number") > 69L).count() == 10L)
+  }
+
   test("kill switch: disabled buses never grow a manifest and probes stay exact") {
     val dir = Files.createTempDirectory("mfoff").toString
     val bus = EventBus(dir)

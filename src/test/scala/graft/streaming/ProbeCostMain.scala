@@ -15,12 +15,17 @@ object ProbeCostMain {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
     val reps = 20
-    println("[probecost] files  manifest_ms  footerwalk_ms  delta_files_read")
+    println("[probecost] files(=commits*10)  manifest_ms  footerwalk_ms  " +
+      "delta_files_read  earliest_ms  earliest_record_reads")
     Seq(300, 1000, 3000).foreach { n =>
       val dir = java.nio.file.Files.createTempDirectory(s"probecost$n")
         .toString
       val bus = EventBus(dir)
-      val perCommit = 100
+      // 10 files per commit → n/10 COMMITS, crossing the checkpoint
+      // interval (64) twice by n=3000: the r20 column under test is that
+      // an Earliest read's manifest cost is bounded by the interval, not
+      // the append count (VERDICT r19 #1)
+      val perCommit = 10
       (0 until n / perCommit).foreach { b =>
         bus.append(spark.range(b.toLong * perCommit,
           (b + 1).toLong * perCommit)
@@ -40,7 +45,17 @@ object ProbeCostMain {
       val deltaFiles = bus.readAboveSequence(spark, n.toLong - perCommit - 1)
         .filter(col("sequence_number") > n.toLong - perCommit - 1)
         .inputFiles.length
-      println(f"[probecost] $n%5d  $mfMs%11.2f  $fwMs%13.2f  $deltaFiles%d")
+      // Earliest read: manifest walk-back cost, bounded by the
+      // checkpoint interval regardless of append count
+      bus.readAboveSequence(spark, Long.MinValue).inputFiles // warm
+      BusManifest.recordReads.set(0L)
+      val t1 = System.nanoTime()
+      (1 to reps).foreach(_ =>
+        bus.readAboveSequence(spark, Long.MinValue).inputFiles)
+      val eaMs = (System.nanoTime() - t1) / reps / 1e6
+      val eaReads = BusManifest.recordReads.get() / reps
+      println(f"[probecost] $n%5d  $mfMs%11.2f  $fwMs%13.2f  " +
+        f"$deltaFiles%d  $eaMs%11.2f  $eaReads%d")
     }
     spark.stop()
   }

@@ -331,31 +331,29 @@ object Bench {
       .filter(_._1 <= round)
     if (files.isEmpty) Map.empty
     else {
-      val txt = java.nio.file.Files.readString(files.maxBy(_._1)._2.toPath)
+      // a real JSON reader, not regex scraping (ADVICE r19: the regexes
+      // assumed key order and nesting depth; a writer-side reordering
+      // silently yielded an empty baseline)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(files.maxBy(_._1)._2.toPath))
       val out = scala.collection.mutable.Map.empty[String, (Double, Double)]
-      val qIdx = txt.indexOf("\"queries\":")
-      if (qIdx >= 0) {
-        val block = braceBlock(txt, qIdx)
-        val objFmt = """"([A-Za-z0-9_]+)":\{"sec":([0-9.eE+-]+),"cpu_sec":([0-9.eE+-]+)""".r
-        val numFmt = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-        val objs = objFmt.findAllMatchIn(block).toSeq
-        if (objs.nonEmpty) objs.foreach(m =>
-          out(m.group(1)) = (m.group(2).toDouble, m.group(3).toDouble))
-        else numFmt.findAllMatchIn(block)
-          .foreach(m => out(m.group(1)) = (m.group(2).toDouble, -1.0))
+      import scala.jdk.CollectionConverters._
+      val qs = root.path("queries")
+      if (qs.isObject) qs.fields.asScala.foreach { e =>
+        val v = e.getValue
+        if (v.isObject) // r13+ {"sec":…,"cpu_sec":…}
+          out(e.getKey) = (v.path("sec").asDouble(-1.0),
+            v.path("cpu_sec").asDouble(-1.0))
+        else if (v.isNumber) // pre-r13 scalar seconds
+          out(e.getKey) = (v.asDouble, -1.0)
       }
       ScaleTags.foreach { tag =>
-        val i = txt.indexOf("\"" + tag + "\":")
-        if (i >= 0) {
-          val block = braceBlock(txt, i)
-          val rowFmt = (""""([A-Za-z0-9_]+)":\{"ratio":[0-9.eE+-]+,"sec":([0-9.eE+-]+),""" +
-            """"base":[0-9.eE+-]+,"cpu_sec":([0-9.eE+-]+)""").r
-          val secOnly = """"([A-Za-z0-9_]+)":\{"ratio":[0-9.eE+-]+,"sec":([0-9.eE+-]+)""".r
-          val rich = rowFmt.findAllMatchIn(block).toSeq
-          if (rich.nonEmpty) rich.foreach(m =>
-            out(s"$tag:${m.group(1)}") = (m.group(2).toDouble, m.group(3).toDouble))
-          else secOnly.findAllMatchIn(block).foreach(m =>
-            out(s"$tag:${m.group(1)}") = (m.group(2).toDouble, -1.0))
+        val rows = root.path(tag).path("rows")
+        if (rows.isObject) rows.fields.asScala.foreach { e =>
+          val v = e.getValue
+          if (v.isObject && v.has("sec"))
+            out(s"$tag:${e.getKey}") = (v.path("sec").asDouble(-1.0),
+              v.path("cpu_sec").asDouble(-1.0))
         }
       }
       out.toMap
@@ -391,30 +389,51 @@ object Bench {
     val rounds = byRound.keys.toSeq.sorted.reverse.take(2)
     if (rounds.size < 2) Set.empty
     else {
+      // real JSON parse (ADVICE r19: the old regex assumed "query"
+      // preceded "verdict" and that the first ']' closed the array — a
+      // writer-side reordering silently emptied the chronic set)
       def flagged(f: java.io.File): Set[String] = {
+        import scala.jdk.CollectionConverters._
         val txt = java.nio.file.Files.readString(f.toPath)
-        val i = txt.indexOf("\"adjudication\":")
-        if (i < 0) Set.empty
-        else {
-          // the adjudication value is a flat array of flat objects, so
-          // the first ']' after its '[' closes it
-          val start = txt.indexOf('[', i)
-          val end = if (start < 0) -1 else txt.indexOf(']', start)
-          if (end < 0) Set.empty
-          else {
-            val row = """"query":"([A-Za-z0-9_]+)"[^}]*"verdict":"([^"]+)"""".r
-            row.findAllMatchIn(txt.substring(start, end + 1))
-              .filter(m => m.group(2).startsWith("cpu-divergent") ||
-                m.group(2) == "chunk-deflated" || m.group(2) == "solo-first")
-              .map(_.group(1)).toSet
+        val adj = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt).path("adjudication")
+        if (!adj.isArray) {
+          if (txt.contains("\"adjudication\""))
+            System.err.println(s"[bench] WARNING: ${f.getName} has an " +
+              "adjudication section that did not parse as an array — " +
+              "chronic detection is blind to it")
+          Set.empty
+        } else adj.elements.asScala
+          .filter { row =>
+            val v = row.path("verdict").asText("")
+            v.startsWith("cpu-divergent") || v == "chunk-deflated" ||
+              v == "solo-first" || v.startsWith("unsettled")
           }
-        }
+          .map(_.path("query").asText(""))
+          .filter(_.nonEmpty).toSet
       }
       flagged(byRound(rounds(0))).intersect(flagged(byRound(rounds(1))))
     }
   } catch { case e: Throwable =>
     System.err.println(s"[bench] chronic-family parse failed: ${e.getMessage}")
     Set.empty
+  }
+
+  /** The chronic-lane sanity gate's divergence rule (r20, VERDICT r19
+    * wrong #1): a chronic solo disagrees with the prior committed solo
+    * when wall differs >2× in either direction at ≥ 2 s magnitude
+    * (either side), or cpu differs >2× at ≥ 5 cpu-s — the same
+    * materiality floors verdictOf uses, so sub-second jitter and
+    * unknown-cpu rows never trigger a re-run. No prior row = no gate
+    * (a new query has nothing to disagree with).
+    */
+  private[graft] def chronicDiverges(p: Option[(Double, Double)],
+      wall: Double, cpu: Double): Boolean = p.exists { case (pw, pc) =>
+    val wallDiv = math.max(wall, pw) >= 2.0 &&
+      (wall > 2 * pw || wall < pw / 2)
+    val cpuDiv = pc > 0 && cpu > 0 && math.max(cpu, pc) >= 5.0 &&
+      (cpu > 2 * pc || cpu < pc / 2)
+    wallDiv || cpuDiv
   }
 
   /** Is this measurement a suspect, and why. `prior` is the query's
@@ -557,7 +576,8 @@ object Bench {
     // histogram rows must not duplicate the chunk's.
     def ingest(rows: Seq[Array[String]],
         into: (ArrayBuffer[(String, Meas)], ArrayBuffer[ScaleRow]),
-        chunkRun: Boolean): Set[String] = {
+        chunkRun: Boolean,
+        histInto: Option[ArrayBuffer[(String, String, Int, Long, Long, Long, Long)]] = None): Set[String] = {
       val reported = scala.collection.mutable.Set.empty[String]
       rows.foreach {
         case Array("Q", n, w, c, g, l0, l1) =>
@@ -569,9 +589,8 @@ object Bench {
           into._2 += ScaleRow(tag, fac.toInt, n, r.toDouble, sec.toDouble,
             base.toDouble, cpu.toDouble, baseCpu.toDouble)
         case Array("H", tag, n, lw, ng, mw, up, cp) =>
-          if (chunkRun)
-            histRows += ((tag, n, lw.toInt, ng.toLong, mw.toLong,
-              up.toLong, cp.toLong))
+          histInto.foreach(_ += ((tag, n, lw.toInt, ng.toLong, mw.toLong,
+            up.toLong, cp.toLong)))
         case _ => ()
       }
       reported.toSet
@@ -584,39 +603,19 @@ object Bench {
       if (rc != 0)
         System.err.println(
           s"[bench] chunk ${i + 1}: unreported queries count as failed")
-      val reported = ingest(rows, (qMeas, scaleRows), chunkRun = true)
+      val reported = ingest(rows, (qMeas, scaleRows), chunkRun = true,
+        histInto = Some(histRows))
       // a child that died mid-chunk (OOM, hard JVM crash) reports nothing
       // for its remaining queries — those are failures, not free queries
       chunk.filterNot(reported).foreach(failed += _)
     }
 
-    // ---- chronic solo-first measurement (VERDICT r18 #2) ----
-    // one cold child per chronic family, base + its default tiers; the
-    // rows ingest as THE round's numbers (chunkRun = true: a dead child
-    // is a failure, histograms are the round's), and an Adj row per
-    // measured row records the lane in the artifact
-    val chronicAdj = ArrayBuffer.empty[Adj]
-    chronic.toSeq.sorted.foreach { name =>
-      System.err.println(s"[bench] chronic $name: measuring in its own solo child")
-      val (_, rows) = spawnChild(
-        Map("SPARK_GRAFT_ONLY" -> name), s"chronic_$name")
-      val reported = ingest(rows, (qMeas, scaleRows), chunkRun = true)
-      if (!reported(name)) failed += name
-      qMeas.filter(_._1 == name).foreach { case (n, m) =>
-        chronicAdj += Adj("base", n, "chronic(2-rounds)", -1.0, -1.0,
-          m.wall, m.cpu, "solo-first")
-      }
-      scaleRows.filter(_.name == name).foreach { r =>
-        chronicAdj += Adj(r.tag, name, "chronic(2-rounds)", -1.0, -1.0,
-          r.sec, r.cpu, "solo-first")
-      }
-    }
-
-    // ---- adjudication (r12 VERDICT #1) ----
-    val round = roundNumber
+    // the prior-round baseline is needed BEFORE the chronic lane now —
+    // the sanity gate below compares chronic solos against it.
     // SPARK_GRAFT_ROUND is free-form env input and only becomes an Int
     // here; a non-numeric value ("r13") must degrade to no-prior-baseline
     // adjudication, not crash the coordinator AFTER the whole chunk sweep
+    val round = roundNumber
     val prior = round.toIntOption.map(priorDetail(_)).getOrElse {
       System.err.println(
         s"[bench] non-numeric round '$round'; adjudicating on wall/cpu only")
@@ -625,6 +624,86 @@ object Bench {
     if (prior.isEmpty)
       System.err.println("[bench] no prior detail artifact; " +
         "adjudicating on wall/cpu only")
+
+    // ---- chronic solo-first measurement (VERDICT r18 #2) ----
+    // one cold child per chronic family, base + its default tiers; the
+    // adopted run's rows ingest as THE round's numbers and an Adj row per
+    // measured row records the lane in the artifact.
+    //
+    // SANITY GATE (r20, VERDICT r19 wrong #1): the chronic lane's solo IS
+    // the published number, so a disturbed child published dedup_keep_best
+    // 100× at 58.6 s/1364 cpu-s against nine prior same-code measurements
+    // of 14–18 s/57–67 cpu-s with nothing flagging it. Now every chronic
+    // row is compared against the prior committed artifact: a >2× wall
+    // (at ≥ 2 s magnitude) or >2× cpu (at ≥ 5 cpu-s) disagreement in
+    // either direction triggers ONE re-run in a second cold child, the
+    // lower-total-wall run is adopted WHOLE (base + tiers from one JVM —
+    // never a mixed-regime ratio), and any adopted row still disagreeing
+    // with the prior publishes verdict `unsettled` with both runs' numbers
+    // in the adjudication row instead of silently standing.
+    val chronicAdj = ArrayBuffer.empty[Adj]
+    chronic.toSeq.sorted.foreach { name =>
+      System.err.println(s"[bench] chronic $name: measuring in its own solo child")
+      def soloRun(label: String): (ArrayBuffer[(String, Meas)],
+          ArrayBuffer[ScaleRow],
+          ArrayBuffer[(String, String, Int, Long, Long, Long, Long)],
+          Set[String]) = {
+        val q = ArrayBuffer.empty[(String, Meas)]
+        val s = ArrayBuffer.empty[ScaleRow]
+        val h = ArrayBuffer.empty[(String, String, Int, Long, Long, Long, Long)]
+        val (_, rows) = spawnChild(Map("SPARK_GRAFT_ONLY" -> name), label)
+        val rep = ingest(rows, (q, s), chunkRun = false, histInto = Some(h))
+        (q, s, h, rep)
+      }
+      val (q1, s1, h1, rep1) = soloRun(s"chronic_$name")
+      if (!rep1(name)) { failed += name }
+      else {
+        def priorOf(tag: String) =
+          prior.get(if (tag == "base") name else s"$tag:$name")
+        def rowsOfRun(q: ArrayBuffer[(String, Meas)],
+            s: ArrayBuffer[ScaleRow]): Seq[(String, Double, Double)] =
+          q.filter(_._1 == name).map(m => ("base", m._2.wall, m._2.cpu)).toSeq ++
+            s.filter(_.name == name).map(r => (r.tag, r.sec, r.cpu)).toSeq
+        val anyDiv = rowsOfRun(q1, s1).exists { case (tag, w, c) =>
+          chronicDiverges(priorOf(tag), w, c)
+        }
+        val (aq, as, ah, runTag) =
+          if (!anyDiv) (q1, s1, h1, "solo-first")
+          else {
+            System.err.println(s"[bench] chronic $name disagrees >2x with " +
+              "the prior committed solo; re-running once before publishing")
+            val (q2, s2, h2, rep2) = soloRun(s"chronic2_$name")
+            if (!rep2(name)) (q1, s1, h1, "rerun-died")
+            else {
+              val w1 = rowsOfRun(q1, s1).map(_._2).sum
+              val w2 = rowsOfRun(q2, s2).map(_._2).sum
+              if (w2 < w1) (q2, s2, h2, "rerun") else (q1, s1, h1, "rerun")
+            }
+          }
+        qMeas ++= aq; scaleRows ++= as; histRows ++= ah
+        // one Adj row per adopted measurement; when the gate fired, both
+        // runs' numbers ride the row (published = run-1, solo = adopted)
+        def other(tag: String): (Double, Double) =
+          if (runTag == "solo-first") (-1.0, -1.0)
+          else rowsOfRun(q1, s1).find(_._1 == tag)
+            .map(r => (r._2, r._3)).getOrElse((-1.0, -1.0))
+        rowsOfRun(aq, as).foreach { case (tag, w, c) =>
+          // verdict stays a closed vocabulary (the stdout line groups by
+          // it); the prior wall the row disagreed with rides the trigger
+          val verdict =
+            if (runTag == "solo-first") "solo-first"
+            else if (chronicDiverges(priorOf(tag), w, c)) "unsettled"
+            else "solo-first"
+          val (pw, pc) = other(tag)
+          chronicAdj += Adj(tag, name,
+            if (runTag == "solo-first") "chronic(2-rounds)"
+            else f"chronic-vs-prior>2x($runTag,prior=${priorOf(tag).map(_._1).getOrElse(-1.0)}%.2f)",
+            pw, pc, w, c, verdict)
+        }
+      }
+    }
+
+    // ---- adjudication (r12 VERDICT #1) ----
     // a suspect is (tag, name, published wall, published cpu, trigger) —
     // see triggerOf for the trigger matrix; the cap below bounds total
     // retry wall time and is LOGGED when it drops suspects
@@ -1019,6 +1098,12 @@ object Bench {
       "multimodal_mp4_samples", "multimodal_mp4_keyframes",
       "multimodal_keyframe_extract", "dedup_keyframe_clips",
       "dedup_cross_corpus", "stream_dedup_ingest", "stream_neardup_ingest",
+      // r20 (VERDICT r19 #5): the compaction entries' slice bounds are
+      // FRACTIONS of the events table, so at 10× the compacted volume
+      // grows with the data and these rows measure compaction wall
+      // tracking corpus growth (bus_compact_stream stays base-only —
+      // its wall is streaming-lifecycle restarts, not data)
+      "bus_compact_read", "bus_compact_partitioned",
       "join_asof", "join_range",
       "sim_brute_topk", "sim_int8_topk", "sim_ivf_topk", "sim_pq_topk",
       "sim_ivfpq_topk", "sim_ivfpq_res_topk", "sim_ivfpq_rerank_topk")

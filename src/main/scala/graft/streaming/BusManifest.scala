@@ -110,7 +110,8 @@ private[streaming] object BusManifest {
     * the target (the roster's pattern). The temp name is unique per
     * attempt so a crashed write never blocks a retry.
     */
-  private def writeAtomic(fs: FileSystem, target: Path, text: String): Unit = {
+  private[streaming] def writeAtomic(fs: FileSystem, target: Path,
+      text: String): Unit = {
     val tmp = new Path(target.getParent,
       s".tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)

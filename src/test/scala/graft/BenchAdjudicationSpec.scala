@@ -71,6 +71,54 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.priorDetail(13, new java.io.File(dir, "nope")).isEmpty)
   }
 
+  test("chronicDiverges: >2x wall/cpu either direction at material magnitude; floors hold") {
+    // wall regressed and wall collapsed both diverge
+    assert(Bench.chronicDiverges(Some((14.0, 60.0)), 58.6, 1363.7))
+    assert(Bench.chronicDiverges(Some((14.0, 60.0)), 5.0, 60.0))
+    // within 2x either way: settled
+    assert(!Bench.chronicDiverges(Some((14.0, 60.0)), 17.9, 67.0))
+    assert(!Bench.chronicDiverges(Some((14.0, 60.0)), 7.5, 40.0))
+    // cpu-only divergence at material magnitude fires even with wall ok
+    assert(Bench.chronicDiverges(Some((14.0, 60.0)), 15.0, 9.0))
+    // floors: sub-2s wall jitter and sub-5 cpu-s never trigger
+    assert(!Bench.chronicDiverges(Some((0.5, 1.0)), 1.4, 2.9))
+    assert(!Bench.chronicDiverges(Some((0.3, -1.0)), 0.05, 0.1))
+    // unknown prior cpu disables the cpu arm, wall arm still works
+    assert(Bench.chronicDiverges(Some((14.0, -1.0)), 58.6, 1363.7))
+    assert(!Bench.chronicDiverges(Some((14.0, -1.0)), 15.0, 1363.7))
+    // no prior row: nothing to disagree with
+    assert(!Bench.chronicDiverges(None, 58.6, 1363.7))
+  }
+
+  test("chronicFamilies: real JSON parse, key order independent, unsettled is sticky") {
+    val dir = Files.createTempDirectory("chronic").toFile
+    // r18: verdict BEFORE query (the exact reordering the old regex
+    // scraper silently dropped, ADVICE r19), plus a nested brace in a
+    // trigger string
+    Files.writeString(new java.io.File(dir, "bench_detail_r18.json").toPath,
+      """{"round":18,"queries":{},
+        |"adjudication":[
+        | {"verdict":"chunk-deflated","tag":"scale","query":"text_html_extract","trigger":"wall<prior/3(7.0)"},
+        | {"tag":"scale100","query":"dedup_keep_best","trigger":"x{y}","verdict":"cpu-divergent(reproduced)"},
+        | {"tag":"base","query":"noise_row","verdict":"environmental"}
+        |]}""".stripMargin)
+    // r19: one family re-flagged via the r20 unsettled verdict, one
+    // graduated family carried by solo-first, one flagged only here
+    Files.writeString(new java.io.File(dir, "bench_detail_r19.json").toPath,
+      """{"round":19,"queries":{},
+        |"adjudication":[
+        | {"tag":"scale","query":"text_html_extract","verdict":"solo-first"},
+        | {"tag":"scale100","query":"dedup_keep_best","verdict":"unsettled"},
+        | {"tag":"base","query":"only_once","verdict":"chunk-deflated"}
+        |]}""".stripMargin)
+    assert(Bench.chronicFamilies(20, dir) ==
+      Set("text_html_extract", "dedup_keep_best"))
+    // a single flagged round is not chronic
+    assert(!Bench.chronicFamilies(20, dir).contains("only_once"))
+    // fewer than two artifacts: empty, never throwing
+    assert(Bench.chronicFamilies(18, dir).isEmpty)
+  }
+
   test("trigger matrix: regression, prior-inflation, idle-heavy, and the floors") {
     // wall-only helper: prior cpu unavailable (-1), the pre-r16 shape
     def t(prior: Option[Double], wall: Double, cpu: Double) =

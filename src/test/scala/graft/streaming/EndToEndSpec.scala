@@ -669,6 +669,115 @@ class EndToEndSpec extends SparkSpec {
     } finally if (g2.query.isActive) g2.query.stop()
   }
 
+  test("compactBelow under a LIVE shared group: zero re-deliveries, tail untouched, read-back equal") {
+    // the r19 compaction was OFFLINE-only: a streaming source tracks
+    // files by path, so compacting under an active stream re-delivered
+    // the whole bus as "new" files. compactBelow (r20) compacts only
+    // files the checkpoint has COMMITTED and epoch-stamps its outputs;
+    // the runner's in-plan guard drops re-listed stamped content — the
+    // reference's serve-while-compacting contract (wal.go:195-210)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    val sourceBus = EventBus(tmp("cbsrc"))
+    val ckpt = tmp("cbck")
+    CompactBelowE2E.a.clear(); CompactBelowE2E.b.clear()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 100)
+    def slice(lo: Long, hi: Long) = events
+      .filter(col("sequence_number") >= lo && col("sequence_number") < hi)
+    def ids(lo: Long, hi: Long): Set[String] =
+      slice(lo, hi).select("id").collect().map(_.getString(0)).toSet
+    // micro-batch-shaped history: 6 commits of 2 files
+    (0 until 6).foreach(i =>
+      sourceBus.append(slice(i * 10L, (i + 1) * 10L).repartition(2)))
+    val specA = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-cb-a"))
+    val sinkA: SubscriptionRunner.Sink =
+      { d => CompactBelowE2E.a.add(d.id); Right(()) }
+
+    // run 1: founder drains the 6 commits, group stops (checkpoint now
+    // has the committed file log compactBelow keys off)
+    val g1 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus,
+      Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, ckpt)
+    try { assert(g1.query.awaitTermination(60000)) }
+    finally if (g1.query.isActive) g1.query.stop()
+    assert(CompactBelowE2E.a.asScala.toSet == ids(0, 60))
+
+    // compact BETWEEN runs: all 12 files are committed → all compact
+    val filesBefore = sourceBus.read(spark).inputFiles.length
+    assert(sourceBus.compactBelow(spark, 2, Seq(ckpt)) == filesBefore)
+    assert(sourceBus.read(spark).inputFiles.length == 2)
+    assert(sourceBus.read(spark).count() == 60L)
+    assert(sourceBus.read(spark).select("sequence_number").distinct()
+      .count() == 60L)
+
+    // tail lands, run 2 restarts on the SAME checkpoint: the re-listed
+    // compacted outputs must NOT re-deliver to the founder
+    sourceBus.append(slice(60, 70).repartition(2))
+    val g2 = SubscriptionRunner.startSharedGroup(
+      spark, sourceBus,
+      Seq((specA, SubscriptionRunner.Delivery.PerEvent(sinkA))),
+      None, None, ckpt, trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      val d1 = System.currentTimeMillis() + 60000
+      def settledA(n: Int): Boolean = CompactBelowE2E.a.size == n &&
+        CompactBelowE2E.a.asScala.toSet.size == n
+      while (CompactBelowE2E.a.asScala.toSet != ids(0, 70) &&
+        System.currentTimeMillis() < d1) Thread.sleep(100)
+      Thread.sleep(600)
+      assert(CompactBelowE2E.a.size == 70 &&
+        CompactBelowE2E.a.asScala.toSet == ids(0, 70),
+        s"run-2 founder must see the tail once and NOTHING re-delivered " +
+          s"(got ${CompactBelowE2E.a.size} deliveries)")
+
+      // an Earliest attach serves full history from the COMPACTED files
+      // via catch-up (the guard filters streams, never batch reads)
+      val specB = SubscriptionRunner.Spec(Seq.empty, None,
+        SubscriptionRunner.Config("sub-cb-b"))
+      val sinkB: SubscriptionRunner.Sink =
+        { d => CompactBelowE2E.b.add(d.id); Right(()) }
+      val res = g2.attach(specB, SubscriptionRunner.Delivery.PerEvent(sinkB),
+        SubscriptionRunner.OffsetReset.Earliest)
+      assert(res.delivered == 70L)
+      assert(CompactBelowE2E.b.asScala.toSet == ids(0, 70))
+
+      // compact MID-STREAM (live query, both members armed): wait until
+      // the tail commit is in the checkpoint's committed log, then swap
+      sourceBus.append(slice(70, 80).repartition(2))
+      val d2 = System.currentTimeMillis() + 60000
+      while (CompactBelowE2E.a.asScala.toSet != ids(0, 80) &&
+        System.currentTimeMillis() < d2) Thread.sleep(100)
+      var compacted = 0
+      val d3 = System.currentTimeMillis() + 60000
+      while (compacted == 0 && System.currentTimeMillis() < d3) {
+        compacted = sourceBus.compactBelow(spark, 2, Seq(ckpt))
+        if (compacted == 0) Thread.sleep(200)
+      }
+      assert(compacted > 0, "live-stream compactBelow never found a " +
+        "committed set to compact")
+      // zero re-deliveries from the mid-stream swap, and new appends
+      // still flow to both members exactly once
+      sourceBus.append(slice(80, 100))
+      val d4 = System.currentTimeMillis() + 60000
+      while ((CompactBelowE2E.a.asScala.toSet != ids(0, 100) ||
+        CompactBelowE2E.b.asScala.toSet != ids(0, 100)) &&
+        System.currentTimeMillis() < d4) Thread.sleep(100)
+      Thread.sleep(600)
+      assert(settledA(100),
+        s"founder: ${CompactBelowE2E.a.size} deliveries of " +
+          s"${CompactBelowE2E.a.asScala.toSet.size} distinct ids")
+      assert(CompactBelowE2E.b.size == 100 &&
+        CompactBelowE2E.b.asScala.toSet == ids(0, 100),
+        s"attacher: ${CompactBelowE2E.b.size} deliveries")
+      // read-back equal: the swap neither lost nor duplicated rows
+      assert(sourceBus.read(spark).count() == 100L)
+      assert(sourceBus.read(spark).select("sequence_number").distinct()
+        .count() == 100L)
+    } finally if (g2.query.isActive) g2.query.stop()
+  }
+
   test("SharedGroup.attach is non-blocking: members proceed during a slow catch-up") {
     // VERDICT r16 #1: the r16 attach held the group lock through the
     // whole catch-up read, so an Earliest attach on a deep bus stalled
@@ -1412,6 +1521,11 @@ class EndToEndSpec extends SparkSpec {
   * serialized closure's module reference resolves back to this instance in
   * local mode.
   */
+object CompactBelowE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 object IngestDedupE2E {
   val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

@@ -349,6 +349,50 @@ class BusManifestSpec extends SparkSpec {
       .filter(col("sequence_number") > 69L).count() == 10L)
   }
 
+  test("irrecoverable manifest: staged partial-commit files are QUARANTINED, not swept") {
+    val dir = Files.createTempDirectory("mfquar").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+    bus.append(base.filter(col("sequence_number") < 30))
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    // a crashed append's staging dir with a real staged file, plus a
+    // GARBLED record for it — current() throws, the manifest is
+    // irrecoverable, and the staged data is the partial commit ADVICE
+    // r19 says must not vanish with the ordinary orphan sweep
+    val stagingName = BusManifest.stagingName(2L)
+    val stagingDir = new org.apache.hadoop.fs.Path(root, stagingName)
+    fs.mkdirs(stagingDir)
+    val out1 = fs.create(new org.apache.hadoop.fs.Path(stagingDir,
+      "part-quar.parquet"), true)
+    try out1.write("staged-bytes".getBytes("UTF-8")) finally out1.close()
+    val out2 = fs.create(BusManifest.recordPath(root, 2L), true)
+    try out2.write("garbage not a record".getBytes("UTF-8"))
+    finally out2.close()
+    // next append rebuilds from disk truth and quarantines the staging
+    bus.append(base.filter(col("sequence_number") >= 30 &&
+      col("sequence_number") < 40))
+    assert(!fs.exists(stagingDir), "staging dir must be moved away")
+    val quarantined = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(".graft-quarantine-"))
+    assert(quarantined.length == 1, "the partial commit must survive")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      quarantined.head.getPath, "part-quar.parquet")))
+    // the bus itself healed: trusted manifest over the disk truth
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 39L)
+    assert(EventBus.manifestLatest(spark, dir).exists(_.trusted))
+    assert(bus.read(spark).count() == 40L)
+    // an ORDINARY orphan (no irrecoverable manifest) still sweeps
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root,
+      BusManifest.stagingName(99L)))
+    bus.append(base.filter(col("sequence_number") >= 40 &&
+      col("sequence_number") < 45))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      BusManifest.stagingName(99L))), "plain orphans still sweep")
+    assert(fs.listStatus(root)
+      .count(_.getPath.getName.startsWith(".graft-quarantine-")) == 1)
+  }
+
   test("kill switch: disabled buses never grow a manifest and probes stay exact") {
     val dir = Files.createTempDirectory("mfoff").toString
     val bus = EventBus(dir)

@@ -667,25 +667,27 @@ object Bench {
         val anyDiv = rowsOfRun(q1, s1).exists { case (tag, w, c) =>
           chronicDiverges(priorOf(tag), w, c)
         }
-        val (aq, as, ah, runTag) =
-          if (!anyDiv) (q1, s1, h1, "solo-first")
+        val (aq, as, ah, oq, os, runTag) =
+          if (!anyDiv) (q1, s1, h1, q1, s1, "solo-first")
           else {
             System.err.println(s"[bench] chronic $name disagrees >2x with " +
               "the prior committed solo; re-running once before publishing")
             val (q2, s2, h2, rep2) = soloRun(s"chronic2_$name")
-            if (!rep2(name)) (q1, s1, h1, "rerun-died")
+            if (!rep2(name)) (q1, s1, h1, q1, s1, "rerun-died")
             else {
               val w1 = rowsOfRun(q1, s1).map(_._2).sum
               val w2 = rowsOfRun(q2, s2).map(_._2).sum
-              if (w2 < w1) (q2, s2, h2, "rerun") else (q1, s1, h1, "rerun")
+              if (w2 < w1) (q2, s2, h2, q1, s1, "rerun")
+              else (q1, s1, h1, q2, s2, "rerun")
             }
           }
         qMeas ++= aq; scaleRows ++= as; histRows ++= ah
-        // one Adj row per adopted measurement; when the gate fired, both
-        // runs' numbers ride the row (published = run-1, solo = adopted)
+        // one Adj row per adopted measurement; when the gate fired, BOTH
+        // runs' numbers ride the row (published = the run NOT adopted,
+        // solo = the adopted number the artifact publishes)
         def other(tag: String): (Double, Double) =
           if (runTag == "solo-first") (-1.0, -1.0)
-          else rowsOfRun(q1, s1).find(_._1 == tag)
+          else rowsOfRun(oq, os).find(_._1 == tag)
             .map(r => (r._2, r._3)).getOrElse((-1.0, -1.0))
         rowsOfRun(aq, as).foreach { case (tag, w, c) =>
           // verdict stays a closed vocabulary (the stdout line groups by

@@ -393,6 +393,68 @@ class BusManifestSpec extends SparkSpec {
       .count(_.getPath.getName.startsWith(".graft-quarantine-")) == 1)
   }
 
+  test("compactBelow: the intersection over checkpoints bounds the swap — the slowest stream wins") {
+    val dir = Files.createTempDirectory("mfbelow").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 80)
+    val fs = fsOf(dir)
+    // 4 commits of 2 files, tracking each commit's file set
+    val perCommit = (0 until 4).map { i =>
+      val before =
+        if (i == 0) Set.empty[String] else bus.read(spark).inputFiles.toSet
+      bus.append(base.filter(col("sequence_number") >= i * 20 &&
+        col("sequence_number") < (i + 1) * 20).repartition(2))
+      bus.read(spark).inputFiles.toSet -- before
+    }
+    def uriPath(f: String): String =
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)).toUri.getPath
+    // synthetic checkpoints in Spark's on-disk format: stream A
+    // committed all 4 commits, stream B (the slow one) only the first 2
+    def writeCk(name: String, commits: Seq[Set[String]]): String = {
+      val ck = Files.createTempDirectory(name).toString
+      Files.createDirectories(java.nio.file.Paths.get(ck, "commits"))
+      Files.createDirectories(java.nio.file.Paths.get(ck, "sources", "0"))
+      commits.zipWithIndex.foreach { case (files, b) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(ck, "commits", b.toString), "v1\n{}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(ck, "sources", "0", b.toString),
+          "v1\n" + files.toSeq.sorted.map(f =>
+            s"""{"path":"file://${uriPath(f)}","timestamp":1,"batchId":$b}""")
+            .mkString("\n"))
+      }
+      ck
+    }
+    val ckA = writeCk("mfbelowA", perCommit)
+    val ckB = writeCk("mfbelowB", perCommit.take(2))
+    val tailFiles = (perCommit(2) ++ perCommit(3)).map(uriPath)
+    val tailStats = EventBus.listCommittedFiles(fs,
+      new org.apache.hadoop.fs.Path(dir))
+      .map(_._2).filter(st => tailFiles.contains(
+        st.getPath.toUri.getPath))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSet
+    // only the 4 files BOTH streams committed compact; the tail is
+    // byte-identical (the serve-while-compacting contract)
+    assert(bus.compactBelow(spark, 1, Seq(ckA, ckB)) == 4)
+    val after = EventBus.listCommittedFiles(fs,
+      new org.apache.hadoop.fs.Path(dir)).map(_._2)
+    assert(after.filter(st => tailFiles.contains(st.getPath.toUri.getPath))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .toSet == tailStats, "uncommitted-by-B files must be untouched")
+    val stamped = after.filter(_.getPath.getName.contains("-gce"))
+    assert(stamped.length == 1, "4 committed files -> 1 stamped output")
+    assert(stamped.head.getPath.getName.endsWith("-gce1.parquet"))
+    assert(bus.read(spark).count() == base.count())
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == base.count())
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 79L)
+    // a checkpoint with NO commits forbids everything
+    val ckEmpty = Files.createTempDirectory("mfbelowE").toString
+    assert(bus.compactBelow(spark, 1, Seq(ckA, ckEmpty)) == 0)
+  }
+
   test("kill switch: disabled buses never grow a manifest and probes stay exact") {
     val dir = Files.createTempDirectory("mfoff").toString
     val bus = EventBus(dir)

@@ -778,6 +778,51 @@ class EndToEndSpec extends SparkSpec {
     } finally if (g2.query.isActive) g2.query.stop()
   }
 
+  test("a FRESH checkpoint's founders take initial load from pre-birth compaction outputs") {
+    // the floor contract's other half: the epoch guard drops only
+    // outputs stamped AFTER a checkpoint's birth — a group born on an
+    // already-compacted bus must receive the stamped files as its
+    // legitimate initial load, or compaction would silently orphan
+    // history for every future subscriber
+    import scala.jdk.CollectionConverters._
+    val sourceBus = EventBus(tmp("cfsrc"))
+    CompactFreshE2E.a.clear()
+    val events = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 60)
+    (0 until 3).foreach(i => sourceBus.append(events
+      .filter(col("sequence_number") >= i * 20 &&
+        col("sequence_number") < (i + 1) * 20).repartition(2)))
+    // drain with a throwaway group so a committed file log exists, then
+    // compact everything it committed
+    val specTmp = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-cf-tmp"))
+    val ckTmp = tmp("cfcktmp")
+    val g0 = SubscriptionRunner.startSharedGroup(spark, sourceBus,
+      Seq((specTmp, SubscriptionRunner.Delivery.PerEvent(_ => Right(())))),
+      None, None, ckTmp)
+    try { assert(g0.query.awaitTermination(60000)) }
+    finally if (g0.query.isActive) g0.query.stop()
+    assert(sourceBus.compactBelow(spark, 1, Seq(ckTmp)) == 6)
+    assert(sourceBus.read(spark).inputFiles.forall(_.contains("-gce")),
+      "the whole bus is now compaction output")
+    // a brand-new group on a brand-new checkpoint: its founder must see
+    // every row exactly once via the stream's first batches
+    val spec = SubscriptionRunner.Spec(Seq.empty, None,
+      SubscriptionRunner.Config("sub-cf-a"))
+    val sink: SubscriptionRunner.Sink =
+      { d => CompactFreshE2E.a.add(d.id); Right(()) }
+    val g1 = SubscriptionRunner.startSharedGroup(spark, sourceBus,
+      Seq((spec, SubscriptionRunner.Delivery.PerEvent(sink))),
+      None, None, tmp("cfck1"))
+    try { assert(g1.query.awaitTermination(60000)) }
+    finally if (g1.query.isActive) g1.query.stop()
+    val expect = events.select("id").collect().map(_.getString(0)).toSet
+    assert(CompactFreshE2E.a.size == 60 &&
+      CompactFreshE2E.a.asScala.toSet == expect,
+      s"fresh founder got ${CompactFreshE2E.a.size} deliveries — " +
+        "pre-birth compaction outputs are initial load, not re-delivery")
+  }
+
   test("SharedGroup.attach is non-blocking: members proceed during a slow catch-up") {
     // VERDICT r16 #1: the r16 attach held the group lock through the
     // whole catch-up read, so an Earliest attach on a deep bus stalled
@@ -1524,6 +1569,10 @@ class EndToEndSpec extends SparkSpec {
 object CompactBelowE2E {
   val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val b = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+object CompactFreshE2E {
+  val a = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 object IngestDedupE2E {

@@ -455,6 +455,56 @@ class BusManifestSpec extends SparkSpec {
     assert(bus.compactBelow(spark, 1, Seq(ckA, ckEmpty)) == 0)
   }
 
+  test("compact derives partition columns from the layout — no silent flattening") {
+    val dir = Files.createTempDirectory("mfderive").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 60)
+    (0 until 3).foreach { i =>
+      bus.appendPartitioned(base.filter(col("sequence_number") >= i * 20 &&
+        col("sequence_number") < (i + 1) * 20)
+        .withColumn("d", lit(if (i == 2) "2024-05-02" else "2024-05-01"))
+        .repartition(3), "d")
+    }
+    // NO partitionCols passed: pre-r20 this flattened d= directories
+    // into root files and the next appendPartitioned produced a mixed
+    // tree (ADVICE r19)
+    bus.compact(spark, 2)
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rels = EventBus.listCommittedFiles(fs, root).map { case (_, st) =>
+      st.getPath.toUri.getPath }
+    assert(rels.forall(_.contains("/d=")),
+      s"compaction must keep the partition layout: $rels")
+    assert(bus.read(spark).count() == base.count())
+    assert(bus.read(spark).filter(col("d") === "2024-05-02").count() == 20L)
+    // the layout stays appendPartitioned-compatible
+    bus.appendPartitioned(EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") >= 60 && col("sequence_number") < 70)
+      .withColumn("d", lit("2024-05-03")), "d")
+    assert(bus.read(spark).count() == 70L)
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 69L)
+  }
+
+  test("compactPartitionDirs on an UNPARTITIONED bus compacts the root directory") {
+    val dir = Files.createTempDirectory("mfrootdir").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 40)
+    (0 until 4).foreach { i =>
+      bus.append(base.filter(col("sequence_number") >= i * 10 &&
+        col("sequence_number") < (i + 1) * 10).repartition(2))
+    }
+    assert(bus.read(spark).inputFiles.length == 8)
+    assert(bus.compactPartitionDirs(spark, maxFilesPerDir = 4,
+      targetFilesPerDir = 2) == 1)
+    assert(bus.read(spark).inputFiles.length == 2)
+    assert(bus.read(spark).count() == base.count())
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == base.count())
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 39L)
+  }
+
   test("kill switch: disabled buses never grow a manifest and probes stay exact") {
     val dir = Files.createTempDirectory("mfoff").toString
     val bus = EventBus(dir)

@@ -505,6 +505,58 @@ class BusManifestSpec extends SparkSpec {
     assert(bus.maxSequenceFrame(spark).head.getLong(0) == 39L)
   }
 
+  test("record/LATEST wire format round-trips arbitrary rel paths, maxima, and the ckpt pointer") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAll[A](g: Gen[A], n: Int)(f: A => Unit): Unit =
+      (1 to n).foreach(i =>
+        f(g.pureApply(Gen.Parameters.default, Seed(i.toLong))))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("mfprop").toString)
+    fs.mkdirs(BusManifest.dir(root))
+    // rel paths with every URL-hostile shape a partitioned layout can
+    // produce: spaces, %, +, &, #, =, unicode, nested dirs, newlines
+    val seg: Gen[String] = Gen.oneOf(
+      Gen.identifier,
+      Gen.oneOf("a b", "x%2F", "p+q", "k=v&w", "#frag", "émoji≈",
+        "nl\nline", "tab\tsep", "d=2024-05-01"))
+    val rel: Gen[String] =
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, seg).map(_.mkString("/")))
+    val entry: Gen[BusManifest.FileEntry] = for {
+      r <- rel
+      hm <- Gen.oneOf(true, false)
+      mx <- Gen.choose(Long.MinValue + 1, Long.MaxValue)
+    } yield BusManifest.FileEntry(r, hm, if (hm) mx else Long.MinValue)
+    val record: Gen[BusManifest.Record] = for {
+      id <- Gen.choose(1L, 1000000L)
+      st <- Gen.option(Gen.identifier.map("." + _))
+      tr <- Gen.oneOf(true, false)
+      hm <- Gen.oneOf(true, false)
+      mx <- Gen.choose(-1000000L, Long.MaxValue)
+      es <- Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, entry))
+    } yield BusManifest.Record(id, st, tr, hm,
+      if (hm) mx else Long.MinValue, es)
+    forAll(record, 150) { r =>
+      BusManifest.writeRecord(fs, root, r)
+      val back = BusManifest.readRecord(fs, root, r.id)
+      assert(back.contains(r), s"record must round-trip: $r vs $back")
+    }
+    val latest: Gen[BusManifest.Latest] = for {
+      id <- Gen.choose(0L, 1000000L)
+      tr <- Gen.oneOf(true, false)
+      hm <- Gen.oneOf(true, false)
+      mx <- Gen.choose(-1000000L, Long.MaxValue)
+      ck <- Gen.choose(0L, 1000000L)
+    } yield BusManifest.Latest(id, tr, hm,
+      if (hm) mx else Long.MinValue, ck)
+    forAll(latest, 150) { l =>
+      BusManifest.writeLatest(fs, root, l)
+      assert(BusManifest.readLatest(fs, root).contains(l))
+    }
+  }
+
   test("kill switch: disabled buses never grow a manifest and probes stay exact") {
     val dir = Files.createTempDirectory("mfoff").toString
     val bus = EventBus(dir)

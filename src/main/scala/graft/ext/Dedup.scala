@@ -61,25 +61,27 @@ object Dedup {
     * regardless of document size — the shuffle for the LSH join moves
     * signatures, never documents.
     *
-    * Plan note: the shingle-hash array is staged in its own projection.
-    * CollapseProject keeps the two projections separate because the
-    * producer (`hs`) is non-cheap and referenced four times, so the md5
-    * pass over the shingles runs once per document instead of once per
-    * signature (higher-order functions are exempt from subexpression
-    * elimination, so inlining the array would 4× the digest work — this
-    * was 39% of the round-1 bench).
+    * Per-row kernel (optimization r21): the column spelling above
+    * ([[shingleHashes]] + 4× [[sigFromHashes]]) runs FIVE interpreted
+    * higher-order functions per document — no codegen, no subexpression
+    * elimination, a shingle string + 32-char hex string + substring +
+    * decimal re-parse allocated per window. [[graft.functions.MinhashSigs]]
+    * computes the identical four signatures in one whole-stage-codegen
+    * call per row straight off the raw digest bytes (HashKernelsSpec pins
+    * kernel ≡ column spelling on randomized corpora; the DuckDB oracles
+    * replay the same math independently). The helpers above remain the
+    * executable spec of the per-window arithmetic.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ", -1)
     graft.Tables.fanOut(docs.filter(size(words) >= 3))
-      // bind the split as a column: the shingle lambda's element_at calls
-      // would otherwise re-split the document per element (interpreted HOFs
-      // get no subexpression elimination)
       .withColumn("__ws", words)
-      .select(col("doc_id"), shingleHashes(col("__ws")).as("hs"))
       .select(col("doc_id"),
-        sigFromHashes(col("hs"), 0).as("sig0"), sigFromHashes(col("hs"), 1).as("sig1"),
-        sigFromHashes(col("hs"), 2).as("sig2"), sigFromHashes(col("hs"), 3).as("sig3"))
+        graft.functions.MinhashSigs(col("__ws"), 3, 15, MinhashP,
+          MinhashA, MinhashB).as("__mh"))
+      .select(col("doc_id"),
+        col("__mh.sig0").as("sig0"), col("__mh.sig1").as("sig1"),
+        col("__mh.sig2").as("sig2"), col("__mh.sig3").as("sig3"))
   }
 
   /** Band key: signatures joined with a separator so variable-width decimal
@@ -603,15 +605,19 @@ object Dedup {
     */
   private def passageWindows(docs: DataFrame, window: Int,
       stride: Int): DataFrame = {
-    val nWins = (floor((size(col("__ws")) - window) / stride) + 1).cast("int")
-    val winHashes = when(size(col("__ws")) >= window,
-      transform(sequence(lit(0), nWins - 1),
-        j => struct((j * stride).as("pos"),
-          md5(concat_ws(" ", slice(col("__ws"), j * stride + 1, lit(window)))).as("phash"))))
-      .otherwise(array().cast("array<struct<pos:int,phash:string>>"))
+    // Per-row kernel (optimization r21): the interpreted spelling —
+    // `transform(sequence(0, nWins-1), j -> struct(j·stride,
+    // md5(concat_ws(" ", slice(__ws, j·stride+1, window)))))` — paid an
+    // interpreted lambda, a sliced sub-array, a joined window string AND a
+    // 32-char hex rendering per window per document.
+    // [[graft.functions.PassageHashes]] emits the identical
+    // (pos, md5-hex) rows in one codegen'd call per row (kernel ≡ column
+    // spelling pinned by HashKernelsSpec; the fewer-words-than-one-window
+    // case returns the same empty array the `when` produced).
     graft.Tables.fanOut(docs)
       .withColumn("__ws", split(col("text"), " ", -1))
-      .select(col("doc_id"), explode(winHashes).as("w"))
+      .select(col("doc_id"),
+        explode(graft.functions.PassageHashes(col("__ws"), window, stride)).as("w"))
       .select(col("doc_id"), col("w.pos"), col("w.phash"))
   }
 

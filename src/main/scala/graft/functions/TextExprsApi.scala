@@ -178,6 +178,27 @@ object JsonPathText {
     org.apache.spark.sql.graftexpr.JsonPathTextExpr.column(doc, path)
 }
 
+object MinhashSigs {
+  /** struct(sig0..sig{k-1}) MinHash signatures of the n-word shingles of
+    * an array<string> column — fused shingle→md5-prefix→universal-hash→min,
+    * one codegen'd pass per row; see
+    * [[org.apache.spark.sql.graftexpr.MinhashSigsExpr]].
+    */
+  def apply(words: Column, n: Int, prefixHex: Int, p: Long,
+      as: Seq[Long], bs: Seq[Long]): Column =
+    org.apache.spark.sql.graftexpr.MinhashSigsExpr.column(
+      words, n, prefixHex, p, as, bs)
+}
+
+object PassageHashes {
+  /** array<struct<pos:int, phash:string>> rolling passage-window md5 rows
+    * of an array<string> column, one codegen'd pass per row; see
+    * [[org.apache.spark.sql.graftexpr.PassageHashesExpr]].
+    */
+  def apply(words: Column, window: Int, stride: Int): Column =
+    org.apache.spark.sql.graftexpr.PassageHashesExpr.column(words, window, stride)
+}
+
 object ScatterLongs {
   /** Dense long[n] from sparse (pos, value) struct entries; see
     * [[org.apache.spark.sql.graftexpr.ScatterLongsExpr]].

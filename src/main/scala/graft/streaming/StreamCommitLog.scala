@@ -22,13 +22,65 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object StreamCommitLog {
 
-  /** URI paths (scheme-stripped, decoded — `Path.toUri.getPath` form) of
-    * every source file the stream at `checkpoint` has committed. Empty
-    * when the checkpoint has no commits yet (nothing is safely
-    * compactable), or when the layout is missing/unreadable — the
-    * conservative answer in every degraded case.
+  /** One parsed source-log entry: URI path + the batch that planned it. */
+  private final case class Entry(path: String, batchId: Long)
+
+  private final case class ParsedLog(len: Long, mtime: Long,
+      entries: Array[Entry])
+
+  /** Per-log-file parse memo keyed by the file's full path, validated by
+    * (len, mtime) — the footer-memo pattern (VERDICT r20 #5). Spark's own
+    * log compaction bounds the live file count (~10 batch files + one
+    * `.compact`), but the `.compact` file grows O(files ever seen) and was
+    * re-read and re-JSON-parsed on every [[EventBus.compactBelow]] call.
+    * Entries for rotated-away files linger until the size cap clears the
+    * map; correctness never depends on the memo (a miss just re-parses).
     */
-  def committedFiles(fs: FileSystem, checkpoint: String): Set[String] =
+  private val logMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ParsedLog]()
+
+  /** Count of physical log-file parses — the read-counter spec hook. */
+  private[streaming] val logParses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def parsedEntries(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Array[Entry] = {
+    val key = st.getPath.toString
+    val hit = logMemo.get(key)
+    if (hit != null && hit.len == st.getLen &&
+        hit.mtime == st.getModificationTime) return hit.entries
+    logParses.incrementAndGet()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(st.getPath)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val out = Array.newBuilder[Entry]
+    txt.linesIterator.foreach { line =>
+      if (line.startsWith("{")) {
+        try {
+          val node = mapper.readTree(line)
+          val bid = node.path("batchId").asLong(Long.MaxValue)
+          val p = node.path("path").asText("")
+          if (p.nonEmpty)
+            out += Entry(new Path(new java.net.URI(p)).toUri.getPath, bid)
+        } catch { case _: Exception => () } // foreign line — skip
+      }
+    }
+    val parsed = out.result()
+    if (logMemo.size > 512) logMemo.clear()
+    logMemo.put(key, ParsedLog(st.getLen, st.getModificationTime, parsed))
+    parsed
+  }
+
+  /** Shared walk: committed entries streamed through `keep`. `candidates`
+    * null = keep every committed path (the [[committedFiles]] surface);
+    * non-null = keep only paths in it, so the result — and therefore the
+    * caller's live memory — is bounded by |candidates|, never by the log
+    * history (VERDICT r20 #1).
+    */
+  private def collectCommitted(fs: FileSystem, checkpoint: String,
+      candidates: Set[String]): Set[String] =
     try {
       val cp = new Path(checkpoint)
       val commits = new Path(cp, "commits")
@@ -38,7 +90,6 @@ object StreamCommitLog {
         .flatMap(st => st.getPath.getName.toLongOption)
         .foldLeft(-1L)(math.max)
       if (maxCommitted < 0) return Set.empty
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val out = Set.newBuilder[String]
       fs.listStatus(sources).foreach { st =>
         val name = st.getPath.getName
@@ -46,23 +97,37 @@ object StreamCommitLog {
           (name.endsWith(".compact") &&
             name.stripSuffix(".compact").toLongOption.isDefined)
         if (isLog) {
-          val in = fs.open(st.getPath)
-          val txt =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          txt.linesIterator.foreach { line =>
-            if (line.startsWith("{")) {
-              try {
-                val node = mapper.readTree(line)
-                val bid = node.path("batchId").asLong(Long.MaxValue)
-                val p = node.path("path").asText("")
-                if (p.nonEmpty && bid <= maxCommitted)
-                  out += new Path(new java.net.URI(p)).toUri.getPath
-              } catch { case _: Exception => () } // foreign line — skip
-            }
+          val entries = parsedEntries(fs, st)
+          var i = 0
+          while (i < entries.length) {
+            val e = entries(i)
+            if (e.batchId <= maxCommitted &&
+                (candidates == null || candidates.contains(e.path)))
+              out += e.path
+            i += 1
           }
         }
       }
       out.result()
     } catch { case _: java.io.IOException => Set.empty }
+
+  /** URI paths (scheme-stripped, decoded — `Path.toUri.getPath` form) of
+    * every source file the stream at `checkpoint` has committed. Empty
+    * when the checkpoint has no commits yet (nothing is safely
+    * compactable), or when the layout is missing/unreadable — the
+    * conservative answer in every degraded case.
+    */
+  def committedFiles(fs: FileSystem, checkpoint: String): Set[String] =
+    collectCommitted(fs, checkpoint, null)
+
+  /** `candidates ∩ committedFiles(checkpoint)` without materializing the
+    * full committed set: [[EventBus.compactBelow]]'s per-checkpoint
+    * intersection, bounded by the bus's CURRENT file count instead of the
+    * checkpoint's whole committed history (a legacy million-file bus ×
+    * N checkpoints held every path string in driver memory at once).
+    * Same degraded-empty semantics as [[committedFiles]].
+    */
+  def committedAmong(fs: FileSystem, checkpoint: String,
+      candidates: Set[String]): Set[String] =
+    collectCommitted(fs, checkpoint, candidates)
 }

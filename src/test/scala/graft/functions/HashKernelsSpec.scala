@@ -1,0 +1,87 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The r21 fused hashing kernels must be BIT-IDENTICAL to the interpreted
+  * column spellings they replaced — the DuckDB oracles replay the column
+  * math, so any divergence is a correctness regression, not a perf bug.
+  * Pinned here on randomized corpora that exercise the edge shapes:
+  * multi-space runs (empty words from split), exactly-one-window docs,
+  * fewer-words-than-a-window docs, and unicode words.
+  */
+class HashKernelsSpec extends SparkSpec {
+
+  private def corpus(n: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "δδ", "é", "x", "", "longerwordhere")
+    (0L until n.toLong).map { i =>
+      val len = rnd.nextInt(40)
+      val text = (0 until len).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("minhash_sigs kernel == shingleHashes/sigFromHashes column spelling") {
+    val docs = corpus(300)
+    val words = split(col("text"), " ", -1)
+    val base = docs.filter(size(words) >= 3).withColumn("__ws", words)
+    val columnForm = base
+      .select(col("doc_id"), Dedup.shingleHashes(col("__ws")).as("hs"))
+      .select(col("doc_id"),
+        Dedup.sigFromHashes(col("hs"), 0).as("sig0"),
+        Dedup.sigFromHashes(col("hs"), 1).as("sig1"),
+        Dedup.sigFromHashes(col("hs"), 2).as("sig2"),
+        Dedup.sigFromHashes(col("hs"), 3).as("sig3"))
+    val kernelForm = Dedup.minhashSignatures(docs)
+    assert(kernelForm.schema.fieldNames.toSeq ===
+      Seq("doc_id", "sig0", "sig1", "sig2", "sig3"))
+    val a = columnForm.orderBy("doc_id").collect().toSeq
+    val b = kernelForm.orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("passage_hashes kernel == transform/slice/md5 column spelling") {
+    val docs = corpus(300)
+    val window = 5
+    val stride = 2
+    val nWins = (floor((size(col("__ws")) - window) / stride) + 1).cast("int")
+    val winHashes = when(size(col("__ws")) >= window,
+      transform(sequence(lit(0), nWins - 1),
+        j => struct((j * stride).as("pos"),
+          md5(concat_ws(" ", slice(col("__ws"), j * stride + 1, lit(window)))).as("phash"))))
+      .otherwise(array().cast("array<struct<pos:int,phash:string>>"))
+    val withWs = docs.withColumn("__ws", split(col("text"), " ", -1))
+    val columnForm = withWs
+      .select(col("doc_id"), explode(winHashes).as("w"))
+      .select(col("doc_id"), col("w.pos"), col("w.phash"))
+    val kernelForm = withWs
+      .select(col("doc_id"),
+        explode(PassageHashes(col("__ws"), window, stride)).as("w"))
+      .select(col("doc_id"), col("w.pos"), col("w.phash"))
+    val a = columnForm.orderBy("doc_id", "pos").collect().toSeq
+    val b = kernelForm.orderBy("doc_id", "pos").collect().toSeq
+    assert(a.nonEmpty && a === b)
+    // a document shorter than one window contributes zero rows from BOTH
+    val shortDoc = withWs.filter(size(col("__ws")) < window).limit(1)
+    assert(shortDoc.count() >= 0) // corpus may or may not have one; edge
+    // covered by the full comparison above (row sets equal implies equal
+    // handling of the empty-window case)
+  }
+
+  test("digest prefix matches conv(substring(md5, 1, k), 16, 10) for odd k") {
+    import spark.implicits._
+    val df = Seq("a", "xyz", "", "δ mixed unicode").toDF("s")
+    val expect = df.select(
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint")).collect()
+    val got = df.select(col("s")).collect().map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      org.apache.spark.sql.graftexpr.HashKernelUtil.digestPrefix(
+        md.digest(r.getString(0).getBytes("UTF-8")), 15)
+    }
+    assert(expect.map(_.getLong(0)).toSeq === got.toSeq)
+  }
+}

@@ -575,4 +575,137 @@ class BusManifestSpec extends SparkSpec {
       case None => spark.conf.unset("graft.bus.manifest.enabled")
     }
   }
+
+  test("compactPartitionDirs batches multiple hot dirs under ONE swap; cold stays byte-identical") {
+    val dir = Files.createTempDirectory("mfbatchdir").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 70)
+    // three hot dates (3 commits of 2 files each) + one cold date
+    (0 until 3).foreach { d =>
+      (0 until 3).foreach { i =>
+        val lo = d * 20 + i * 6
+        bus.appendPartitioned(base.filter(col("sequence_number") >= lo &&
+          col("sequence_number") < lo + 6)
+          .withColumn("d", lit(s"2024-06-0${d + 1}")).repartition(2), "d")
+      }
+    }
+    bus.appendPartitioned(base.filter(col("sequence_number") >= 60)
+      .withColumn("d", lit("2024-06-09")).repartition(2), "d")
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def snapshot(date: String): Set[(String, Long, Long)] =
+      EventBus.listCommittedFiles(fs, root).map(_._2)
+        .filter(_.getPath.toString.contains(s"d=$date"))
+        .map(st => (st.getPath.toString, st.getLen,
+          st.getModificationTime)).toSet
+    val coldBefore = snapshot("2024-06-09")
+    assert((1 to 3).forall(d => snapshot(s"2024-06-0$d").size == 6))
+    val rows = bus.read(spark).count()
+    val swapsBefore = EventBus.compactSwaps.get()
+    val rewritten = bus.compactPartitionDirs(spark, maxFilesPerDir = 4,
+      targetFilesPerDir = 1)
+    assert(rewritten == 3, s"all three hot dirs rewrite: $rewritten")
+    assert(EventBus.compactSwaps.get() - swapsBefore == 1L,
+      "the whole batch must swap under ONE intent marker, not one per dir")
+    assert(snapshot("2024-06-09") == coldBefore,
+      "cold partition files must be byte-identical (path, len, mtime)")
+    assert((1 to 3).forall(d => snapshot(s"2024-06-0$d").size == 1))
+    assert(bus.read(spark).count() == rows)
+    assert(bus.read(spark).select("sequence_number").distinct().count()
+      == rows)
+    assert(EventBus.manifestLatest(spark, dir).exists(_.trusted))
+    // still appendable after the batched swap
+    bus.appendPartitioned(
+      EventView.fromEventsTable(Tables.events(spark, sf))
+        .filter(col("sequence_number") >= 70 &&
+          col("sequence_number") < 75).withColumn("d", lit("2024-06-10")),
+      "d")
+    assert(bus.maxSequenceFrame(spark).head.getLong(0) == 74L)
+  }
+
+  test("compactBelow refuses a committed set that mixes flat-root and partitioned layouts") {
+    val dir = Files.createTempDirectory("mfmixed").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 40)
+    // legacy flat append, then a partitioned conversion
+    bus.append(base.filter(col("sequence_number") < 20).repartition(2))
+    bus.appendPartitioned(base.filter(col("sequence_number") >= 20)
+      .withColumn("d", lit("2024-07-01")).repartition(2), "d")
+    // a checkpoint that committed EVERYTHING (both layouts)
+    val files = bus.read(spark).inputFiles.toSet
+    val ck = Files.createTempDirectory("mfmixedck").toString
+    Files.createDirectories(java.nio.file.Paths.get(ck, "commits"))
+    Files.createDirectories(java.nio.file.Paths.get(ck, "sources", "0"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ck, "commits", "0"), "v1\n{}")
+    def uriPath(f: String): String =
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)).toUri.getPath
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ck, "sources", "0", "0"),
+      "v1\n" + files.toSeq.sorted.map(f =>
+        s"""{"path":"file://${uriPath(f)}","timestamp":1,"batchId":0}""")
+        .mkString("\n"))
+    val before = EventBus.listCommittedFiles(fsOf(dir),
+      new org.apache.hadoop.fs.Path(dir))
+      .map(st => (st._2.getPath.toString, st._2.getLen,
+        st._2.getModificationTime)).toSet
+    val e = intercept[java.io.IOException] {
+      bus.compactBelow(spark, 1, Seq(ck))
+    }
+    assert(e.getMessage.contains("mixed partition layouts"))
+    // nothing was swapped: every file of both layouts is byte-identical
+    assert(EventBus.listCommittedFiles(fsOf(dir),
+      new org.apache.hadoop.fs.Path(dir))
+      .map(st => (st._2.getPath.toString, st._2.getLen,
+        st._2.getModificationTime)).toSet == before)
+  }
+
+  test("compactFloor: a floorless checkpoint WITH commits adopts 0; a fresh one adopts the current epoch") {
+    val dir = Files.createTempDirectory("mffloor").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(root)
+    // bus already stream-compacted twice
+    BusManifest.writeAtomic(fs, EventBus.epochPath(root), "2")
+    // pre-floor-file checkpoint that already has a committed batch: a
+    // compactBelow that ran while it was down stamped outputs with
+    // epoch <= 2; adopting 2 would let them pass the redelivery guard
+    val ckOld = Files.createTempDirectory("mffloorold").toString
+    Files.createDirectories(java.nio.file.Paths.get(ckOld, "commits"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ckOld, "commits", "0"), "v1\n{}")
+    assert(EventBus.compactFloor(spark, dir, ckOld) == 0L,
+      "checkpoint with commits must adopt floor 0, not the current epoch")
+    // idempotent: persisted and re-read
+    assert(EventBus.compactFloor(spark, dir, ckOld) == 0L)
+    // a truly fresh checkpoint adopts the current epoch (its initial
+    // load legitimately includes the existing compaction outputs)
+    val ckNew = Files.createTempDirectory("mffloornew").toString
+    assert(EventBus.compactFloor(spark, dir, ckNew) == 2L)
+    assert(EventBus.compactFloor(spark, dir, ckNew) == 2L)
+  }
+
+  test("orphaned .graft-compact-* staging (crash before intent) sweeps at the next append/compaction") {
+    val dir = Files.createTempDirectory("mforphan").toString
+    val bus = EventBus(dir)
+    val base = EventView.fromEventsTable(Tables.events(spark, sf))
+      .filter(col("sequence_number") < 20)
+    bus.append(base)
+    val fs = fsOf(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    // a compaction that crashed after staging, before its intent marker
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      ".graft-compact-deadbeef-crashed")
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan,
+      "part-stale.parquet"), true)
+    try out.write("staged-bytes".getBytes("UTF-8")) finally out.close()
+    bus.append(base.withColumn("sequence_number",
+      col("sequence_number") + 20))
+    assert(!fs.exists(orphan),
+      "append must sweep orphaned compact staging (ADVICE r20)")
+    assert(bus.read(spark).count() == 40L)
+  }
 }

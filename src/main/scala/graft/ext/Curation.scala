@@ -81,9 +81,18 @@ object Curation {
     survivors.join(hitIds, Seq("doc_id"), "left_anti")
   }
 
-  def curate(docs: DataFrame, evalDocs: DataFrame): DataFrame =
-    dropContaminated(cleanGateDedup(docs), evalDocs)
-      .select(col("doc_id"), col("lang"), col("n_copies"))
+  def curate(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // pinned: dropContaminated consumes the survivors frame twice (the
+    // gram-explode hit probe and the anti-join's left side), and the
+    // clean+gate+dedup subtree would re-execute for each (optimization
+    // r21 — the same double-consumption StageProbe attributed in the
+    // fuzzy/keep-best chains)
+    val unique = graft.GraftCache.pin(cleanGateDedup(docs))
+    graft.GraftCache.releaseAfter(
+      dropContaminated(unique, evalDocs)
+        .select(col("doc_id"), col("lang"), col("n_copies")),
+      unique)
+  }
 
   /** The full fuzzy chain: [[curate]]'s stages plus MinHash-LSH near-dedup
     * and passage-level dedup between exact-dedup and decontamination — the
@@ -97,17 +106,26 @@ object Curation {
     // for the signature job, the passage job, and the final query.
     // GraftCache evicts it once an action on the returned frame completes.
     val unique = graft.GraftCache.pin(cleanGateDedup(docs))
-    val nearDupLosers = Dedup.duplicateGroups(
+    // The loser/drop ID frames are PINNED too (optimization r21): the
+    // returned plan consumes nearDeduped twice (passage probe + kept) and
+    // kept twice (decontamination probe + survivors), so WITHOUT the pins
+    // the LSH→components and passage subtrees re-executed once per
+    // consumer — StageProbe measured pipeline_curate_keep_best at 91 AQE
+    // stage-jobs / 146 executor-seconds for a 5k-doc corpus, vs 41 jobs
+    // for the fuzzy chain, all of it re-execution. The pinned frames are
+    // doc_id-only (8 bytes/row — O(duplicates), never O(corpus bytes)),
+    // and GraftCache releases them with the existing terminal listener.
+    val nearDupLosers = graft.GraftCache.pin(Dedup.duplicateGroups(
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
-      .filter(!col("is_keeper")).select("doc_id")
+      .filter(!col("is_keeper")).select("doc_id"))
     val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val passageDropIds = Dedup.duplicatePassages(nearDeduped)
-      .filter(col("shared_frac") >= passageFracMax).select("doc_id")
+    val passageDropIds = graft.GraftCache.pin(Dedup.duplicatePassages(nearDeduped)
+      .filter(col("shared_frac") >= passageFracMax).select("doc_id"))
     val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
     graft.GraftCache.releaseAfter(
       dropContaminated(kept, evalDocs)
         .select(col("doc_id"), col("lang"), col("n_copies")),
-      unique)
+      unique, nearDupLosers, passageDropIds)
   }
 
   /** [[curateFuzzy]] with the keep-BEST keeper policy: the near-dup stage
@@ -127,16 +145,20 @@ object Curation {
     val unique = graft.GraftCache.pin(cleanGateDedup(docs))
     val groups = Dedup.duplicateGroups(
       Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
-    val nearDupLosers = Dedup.dedupKeepBest(unique, groups, quality)
-      .filter(!col("keep")).select("doc_id")
+    // same pin rationale as [[curateFuzzy]] — and here the loser frame
+    // additionally fronts the argmax join pair of [[Dedup.dedupKeepBest]],
+    // which the unpinned plan re-executed once per downstream consumer
+    val nearDupLosers = graft.GraftCache.pin(
+      Dedup.dedupKeepBest(unique, groups, quality)
+        .filter(!col("keep")).select("doc_id"))
     val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val passageDropIds = Dedup.duplicatePassages(nearDeduped)
-      .filter(col("shared_frac") >= passageFracMax).select("doc_id")
+    val passageDropIds = graft.GraftCache.pin(Dedup.duplicatePassages(nearDeduped)
+      .filter(col("shared_frac") >= passageFracMax).select("doc_id"))
     val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
     graft.GraftCache.releaseAfter(
       dropContaminated(kept, evalDocs)
         .select(col("doc_id"), col("lang"), col("n_copies")),
-      unique)
+      unique, nearDupLosers, passageDropIds)
   }
 
   /** Shared tail of the media curation passes: connected-component

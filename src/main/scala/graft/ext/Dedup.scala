@@ -701,25 +701,30 @@ object Dedup {
     val starts = wins.join(dupHashes, Seq("phash"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("dup_starts"))
-    val idxd = zip_with(col("__ws"),
-      sequence(lit(0), size(col("__ws")) - 1),
-      (w, i) => struct(w.as("w"), i.as("i")))
-    val keptStructs = filter(idxd, s =>
-      !exists(col("dup_starts"),
-        p => p <= s.getField("i") && s.getField("i") < p + window))
-    // __kept is materialized ONCE: the coverage filter is a non-codegen
-    // HOF Catalyst's subexpression elimination can't share, and n_kept +
-    // text_dedup would otherwise each pay the O(words × dup_starts) scan
+    // Per-row kernel (optimization r21): the rebuild was an interpreted
+    // `filter(zip_with(__ws, sequence(...)), s -> !exists(dup_starts, ...))`
+    // — O(words × dup_starts) lambda-tree evaluations per affected
+    // document, with an index-struct array and a kept-words array
+    // allocated per row. [[graft.functions.RemoveSpans]] computes the
+    // identical (n_kept, text_dedup) pair in ONE codegen'd merge scan —
+    // dup_starts is sorted, so coverage is a single pointer sweep,
+    // O(words + dup_starts) — allocating only the joined output string
+    // (kernel ≡ column spelling pinned by HashKernelsSpec; the
+    // driver-side-reference and random-corpus cases in DedupPassagesSpec
+    // re-prove the operator end-to-end). Documents with no duplicated
+    // window keep text byte-identical through the `when`, exactly as
+    // before.
     docs.join(starts, Seq("doc_id"), "left")
       .withColumn("__ws", split(col("text"), " ", -1))
-      .withColumn("__kept",
-        when(col("dup_starts").isNull, col("__ws"))
-          .otherwise(transform(keptStructs, s => s.getField("w"))))
+      .withColumn("__rs",
+        graft.functions.RemoveSpans(col("__ws"), col("dup_starts"), window))
       .withColumn("n_words", size(col("__ws")).cast("bigint"))
-      .withColumn("n_kept", size(col("__kept")).cast("bigint"))
+      .withColumn("n_kept",
+        when(col("dup_starts").isNull, size(col("__ws")))
+          .otherwise(col("__rs.n_kept")).cast("bigint"))
       .withColumn("text_dedup",
         when(col("dup_starts").isNull, col("text"))
-          .otherwise(concat_ws(" ", col("__kept"))))
+          .otherwise(col("__rs.text_dedup")))
       .select(col("doc_id"), col("n_words"), col("n_kept"), col("text_dedup"))
   }
 

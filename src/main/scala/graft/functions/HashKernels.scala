@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graftexpr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -131,6 +131,81 @@ object HashKernelUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** The span-removal rebuild of [[graft.ext.Dedup.removeDupSpans]] in one
+    * merge scan: word i is removed iff some start p in the (ASCENDING-
+    * sorted) `starts` satisfies p <= i < p + window. Because starts are
+    * sorted, max(p + window) over p <= i is the LAST processed start +
+    * window, so one pointer sweep decides coverage in O(words + starts)
+    * instead of the interpreted `filter(zip_with(...), exists(...))`'s
+    * O(words × starts) lambda tree. Returns (n_kept, text_dedup) where
+    * n_kept counts every kept element (nulls included — `size()`
+    * semantics) and text_dedup joins kept elements with a single space,
+    * skipping nulls (`concat_ws` semantics). split() never produces
+    * nulls, but the parity is kept exact anyway.
+    */
+  def removeSpans(words: ArrayData, starts: ArrayData,
+      window: Int): GenericInternalRow = {
+    val n = words.numElements()
+    val ns = starts.numElements()
+    val keptWords = new java.util.ArrayList[UTF8String](n)
+    var kept = 0
+    var j = 0
+    var coverEnd = -1 // exclusive end of the union of processed windows
+    var i = 0
+    while (i < n) {
+      while (j < ns && !starts.isNullAt(j) && starts.getInt(j) <= i) {
+        val e = starts.getInt(j) + window
+        if (e > coverEnd) coverEnd = e
+        j += 1
+      }
+      if (i >= coverEnd) {
+        kept += 1
+        keptWords.add(if (words.isNullAt(i)) null else words.getUTF8String(i))
+      }
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val joined = UTF8String.concatWs(sep,
+      keptWords.toArray(new Array[UTF8String](keptWords.size)): _*)
+    new GenericInternalRow(Array[Any](kept, joined))
+  }
+}
+
+/** remove_spans(words, starts): struct<n_kept:int, text_dedup:string> —
+  * the span-removal rebuild stage of [[graft.ext.Dedup.removeDupSpans]],
+  * one codegen'd merge scan per row.
+  */
+case class RemoveSpansExpr(left: Expression, right: Expression, window: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  require(window >= 1, "remove_spans requires window >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("text_dedup", StringType, nullable = false)))
+  override def prettyName: String = "remove_spans"
+
+  override def nullSafeEval(w: Any, s: Any): Any =
+    HashKernelUtil.removeSpans(w.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, s) =>
+      s"""${ev.value} = org.apache.spark.sql.graftexpr.HashKernelUtil
+         |  .removeSpans($w, $s, $window);""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RemoveSpansExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveSpansExpr {
+  def column(words: Column, starts: Column, window: Int): Column =
+    ExpressionUtils.column(RemoveSpansExpr(
+      ExpressionUtils.expression(words), ExpressionUtils.expression(starts),
+      window))
 }
 
 /** minhash_sigs(words): struct(sig0..sig{k-1}) — the fused

@@ -199,6 +199,16 @@ object PassageHashes {
     org.apache.spark.sql.graftexpr.PassageHashesExpr.column(words, window, stride)
 }
 
+object RemoveSpans {
+  /** struct<n_kept:int, text_dedup:string> span-removal rebuild over an
+    * array<string> words column and an ASCENDING-sorted array<int> of
+    * duplicate-window start positions, one codegen'd merge scan per row;
+    * see [[org.apache.spark.sql.graftexpr.RemoveSpansExpr]].
+    */
+  def apply(words: Column, starts: Column, window: Int): Column =
+    org.apache.spark.sql.graftexpr.RemoveSpansExpr.column(words, starts, window)
+}
+
 object ScatterLongs {
   /** Dense long[n] from sparse (pos, value) struct entries; see
     * [[org.apache.spark.sql.graftexpr.ScatterLongsExpr]].

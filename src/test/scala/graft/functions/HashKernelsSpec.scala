@@ -72,6 +72,42 @@ class HashKernelsSpec extends SparkSpec {
     // handling of the empty-window case)
   }
 
+  test("remove_spans kernel == filter/zip_with/exists column spelling") {
+    import spark.implicits._
+    val window = 5
+    val rnd = new scala.util.Random(7)
+    // random word arrays + random SORTED start lists, including overlapping
+    // windows, starts at 0, starts past the end, empty starts, and the
+    // fully-covered doc
+    val rows = (0L until 300L).map { i =>
+      val len = rnd.nextInt(40)
+      val ws = (0 until len).map(k => s"w${rnd.nextInt(9)}_$k")
+      val nStarts = rnd.nextInt(6)
+      val starts = (0 until nStarts).map(_ => rnd.nextInt(math.max(len, 1)))
+        .sorted
+      (i, ws.mkString(" "), starts)
+    }
+    val df = rows.toDF("doc_id", "text", "dup_starts")
+      .withColumn("__ws", split(col("text"), " ", -1))
+    val idxd = zip_with(col("__ws"),
+      sequence(lit(0), size(col("__ws")) - 1),
+      (w, i) => struct(w.as("w"), i.as("i")))
+    val keptStructs = filter(idxd, s =>
+      !exists(col("dup_starts"),
+        p => p <= s.getField("i") && s.getField("i") < p + window))
+    val columnForm = df
+      .withColumn("__kept", transform(keptStructs, s => s.getField("w")))
+      .select(col("doc_id"), size(col("__kept")).as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text_dedup"))
+    val kernelForm = df
+      .withColumn("__rs", RemoveSpans(col("__ws"), col("dup_starts"), window))
+      .select(col("doc_id"), col("__rs.n_kept").as("n_kept"),
+        col("__rs.text_dedup").as("text_dedup"))
+    val a = columnForm.orderBy("doc_id").collect().toSeq
+    val b = kernelForm.orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("digest prefix matches conv(substring(md5, 1, k), 16, 10) for odd k") {
     import spark.implicits._
     val df = Seq("a", "xyz", "", "δ mixed unicode").toDF("s")

@@ -1436,8 +1436,15 @@ object ExtQueries {
         lit("</h1><p>"), wrapped,
         lit("</p><p>Fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>"),
         lit("<!-- footer --></body></html>"))
-      TextAnalysis.htmlExtract(
-        Tables.documents(s, d).select(col("doc_id"), html.as("html")))
+      // fan out BEFORE synthesizing: the fixture html is built by an
+      // interpreted per-word transform-HOF, and with the projection below
+      // htmlExtract's own fanOut exchange it ran inside the single-task
+      // scan stage (StageProbe, optimization r21: a serial 2.1 s stage
+      // ahead of the 32-way extract) — repartition the narrow (doc_id,
+      // text) rows first so synthesis and extraction share the parallel
+      // stage. Identical rows; orderBy fixes the output order.
+      TextAnalysis.htmlExtract(graft.Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), html.as("html")))
         .orderBy(col("doc_id"))
     },
     Some("""

@@ -24,6 +24,20 @@ object TransformQueries {
   private def events(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
 
+  /** EventView over the events table, fanned out to core parallelism for
+    * the per-row INTERPRETER pipelines ([[TransformRunner]]): the
+    * interpreter otherwise runs at the scan's file-split count (ONE task
+    * at the bench SFs), and the trailing orderBy re-executes it a second
+    * time for range-partition sampling — two serial single-task passes
+    * (StageProbe, optimization r21: template_none = two ~0.9 s one-task
+    * stages and nothing else). [[graft.Tables.fanOut]] is a no-op once
+    * the input has ≥ cores splits, so a 100 TB events table pays no extra
+    * shuffle. TransformRunner itself deliberately stays at the caller's
+    * partitioning — micro-batches arrive pre-split (see its scale note).
+    */
+  private def eventView(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(EventView.fromEventsTable(events(s, d)))
+
   /** JSON body field k as string / long / double */
   private def kStr: Column = get_json_object(col("props"), "$.k")
   private def kLong: Column = kStr.try_cast("bigint")
@@ -51,7 +65,7 @@ object TransformQueries {
           {"command": ["delete", "$.data.added"]}
         ]
       }"""
-      TransformRunner(EventView.fromEventsTable(events(s, d)), spec)
+      TransformRunner(eventView(s, d), spec)
         .select(col("sequence_number").as("event_id"), col("body"))
         .orderBy(col("event_id"))
     },
@@ -73,7 +87,7 @@ object TransformQueries {
         "template_type": "json",
         "template": "{ \"eid\": <$.id>, \"etype\": \"<$.type>\", \"k\": <kVal>, \"missing\": <$.data.nope>, \"note\": \"k=<$.data.k>\" }"
       }"""
-      TransformRunner(EventView.fromEventsTable(events(s, d)), spec)
+      TransformRunner(eventView(s, d), spec)
         .select(col("sequence_number").as("event_id"), col("body"))
         .orderBy(col("event_id"))
     },
@@ -93,7 +107,7 @@ object TransformQueries {
         "template_type": "text",
         "template": "id=<$.id> k=<$.data.k> none=<$.data.nope>"
       }"""
-      TransformRunner(EventView.fromEventsTable(events(s, d)), spec)
+      TransformRunner(eventView(s, d), spec)
         .select(col("sequence_number").as("event_id"), col("body"))
         .orderBy(col("event_id"))
     },
@@ -111,7 +125,7 @@ object TransformQueries {
   private val debezium = Q(
     "action_debezium_mongodb_sink",
     (s, d) => {
-      val view = EventView.fromEventsTable(events(s, d))
+      val view = eventView(s, d)
         .withColumn("attributes", map(lit("iodebeziumop"),
           when(col("type") === "purchase", "c")
             .when(col("type") === "signup", "r")
@@ -423,7 +437,7 @@ object TransformQueries {
       val jsonSpec =
         """{"template": "{ \"sniffed\": \"json\", \"k\": <$.data.k> }"}"""
       val textSpec = """{"template": "sniffed text k=<$.data.k>"}"""
-      val v = EventView.fromEventsTable(events(s, d))
+      val v = eventView(s, d)
       TransformRunner(v, jsonSpec)
         .select(col("sequence_number").as("event_id"), lit("json").as("sub"),
           col("body"))
@@ -456,7 +470,7 @@ object TransformQueries {
     "template_none",
     (s, d) => {
       val k = get_json_object(col("data"), "$.k")
-      val view = EventView.fromEventsTable(events(s, d))
+      val view = eventView(s, d)
         .withColumn("data", concat(
           lit("{\"k\": "), k,
           lit(", \"tags\": [\"a\", \"b\"], \"nested\": {\"s\": \"x"), k,

@@ -13,11 +13,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: StageProbe <query> [reps]"))
+    val names = args.headOption
+      .getOrElse(sys.error("usage: StageProbe <query[,query...]> [reps]"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val reps = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query: $name"))
     val spark = graft.GraftSession.local()
     // warmup: tables + codegen/noop init, as Bench does
     spark.range(1000).selectExpr("id", "md5(cast(id as string)) h")
@@ -59,7 +59,12 @@ object StageProbe {
           }
         }
     }
-    (1 to reps).foreach { r =>
+    for {
+      name <- names
+      fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      r <- 1 to reps
+    } {
       rows.clear(); jobs.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()

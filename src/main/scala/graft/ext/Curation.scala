@@ -172,7 +172,7 @@ object Curation {
     * completes ([[graft.GraftCache.releaseAfter]]).
     */
   private def fingerprintVerdicts(hashed: DataFrame, fpCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, release: DataFrame = null): DataFrame = {
     val groups = Dedup.duplicateGroups(pairs)
       .withColumnsRenamed(Map("doc_id" -> "media_id"))
     val keeper = coalesce(col("is_keeper"), lit(true))
@@ -184,7 +184,7 @@ object Curation {
           when(col(fpCol).isNull, "corrupt")
             .when(!keeper, "near_dup")
             .otherwise("keep").as("reason")),
-      hashed)
+      Option(release).getOrElse(hashed))
   }
 
   /** The image-corpus counterpart of [[curate]]: one verdict per media row
@@ -239,10 +239,23 @@ object Curation {
     */
   def curateVideo(media: DataFrame, maxDist: Int = 2, minShared: Int = 2,
       maxBlock: Int = 256): DataFrame = {
-    val gate = graft.GraftCache.pin(Multimodal.videoFingerprint(media))
+    // ONE decode pass (optimization r21): the gate's size-delta
+    // fingerprint and the pair stage's keyframe hashes come off the same
+    // container walk ([[Multimodal.videoWalk]]) — the split operators each
+    // re-walked (and re-synthesized, when the blobs are built upstream)
+    // every container for signals one walk exposes together. The pinned
+    // frame is fingerprints + keyframe hashes only — never blobs.
+    val walked = graft.GraftCache.pin(Multimodal.videoWalk(media))
+    val gate = walked.select(col("media_id"), col("vfp"), col("n_bits"))
+    val keyframes = walked
+      .select(col("media_id"), explode(col("kfs")).as("k"))
+      .select(col("media_id"), col("k.sample_idx").as("sample_idx"),
+        col("k.time_ms").as("time_ms"), col("k.phash").as("phash"),
+        col("k.width").as("width"), col("k.height").as("height"))
     fingerprintVerdicts(gate, "vfp",
-      Multimodal.keyframeClipDedup(media, maxDist, minShared, maxBlock)
+      Multimodal.keyframeClipDedupFrom(keyframes, maxDist, minShared, maxBlock)
         .filter(col("near_dup"))
-        .select(col("clip_a").as("doc_a"), col("clip_b").as("doc_b")))
+        .select(col("clip_a").as("doc_a"), col("clip_b").as("doc_b")),
+      release = walked)
   }
 }

@@ -503,8 +503,18 @@ object Multimodal {
     * clip matching a single frame of the other count once, not twice.
     */
   def keyframeClipDedup(media: DataFrame, maxDist: Int = 2,
+      minShared: Int = 2, maxBlock: Int = 256): DataFrame =
+    keyframeClipDedupFrom(keyframeHashes(media), maxDist, minShared, maxBlock)
+
+  /** The pair-rollup half of [[keyframeClipDedup]] over an
+    * already-extracted keyframe frame (the [[keyframeHashes]] shape) — so
+    * a caller that walked the containers once for another signal
+    * ([[Curation.curateVideo]]'s fused decode pass, optimization r21) can
+    * feed the same rows without a second blob scan.
+    */
+  def keyframeClipDedupFrom(keyframes: DataFrame, maxDist: Int = 2,
       minShared: Int = 2, maxBlock: Int = 256): DataFrame = {
-    val kf = keyframeHashes(media)
+    val kf = keyframes
       .filter(col("sample_idx") < lit(1 << 21))
       .select((col("media_id") * lit(1L << 21) + col("sample_idx"))
         .as("frame_uid"),
@@ -567,6 +577,62 @@ object Multimodal {
             }
             Row(id, hash, nBits)
           case _ => Row(id, null, null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** ONE decode pass producing BOTH per-clip video signals (optimization
+    * r21): the [[videoFingerprint]] size-delta fingerprint and the
+    * [[keyframeHashes]] decoded-keyframe dHash rows, as one row per clip
+    * with the keyframes nested. [[Curation.curateVideo]] previously ran
+    * the two operators separately — each walked every container (and
+    * re-ran whatever synthesized the blobs upstream) for signals one walk
+    * exposes together. Field-for-field identical to the two standalone
+    * operators: same walk, same fingerprint loop, same sync-sample slice
+    * + pixel decode + dHash, same NULL-on-undecodable contracts.
+    */
+  def videoWalk(media: DataFrame, maxBits: Int = 56): DataFrame = {
+    val kfType = ArrayType(StructType(Seq(
+      StructField("sample_idx", IntegerType),
+      StructField("time_ms", LongType),
+      StructField("phash", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))), containsNull = false)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("vfp", LongType),
+      StructField("n_bits", IntegerType),
+      StructField("kfs", kfType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        MediaHeader.decodeMp4Samples(bytes) match {
+          case Some(samples) if samples.nonEmpty =>
+            val nBits = math.min(samples.length - 1, maxBits)
+            var hash = 0L
+            var i = 0
+            while (i < nBits) {
+              if (samples(i + 1).size > samples(i).size) hash |= 1L << i
+              i += 1
+            }
+            val kfs = samples.filter(_.sync).map { s =>
+              val frame =
+                if (s.offset >= 0 && s.offset + s.size <= bytes.length)
+                  Pixels.decode(java.util.Arrays.copyOfRange(
+                    bytes, s.offset.toInt, (s.offset + s.size).toInt))
+                else None
+              frame match {
+                case Some(img) =>
+                  Row(s.sampleIdx, s.timeMs, dHash(img), img.width, img.height)
+                case None => Row(s.sampleIdx, s.timeMs, null, null, null)
+              }
+            }
+            Row(id, hash, nBits, kfs)
+          case _ => Row(id, null, null, Seq.empty[Row])
         }
       }
     }(Encoders.row(outSchema))

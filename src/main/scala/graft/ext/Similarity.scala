@@ -128,16 +128,56 @@ object Similarity {
   private def l2sq(e: Column, c: Column): Column =
     graft.functions.L2Sq(e, c)
 
+  /** A trained model held as plain driver values: (cell, centroid) sorted
+    * by cell. Centroid frames are k rows of dim doubles — the textbook
+    * Lloyd shape collects them per iteration (Spark's own MLlib k-means
+    * does exactly this), and a collected model turns assignment into a
+    * per-row expression instead of a crossJoin + corpus-wide
+    * groupBy(vec_id) shuffle (optimization r21, guide §2.4: the N×k
+    * assign rows never need to leave their scan partitions to take an
+    * argmin that only depends on the row itself).
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** struct(dist, cell) of the nearest centroid as ONE per-row expression:
+    * a left-to-right fold over the cell-ascending model with a strict `<`,
+    * so equal distances keep the earlier (smaller) cell — exactly the
+    * `min(struct(dist, cell))` ordering of the aggregate spelling it
+    * replaces. Every distance is the same codegen'd [[l2sq]] fold against
+    * a literal centroid array, so the arithmetic is bit-identical.
+    */
+  private def nearestExpr(emb: Column,
+      cent: Array[(Int, Array[Double])]): Column = {
+    require(cent.nonEmpty, "kmeans assign requires at least one centroid")
+    val first = struct(l2sq(emb, lit(cent(0)._2)).as("dist"),
+      lit(cent(0)._1).as("cell"))
+    cent.drop(1).foldLeft(first: Column) { case (best, (c, arr)) =>
+      val d = l2sq(emb, lit(arr))
+      when(d < best.getField("dist"),
+        struct(d.as("dist"), lit(c).as("cell"))).otherwise(best)
+    }
+  }
+
   /** Assign each vector to its nearest centroid (squared L2; ties break to
-    * the smaller cell via struct ordering). Centroids are tiny → broadcast;
-    * the corpus side never shuffles.
+    * the smaller cell — the min(struct) ordering). The model is collected
+    * ([[collectCentroids]]) and applied as a per-row argmin expression:
+    * the corpus side never shuffles — not even the (vec_id)-keyed argmin
+    * exchange the crossJoin+groupBy spelling paid (optimization r21).
     */
   def kmeansAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        l2sq(col("embedding"), col("centroid")).as("dist"))
-      .groupBy(col("vec_id")).agg(min(struct(col("dist"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.dist").as("dist"))
+    kmeansAssignLocal(emb, collectCentroids(centroids))
+
+  private def kmeansAssignLocal(emb: DataFrame,
+      cent: Array[(Int, Array[Double])]): DataFrame = {
+    val best = nearestExpr(col("embedding"), cent)
+    emb.select(col("vec_id"), col("embedding"), best.as("__best"))
+      .select(col("vec_id"), col("__best.cell").as("cell"),
+        col("__best.dist").as("dist"))
+  }
 
   /** Deterministic Lloyd k-means — the coarse-quantizer training the IVF
     * path needs (round 1 reused a pre-existing label column; this trains
@@ -156,13 +196,27 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"),
-        transform(col("embedding"), _.cast("double")).as("centroid"))
+    // Each iteration runs as ONE job with ONE (cell)-keyed exchange: the
+    // assignment is a per-row expression against the collected model
+    // ([[nearestExpr]] — bit-identical to the crossJoin+min(struct)
+    // spelling), so the old shape's (vec_id)-keyed argmin shuffle and the
+    // members join-back disappear, and the k-row result collects straight
+    // off the mean fold (optimization r21). The fold itself is unchanged:
+    // hash-partition members by cell, sort each partition by
+    // (cell, vec_id), stream a running per-dim double sum — O(dim) memory
+    // per cell regardless of cell size, summation in sorted vec_id order,
+    // so the trained model stays bit-reproducible by an independent
+    // engine (the DuckDB oracle replays the identical ordered fold).
+    var cent: Array[(Int, Array[Double])] = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
     for (_ <- 1 to iters) {
-      val asg = kmeansAssign(emb, cent).select("vec_id", "cell")
-      val members = asg.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-        .select(col("cell").cast("int").as("cell"), col("vec_id"), col("embedding"))
+      val members = emb.select(
+        nearestExpr(col("embedding"), cent).getField("cell").as("cell"),
+        col("vec_id"), col("embedding"))
       cent = members.repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id"))
         .mapPartitions { rows =>
@@ -188,9 +242,9 @@ object Similarity {
           }
           flush()
           out.iterator
-        }.toDF("cell", "centroid")
+        }.collect().sortBy(_._1)
     }
-    cent
+    cent.toSeq.map { case (c, arr) => (c, arr.toSeq) }.toDF("cell", "centroid")
   }
 
   /** Train k cells, then assign the corpus — the IVF build step. */
@@ -204,11 +258,14 @@ object Similarity {
     */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       kCells: Int, iters: Int, dim: Int): DataFrame = {
-    val centroids = kmeansCentroids(corpus, kCells, iters, dim)
-    val corpusCells = corpus.join(
-      kmeansAssign(corpus, centroids).select("vec_id", "cell"), "vec_id")
-    val queryCells = queries.join(
-      kmeansAssign(queries, centroids).select("vec_id", "cell"), "vec_id")
+    // per-row cell expression against the collected model — the join-back
+    // of an assignment frame on vec_id was a corpus shuffle for a column
+    // the row can compute itself (optimization r21)
+    val cent = collectCentroids(kmeansCentroids(corpus, kCells, iters, dim))
+    def cellOf(df: DataFrame): DataFrame = df.withColumn("cell",
+      nearestExpr(col("embedding"), cent).getField("cell"))
+    val corpusCells = cellOf(corpus)
+    val queryCells = cellOf(queries)
     val joined = corpusCells.as("c").join(broadcast(queryCells.as("q")),
       col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -310,30 +367,66 @@ object Similarity {
     * centroids are bit-identical (the DuckDB oracle replays the same
     * training unchanged).
     */
+  /** Per-sub codebooks as driver values: books(sub) = (cell, centroid)
+    * pairs sorted by cell. m·k rows of subdim doubles — the collected-model
+    * rationale of [[collectCentroids]], per subspace.
+    */
+  private def collectBooks(codebooks: DataFrame,
+      m: Int): Array[Array[(Int, Array[Double])]] = {
+    val rows = codebooks
+      .select(col("sub").cast("int"), col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(m)(s =>
+      rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1))
+  }
+
+  /** CASE-on-sub dispatch of [[nearestExpr]] over the exploded
+    * (sub, sub_emb) frame: each row evaluates only its own subspace's
+    * argmin (same broadcast-codebook semantics as the join it replaces —
+    * min(struct(dist, cell)), ties to the smaller cell).
+    */
+  private def subCellExpr(subCol: Column, subEmb: Column,
+      books: Array[Array[(Int, Array[Double])]]): Column =
+    books.zipWithIndex.filter(_._1.nonEmpty).foldLeft(lit(null).cast("int")) {
+      case (acc, (book, s)) =>
+        when(subCol === s, nearestExpr(subEmb, book).getField("cell"))
+          .otherwise(acc)
+    }
+
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
     val subdim = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val sliced = emb
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("embedding"))
-      .select(col("vec_id"), col("sub").cast("int").as("sub"),
-        slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)).as("sub_emb"))
-    var cent = sliced.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").cast("int").as("cell"),
-        transform(col("sub_emb"), _.cast("double")).as("centroid"))
+    // Same one-Lloyd-loop-for-all-m-subspaces shape as before, but each
+    // iteration is ONE job with ONE (sub, cell)-keyed exchange: the
+    // per-(vec, sub) assignment is a per-row expression against the
+    // collected codebooks ([[subCellExpr]]) instead of a broadcast join +
+    // (vec_id, sub)-keyed argmin shuffle + members join-back
+    // (optimization r21). Per (sub, cell) the member set and the
+    // vec_id-ascending fold order equal the join spelling's, so the
+    // trained codebooks are bit-identical (the DuckDB oracle replays the
+    // same training unchanged).
+    var books: Array[Array[(Int, Array[Double])]] = {
+      val init = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      Array.tabulate(m)(s => init.map { case (c, e) =>
+        (c, e.slice(s * subdim, (s + 1) * subdim).map(_.toDouble))
+      })
+    }
     for (_ <- 1 to iters) {
-      val asg = sliced.as("e").join(broadcast(cent.as("c")),
-        col("e.sub") === col("c.sub"))
-        .select(col("e.vec_id"), col("e.sub").as("sub"),
-          struct(graft.functions.L2Sq(col("sub_emb"), col("centroid")).as("dist"),
-            col("cell")).as("dc"))
-        .groupBy(col("vec_id"), col("sub")).agg(min(col("dc")).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.cell").as("cell"))
-      val members = asg.join(sliced, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cell").cast("int").as("cell"),
-          col("vec_id"), col("sub_emb"))
-      cent = members.repartition(col("sub"), col("cell"))
+      val sliced = emb
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("embedding"))
+        .select(col("vec_id"), col("sub").cast("int").as("sub"),
+          slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)).as("sub_emb"))
+      val members = sliced.select(col("sub"),
+        subCellExpr(col("sub"), col("sub_emb"), books).as("cell"),
+        col("vec_id"), col("sub_emb"))
+      val trained = members.repartition(col("sub"), col("cell"))
         .sortWithinPartitions(col("sub"), col("cell"), col("vec_id"))
         .mapPartitions { rows =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Double])]
@@ -361,9 +454,13 @@ object Similarity {
           }
           flush()
           out.iterator
-        }.toDF("sub", "cell", "centroid")
+        }.collect()
+      books = Array.tabulate(m)(s =>
+        trained.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1))
     }
-    cent
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.map { case (c, arr) => (s, c, arr.toSeq) }
+    }.toSeq.toDF("sub", "cell", "centroid")
   }
 
   /** Per-vector PQ codes (array<int>, subspace order): nearest codeword
@@ -371,23 +468,26 @@ object Similarity {
     * the (m·k)-row codebook; the corpus never shuffles vectors — only
     * (vec_id, sub, code) triples reach the grouping.
     */
-  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+  def pqEncode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"),
+      pqCodesExpr(col("embedding"), collectBooks(codebooks, m), m, dim)
+        .as("codes"))
+
+  /** codes = array(argmin_0, …, argmin_{m-1}) as ONE per-row expression
+    * against the collected codebooks — the explode + broadcast join +
+    * two (vec_id)-keyed aggregation shuffles of the frame spelling
+    * compute a value that depends only on the row (optimization r21).
+    * Same values in the same subspace order (sort_array over (sub, code)
+    * structs ≡ the literal sub-ascending array), same min(struct)
+    * tie-break to the smaller cell.
+    */
+  private def pqCodesExpr(emb: Column,
+      books: Array[Array[(Int, Array[Double])]], m: Int, dim: Int): Column = {
     val subdim = dim / m
-    val sliced = emb
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("embedding"))
-      .select(col("vec_id"), col("sub"),
-        slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)).as("sub_emb"))
-    sliced.as("e").join(broadcast(codebooks.as("c")), col("e.sub") === col("c.sub"))
-      .select(col("e.vec_id"), col("e.sub"),
-        struct(graft.functions.L2Sq(col("sub_emb"), col("centroid")).as("dist"),
-          col("cell")).as("dc"))
-      .groupBy(col("vec_id"), col("sub")).agg(min(col("dc")).as("best"))
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("best.cell").as("code"))))
-        .as("sc"))
-      .select(col("vec_id"),
-        transform(col("sc"), s => s.getField("code")).as("codes"))
+    array((0 until m).map { s =>
+      nearestExpr(slice(emb, s * subdim + 1, subdim),
+        books(s)).getField("cell")
+    }: _*)
   }
 
   /** Dense ADC lookup tables keyed by (query_id, probe_cell):
@@ -399,33 +499,39 @@ object Similarity {
     * hence its own LUT.
     */
   private def pqLutKeyed(keyed: DataFrame, codebooks: DataFrame, m: Int,
-      k: Int, dim: Int): DataFrame = {
+      k: Int, dim: Int): DataFrame =
+    keyed.select(col("query_id"), col("probe_cell"),
+      pqLutExpr(col("embedding"), collectBooks(codebooks, m), m, k,
+        dim).as("lut"))
+
+  /** The dense sub-major lut[s·k + cell] array as ONE per-row expression
+    * against the collected codebooks: each slot is the same codegen'd
+    * [[l2sq]] against a literal codeword (null where the trainer dropped
+    * the codeword — such cells are never assigned, so the slot is never
+    * read). The grid crossJoin + (query, probe_cell)-keyed
+    * collect_list shuffle of the frame spelling built a value each row
+    * computes alone (optimization r21); slot order (sub-major,
+    * cell-minor) matches the sort_array((sub, cell, d)) ordering exactly.
+    */
+  private def pqLutExpr(emb: Column,
+      books: Array[Array[(Int, Array[Double])]], m: Int, k: Int,
+      dim: Int): Column = {
     val subdim = dim / m
-    val spark = keyed.sparkSession
-    val grid = spark.range(m).select(col("id").cast("int").as("sub"))
-      .crossJoin(spark.range(k).select(col("id").cast("int").as("cell")))
-    val dense = grid.join(codebooks, Seq("sub", "cell"), "left")
-    keyed
-      .crossJoin(broadcast(dense))
-      .select(col("query_id"), col("probe_cell"), col("sub"), col("cell"),
-        graft.functions.L2Sq(
-          slice(col("embedding"), col("sub") * subdim + 1, lit(subdim)),
-          col("centroid")).as("d"))
-      .groupBy(col("query_id"), col("probe_cell"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("cell"), col("d"))))
-        .as("scd"))
-      .select(col("query_id"), col("probe_cell"),
-        transform(col("scd"), s => s.getField("d")).as("lut"))
+    array((for (s <- 0 until m; c <- 0 until k) yield {
+      books(s).find(_._1 == c) match {
+        case Some((_, arr)) =>
+          l2sq(slice(emb, s * subdim + 1, subdim), lit(arr))
+        case None => lit(null).cast("double")
+      }
+    }): _*)
   }
 
   /** One LUT per query from its raw vector (the non-residual path). */
   def pqLut(queries: DataFrame, codebooks: DataFrame, m: Int, k: Int,
       dim: Int): DataFrame =
-    pqLutKeyed(
-      queries.select(col("vec_id").as("query_id"),
-        lit(0).as("probe_cell"), col("embedding")),
-      codebooks, m, k, dim)
-      .select(col("query_id"), col("lut"))
+    queries.select(col("vec_id").as("query_id"),
+      pqLutExpr(col("embedding"), collectBooks(codebooks, m), m, k,
+        dim).as("lut"))
 
   /** End-to-end PQ search: train, encode, build LUTs, ADC-score every
     * (query, vector) pair over codes only, salted two-stage top-k by
@@ -433,9 +539,13 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, kNeighbors: Int,
       m: Int, kCodes: Int, iters: Int, dim: Int): DataFrame = {
-    val books = pqTrain(corpus, m, kCodes, iters, dim)
-    val codes = pqEncode(corpus, books, m, dim)
-    val luts = pqLut(queries, books, m, kCodes, dim)
+    // one collected model serves encode and LUT (each a per-row
+    // expression — the corpus side is a single scan+project)
+    val books = collectBooks(pqTrain(corpus, m, kCodes, iters, dim), m)
+    val codes = corpus.select(col("vec_id"),
+      pqCodesExpr(col("embedding"), books, m, dim).as("codes"))
+    val luts = queries.select(col("vec_id").as("query_id"),
+      pqLutExpr(col("embedding"), books, m, kCodes, dim).as("lut"))
     val scored = codes.as("c")
       .join(broadcast(luts.as("q")), col("q.query_id") =!= col("c.vec_id"))
       .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
@@ -464,16 +574,22 @@ object Similarity {
     * query-independent so one encode pass serves every probe — the
     * residual refinement is a quality knob, not a scale one.
     *
-    * Plan shape: centroids and codebooks are tiny and broadcast; the
-    * corpus side carries only (vec_id, cell, codes). The probe join keys
-    * on the coarse cell — at 1000 executors the corpus stays fanned out
-    * and each task scores only the probed fraction. Both trained models
-    * are pinned via [[graft.GraftCache.pin]]: each feeds two consumers
-    * (corpus assign + query probe; encode + LUT), and without the pin the
-    * iters-deep Lloyd lineage would re-train per consumer. The pins are
-    * registered for automatic eviction once an action over the returned
-    * frame completes ([[graft.GraftCache.releaseAfter]]), so a long-lived
-    * session doesn't accumulate this operator's training blocks.
+    * Plan shape (optimization r21): both trained models are COLLECTED
+    * driver values ([[collectCentroids]]/[[collectBooks]] — k and m·k
+    * rows), so cell assignment, encoding, probing and LUT building are
+    * all per-row expressions: the corpus side is ONE projection
+    * (vec_id, cell, codes) off the scan with no join and no shuffle, and
+    * the query side builds its (query, probe_cell, lut) rows without the
+    * crossJoin + window + three joins of the frame spelling. The only
+    * corpus exchanges left in the whole operator are the Lloyd/PQ mean
+    * folds (one (cell)-keyed shuffle per training iteration) and the
+    * salted top-k cut. The scoring join keys on the coarse cell with the
+    * tiny LUT side broadcast — at 1000 executors the corpus stays fanned
+    * out and each task scores only the probed fraction. The residual
+    * path's training-input frame (a corpus-wide residual projection read
+    * once per PQ iteration plus the encode pass) is still pinned via
+    * [[graft.GraftCache.pin]] and released once an action over the
+    * returned frame completes.
     */
   /** Element-wise residual x − centroid, double subtraction rounded back
     * to float — IEEE round-to-nearest is deterministic, so an independent
@@ -488,50 +604,59 @@ object Similarity {
       kCells: Int, cellIters: Int, nprobe: Int,
       m: Int, kCodes: Int, pqIters: Int, dim: Int,
       residual: Boolean = false): DataFrame = {
-    val centroids =
-      graft.GraftCache.pin(kmeansCentroids(corpus, kCells, cellIters, dim))
-    val corpusCells = kmeansAssign(corpus, centroids).select("vec_id", "cell")
+    val cent = collectCentroids(kmeansCentroids(corpus, kCells, cellIters, dim))
+    val cellExpr = nearestExpr(col("embedding"), cent).getField("cell")
     // each query probes its nprobe nearest trained cells (ties to the
-    // smaller cell — same ordering kmeansAssign uses for its argmin)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("vec_id").as("query_id"), col("cell"),
-        l2sq(col("embedding"), col("centroid")).as("cdist"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("cell"))
+    // smaller cell): array_sort over (cdist, cell) structs ≡ the
+    // (cdist asc, cell asc) row_number window of the frame spelling —
+    // per-row, no crossJoin, no window shuffle
+    val probeArr = slice(array_sort(array(cent.map { case (c, arr) =>
+      struct(l2sq(col("embedding"), lit(arr)).as("cdist"),
+        lit(c).as("cell"))
+    }: _*)), 1, nprobe)
     // The paper's refinement (Jégou et al. 2011 §IV.B): PQ encodes the
     // RESIDUAL x − centroid(cell) rather than the raw vector — residual
     // energy is much lower, so the same m·kCodes budget quantizes finer.
     // The cost is one LUT per (query, probed cell) instead of per query
     // (each probed cell subtracts a different centroid from the query);
     // the LUT side stays nprobe·m·kCodes doubles per query — broadcast.
+    // The residual of a row against ITS OWN computed cell dispatches on
+    // the cell value over the collected model — still one projection.
+    def residualByCell(cellCol: Column): Column =
+      cent.foldLeft(lit(null).cast("array<float>")) { case (acc, (c, arr)) =>
+        when(cellCol === c,
+          residualCol(col("embedding"), lit(arr))).otherwise(acc)
+      }
     val pqInput =
       if (!residual) corpus
-      // pqTrain's Lloyd loop re-reads its input per iteration and the
+      // pqTrain's Lloyd loop re-reads this frame per iteration and the
       // encode pass reads it again — pin the residual frame (the
-      // materialize-the-training-set step a real pipeline runs anyway)
-      else graft.GraftCache.pin(corpus.join(corpusCells, "vec_id")
-        .join(broadcast(centroids), "cell")
-        .select(col("vec_id"),
-          residualCol(col("embedding"), col("centroid")).as("embedding")))
-    val books = graft.GraftCache.pin(pqTrain(pqInput, m, kCodes, pqIters, dim))
-    val codes = pqEncode(pqInput, books, m, dim).join(corpusCells, "vec_id")
-    // (query, probed cell, lut): nprobe rows per query, broadcast-sized
+      // materialize-the-training-set step a real pipeline runs anyway);
+      // the coarse cell rides along so the codes projection needs no join
+      else graft.GraftCache.pin(corpus.select(col("vec_id"),
+        cellExpr.as("cell"), residualByCell(cellExpr).as("embedding")))
+    val books = collectBooks(pqTrain(pqInput, m, kCodes, pqIters, dim), m)
+    // the whole corpus side is ONE projection: (vec_id, cell, codes)
+    val codes =
+      if (!residual)
+        corpus.select(col("vec_id"), cellExpr.as("cell"),
+          pqCodesExpr(col("embedding"), books, m, dim).as("codes"))
+      else pqInput.select(col("vec_id"), col("cell"),
+        pqCodesExpr(col("embedding"), books, m, dim).as("codes"))
+    // (query, probed cell, lut): nprobe rows per query, broadcast-sized —
+    // built per query row (probe explode + literal-model LUT, no joins)
     val probeLuts =
       if (!residual)
-        probes.select(col("query_id"), col("cell").as("probe_cell"))
-          .join(pqLut(queries, books, m, kCodes, dim), "query_id")
-      else {
-        val qres = probes
-          .join(queries.select(col("vec_id").as("query_id"), col("embedding")),
-            "query_id")
-          .join(broadcast(centroids), "cell")
-          .select(col("query_id"), col("cell").as("probe_cell"),
-            residualCol(col("embedding"), col("centroid")).as("embedding"))
-        pqLutKeyed(qres, books, m, kCodes, dim)
-      }
+        queries.select(col("vec_id").as("query_id"),
+          explode(probeArr).as("p"),
+          pqLutExpr(col("embedding"), books, m, kCodes, dim).as("lut"))
+          .select(col("query_id"), col("p.cell").as("probe_cell"), col("lut"))
+      else
+        queries.select(col("vec_id").as("query_id"),
+          explode(probeArr).as("p"), col("embedding"))
+          .select(col("query_id"), col("p.cell").as("probe_cell"),
+            pqLutExpr(residualByCell(col("p.cell")), books, m, kCodes,
+              dim).as("lut"))
     // a corpus vector lives in exactly one cell and probes are distinct
     // (query, cell) rows, so each (query, neighbor) pair scores at most once
     val scored = codes.as("c").join(broadcast(probeLuts.as("q")),
@@ -547,9 +672,7 @@ object Similarity {
       .filter(col("rank") <= kNeighbors)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
         col("adc_dist"))
-    val pins =
-      if (residual) Seq(centroids, pqInput, books) else Seq(centroids, books)
-    graft.GraftCache.releaseAfter(result, pins: _*)
+    if (residual) graft.GraftCache.releaseAfter(result, pqInput) else result
   }
 
   /** IVFADC+R — exact rerank behind [[ivfPqTopK]] (Jégou et al. 2011 §V's

@@ -288,6 +288,18 @@ object TextAnalysis {
         array_join(transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))), U + U), lit(U)).as("s"))
     var vocab = vocab0.localCheckpoint(true)
+    // Checkpoint CADENCE (optimization r21): materializing every merge
+    // cost one extra job per iteration (2·nMerges driver job rounds for
+    // an 8-merge train). The replace that advances the vocabulary is a
+    // narrow per-row map, so letting up to `ckptEvery` of them ride the
+    // lineage keeps the analyzer O(1)-ish while the best-pair job simply
+    // re-evaluates ≤ ckptEvery−1 cheap replaces over the last
+    // checkpoint's blocks — jobs drop from 2·nMerges to
+    // nMerges + nMerges/ckptEvery with identical learned merges (the
+    // thousands-of-merges lineage rationale in the scaladoc still holds:
+    // the cadence bounds lineage depth at ckptEvery, not at nMerges).
+    val ckptEvery = 4
+    var sinceCkpt = 0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
     var exhausted = false
@@ -307,14 +319,18 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((rank, l, r, cnt))
-        val next = vocab.withColumn("s",
+        val applied = vocab.withColumn("s",
           replace(col("s"), lit(U + l + U + U + r + U), lit(U + l + r + U)))
-          .localCheckpoint(true)
-        // `next` is materialized with truncated lineage, so the superseded
-        // frame's blocks are provably dead — release them now instead of
-        // holding one frame per merge for the whole training run
-        graft.GraftCache.releaseCheckpoint(vocab)
-        vocab = next
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery && rank < nMerges) {
+          val next = applied.localCheckpoint(true)
+          // `next` is materialized with truncated lineage, so the
+          // superseded frame's blocks are provably dead — release them now
+          // instead of holding one frame per merge for the whole run
+          graft.GraftCache.releaseCheckpoint(vocab)
+          vocab = next
+          sinceCkpt = 0
+        } else vocab = applied
         rank += 1
       }
     }

@@ -34,10 +34,13 @@ class GraftCacheSpec extends SparkSpec {
     freshStart()
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
+    // residual = true: the corpus-wide residual training-input frame is
+    // the operator's one remaining pin (optimization r21 collected the
+    // trained models to the driver — the non-residual path pins nothing)
     val out = Similarity.ivfPqTopK(emb, queries, kNeighbors = 3,
       kCells = 4, cellIters = 2, nprobe = 2, m = 4, kCodes = 8, pqIters = 2,
-      dim = 64)
-    // construction pinned the trained models (they fed training jobs)
+      dim = 64, residual = true)
+    // construction pinned the residual frame (it fed the training jobs)
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     assert(GraftCache.pendingCount >= 1)
     val first = out.count()

@@ -370,9 +370,18 @@ object SubscriptionRunner {
       val (nCanRetry, nNoRetry) = (rc.getLong(0), rc.getLong(1))
 
       val now = nowEpochSec
+      // REBALANCE the routed frames before their bus appends (guide §6,
+      // optimization r21): the failure join broadcasts the tiny outcome
+      // side, so the written frame otherwise inherits the persisted
+      // batch's partitioning — one near-empty parquet file per partition,
+      // PER micro-batch, which is exactly the small-file growth the bus
+      // manifest/compaction machinery exists to fight (measured: an 8-row
+      // retry append wrote 8 files). The AQE-managed exchange coalesces a
+      // small failure set to one file and still splits an outage-scale
+      // set to advisory-sized files; it moves only the failed subset.
       val retryCount = retryBus match {
         case Some(bus) if wantRetry && nCanRetry > 0 =>
-          bus.append(failedEvents.filter(canRetry)
+          bus.append(failedEvents.hint("rebalance").filter(canRetry)
             .withColumn("attributes", stampAttrs(col("attributes"),
               "xvanusretryattempts" -> attempt.cast("string"),
               "xvanussubscriptionid" -> lit(spec.config.subscriptionId),
@@ -388,7 +397,7 @@ object SubscriptionRunner {
         else (failedEvents.filter(!canRetry), nNoRetry)
       val dlqCount = dlqBus match {
         case Some(bus) if !spec.config.disableDeadLetter && dlqN > 0 =>
-          bus.append(dlqSource.withColumn("attributes",
+          bus.append(dlqSource.hint("rebalance").withColumn("attributes",
             stampAttrs(col("attributes"),
               "deadletterreason" ->
                 when(retryableCode && attempt > spec.config.maxRetryAttempts,

@@ -48,7 +48,13 @@ final class BucketedSpool(path: String, val tickSeconds: Long)
     // both route failures into this spool concurrently, and the shared
     // _temporary staging loses files under concurrent same-dir commits
     EventBus.appendLock(path).synchronized {
+      // REBALANCE keyed on the bucket (guide §6, optimization r21): the
+      // partitionBy write otherwise opens one file per (input partition ×
+      // bucket) — the AQE-managed exchange clusters each bucket's rows so
+      // a bucket lands as one advisory-sized file set, the hash-
+      // distribution write mode of the table formats
       df.withColumn(BucketCol, bucket)
+        .hint("rebalance", BucketCol)
         .write.mode("append").partitionBy(BucketCol).parquet(path)
     }
   }

@@ -39,7 +39,9 @@ object DelayedEvents {
       nowEpochSec: Long): Long = {
     val (matured, _) = split(spool, nowEpochSec)
     val n = matured.count()
-    if (n > 0) target.append(matured)
+    // rebalance before the append (guide §6): the matured subset keeps
+    // the spool scan's split count — near-empty files per release pass
+    if (n > 0) target.append(matured.hint("rebalance"))
     n
   }
 
@@ -65,7 +67,7 @@ object DelayedEvents {
     else {
       val matured = spool.readBuckets(spark, buckets)
       val n = matured.count()
-      if (n > 0) target.append(matured)
+      if (n > 0) target.append(matured.hint("rebalance"))
       spool.evict(spark, buckets)
       n
     }

@@ -1241,9 +1241,16 @@ object StreamQueries {
         .filter(col("sequence_number") < 500)
       bus.append(events.filter(col("sequence_number") < 250))
       LateAttachCapture.a.clear(); LateAttachCapture.b.clear()
-      val expectA1 = events
-        .filter(col("sequence_number") < 250 && col("type") === "purchase")
-        .count()
+      // ONE aggregation job for all three expectation counts (optimization
+      // r21): the three separate .count() actions each paid a driver job
+      // round that competed with the live micro-batches for cores
+      val exp = events.agg(
+        count(when(col("sequence_number") < 250 &&
+          col("type") === "purchase", 1)).as("a1"),
+        count(when(col("type") === "purchase", 1)).as("a"),
+        count(when(col("type") === "signup", 1)).as("b")).head
+      val (expectA1, expectA, expectB) =
+        (exp.getLong(0), exp.getLong(1), exp.getLong(2))
       val subA = (SubscriptionRunner.Spec(
         Seq(FilterSpec.Exact(Seq("type" -> "purchase"))), None,
         SubscriptionRunner.Config("sub-a")),
@@ -1269,8 +1276,6 @@ object StreamQueries {
           }, SubscriptionRunner.OffsetReset.Earliest)
         // the second half lands AFTER the attach; both members drain it
         bus.append(events.filter(col("sequence_number") >= 250))
-        val expectA = events.filter(col("type") === "purchase").count()
-        val expectB = events.filter(col("type") === "signup").count()
         val d2 = System.currentTimeMillis() + 120000
         while ((LateAttachCapture.a.size < expectA ||
           LateAttachCapture.b.size < expectB) &&
@@ -1458,9 +1463,21 @@ object StreamQueries {
       bus.append(pre)
       ByTimeAttachCapture.a.clear(); ByTimeAttachCapture.b.clear()
       ByTimeAttachCapture.c.clear()
-      val tMid = pre.filter(col("sequence_number") === 250)
-        .select(col("time")).head.getTimestamp(0)
-      val expectA1 = pre.filter(col("type") === "purchase").count()
+      // ONE aggregation job for the seek point and every count that
+      // doesn't depend on it (optimization r21): the 6 separate
+      // .count()/.head actions each paid a driver job round, several of
+      // them racing the live micro-batches for cores
+      val exp = base.filter(col("sequence_number") < 550).agg(
+        max(when(col("sequence_number") === 250, col("time"))).as("t_mid"),
+        count(when(col("sequence_number") < 500 &&
+          col("type") === "purchase", 1)).as("a1"),
+        count(when(col("sequence_number") >= 500 &&
+          col("type") === "purchase", 1)).as("late_a"),
+        count(when(col("sequence_number") >= 500 &&
+          col("type") === "signup", 1)).as("late_b"),
+        count(when(col("sequence_number") >= 500, 1)).as("late_n")).head
+      val tMid = exp.getTimestamp(0)
+      val expectA1 = exp.getLong(1)
       val subA = (SubscriptionRunner.Spec(
         Seq(FilterSpec.Exact(Seq("type" -> "purchase"))), None,
         SubscriptionRunner.Config("sub-a")),
@@ -1491,13 +1508,15 @@ object StreamQueries {
           }, SubscriptionRunner.OffsetReset.ByTime(
             java.sql.Timestamp.valueOf("2034-01-01 00:00:00")))
         bus.append(late)
+        // the replayed-seek check still takes two small jobs (the signup
+        // count is keyed on the s0b the first job computes); everything
+        // else rode the single aggregation above
         val s0b = pre.filter(col("time") >= lit(tMid))
           .agg(min(col("sequence_number"))).head.getLong(0)
-        val expectA = expectA1 + late.filter(col("type") === "purchase").count()
+        val expectA = expectA1 + exp.getLong(2)
         val expectB = pre.filter(col("sequence_number") >= s0b &&
-          col("type") === "signup").count() +
-          late.filter(col("type") === "signup").count()
-        val expectC = late.count()
+          col("type") === "signup").count() + exp.getLong(3)
+        val expectC = exp.getLong(4)
         val d2 = System.currentTimeMillis() + 120000
         while ((ByTimeAttachCapture.a.size < expectA ||
           ByTimeAttachCapture.b.size < expectB ||

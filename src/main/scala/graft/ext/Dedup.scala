@@ -740,8 +740,16 @@ object Dedup {
       .agg(graft.functions.MinK.longs(col("doc_id"), maxBlock).as("ids"))
       .select(explode(col("ids")).as("doc_id"))
     // doc_id is unique, so a semi join on it applies the per-block cap;
-    // AQE broadcasts the (≤ #blocks·maxBlock ids) side when small
-    val withSets = sets.join(keepIds, Seq("doc_id"), "left_semi")
+    // AQE broadcasts the (≤ #blocks·maxBlock ids) side when small.
+    // PINNED (optimization r21): the self-join below otherwise computes
+    // the whole capped subtree TWICE — the corpus scan, the per-row
+    // array_distinct(split(text)) set build, the MinK cap and the semi
+    // join each run once for the streamed side and once more inside the
+    // broadcast build. The pinned rows are the cap-bounded frame
+    // (≤ #blocks·maxBlock rows) the broadcast must hold in memory anyway;
+    // the pin is released once an action over the returned pairs completes.
+    val withSets = graft.GraftCache.pin(
+      sets.join(keepIds, Seq("doc_id"), "left_semi"))
     val a = withSets.as("a")
     val b = withSets.as("b")
     // Size-band prune inside the join condition: jaccard = i/u with
@@ -762,12 +770,14 @@ object Dedup {
         greatest(col("a.sz"), col("b.sz")) >= lit(threshold)
     val inter = graft.functions.IntersectSize(col("a.wset"), col("b.wset"))
       .cast("double")
-    a.join(b,
-      col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.len_bucket") === col("b.len_bucket") &&
-        col("a.doc_id") < col("b.doc_id") && sizeBand)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (inter / (col("a.sz") + col("b.sz") - inter)).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    graft.GraftCache.releaseAfter(
+      a.join(b,
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id") && sizeBand)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (inter / (col("a.sz") + col("b.sz") - inter)).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      withSets)
   }
 }

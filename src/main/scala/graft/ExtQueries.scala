@@ -182,7 +182,8 @@ object ExtQueries {
   private val lshGroups = Q(
     "dedup_lsh_groups",
     (s, d) => Dedup.duplicateGroups(
-      Dedup.lshCandidatePairs(Dedup.minhashSignatures(Tables.documents(s, d))))
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(Tables.documents(s, d)), 256, distinctPairs = false))
       .orderBy(col("doc_id")),
     Some(s"""
       WITH RECURSIVE ${sqlSigCtes()}, $sqlBandsCte,
@@ -214,7 +215,8 @@ object ExtQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val groups = Dedup.duplicateGroups(
-        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs), 256, distinctPairs = false))
       Dedup.dedupKeepBest(docs, groups, col("n_chars"))
         .select(col("doc_id"), col("group_id"), col("keep"))
         .orderBy(col("doc_id"))
@@ -1792,7 +1794,8 @@ object ExtQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val groups = Dedup.duplicateGroups(
-        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs), 256, distinctPairs = false))
       Sampling.leakageSafeAssign(docs, groups)
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy(col("doc_id"))

@@ -77,6 +77,10 @@ object GraftCache {
   // identity in a CHM: sessions are few and long-lived, so the strong key
   // is not a leak in practice — it dies with the JVM like the session does)
   private val installed = new ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+  // leaf-frame RDD id → the SOURCE frame that actually holds the persist
+  // (see [[pinLeaf]]): unpersist must target the source, since calling
+  // unpersist on the LogicalRDD-rooted leaf is a no-op in the CacheManager
+  private val leafSources = new ConcurrentHashMap[Integer, DataFrame]()
 
   /** Persist + eagerly materialize an operator-internal frame. The eager
     * action is what lets the operator's OWN later jobs (training
@@ -87,6 +91,77 @@ object GraftCache {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
     df
+  }
+
+  /** [[pin]] + compact-leaf re-rooting (optimization r21, guide §1.2/§7.3
+    * "driver-side work"): persist `df`, materialize it with ONE count job
+    * (which builds the full cache — an InMemoryRelation stores every
+    * column), and return a [[org.apache.spark.sql.graftexpr.LeafFrame]] — a
+    * single LogicalRDD node over the pinned plan's own InternalRow RDD,
+    * carrying the materialized cache's Statistics. Consumers' logical plans
+    * stop embedding (and re-analyzing, re-cache-matching, re-optimizing per
+    * AQE round) the pin's whole lineage subtree, which StageProbe measured
+    * as the DOMINANT warm-run cost of the deep curation chains (~3.4 s of a
+    * 6.0 s wall at 2.6 s executor time). Eviction stays lineage-safe: the
+    * leaf's RDD recomputes from the captured physical plan when blocks are
+    * gone, and never re-persists. Pass the RETURNED leaf to
+    * [[releaseAfter]]; the source holding the persist is resolved
+    * internally.
+    */
+  def pinLeaf(df: DataFrame): DataFrame = pinLeafCounted(df)._1
+
+  /** [[pinLeaf]] that also reports the materialized row count (from the
+    * built InMemoryRelation's statistics when available — no extra job;
+    * one count job as fallback), for operators whose branch decisions need
+    * it without paying a second action.
+    */
+  def pinLeafCounted(df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.graftexpr.LeafFrame
+    val t0 = System.nanoTime()
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize via count(), NOT via the leaf: the count's ANALYZED plan
+    // is the full subtree, so an upstream operator's releaseAfter terminal
+    // nested inside it still matches in [[sweep]] — a leaf-rooted
+    // materialization action would hide that lineage and strand the
+    // upstream entry's pins (caught by GraftCacheSpec). The count's
+    // EXECUTED plan is cache-substituted (persist just registered the
+    // frame), so the optimizer round past analysis is over the
+    // InMemoryRelation stub, and the count doubles as the row count
+    // callers need.
+    val t1 = System.nanoTime()
+    val n = df.count()
+    val t2 = System.nanoTime()
+    // df's own lazy QueryExecution is forced only now — post-persist,
+    // post-build — so the leaf's RDD is the InMemoryTableScan of the BUILT
+    // cache and the carried statistics are the measured ones
+    val leaf = LeafFrame(df, Some(LeafFrame.statsOf(df)))
+    LeafFrame.leafRddId(leaf).foreach(id => leafSources.put(id, df))
+    if (sys.env.contains("GRAFT_PIN_DEBUG")) {
+      val site = Thread.currentThread().getStackTrace
+        .find(e => e.getClassName.startsWith("graft.ext"))
+        .map(e => s"${e.getFileName}:${e.getLineNumber}").getOrElse("?")
+      println(f"[pin] $site plan=${(t1 - t0) / 1e9}%.2f " +
+        f"mat=${(t2 - t1) / 1e9}%.2f tail=${(System.nanoTime() - t2) / 1e9}%.2f n=$n")
+    }
+    (leaf, n)
+  }
+
+  /** Unpersist a pin immediately (resolving a leaf back to its persisted
+    * source) — for training loops that supersede a pinned iteration frame
+    * mid-operator, where waiting for the terminal would hold every
+    * iteration's blocks at once.
+    */
+  def releaseNow(df: DataFrame): Unit = sourceOf(df).unpersist(blocking = false)
+
+  /** The frame holding the persist behind `p`: `p` itself, or the pinned
+    * source a [[pinLeaf]] leaf fronts (the map entry is consumed — callers
+    * are the unpersist paths).
+    */
+  private def sourceOf(p: DataFrame): DataFrame = {
+    val id =
+      try org.apache.spark.sql.graftexpr.LeafFrame.leafRddId(p)
+      catch { case _: Throwable => None }
+    id.flatMap(i => Option(leafSources.remove(i))).getOrElse(p)
   }
 
   /** Register `pins` for automatic eviction once an action over `result`
@@ -127,8 +202,9 @@ object GraftCache {
     while (it.hasMoreElements) {
       val k = it.nextElement()
       val e = entries.remove(k)
-      if (e != null) e.pins.foreach(_.unpersist(blocking = false))
+      if (e != null) e.pins.foreach(p => sourceOf(p).unpersist(blocking = false))
     }
+    leafSources.clear()
   }
 
   /** Unpersist `pins` EXCEPT those whose analyzed plan is still pinned by a
@@ -138,11 +214,15 @@ object GraftCache {
     * unpersisting run N's pin would drop the data out from under run N+1
     * even though run N+1's registry entry survives the epoch guard. Skipped
     * pins are released when their surviving entry's own terminal completes.
+    * Leaf pins resolve to their persisted SOURCE on both sides of the
+    * comparison — two invocations' leaves are always distinct RDDs, but
+    * their sources are plan-identical and share the cache entry.
     */
   private def unpersistUnlessShared(pins: Seq[DataFrame]): Unit =
     pins.foreach { p =>
+      val src = sourceOf(p)
       val planP =
-        try p.queryExecution.analyzed
+        try src.queryExecution.analyzed
         catch { case _: Throwable => null }
       val shared = planP != null && {
         val vs = entries.values().iterator()
@@ -150,14 +230,23 @@ object GraftCache {
         while (!found && vs.hasNext) {
           val other = vs.next()
           found = other.pins.exists { q =>
-            try q.queryExecution.analyzed.sameResult(planP)
+            try peekSourceOf(q).queryExecution.analyzed.sameResult(planP)
             catch { case _: Throwable => false }
           }
         }
         found
       }
-      if (!shared) p.unpersist(blocking = false)
+      if (!shared) src.unpersist(blocking = false)
     }
+
+  /** [[sourceOf]] without consuming the map entry — for the shared-pin
+    * comparison above, which must not strip a LIVE entry's leaf mapping. */
+  private def peekSourceOf(p: DataFrame): DataFrame = {
+    val id =
+      try org.apache.spark.sql.graftexpr.LeafFrame.leafRddId(p)
+      catch { case _: Throwable => None }
+    id.flatMap(i => Option(leafSources.get(i))).getOrElse(p)
+  }
 
   private def ensureListener(spark: SparkSession): Unit =
     if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {

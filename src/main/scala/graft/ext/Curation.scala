@@ -52,8 +52,11 @@ object Curation {
   /** Stages 1-3 fused: clean + gate as Columns, then the one hash-keyed
     * shuffle whose min(struct) carries the keeper row and group size.
     * Output: (doc_id, lang, text, n_copies), one row per keeper.
+    * `private[ext]` so CurationSpec can pin the one-corpus-shuffle shape of
+    * this subtree directly — in the composed operators it executes inside
+    * the pin materialization, so the returned plan no longer shows it.
     */
-  private def cleanGateDedup(docs: DataFrame): DataFrame =
+  private[ext] def cleanGateDedup(docs: DataFrame): DataFrame =
     graft.Tables.fanOut(docs)
       .withColumn("text", cleanText(col("text")))
       .withColumn("__ws", split(col("text"), " ", -1))
@@ -74,6 +77,10 @@ object Curation {
     val grams = array_distinct(
       TextAnalysis.wordGrams(split(col("text"), " ", -1), 5))
     val evalGrams = evalDocs.select(explode(grams).as("gram")).distinct()
+    // the .distinct() stays deliberately: besides bounding the build side
+    // at O(contaminated docs), its exchange is the materialization point
+    // that lets AQE size the anti-join's build side exactly (the explode's
+    // own estimate is garbage) and convert it to a broadcast join
     val hitIds = graft.Tables.fanOut(survivors)
       .select(col("doc_id"), explode(grams).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
@@ -87,7 +94,7 @@ object Curation {
     // clean+gate+dedup subtree would re-execute for each (optimization
     // r21 — the same double-consumption StageProbe attributed in the
     // fuzzy/keep-best chains)
-    val unique = graft.GraftCache.pin(cleanGateDedup(docs))
+    val unique = graft.GraftCache.pinLeaf(cleanGateDedup(docs))
     graft.GraftCache.releaseAfter(
       dropContaminated(unique, evalDocs)
         .select(col("doc_id"), col("lang"), col("n_copies")),
@@ -105,7 +112,7 @@ object Curation {
     // jobs — without the pin the clean+gate+dedup subtree would re-execute
     // for the signature job, the passage job, and the final query.
     // GraftCache evicts it once an action on the returned frame completes.
-    val unique = graft.GraftCache.pin(cleanGateDedup(docs))
+    val unique = graft.GraftCache.pinLeaf(cleanGateDedup(docs))
     // The loser/drop ID frames are PINNED too (optimization r21): the
     // returned plan consumes nearDeduped twice (passage probe + kept) and
     // kept twice (decontamination probe + survivors), so WITHOUT the pins
@@ -115,11 +122,12 @@ object Curation {
     // for the fuzzy chain, all of it re-execution. The pinned frames are
     // doc_id-only (8 bytes/row — O(duplicates), never O(corpus bytes)),
     // and GraftCache releases them with the existing terminal listener.
-    val nearDupLosers = graft.GraftCache.pin(Dedup.duplicateGroups(
-      Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
+    val nearDupLosers = graft.GraftCache.pinLeaf(Dedup.duplicateGroups(
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(unique), 256, distinctPairs = false))
       .filter(!col("is_keeper")).select("doc_id"))
     val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val passageDropIds = graft.GraftCache.pin(Dedup.duplicatePassages(nearDeduped)
+    val passageDropIds = graft.GraftCache.pinLeaf(Dedup.duplicatePassages(nearDeduped)
       .filter(col("shared_frac") >= passageFracMax).select("doc_id"))
     val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
     graft.GraftCache.releaseAfter(
@@ -142,17 +150,18 @@ object Curation {
   def curateKeepBest(docs: DataFrame, evalDocs: DataFrame,
       passageFracMax: Double = 0.3,
       quality: Column = length(col("text"))): DataFrame = {
-    val unique = graft.GraftCache.pin(cleanGateDedup(docs))
+    val unique = graft.GraftCache.pinLeaf(cleanGateDedup(docs))
     val groups = Dedup.duplicateGroups(
-      Dedup.lshCandidatePairs(Dedup.minhashSignatures(unique)))
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(unique), 256, distinctPairs = false))
     // same pin rationale as [[curateFuzzy]] — and here the loser frame
     // additionally fronts the argmax join pair of [[Dedup.dedupKeepBest]],
     // which the unpinned plan re-executed once per downstream consumer
-    val nearDupLosers = graft.GraftCache.pin(
+    val nearDupLosers = graft.GraftCache.pinLeaf(
       Dedup.dedupKeepBest(unique, groups, quality)
         .filter(!col("keep")).select("doc_id"))
     val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val passageDropIds = graft.GraftCache.pin(Dedup.duplicatePassages(nearDeduped)
+    val passageDropIds = graft.GraftCache.pinLeaf(Dedup.duplicatePassages(nearDeduped)
       .filter(col("shared_frac") >= passageFracMax).select("doc_id"))
     val kept = nearDeduped.join(passageDropIds, Seq("doc_id"), "left_anti")
     graft.GraftCache.releaseAfter(
@@ -199,7 +208,7 @@ object Curation {
     */
   def curateMedia(media: DataFrame, maxDist: Int = 2,
       maxBlock: Int = 256): DataFrame = {
-    val hashed = graft.GraftCache.pin(Multimodal.imagePhash(media))
+    val hashed = graft.GraftCache.pinLeaf(Multimodal.imagePhash(media))
     fingerprintVerdicts(hashed, "phash",
       Dedup.hammingNearDupPairs(
         hashed, "media_id", "phash", maxDist, bits = 56, maxBlock = maxBlock)
@@ -217,7 +226,7 @@ object Curation {
     */
   def curateAudio(media: DataFrame, maxDist: Int = 2,
       maxBlock: Int = 256): DataFrame = {
-    val hashed = graft.GraftCache.pin(Multimodal.audioFingerprint(media))
+    val hashed = graft.GraftCache.pinLeaf(Multimodal.audioFingerprint(media))
     fingerprintVerdicts(hashed, "afp",
       Dedup.hammingNearDupPairs(
         hashed.filter(col("n_bits") > 0), "media_id", "afp", maxDist,
@@ -245,7 +254,7 @@ object Curation {
     // re-walked (and re-synthesized, when the blobs are built upstream)
     // every container for signals one walk exposes together. The pinned
     // frame is fingerprints + keyframe hashes only — never blobs.
-    val walked = graft.GraftCache.pin(Multimodal.videoWalk(media))
+    val walked = graft.GraftCache.pinLeaf(Multimodal.videoWalk(media))
     val gate = walked.select(col("media_id"), col("vfp"), col("n_bits"))
     val keyframes = walked
       .select(col("media_id"), explode(col("kfs")).as("k"))

@@ -129,21 +129,33 @@ object Dedup {
     * at oracle scale (driver buckets are ≤ tens wide) — same pattern as
     * the simhash probe's MinK block cap.
     */
-  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 256): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 256): DataFrame =
+    lshCandidatePairs(sigs, maxBucket, distinctPairs = true)
+
+  /** `distinctPairs = false` skips the cross-band `.distinct()` — one full
+    * pair-set exchange — for consumers that only feed [[duplicateGroups]]:
+    * a pair emitted by both bands is a duplicate EDGE, and the union-find
+    * contraction drops already-connected edges by construction, so the
+    * groups (and everything derived from them) are identical. The
+    * pair-LISTING operators (`dedup_lsh_pairs`) keep the distinct
+    * (optimization r21, guide §2.4 "remove shuffles outright").
+    */
+  private[graft] def lshCandidatePairs(sigs: DataFrame, maxBucket: Int,
+      distinctPairs: Boolean): DataFrame = {
     val ids = sort_array(collect_list(col("doc_id")))
     val cliquePairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         b => struct(a.as("doc_a"), b.as("doc_b")))))
     val chainPairs = transform(slice(col("ids"), lit(1), size(col("ids")) - 1),
       (a, i) => struct(a.as("doc_a"), element_at(col("ids"), i + 2).as("doc_b")))
-    lshBandAssignments(sigs)
+    val pairs = lshBandAssignments(sigs)
       .groupBy(col("band"), col("bucket")).agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(
         when(size(col("ids")) <= maxBucket, cliquePairs)
           .otherwise(chainPairs)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    if (distinctPairs) pairs.distinct() else pairs
   }
 
   /** SimHash (16-bit here; width is a constant): per bit, the sign of the
@@ -251,7 +263,12 @@ object Dedup {
     // 10× audio-curation graph contracts 2.1 M pairs → well under the
     // single-task cutover, turning a 13.7 s propagation loop into a ~3 s
     // union-find).
-    val forest = graft.GraftCache.pin(localForest(
+    // pinLeafCounted: the pin's materialization doubles as the branch
+    // decision's count — the separate forest.count() job it replaces was
+    // one whole driver job round per invocation (optimization r21), and the
+    // LEAF re-rooting keeps every downstream consumer's plan O(1)-deep at
+    // this boundary instead of embedding the pair subtree
+    val (forest, forestEdges) = graft.GraftCache.pinLeafCounted(localForest(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
     // a forest that fits one partition gets a single union-find pass
     // (path compression, union-by-min-root) producing the converged
@@ -267,7 +284,7 @@ object Dedup {
     var loopPin: DataFrame = null
     var edgesWide: DataFrame = null
     var labelsPin: DataFrame = null
-    val labels = if (forest.count() <= unionFindMaxEdges) {
+    val labels = if (forestEdges <= unionFindMaxEdges) {
       // the label frame is PINNED (r18, VERDICT r17 #3): consumers like
       // [[dedupKeepBest]] reference the groups frame twice in one plan
       // (keyed → argmax → join back), and without the pin each reference
@@ -275,8 +292,13 @@ object Dedup {
       // phase that made the keep_best 100× row's cpu profile swing across
       // machines. One eager materialization here; the consumers scan
       // ~16 bytes/node of pinned blocks.
-      labelsPin = graft.GraftCache.pin(
-        forest.repartition(1).mapPartitions { it =>
+      // coalesce(1), not repartition(1): the forest is a pinned leaf, so
+      // the single union-find task pulls the cached blocks directly — the
+      // repartition spelling paid a full shuffle write/read plus one more
+      // AQE job round for the identical row set (union-find labels are
+      // order-independent: min-root wins whatever the edge order)
+      labelsPin = graft.GraftCache.pinLeaf(
+        forest.coalesce(1).mapPartitions { it =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var root = x
@@ -308,19 +330,18 @@ object Dedup {
       }.toDF("id", "comp"))
       labelsPin
     } else {
-      edgesWide = graft.GraftCache.pin(
+      edgesWide = graft.GraftCache.pinLeaf(
         forest.union(forest.select(col("b").as("a"), col("a").as("b")))
           .distinct())
       // each iteration pins the new label frame and immediately releases
       // the superseded one (safe: GraftCache pins keep lineage, so a
       // post-eviction read recomputes instead of failing) — a converged
       // loop holds exactly one labels frame, not one per iteration
-      var pinnedLbl = graft.GraftCache.pin(
+      var pinnedLbl = graft.GraftCache.pinLeaf(
         edgesWide.select(col("a").as("id")).distinct()
           .select(col("id"), col("id").as("comp")))
       var lbl = pinnedLbl
       var changed = 1L
-      val session = pairs.sparkSession
       while (changed > 0) {
         val nbrMin = edgesWide.join(lbl, edgesWide("b") === lbl("id"))
           .groupBy(col("a").as("id2")).agg(min(col("comp")).as("nmin"))
@@ -331,15 +352,17 @@ object Dedup {
         // Catalyst plan nests every prior iteration's join chain, so
         // analysis/optimization cost grows per iteration — and this branch
         // is the one that runs at 100 TB, where components can take tens
-        // of iterations. Unlike a localCheckpoint (whose released blocks
-        // are unrecoverable, voiding [[graft.GraftCache]]'s evict-anytime
-        // safety contract), the RDD leaf keeps full recompute lineage
-        // through the persisted parent: evicting any pin at any time still
-        // only costs a recompute, never a failure.
-        val upd = graft.GraftCache.pin(
-          session.createDataFrame(updPlan.rdd, updPlan.schema))
+        // of iterations. pinLeaf does the re-rooting natively over the
+        // InternalRow RDD (the former createDataFrame(updPlan.rdd, schema)
+        // spelling paid a Row deserialize/re-serialize round per row per
+        // iteration); unlike a localCheckpoint (whose released blocks are
+        // unrecoverable, voiding [[graft.GraftCache]]'s evict-anytime
+        // safety contract), the leaf keeps full recompute lineage through
+        // the persisted parent: evicting any pin at any time still only
+        // costs a recompute, never a failure.
+        val upd = graft.GraftCache.pinLeaf(updPlan)
         changed = upd.filter(col("comp2") =!= col("comp")).count()
-        pinnedLbl.unpersist(blocking = false)
+        graft.GraftCache.releaseNow(pinnedLbl)
         pinnedLbl = upd
         lbl = upd.select(col("id"), col("comp2").as("comp"))
       }
@@ -364,7 +387,8 @@ object Dedup {
     val exactKeepers = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val survivors = docs.join(exactKeepers, "doc_id")
-    val nearDupLosers = duplicateGroups(lshCandidatePairs(minhashSignatures(survivors)))
+    val nearDupLosers = duplicateGroups(lshCandidatePairs(
+      minhashSignatures(survivors), 256, distinctPairs = false))
       .filter(!col("is_keeper")).select("doc_id")
     survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
@@ -728,8 +752,14 @@ object Dedup {
       .select(col("doc_id"), col("n_words"), col("n_kept"), col("text_dedup"))
   }
 
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6,
-      maxBlock: Int = 1000): DataFrame = {
+  /** The capped per-block set frame fronting [[ngramJaccardPairs]]' self
+    * join: per-row distinct-word sets, MinK block cap (map-side partials),
+    * cap applied as a doc_id semi join. `private[graft]` so PlanSpec can
+    * pin the map-side-partial shape of THIS subtree — in the composed
+    * operator it executes inside the pin materialization.
+    */
+  private[graft] def ngramJaccardCappedSets(docs: DataFrame,
+      maxBlock: Int): DataFrame = {
     val sets = docs.select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
@@ -741,6 +771,11 @@ object Dedup {
       .select(explode(col("ids")).as("doc_id"))
     // doc_id is unique, so a semi join on it applies the per-block cap;
     // AQE broadcasts the (≤ #blocks·maxBlock ids) side when small.
+    sets.join(keepIds, Seq("doc_id"), "left_semi")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6,
+      maxBlock: Int = 1000): DataFrame = {
     // PINNED (optimization r21): the self-join below otherwise computes
     // the whole capped subtree TWICE — the corpus scan, the per-row
     // array_distinct(split(text)) set build, the MinK cap and the semi
@@ -748,8 +783,8 @@ object Dedup {
     // broadcast build. The pinned rows are the cap-bounded frame
     // (≤ #blocks·maxBlock rows) the broadcast must hold in memory anyway;
     // the pin is released once an action over the returned pairs completes.
-    val withSets = graft.GraftCache.pin(
-      sets.join(keepIds, Seq("doc_id"), "left_semi"))
+    val withSets = graft.GraftCache.pinLeaf(
+      ngramJaccardCappedSets(docs, maxBlock))
     val a = withSets.as("a")
     val b = withSets.as("b")
     // Size-band prune inside the join condition: jaccard = i/u with

@@ -633,7 +633,7 @@ object Similarity {
       // encode pass reads it again — pin the residual frame (the
       // materialize-the-training-set step a real pipeline runs anyway);
       // the coarse cell rides along so the codes projection needs no join
-      else graft.GraftCache.pin(corpus.select(col("vec_id"),
+      else graft.GraftCache.pinLeaf(corpus.select(col("vec_id"),
         cellExpr.as("cell"), residualByCell(cellExpr).as("embedding")))
     val books = collectBooks(pqTrain(pqInput, m, kCodes, pqIters, dim), m)
     // the whole corpus side is ONE projection: (vec_id, cell, codes)
@@ -753,7 +753,7 @@ object Similarity {
     // and the final projection — without the pin the iters-deep Lloyd
     // lineage is re-planned (and partially re-executed) four times.
     // GraftCache evicts it once an action on the returned frame completes.
-    val assigned = graft.GraftCache.pin(
+    val assigned = graft.GraftCache.pinLeaf(
       ivfTrainAssign(corpus, k, iters, dim).select("vec_id", "cell"))
     val withCell = corpus.join(assigned, "vec_id")
     val keepIds = withCell.groupBy(col("cell"))

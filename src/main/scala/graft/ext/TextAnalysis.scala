@@ -212,15 +212,18 @@ object TextAnalysis {
     val nUniq = size(array_distinct(words)).cast("double")
     val stops = stopCount(words, langWords.head._2).cast("double")
     val totalLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double")
-    val feats = docs.select(
+    // pinLeafCounted: the GD loop below re-plans the feature frame once
+    // per iteration per aggregate — the leaf keeps each of those plans
+    // O(1)-deep, and the materialization's row count replaces the separate
+    // feats.count() job (optimization r21)
+    val (feats, nRows) = graft.GraftCache.pinLeafCounted(docs.select(
       col("doc_id"),
       least(nW / 100.0, lit(1.0)).as("x1"),
       (stops / nW).as("x2"),
       (nUniq / nW).as("x3"),
       least(totalLen / nW / 10.0, lit(1.0)).as("x4"),
-      when(nW >= 40.0 && stops / nW >= 0.02, 1.0).otherwise(0.0).as("y"))
-    graft.GraftCache.pin(feats)
-    val n = feats.count().toDouble
+      when(nW >= 40.0 && stops / nW >= 0.02, 1.0).otherwise(0.0).as("y")))
+    val n = nRows.toDouble
     val S = 1048576.0 // 2^20: the fixed-point gradient scale
     var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
     def zOf(wt: Array[Double]): Column =

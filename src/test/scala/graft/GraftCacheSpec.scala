@@ -109,6 +109,31 @@ class GraftCacheSpec extends SparkSpec {
     assert(awaitNoBlocks())
   }
 
+  test("pinLeaf: leaf-rooted pin evicts through the terminal and a " +
+      "post-eviction consumer recomputes WITHOUT re-persisting") {
+    freshStart()
+    val (leaf, n) = GraftCache.pinLeafCounted(
+      spark.range(1000).toDF("v").withColumn("h", md5(col("v").cast("string"))))
+    assert(n === 1000)
+    // the returned frame is a compact leaf (LogicalRDD), not the lineage
+    assert(leaf.queryExecution.analyzed.getClass.getSimpleName === "LogicalRDD",
+      leaf.queryExecution.analyzed.toString)
+    // ...that carries the materialized statistics (broadcast decisions)
+    assert(leaf.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(1000)))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    val result = leaf.filter(col("v") < 100)
+    GraftCache.releaseAfter(result, leaf)
+    assert(result.count() === 100)
+    // eviction resolves the leaf back to its persisted SOURCE
+    assert(awaitNoBlocks(), "leaf pin must evict through its source")
+    // lineage-safe: the leaf recomputes from the captured physical plan —
+    // and must NOT silently re-persist (the storage level was cleared)
+    assert(result.count() === 100)
+    Thread.sleep(1000)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "a post-eviction read must not re-persist blocks")
+  }
+
   test("unrelated actions do not evict a pending operator's pins") {
     freshStart()
     val emb = Tables.embeddings(spark, sf)

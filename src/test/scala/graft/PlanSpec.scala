@@ -153,9 +153,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("min_k block cap aggregates map-side (ObjectHashAggregate partials)") {
+    // the cap subtree runs inside the pin materialization since
+    // optimization r21, so assert its map-side partials directly...
+    val capPlan = executedPlan(
+      ext.Dedup.ngramJaccardCappedSets(Tables.documents(spark, sf), maxBlock = 50))
+    assert(capPlan.contains("partial_min_k"), s"map-side cap lost:\n$capPlan")
+    // ...and that the pair self-join consumes the pinned leaf on BOTH
+    // sides (one set-build pass, one corpus scan) with no sort anywhere
     val plan = executedPlan(
       ext.Dedup.ngramJaccardPairs(Tables.documents(spark, sf), 0.6, maxBlock = 50))
-    assert(plan.contains("partial_min_k"), s"map-side cap lost:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size === 2,
+      s"self-join must read the pinned set frame twice:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ crept back:\n$plan")
   }
 
   test("embeddingNearDup cell cap is a MinK aggregate, not a full-cell rank") {

@@ -31,19 +31,31 @@ class CurationSpec extends SparkSpec {
 
   test("fused curate plan has one corpus-wide hash shuffle before the eval join") {
     val docs = Tables.documents(spark, sf)
-    val fused = Curation.curate(
-      docs.filter(col("doc_id") % 97 =!= 0),
-      docs.filter(col("doc_id") % 97 === 0))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    // the corpus-wide stage is the pinned clean+gate+dedup subtree: its
+    // ONE hash exchange is keyed on the md5 grouping expression —
+    // lang/n_copies ride columns, document text is never re-partitioned
+    // by doc_id (since optimization r21 the composed operator materializes
+    // this subtree behind a leaf pin, so it is asserted here directly)
+    val dedupPlan = Curation.cleanGateDedup(corpus)
+      .queryExecution.executedPlan.toString
+    val dedupKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(dedupPlan).map(_.group(1)).toSeq
+    assert(dedupKeys.contains("_groupingexpression"),
+      s"dedup shuffle missing:\n$dedupPlan")
+    assert(dedupKeys.toSet === Set("_groupingexpression"),
+      s"unexpected shuffle keys $dedupKeys:\n$dedupPlan")
+    val fused = Curation.curate(corpus, docs.filter(col("doc_id") % 97 === 0))
     fused.write.format("noop").mode("overwrite").save() // settle AQE
     val plan = fused.queryExecution.executedPlan.toString
-    // the exact-dedup groupBy (keyed on the md5 grouping expression) is
-    // the one corpus-wide hash exchange; lang/n_copies ride columns, so
-    // the only doc_id-keyed shuffles left are the id-only contaminated-set
-    // distinct — never a join that re-partitions document text by doc_id
+    // the returned plan re-reads the pinned survivors (leaf scans), so the
+    // only shuffles left are the id-only contaminated-set distinct — never
+    // a join that re-partitions document text by doc_id, never a SMJ
+    assert(plan.contains("Scan ExistingRDD"),
+      s"pinned-survivor leaf scan missing:\n$plan")
     val keys = "Exchange hashpartitioning\\((\\w+)#".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(keys.contains("_groupingexpression"), s"dedup shuffle missing:\n$plan")
-    assert(keys.toSet.subsetOf(Set("_groupingexpression", "doc_id", "gram")),
+    assert(keys.toSet.subsetOf(Set("doc_id", "gram")),
       s"unexpected shuffle keys $keys:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"a corpus self-join crept back:\n$plan")

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE bare JSON line from `sbt "runMain graft.Bench"`
+// stdout. sbt's default LoggedOutput strategy prefixes every forked-process
+// line with "[info] " / "[error] ", so no line of any round's output ever
+// parsed as JSON (BENCH_r01..r21 all record "parsed": null and their tails
+// show the prefixes). StdoutOutput passes the child's stdout/stderr through
+// raw; showSuccess drops the trailing "[success] Total time ..." epilogue so
+// the bench's JSON line is the LAST stdout line of the whole sbt invocation.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

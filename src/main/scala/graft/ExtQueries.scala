@@ -183,7 +183,7 @@ object ExtQueries {
     "dedup_lsh_groups",
     (s, d) => Dedup.duplicateGroups(
       Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(Tables.documents(s, d)), 256, distinctPairs = false))
+        Dedup.minhashSignatures(Tables.documents(s, d)), distinctPairs = false))
       .orderBy(col("doc_id")),
     Some(s"""
       WITH RECURSIVE ${sqlSigCtes()}, $sqlBandsCte,
@@ -216,7 +216,7 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val groups = Dedup.duplicateGroups(
         Dedup.lshCandidatePairs(
-          Dedup.minhashSignatures(docs), 256, distinctPairs = false))
+          Dedup.minhashSignatures(docs), distinctPairs = false))
       Dedup.dedupKeepBest(docs, groups, col("n_chars"))
         .select(col("doc_id"), col("group_id"), col("keep"))
         .orderBy(col("doc_id"))
@@ -1795,7 +1795,7 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val groups = Dedup.duplicateGroups(
         Dedup.lshCandidatePairs(
-          Dedup.minhashSignatures(docs), 256, distinctPairs = false))
+          Dedup.minhashSignatures(docs), distinctPairs = false))
       Sampling.leakageSafeAssign(docs, groups)
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy(col("doc_id"))

@@ -124,7 +124,7 @@ object Curation {
     // and GraftCache releases them with the existing terminal listener.
     val nearDupLosers = graft.GraftCache.pinLeaf(Dedup.duplicateGroups(
       Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(unique), 256, distinctPairs = false))
+        Dedup.minhashSignatures(unique), distinctPairs = false))
       .filter(!col("is_keeper")).select("doc_id"))
     val nearDeduped = unique.join(nearDupLosers, Seq("doc_id"), "left_anti")
     val passageDropIds = graft.GraftCache.pinLeaf(Dedup.duplicatePassages(nearDeduped)
@@ -153,7 +153,7 @@ object Curation {
     val unique = graft.GraftCache.pinLeaf(cleanGateDedup(docs))
     val groups = Dedup.duplicateGroups(
       Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(unique), 256, distinctPairs = false))
+        Dedup.minhashSignatures(unique), distinctPairs = false))
     // same pin rationale as [[curateFuzzy]] — and here the loser frame
     // additionally fronts the argmax join pair of [[Dedup.dedupKeepBest]],
     // which the unpinned plan re-executed once per downstream consumer

@@ -129,8 +129,13 @@ object Dedup {
     * at oracle scale (driver buckets are ≤ tens wide) — same pattern as
     * the simhash probe's MinK block cap.
     */
-  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 256): DataFrame =
+  def lshCandidatePairs(sigs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     lshCandidatePairs(sigs, maxBucket, distinctPairs = true)
+
+  /** The one spelling of the default bucket cap — the public default and
+    * the distinct-elision overload below must stay the same value. */
+  private val DefaultMaxBucket = 256
 
   /** `distinctPairs = false` skips the cross-band `.distinct()` — one full
     * pair-set exchange — for consumers that only feed [[duplicateGroups]]:
@@ -140,6 +145,16 @@ object Dedup {
     * pair-LISTING operators (`dedup_lsh_pairs`) keep the distinct
     * (optimization r21, guide §2.4 "remove shuffles outright").
     */
+  /** Two-arg convenience: the union-find-feeding call sites want only the
+    * distinct elision, not a maxBucket override — without this overload
+    * each restated the public default's 256 to reach the 3-arg form, and a
+    * future default change would silently diverge them from
+    * `dedup_lsh_pairs` (ADVICE r21).
+    */
+  private[graft] def lshCandidatePairs(sigs: DataFrame,
+      distinctPairs: Boolean): DataFrame =
+    lshCandidatePairs(sigs, DefaultMaxBucket, distinctPairs)
+
   private[graft] def lshCandidatePairs(sigs: DataFrame, maxBucket: Int,
       distinctPairs: Boolean): DataFrame = {
     val ids = sort_array(collect_list(col("doc_id")))
@@ -388,7 +403,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val survivors = docs.join(exactKeepers, "doc_id")
     val nearDupLosers = duplicateGroups(lshCandidatePairs(
-      minhashSignatures(survivors), 256, distinctPairs = false))
+      minhashSignatures(survivors), distinctPairs = false))
       .filter(!col("is_keeper")).select("doc_id")
     survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
@@ -760,10 +775,15 @@ object Dedup {
     */
   private[graft] def ngramJaccardCappedSets(docs: DataFrame,
       maxBlock: Int): DataFrame = {
+    // sorted once per DOC here so the self join's per-pair intersection is
+    // a zero-allocation merge scan ([[graft.functions.IntersectSizeSorted]])
+    // instead of two hash-set builds per PAIR — the O(block²) kernel the
+    // 100× tier is bounded by (optimization r22, guide §4). Set size and
+    // membership are order-independent, so jaccard is bit-identical.
     val sets = docs.select(
       col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / 100.0).cast("int").as("len_bucket"),
-      array_distinct(split(col("text"), " ", -1)).as("wset"))
+      sort_array(array_distinct(split(col("text"), " ", -1))).as("wset"))
       .withColumn("sz", size(col("wset")))
     val keepIds = sets
       .groupBy(col("lang"), col("source"), col("len_bucket"))
@@ -803,7 +823,10 @@ object Dedup {
     val sizeBand =
       least(col("a.sz"), col("b.sz")).cast("double") /
         greatest(col("a.sz"), col("b.sz")) >= lit(threshold)
-    val inter = graft.functions.IntersectSize(col("a.wset"), col("b.wset"))
+    // wset is sort_array'd in [[ngramJaccardCappedSets]] — the sorted
+    // merge-scan kernel counts the identical intersection without the
+    // per-pair hash-set builds
+    val inter = graft.functions.IntersectSizeSorted(col("a.wset"), col("b.wset"))
       .cast("double")
     graft.GraftCache.releaseAfter(
       a.join(b,

@@ -504,27 +504,25 @@ object Similarity {
       pqLutExpr(col("embedding"), collectBooks(codebooks, m), m, k,
         dim).as("lut"))
 
-  /** The dense sub-major lut[s·k + cell] array as ONE per-row expression
-    * against the collected codebooks: each slot is the same codegen'd
-    * [[l2sq]] against a literal codeword (null where the trainer dropped
-    * the codeword — such cells are never assigned, so the slot is never
-    * read). The grid crossJoin + (query, probe_cell)-keyed
-    * collect_list shuffle of the frame spelling built a value each row
-    * computes alone (optimization r21); slot order (sub-major,
-    * cell-minor) matches the sort_array((sub, cell, d)) ordering exactly.
+  /** The dense sub-major lut[s·k + cell] array as ONE fused kernel call
+    * per row ([[graft.functions.PqLut]] — optimization r22, guide §4).
+    * The r21 per-slot spelling built the array from m·k separate
+    * `l2sq(slice(emb, …), lit(codeword))` expressions: each slot
+    * re-sliced the embedding (allocating a sub-array), and on the
+    * residual path the emb argument — the whole kCells-branch
+    * residual-dispatch CASE tree — was textually duplicated into every
+    * slot. The kernel evaluates `emb` once and fills the table in a
+    * single m·k·subdim loop with the identical per-slot arithmetic and
+    * fold order (null where the trainer dropped the codeword — such
+    * cells are never assigned, so the slot is never read); slot order
+    * (sub-major, cell-minor) matches the sort_array((sub, cell, d))
+    * ordering exactly. Parity pinned in SimilaritySpec.
     */
   private def pqLutExpr(emb: Column,
       books: Array[Array[(Int, Array[Double])]], m: Int, k: Int,
-      dim: Int): Column = {
-    val subdim = dim / m
-    array((for (s <- 0 until m; c <- 0 until k) yield {
-      books(s).find(_._1 == c) match {
-        case Some((_, arr)) =>
-          l2sq(slice(emb, s * subdim + 1, subdim), lit(arr))
-        case None => lit(null).cast("double")
-      }
-    }): _*)
-  }
+      dim: Int): Column =
+    graft.functions.PqLut(emb, m, k, dim / m,
+      books.toSeq.map(_.toSeq.map { case (c, arr) => (c, arr.toSeq) }))
 
   /** One LUT per query from its raw vector (the non-residual path). */
   def pqLut(queries: DataFrame, codebooks: DataFrame, m: Int, k: Int,

@@ -129,6 +129,41 @@ object TextExprUtil {
     }
     n
   }
+
+  /** [[intersectSize]] for ASCENDING-sorted inputs (binary UTF8String
+    * order — `sort_array`'s): one merge scan, zero allocation, no hashing.
+    * Same count on any sorted inputs: duplicates are adjacent (an equal
+    * run is counted once via the `prev` guard), and sort_array places
+    * nulls first (a null present in both sides counts once, Spark's
+    * array_intersect semantics). The HashSet spelling rebuilt BOTH sides'
+    * hash sets per PAIR — O(|a|+|b|) allocations and hashes for every
+    * surviving pair of a block's O(n²) self join; this is the per-pair
+    * floor: ≤ |a|+|b| comparisons, nothing allocated.
+    */
+  def intersectSizeSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var aNull = false
+    var bNull = false
+    while (i < na && a.isNullAt(i)) { aNull = true; i += 1 }
+    while (j < nb && b.isNullAt(j)) { bNull = true; j += 1 }
+    var n = if (aNull && bNull) 1 else 0
+    var prev: UTF8String = null
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        if (prev == null || !x.equals(prev)) { n += 1; prev = x }
+        i += 1; j += 1
+      }
+    }
+    n
+  }
 }
 
 /** gram_stats(words, n): struct(bestCnt, bestGram, dup) for the word
@@ -219,6 +254,39 @@ object IntersectSizeExpr {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(
       IntersectSizeExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** intersect_size_sorted(a, b) — [[IntersectSizeExpr]] for inputs the
+  * caller guarantees ASCENDING-sorted (sort_array order): one merge scan
+  * per pair instead of two hash-set builds. See
+  * [[TextExprUtil.intersectSizeSorted]] for the exact-count contract.
+  */
+case class IntersectSizeSortedExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.intersectSizeSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExprUtil.intersectSizeSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSizeSortedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSizeSortedExpr {
+  def column(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      IntersectSizeSortedExpr(
+        ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** int_dot(a, b): Σ (long)a[i]·(long)b[i] over array<int> — the stage-1

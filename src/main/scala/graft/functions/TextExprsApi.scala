@@ -78,6 +78,29 @@ object PqAdc {
     org.apache.spark.sql.graftexpr.PqAdcExpr.column(codes, lut, k)
 }
 
+object PqLut {
+  /** The dense sub-major m·k ADC lookup table of an array<float> embedding
+    * column against a collected codebook set, one codegen'd pass per row —
+    * see [[org.apache.spark.sql.graftexpr.PqLutExpr]] for the slot-for-slot
+    * parity contract with the per-slot l2sq spelling.
+    */
+  def apply(emb: Column, m: Int, k: Int, subdim: Int,
+      books: Seq[Seq[(Int, Seq[Double])]]): Column =
+    org.apache.spark.sql.graftexpr.PqLutExpr.column(emb,
+      org.apache.spark.sql.graftexpr.PqLutModel(m, k, subdim, books))
+}
+
+object IntersectSizeSorted {
+  /** size(array_intersect(a, b)) for two ASCENDING-sorted array<string>
+    * columns as one zero-allocation merge scan per pair — the per-pair
+    * kernel of blocked Jaccard over pre-sorted word sets. Same count as
+    * [[IntersectSize]] on any sorted inputs (duplicates and nulls
+    * included); sortedness is the caller's contract.
+    */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.IntersectSizeSortedExpr.column(a, b)
+}
+
 object BpeTokens {
   /** The default merge table — loaded from the bundled GPT-2-format
     * `merges.txt` fixture resource

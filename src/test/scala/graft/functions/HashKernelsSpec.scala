@@ -108,6 +108,65 @@ class HashKernelsSpec extends SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("intersect_size_sorted on sorted inputs == intersect_size (r22)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "gamma", "δδ", "é", "", "x", "yy", "zzz")
+    // random bags WITH duplicates: the sorted kernel must count an equal
+    // run once, exactly like the hash-set kernel
+    val rows = (0 until 400).map { i =>
+      def bag() = Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+      (i, bag(), bag())
+    }.toDF("id", "a", "b")
+      .withColumn("sa", sort_array(col("a")))
+      .withColumn("sb", sort_array(col("b")))
+    val got = rows.select(col("id"),
+      IntersectSize(col("sa"), col("sb")).as("h"),
+      IntersectSizeSorted(col("sa"), col("sb")).as("m"),
+      size(array_intersect(col("sa"), col("sb"))).as("ref"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(3), s"hash kernel vs array_intersect @${r.getInt(0)}")
+      assert(r.getInt(2) === r.getInt(3), s"sorted kernel vs array_intersect @${r.getInt(0)}")
+    }
+  }
+
+  test("pq_lut kernel == per-slot l2sq(slice) column spelling (r22)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val m = 4
+    val k = 4
+    val dim = 16
+    val subdim = dim / m
+    // books with a DROPPED codeword per subspace (cell ids non-contiguous)
+    val books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { s =>
+      (0 until k).filterNot(_ == (s + 1) % k).map { c =>
+        (c, Array.fill(subdim)(rnd.nextDouble() * 4 - 2))
+      }.toArray
+    }
+    // embeddings including a SHORT row (slice length-mismatch → null slots)
+    // and an empty row
+    val embs = (0 until 200).map { i =>
+      val len = if (i % 17 == 0) rnd.nextInt(dim) else dim
+      (i, Array.fill(len)(rnd.nextFloat() * 2 - 1).toSeq)
+    }.toDF("id", "emb")
+    val columnForm = embs.select(col("id"),
+      array((for (s <- 0 until m; c <- 0 until k) yield {
+        books(s).find(_._1 == c) match {
+          case Some((_, arr)) =>
+            L2Sq(slice(col("emb"), s * subdim + 1, subdim), lit(arr))
+          case None => lit(null).cast("double")
+        }
+      }): _*).as("lut"))
+    val kernelForm = embs.select(col("id"),
+      PqLut(col("emb"), m, k, subdim,
+        books.toSeq.map(_.toSeq.map { case (c, a) => (c, a.toSeq) })).as("lut"))
+    val a = columnForm.orderBy("id").collect().toSeq
+    val b = kernelForm.orderBy("id").collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("digest prefix matches conv(substring(md5, 1, k), 16, 10) for odd k") {
     import spark.implicits._
     val df = Seq("a", "xyz", "", "δ mixed unicode").toDF("s")

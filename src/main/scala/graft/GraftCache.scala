@@ -110,10 +110,12 @@ object GraftCache {
     */
   def pinLeaf(df: DataFrame): DataFrame = pinLeafCounted(df)._1
 
-  /** [[pinLeaf]] that also reports the materialized row count (from the
-    * built InMemoryRelation's statistics when available — no extra job;
-    * one count job as fallback), for operators whose branch decisions need
-    * it without paying a second action.
+  /** [[pinLeaf]] that also reports the materialized row count: the ONE
+    * count job that materializes the pin doubles as the counter, so
+    * operators whose branch decisions need the count never pay a second
+    * action. (ADVICE r21: an earlier doc here promised a stats fast-path
+    * that was never written — the count job is always how the pin
+    * materializes, fast-path or not.)
     */
   def pinLeafCounted(df: DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.graftexpr.LeafFrame
@@ -151,17 +153,24 @@ object GraftCache {
     * mid-operator, where waiting for the terminal would hold every
     * iteration's blocks at once.
     */
-  def releaseNow(df: DataFrame): Unit = sourceOf(df).unpersist(blocking = false)
+  def releaseNow(df: DataFrame): Unit = {
+    peekSourceOf(df).unpersist(blocking = false)
+    forget(df)
+  }
 
-  /** The frame holding the persist behind `p`: `p` itself, or the pinned
-    * source a [[pinLeaf]] leaf fronts (the map entry is consumed — callers
-    * are the unpersist paths).
+  /** Drop `p`'s leaf→source mapping AFTER its persist was actually
+    * released. Resolution itself ([[peekSourceOf]]) never consumes the
+    * mapping (ADVICE r21): [[unpersistUnlessShared]] legitimately resolves
+    * a pin and then SKIPS the unpersist when another live entry shares it —
+    * a consuming resolve there stranded the mapping, so the surviving
+    * entry's own release later resolved the leaf to itself (a CacheManager
+    * no-op) and the source's blocks leaked until [[evictAll]].
     */
-  private def sourceOf(p: DataFrame): DataFrame = {
+  private def forget(p: DataFrame): Unit = {
     val id =
       try org.apache.spark.sql.graftexpr.LeafFrame.leafRddId(p)
       catch { case _: Throwable => None }
-    id.flatMap(i => Option(leafSources.remove(i))).getOrElse(p)
+    id.foreach(leafSources.remove(_))
   }
 
   /** Register `pins` for automatic eviction once an action over `result`
@@ -202,7 +211,8 @@ object GraftCache {
     while (it.hasMoreElements) {
       val k = it.nextElement()
       val e = entries.remove(k)
-      if (e != null) e.pins.foreach(p => sourceOf(p).unpersist(blocking = false))
+      if (e != null)
+        e.pins.foreach(p => peekSourceOf(p).unpersist(blocking = false))
     }
     leafSources.clear()
   }
@@ -220,7 +230,7 @@ object GraftCache {
     */
   private def unpersistUnlessShared(pins: Seq[DataFrame]): Unit =
     pins.foreach { p =>
-      val src = sourceOf(p)
+      val src = peekSourceOf(p)
       val planP =
         try src.queryExecution.analyzed
         catch { case _: Throwable => null }
@@ -236,11 +246,12 @@ object GraftCache {
         }
         found
       }
-      if (!shared) src.unpersist(blocking = false)
+      if (!shared) { src.unpersist(blocking = false); forget(p) }
     }
 
-  /** [[sourceOf]] without consuming the map entry — for the shared-pin
-    * comparison above, which must not strip a LIVE entry's leaf mapping. */
+  /** The frame holding the persist behind `p`: `p` itself, or the pinned
+    * source a [[pinLeaf]] leaf fronts. Never consumes the mapping — the
+    * unpersist paths call [[forget]] after an actual release. */
   private def peekSourceOf(p: DataFrame): DataFrame = {
     val id =
       try org.apache.spark.sql.graftexpr.LeafFrame.leafRddId(p)

@@ -712,9 +712,16 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    // df as a count window over tf instead of a groupBy + join back
+    // (optimization r22, guide §2.4): the join spelling consumed tf TWICE
+    // — the explode + (doc_id, term) aggregation re-executed for the df
+    // build and again for the scored join — and paid the df exchange plus
+    // a join exchange. One window keyed on term is the same integer count
+    // (df = tf rows per term) over ONE tf execution and ONE term exchange.
+    val wTerm = Window.partitionBy(col("term"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df"))
     val w = Window.partitionBy(col("doc_id"))
@@ -748,15 +755,29 @@ object TextAnalysis {
     * no driver-side state, no all-pairs anything.
     */
   def bigramLmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = split(col("text"), " ", -1)
     val grams = graft.Tables.fanOut(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.WordGrams(words, 2)).as(Seq("pos", "gram")))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
-    val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-    val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c2/c1 as count windows over the gram stream instead of two groupBy
+    // aggregations joined back (optimization r22, guide §2.4): the join
+    // spelling executed the fan-out + WordGrams explode subtree FOUR times
+    // (c2 build, c1 build, V, scored) and paid two aggregation exchanges
+    // plus two join exchanges; the windows compute the identical integer
+    // counts over ONE gram-stream execution with one exchange per key.
+    // Projections between the windows drop each key once counted so the
+    // second exchange moves (doc_id, pos, w1, c2), never the gram string.
+    // V (distinct histories) still needs its own aggregation pass — it is
+    // a scalar over a different grouping.
     val v = grams.agg(countDistinct(col("w1")).as("v"))
-    val scored = grams.join(c2, Seq("gram")).join(c1, Seq("w1"))
+    val wGram = Window.partitionBy(col("gram"))
+    val wW1 = Window.partitionBy(col("w1"))
+    val scored = grams
+      .withColumn("c2", count(lit(1)).over(wGram))
+      .select(col("doc_id"), col("pos"), col("w1"), col("c2"))
+      .withColumn("c1", count(lit(1)).over(wW1))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("pos"),
         ((col("c2") + 1).cast("double") /

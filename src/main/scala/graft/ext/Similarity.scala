@@ -26,6 +26,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     foldDot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** `sqrt(norm2(embedding))` staged once per ROW (optimization r22,
+    * guide §1.2 "don't compute things twice"): [[cosine]]'s two sqrt
+    * factors each depend on one side alone, so evaluating them inside a
+    * pair join re-ran two of the three VecDot folds once per PAIR —
+    * O(candidates) per row instead of O(1). Pair sites stage `__norm`
+    * per row and multiply the staged factors in the same (left, right)
+    * order as [[cosine]], so every division rounds bit-identically.
+    */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("__norm", sqrt(norm2(col("embedding"))))
+
+  /** cosine from a precomputed dot and the two staged norm factors —
+    * multiply order must match [[cosine]]'s (left · right). */
+  private def cosStaged(a: Column, b: Column, na: Column, nb: Column): Column =
+    foldDot(a, b) / (na * nb)
+
   /** Salted per-query m-cut: keep each (query, salt)'s top m rows by
     * (`score` desc, neighbor_id asc). The union of per-salt top-ms contains
     * the global top-m (every global winner is a winner within its salt
@@ -61,10 +77,12 @@ object Similarity {
     * the salted top-k reduction (32·k rows per query reach the final window).
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.as("c").join(broadcast(queries.as("q")),
-      col("c.vec_id") =!= col("q.vec_id"))
+    val joined = withNorm(corpus).as("c")
+      .join(broadcast(withNorm(queries).as("q")),
+        col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        cosStaged(col("q.embedding"), col("c.embedding"),
+          col("q.__norm"), col("c.__norm")).as("cos"))
     topKPerQuery(joined, k)
   }
 
@@ -76,11 +94,13 @@ object Similarity {
     * scanned. nprobe>1 = union over the nearest cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.as("c").join(broadcast(queries.as("q")),
-      col("c.label") === col("q.label") && col("c.vec_id") =!= col("q.vec_id"))
+    val joined = withNorm(corpus).as("c")
+      .join(broadcast(withNorm(queries).as("q")),
+        col("c.label") === col("q.label") && col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         col("c.label").as("cell"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        cosStaged(col("q.embedding"), col("c.embedding"),
+          col("q.__norm"), col("c.__norm")).as("cos"))
     topKPerQuery(joined, k)
   }
 
@@ -264,13 +284,14 @@ object Similarity {
     val cent = collectCentroids(kmeansCentroids(corpus, kCells, iters, dim))
     def cellOf(df: DataFrame): DataFrame = df.withColumn("cell",
       nearestExpr(col("embedding"), cent).getField("cell"))
-    val corpusCells = cellOf(corpus)
-    val queryCells = cellOf(queries)
+    val corpusCells = withNorm(cellOf(corpus))
+    val queryCells = withNorm(cellOf(queries))
     val joined = corpusCells.as("c").join(broadcast(queryCells.as("q")),
       col("c.cell") === col("q.cell") && col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         col("c.cell").as("cell"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        cosStaged(col("q.embedding"), col("c.embedding"),
+          col("q.__norm"), col("c.__norm")).as("cos"))
     topKPerQuery(joined, k)
   }
 
@@ -758,10 +779,11 @@ object Similarity {
       .agg(graft.functions.MinK.longs(col("vec_id"), maxCell).as("ids"))
       .select(explode(col("ids")).as("vec_id"))
     val cand = withCell.join(keepIds, Seq("vec_id"), "left_semi")
-    val dups = withCell.as("a").join(cand.as("b"),
+    val dups = withNorm(withCell).as("a").join(withNorm(cand).as("b"),
       col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("lower_id"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        cosStaged(col("a.embedding"), col("b.embedding"),
+          col("a.__norm"), col("b.__norm")).as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
       .agg(min(col("lower_id")).as("dup_of"), max(col("cos")).as("max_cos"))
@@ -795,10 +817,11 @@ object Similarity {
       .agg(graft.functions.MinK.longs(col("vec_id"), maxCell).as("ids"))
       .select(explode(col("ids")).as("vec_id"))
     val candidates = corpus.join(keepIds, Seq("vec_id"), "left_semi")
-    val joined = corpus.as("a").join(candidates.as("b"),
+    val joined = withNorm(corpus).as("a").join(withNorm(candidates).as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        cosStaged(col("a.embedding"), col("b.embedding"),
+          col("a.__norm"), col("b.__norm")).as("cos"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
       .select(col("vec_id"), col("neighbor_id"), col("cos"),

@@ -1426,11 +1426,14 @@ object ExtQueries {
     (s, d) => {
       val clean = regexp_replace(col("text"), "[<>&]", "")
       val words = split(clean, " ")
-      val wrapped = when(size(words) > 0, array_join(
-        transform(sequence(lit(1), size(words)),
-          i => when(i % 7 === 0,
-            concat(lit("<a href=\"/l\">"), element_at(words, i), lit("</a>")))
-            .otherwise(element_at(words, i))), " ")).otherwise(lit(""))
+      // one codegen'd pass (optimization r22): the interpreted
+      // transform(sequence(...)) + array_join spelling of this fixture
+      // builder was the measured CPU of the 10x tier (62 cpu-s — the
+      // extraction itself is already the HtmlText kernel); value-identical
+      // (parity pinned in HashKernelsSpec), empty-array guard unchanged
+      val wrapped = when(size(words) > 0,
+        graft.functions.WrapEveryK(words, 7, "<a href=\"/l\">", "</a>"))
+        .otherwise(lit(""))
       val html = concat(
         lit("<html><head><title>T</title><script>var x=1<2;//</head></script>"),
         lit("<style>.c{color:red}</style></head><body><h1>"),

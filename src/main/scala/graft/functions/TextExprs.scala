@@ -130,6 +130,30 @@ object TextExprUtil {
     n
   }
 
+  /** Space-join `words`, wrapping every k-th (1-based) element in
+    * pre/post — one pass, no interpreted lambdas. Exactly the value of
+    * `array_join(transform(sequence(1, size(ws)), i -> CASE WHEN i % k = 0
+    * THEN concat(pre, ws[i], post) ELSE ws[i] END), ' ')`: a null element
+    * yields a null entry (concat propagates null) and array_join SKIPS
+    * null entries — no doubled separator — which the `kept` guard
+    * reproduces. Defined for any input; the producing fixture never holds
+    * null words.
+    */
+  def wrapEveryK(words: ArrayData, k: Int, pre: UTF8String,
+      post: UTF8String): UTF8String = {
+    val n = words.numElements()
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        parts += (if ((i + 1) % k == 0) UTF8String.concat(pre, w, post) else w)
+      }
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "), parts.toSeq: _*)
+  }
+
   /** [[intersectSize]] for ASCENDING-sorted inputs (binary UTF8String
     * order — `sort_array`'s): one merge scan, zero allocation, no hashing.
     * Same count on any sorted inputs: duplicates are adjacent (an equal
@@ -254,6 +278,46 @@ object IntersectSizeExpr {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(
       IntersectSizeExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** wrap_every_k(words, k, pre, post): the space-joined word list with
+  * every k-th (1-based) word wrapped in pre/post, as ONE codegen'd pass —
+  * the interpreted `array_join(transform(sequence(...), i -> ...))`
+  * spelling it replaces paid a lambda tree per word per row. See
+  * [[TextExprUtil.wrapEveryK]] for the exact value contract.
+  */
+case class WrapEveryKExpr(child: Expression, k: Int, pre: String, post: String)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "wrap_every_k requires k >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wrap_every_k"
+
+  @transient private lazy val preU = UTF8String.fromString(pre)
+  @transient private lazy val postU = UTF8String.fromString(post)
+
+  override def nullSafeEval(in: Any): Any =
+    TextExprUtil.wrapEveryK(in.asInstanceOf[ArrayData], k, preU, postU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val preRef = ctx.addReferenceObj("wrapPre", preU,
+        classOf[UTF8String].getName)
+      val postRef = ctx.addReferenceObj("wrapPost", postU,
+        classOf[UTF8String].getName)
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExprUtil" +
+        s".wrapEveryK($c, $k, $preRef, $postRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WrapEveryKExpr =
+    copy(child = newChild)
+}
+
+object WrapEveryKExpr {
+  def column(words: Column, k: Int, pre: String, post: String): Column =
+    ExpressionUtils.column(
+      WrapEveryKExpr(ExpressionUtils.expression(words), k, pre, post))
 }
 
 /** intersect_size_sorted(a, b) — [[IntersectSizeExpr]] for inputs the

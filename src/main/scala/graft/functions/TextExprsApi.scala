@@ -101,6 +101,16 @@ object IntersectSizeSorted {
     org.apache.spark.sql.graftexpr.IntersectSizeSortedExpr.column(a, b)
 }
 
+object WrapEveryK {
+  /** Space-join an array<string> column wrapping every k-th (1-based)
+    * element in pre/post, one codegen'd pass per row — value-identical to
+    * the array_join(transform(sequence(...))) spelling; see
+    * [[org.apache.spark.sql.graftexpr.WrapEveryKExpr]].
+    */
+  def apply(words: Column, k: Int, pre: String, post: String): Column =
+    org.apache.spark.sql.graftexpr.WrapEveryKExpr.column(words, k, pre, post)
+}
+
 object BpeTokens {
   /** The default merge table — loaded from the bundled GPT-2-format
     * `merges.txt` fixture resource

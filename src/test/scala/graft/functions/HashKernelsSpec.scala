@@ -167,6 +167,25 @@ class HashKernelsSpec extends SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("wrap_every_k kernel == array_join(transform(sequence)) spelling (r22)") {
+    val docs = corpus(300)
+    val words = split(col("text"), " ", -1)
+    val columnForm = docs.select(col("doc_id"),
+      when(size(words) > 0, array_join(
+        transform(sequence(lit(1), size(words)),
+          i => when(i % 7 === 0,
+            concat(lit("<a href=\"/l\">"), element_at(words, i), lit("</a>")))
+            .otherwise(element_at(words, i))), " ")).otherwise(lit(""))
+        .as("wrapped"))
+    val kernelForm = docs.select(col("doc_id"),
+      when(size(words) > 0,
+        WrapEveryK(words, 7, "<a href=\"/l\">", "</a>")).otherwise(lit(""))
+        .as("wrapped"))
+    val a = columnForm.orderBy("doc_id").collect().toSeq
+    val b = kernelForm.orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("digest prefix matches conv(substring(md5, 1, k), 16, 10) for odd k") {
     import spark.implicits._
     val df = Seq("a", "xyz", "", "δ mixed unicode").toDF("s")

@@ -186,6 +186,39 @@ object StreamNearDedup {
       state.remove()
       return Iterator.empty
     }
+    // Singleton fast path (optimization r22): most groups of the combined
+    // operator are first-seen singletons — one exact-identity group per
+    // distinct (source, id) — and the general path pays a mutable map, a
+    // row sort, an immutable-map copy and the probe scaffolding per GROUP.
+    // A single row against empty state probes nothing (no match by
+    // definition), inserts its own fingerprint, and emits not-matched:
+    // exactly what the general fold computes for this case.
+    if (state.getOption.isEmpty && rows.hasNext) {
+      val r = rows.next()
+      if (!rows.hasNext) {
+        val fp = fpOf(r)
+        val blk1 = block(r)
+        val b21 = (blk1 + 1) % Blocks
+        val v = (fp >>> Shifts(b21)) & ((1L << Widths(b21)) - 1)
+        state.update(FpState(Map(v -> Vector(fp))))
+        ttlMsOf(blk1).foreach(state.setTimeoutDuration)
+        return Iterator.single(mk(r, false))
+      } else {
+        // two-plus rows: fall through to the general fold with the first
+        // row restored
+        return updateGGeneral(maxState, ttlMsOf, block, at, eid, fpOf, mk)(
+          key, Iterator.single(r) ++ rows, state)
+      }
+    }
+    updateGGeneral(maxState, ttlMsOf, block, at, eid, fpOf, mk)(
+      key, rows, state)
+  }
+
+  private def updateGGeneral[R, O](maxState: Int, ttlMsOf: Int => Option[Long],
+      block: R => Int, at: R => Long, eid: R => Long, fpOf: R => Long,
+      mk: (R, Boolean) => O)(
+      key: String, rows: Iterator[R],
+      state: GroupState[FpState]): Iterator[O] = {
     val buckets = scala.collection.mutable.Map.empty[Long, Seq[Long]]
     var total = 0
     state.getOption.foreach(_.buckets.foreach { case (k, fps) =>

@@ -677,22 +677,21 @@ object TextAnalysis {
     def bitSet(pos: Column): Column =
       element_at(col("__bm"), shiftright(pos, 6).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
-    // stage (h1, h2) once per gram: higher-order-function lambdas are
-    // interpreted with no subexpression elimination, so probing straight
-    // off the hex would re-run the conv(substring(md5)) pair per probe —
-    // 2k interpreted digests/convs per gram instead of 2
-    def bloomHit(hs: Column): Column =
-      (0 until k).map { i =>
-        bitSet((hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
-      }.reduce(_ && _)
-    val nHits = size(filter(col("__hs"), hs => bloomHit(hs))).cast("bigint")
+    // Corpus-side probe as ONE codegen'd kernel per doc (optimization
+    // r22, guide §4): the interpreted spelling built the gram array,
+    // re-rendered each gram's md5 as hex and decimal-re-parsed it twice
+    // (interpreted HOF lambdas have no subexpression elimination), then
+    // ran a filter lambda with k probe sub-trees per gram.
+    // [[graft.functions.BloomGramHits]] digests each DISTINCT gram once
+    // off the raw md5 bytes and probes the broadcast bitmap words with
+    // plain long arithmetic — identical count (parity pinned in
+    // HashKernelsSpec; the DuckDB oracle replays the hex/conv spelling
+    // independently). h1/h2/bitSet above remain the executable spec the
+    // eval-side bitmap build still uses.
     graft.Tables.fanOut(docs)
-      .withColumn("__hs", transform(gramsCol, g => {
-        val hex = md5(g)
-        struct(h1(hex).as("h1"), h2(hex).as("h2"))
-      }))
       .crossJoin(broadcast(bitmapRow))
-      .withColumn("n_hits", nHits)
+      .withColumn("n_hits", graft.functions.BloomGramHits(
+        split(col("text"), " ", -1), col("__bm"), n, mBits, k))
       .select(col("doc_id"), col("lang"), col("n_hits"),
         (col("n_hits") > 0).as("contaminated"))
   }

@@ -46,6 +46,24 @@ object HashKernelUtil {
     h
   }
 
+  /** Unsigned value of hex chars [fromChar, fromChar+hexChars) (0-based)
+    * of `digest` — identical to
+    * `conv(substring(hex, fromChar + 1, hexChars), 16, 10)` for
+    * hexChars <= 15.
+    */
+  def digestRange(digest: Array[Byte], fromChar: Int, hexChars: Int): Long = {
+    var h = 0L
+    var c = fromChar
+    val end = fromChar + hexChars
+    while (c < end) {
+      val b = digest(c >> 1) & 0xff
+      val nib = if ((c & 1) == 0) b >>> 4 else b & 0xf
+      h = (h << 4) | nib
+      c += 1
+    }
+    h
+  }
+
   private val HexDigits = "0123456789abcdef".toCharArray
 
   /** Lowercase hex rendering of a digest — Spark's `md5()` output form. */

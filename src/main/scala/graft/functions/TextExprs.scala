@@ -130,6 +130,55 @@ object TextExprUtil {
     n
   }
 
+  /** Distinct word n-grams of `words` that pass every probe of a Bloom
+    * bitmap — the corpus-side test of [[graft.ext.TextAnalysis]]
+    * `decontaminateBloom`, fused into one pass. Exactly the value of the
+    * column spelling it replaces:
+    * `size(filter(array_distinct(word_grams(ws, n)), g -> AND_i
+    * bitSet((h1(md5(g)) + i·h2(md5(g))) % mBits)))` with
+    * h1 = conv(substring(hex,1,15),16,10) % mBits and
+    * h2 = conv(substring(hex,16,15),16,10) % mBits · 2 + 1 — the digest
+    * is taken once per DISTINCT gram straight off the raw md5 bytes
+    * (no hex string, no decimal re-parse), probes are plain long
+    * arithmetic against the broadcast bitmap words.
+    */
+  def bloomGramHits(words: ArrayData, bm: ArrayData, n: Int, mBits: Int,
+      k: Int): Long = {
+    val sz = words.numElements()
+    if (sz < n) return 0L
+    val md = md5()
+    val seen = new java.util.HashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var hits = 0L
+    var i = 0
+    while (i <= sz - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(sep, parts: _*)
+      if (seen.add(gram)) {
+        md.reset()
+        val digest = md.digest(gram.getBytes)
+        val h1 = HashKernelUtil.digestPrefix(digest, 15) % mBits
+        val h2 = HashKernelUtil.digestRange(digest, 15, 15) % mBits * 2 + 1
+        var hit = true
+        var p = 0
+        while (hit && p < k) {
+          val pos = (h1 + p * h2) % mBits
+          val word = bm.getLong((pos >>> 6).toInt)
+          if ((word & (1L << (pos & 63))) == 0L) hit = false
+          p += 1
+        }
+        if (hit) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** Space-join `words`, wrapping every k-th (1-based) element in
     * pre/post — one pass, no interpreted lambdas. Exactly the value of
     * `array_join(transform(sequence(1, size(ws)), i -> CASE WHEN i % k = 0
@@ -278,6 +327,45 @@ object IntersectSizeExpr {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(
       IntersectSizeExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** bloom_gram_hits(words, bm): the count of distinct word n-grams whose k
+  * Bloom probes all land in set bits of the bitmap column — the fused
+  * corpus-side test of decontaminateBloom. See
+  * [[TextExprUtil.bloomGramHits]] for the value contract with the
+  * interpreted transform/filter spelling it replaces (parity pinned in
+  * HashKernelsSpec).
+  */
+case class BloomGramHitsExpr(left: Expression, right: Expression,
+    n: Int, mBits: Int, k: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+  require(n >= 1 && k >= 1 && mBits % 64 == 0,
+    "bloom_gram_hits requires n >= 1, k >= 1, mBits % 64 == 0")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_gram_hits"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.bloomGramHits(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], n, mBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftexpr.TextExprUtil" +
+        s".bloomGramHits($a, $b, $n, $mBits, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomGramHitsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomGramHitsExpr {
+  def column(words: Column, bm: Column, n: Int, mBits: Int, k: Int): Column =
+    ExpressionUtils.column(
+      BloomGramHitsExpr(ExpressionUtils.expression(words),
+        ExpressionUtils.expression(bm), n, mBits, k))
 }
 
 /** wrap_every_k(words, k, pre, post): the space-joined word list with

@@ -101,6 +101,17 @@ object IntersectSizeSorted {
     org.apache.spark.sql.graftexpr.IntersectSizeSortedExpr.column(a, b)
 }
 
+object BloomGramHits {
+  /** Count of distinct word n-grams of an array<string> column whose k
+    * double-hash Bloom probes all hit in an array<bigint> bitmap column,
+    * one codegen'd pass per row — value-identical to the
+    * array_distinct + word_grams + filter spelling; see
+    * [[org.apache.spark.sql.graftexpr.BloomGramHitsExpr]].
+    */
+  def apply(words: Column, bm: Column, n: Int, mBits: Int, k: Int): Column =
+    org.apache.spark.sql.graftexpr.BloomGramHitsExpr.column(words, bm, n, mBits, k)
+}
+
 object WrapEveryK {
   /** Space-join an array<string> column wrapping every k-th (1-based)
     * element in pre/post, one codegen'd pass per row — value-identical to

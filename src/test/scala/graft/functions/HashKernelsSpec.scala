@@ -186,6 +186,40 @@ class HashKernelsSpec extends SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("bloom_gram_hits kernel == transform/filter column spelling (r22)") {
+    val mBits = 1 << 12
+    val k = 5
+    val n = 3
+    val rnd = new scala.util.Random(23)
+    // a half-set random bitmap so both hit and miss paths execute
+    val bm: Seq[Long] = Seq.fill(mBits / 64)(rnd.nextLong() & rnd.nextLong())
+    import org.apache.spark.sql.Column
+    val docs = corpus(300)
+    val words = split(col("text"), " ", -1)
+    def h1(hex: Column): Column =
+      conv(substring(hex, 1, 15), 16, 10).cast("bigint") % mBits
+    def h2(hex: Column): Column =
+      conv(substring(hex, 16, 15), 16, 10).cast("bigint") % mBits * 2 + 1
+    def bitSet(bmc: Column, pos: Column): Column =
+      element_at(bmc, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
+    val gramsCol = array_distinct(WordGrams(words, n))
+    val bmc = typedLit(bm)
+    val columnForm = docs.select(col("doc_id"),
+      size(filter(transform(gramsCol, g => {
+        val hex = md5(g)
+        struct(h1(hex).as("h1"), h2(hex).as("h2"))
+      }), hs => (0 until k).map { i =>
+        bitSet(bmc, (hs.getField("h1") + lit(i.toLong) * hs.getField("h2")) % mBits)
+      }.reduce(_ && _))).cast("bigint").as("n_hits"))
+    val kernelForm = docs.select(col("doc_id"),
+      BloomGramHits(words, bmc, n, mBits, k).as("n_hits"))
+    val a = columnForm.orderBy("doc_id").collect().toSeq
+    val b = kernelForm.orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a === b)
+    assert(a.exists(_.getLong(1) > 0), "fixture should produce some hits")
+  }
+
   test("digest prefix matches conv(substring(md5, 1, k), 16, 10) for odd k") {
     import spark.implicits._
     val df = Seq("a", "xyz", "", "δ mixed unicode").toDF("s")

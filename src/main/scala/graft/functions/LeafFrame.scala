@@ -42,6 +42,16 @@ object LeafFrame {
     * leaf carrying `stats`. Must be called after materialization so
     * `queryExecution.optimizedPlan` is the built InMemoryRelation and its
     * statistics are the measured ones, not estimates.
+    *
+    * The leaf deliberately carries NO outputPartitioning/outputOrdering
+    * (ADVICE r21 asked why): none of the current pin consumers keys on a
+    * pin's own shuffle layout — the curation/dedup pins are keyed by
+    * content-hash or semi-join outputs while every consumer joins on
+    * doc_id/vec_id, and the union-find labels pin is a single coalesced
+    * partition — so threading the physical partitioning through (the
+    * Dataset.checkpoint attribute-remap dance) would today preserve
+    * information nothing reads. Revisit if a consumer ever
+    * joins/aggregates on the exact key a pin was exchanged by.
     */
   def apply(df: DataFrame, stats: Option[Statistics]): DataFrame = {
     val qe = df.queryExecution
